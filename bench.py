@@ -1,0 +1,68 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + count) after a warm-up
+of the input file listing. Timings are wall-clock per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+HEADLINE = (
+    "agent_metrics",        # flagship: star join + 20-agg group-by
+    "agent_metrics_2",      # rate view
+    "pricing_summary",      # TPC-H Q1 shape
+    "scd1_merge",           # SCD1 merge (window + anti-join + union)
+    "dedup_minhash_lsh",    # shingle → minhash → banded LSH pairs
+    "dedup_jaccard",        # exact shingle-jaccard pairs
+    "ann_cosine_topk",      # brute-force cosine top-k
+    "text_stats",           # full text-analysis projection
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from redshift_etl_spark import queries as Q
+    from redshift_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="redshift_etl_spark_bench")
+    all_q = Q.all_queries()
+
+    # JVM/codegen warm-up on a trivial action so q1 isn't charged for it
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = all_q[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,267 @@
+"""Deduplication operators for large-scale text corpora — exact,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+These extend the reference's dedup surface (which is key-equality only:
+DynamoDB `ContactId` conditional writes at `…CTR with Firehose/
+lambda_connect_firehose_redshift.py:9-28` and the anti-join at
+`…CTR with boto3/SP_boto3_connect_redshift.sql:24-26`) to the
+content-similarity dedup a training-data pipeline needs.
+
+Portability note: hashing uses md5 (identical across Spark and any SQL
+oracle) rather than Spark-internal murmur3. MinHash permutations are
+"salted md5, lexicographic min" — the min over a 128-bit uniform hash,
+a standard MinHash construction.
+
+Scale design (100 TB):
+- Everything is shingle-explode → groupBy/join on the shingle or bucket
+  — embarrassingly parallel, no driver-side state.
+- LSH banding turns the O(n²) pair space into per-bucket candidate
+  joins; bucket sizes are bounded by band width, and a skewed bucket
+  (e.g. boilerplate docs) is handled by AQE skew-join splitting.
+- Exact pair-verification (Jaccard) runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- tokenize / shingle ----------------------------------------------------
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokens (canonical tokenizer, shared with the oracle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, joined with single spaces.
+
+    0-based: shingle i = tokens[i .. i+n-1] for i in [0, len-n]. Docs
+    shorter than n words yield an empty array.
+    """
+    t = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)])
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — the parallel unit for all similarity ops."""
+    return df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content fingerprint
+    with the representative (min id) and the duplicate count. One shuffle
+    on the 128-bit fingerprint — never on the raw text bytes."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep only the representative row per distinct content."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """One row per doc with columns h0..h{k-1}: MinHash signature where
+    h_j = min over shingles of md5(j || ':' || shingle). Signature
+    agreement fraction estimates Jaccard similarity."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs with estimated Jaccard.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band bucket become a candidate pair. Output:
+    (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est_jaccard =
+    fraction of agreeing signature positions.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"h{b * r + j}") for j in range(r)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    sig = sig.select(id_col, *[F.col(f"h{j}") for j in range(num_hashes)], *band_cols)
+
+    left = sig.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"h{j}").alias(f"ha{j}") for j in range(num_hashes)],
+        *[F.col(f"band{b}").alias(f"banda{b}") for b in range(bands)],
+    )
+    right = sig.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"h{j}").alias(f"hb{j}") for j in range(num_hashes)],
+        *[F.col(f"band{b}").alias(f"bandb{b}") for b in range(bands)],
+    )
+    pairs = None
+    for b in range(bands):
+        p = left.join(
+            right,
+            (F.col(f"banda{b}") == F.col(f"bandb{b}"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        ).select("doc_a", "doc_b", *[f"ha{j}" for j in range(num_hashes)],
+                 *[f"hb{j}" for j in range(num_hashes)])
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["doc_a", "doc_b"])
+    agree = sum(
+        (F.col(f"ha{j}") == F.col(f"hb{j}")).cast("int") for j in range(num_hashes)
+    )
+    return pairs.select(
+        "doc_a", "doc_b", (agree / F.lit(float(num_hashes))).alias("est_jaccard")
+    )
+
+
+# --- exact n-gram Jaccard --------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
+
+    Shuffle pattern: explode → join on shingle (co-partitioned) →
+    groupBy pair. At scale, run on LSH candidates instead of all pairs;
+    this direct form is the verification kernel.
+    """
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def _nibble(h: Column, pos: int) -> Column:
+    """Hex nibble at 1-based ``pos`` of an md5 string → int 0..15.
+    Uses instr over the hex alphabet — portable to any SQL oracle."""
+    return F.instr(F.lit("0123456789abcdef"), F.substring(h, pos, 1)) - 1
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash over distinct tokens: bit b is the sign of
+    Σ_tokens (2·bit_b(md5(token)) − 1). Returns (id, simhash) with the
+    packed value in [0, 2^bits). bits ≤ 32 (nibbles from the md5 hex)."""
+    assert bits % 4 == 0 and bits <= 32
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("w")
+    ).withColumn("h", F.md5(F.col("w")))
+    bit_sums = []
+    for b in range(bits):
+        nib = _nibble(F.col("h"), b // 4 + 1)
+        bit = F.shiftright(nib, 3 - b % 4) % 2
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{b}"))
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    packed = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(2 ** (bits - 1 - b))).otherwise(0)
+        for b in range(bits)
+    )
+    return agg.select(F.col(id_col), packed.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation by half-split banding; the pigeonhole guarantee
+    is exact for ``max_hamming ≤ 1`` (some half must match). For larger
+    distances recall is partial with 2 bands — raise the band count
+    (max_hamming+1 bands gives an exact guarantee) when higher recall
+    matters more than join fan-out.
+    """
+    sig = simhash(df, id_col, text_col, bits)
+    half = bits // 2
+    sig = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.shiftright(F.col("simhash"), half).alias("hi"),
+        (F.col("simhash") % (2 ** half)).alias("lo"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+    )
+    b = sig.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+    )
+    cand = a.join(
+        b,
+        ((F.col("hi_a") == F.col("hi_b")) | (F.col("lo_a") == F.col("lo_b")))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = F.bit_count(xor)
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,175 @@
+"""Merge operators — the reference's warehouse-side semantics (SURVEY
+§2.3 J1–J6, §2.2 P6/P7) as distributed DataFrame algebra.
+
+The reference runs these as Redshift stored procedures:
+- SCD Type 1 MERGE: `Salesforce/Task/SP_litify_task.sql:14-77` (and
+  User/Matter/Employee variants — the Matter merge is ~880 lines of
+  hand-written column lists; here it is schema-driven and O(1) code).
+- insert-only anti-join: `…CTR with boto3/SP_boto3_connect_redshift.sql:15-26`.
+- composite-key update-if-changed: `Google Sheets/Goals/lambda_legal_goals_upsert.py:48-77`.
+
+Scale design:
+- Both sides shuffle once on the key; with the target bucketed/partitioned
+  by key the source-side shuffle is the only one.
+- The staging side is deduped to one row per key FIRST (row_number by
+  recency) — at 100 TB this is the step that keeps the join 1:1 instead
+  of exploding; the reference only guarantees it operationally
+  (one CSV per merge, `Salesforce/Task/lambda_litify_task.py:153-164`).
+- Typical staging batches are ≪ target: when `source` fits the broadcast
+  threshold Catalyst broadcasts the anti-join side automatically (AQE).
+- No Delta in this environment, so `merge_scd1_write` materializes via
+  temp-path + atomic rename; the pure `merge_scd1` returns the merged
+  DataFrame for composition / oracle checking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _key_list(key: str | Sequence[str]) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def latest_per_key(
+    df: DataFrame,
+    key: str | Sequence[str],
+    recency_col: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """One row per key, newest ``recency_col`` wins; deterministic
+    tie-break on ``tiebreakers`` then remaining columns (SURVEY §7 risk 2:
+    the reference leaves ties undefined — we pin them).
+
+    row_number over (partition by key, order by recency desc) — a single
+    hash-partition shuffle on the key, exactly the partitioning the
+    subsequent merge join needs, so Catalyst reuses it.
+    """
+    keys = _key_list(key)
+    order = [F.col(recency_col).desc_nulls_last()]
+    order += [F.col(c).desc_nulls_last() for c in tiebreakers]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def changed_or_new(
+    source: DataFrame,
+    target: DataFrame,
+    key: str | Sequence[str],
+    recency_col: str,
+) -> DataFrame:
+    """P6/J1 — change-detection filter: keep source rows that are new
+    (key absent from target) or newer (`recency > target.recency`).
+    `Salesforce/Task/SP_litify_task.sql:6-11`.
+    """
+    keys = _key_list(key)
+    tgt = target.select(
+        *[F.col(k).alias(f"__t_{k}") for k in keys],
+        F.col(recency_col).alias("__t_recency"),
+    )
+    cond = None
+    for k in keys:
+        c = source[k] == tgt[f"__t_{k}"]
+        cond = c if cond is None else (cond & c)
+    joined = source.join(tgt, cond, "left")
+    keep = F.col(f"__t_{keys[0]}").isNull() | (
+        F.col(recency_col) > F.col("__t_recency")
+    )
+    return joined.filter(keep).drop(*[f"__t_{k}" for k in keys], "__t_recency")
+
+
+def merge_scd1(
+    target: DataFrame,
+    source: DataFrame,
+    key: str | Sequence[str],
+    recency_col: str,
+) -> DataFrame:
+    """J4 — SCD Type 1 merge, returned as a DataFrame:
+
+    MERGE INTO target USING source ON key
+      WHEN MATCHED AND source newer THEN UPDATE all columns
+      WHEN NOT MATCHED THEN INSERT
+    (`Salesforce/Task/SP_litify_task.sql:14-77`)
+
+    Algebra: dedupe source to latest-per-key, keep only new-or-newer rows
+    (P6), then ``target ANTI-JOIN winners UNION ALL winners``. One shuffle
+    on the key for the window + one for the anti-join (AQE broadcasts the
+    winner side when small — the common case: daily increment vs full
+    history).
+    """
+    keys = _key_list(key)
+    src = latest_per_key(
+        source.select(*target.columns), keys, recency_col
+    )
+    winners = changed_or_new(src, target, keys, recency_col)
+    kept = target.join(winners.select(*keys), keys, "left_anti")
+    return kept.unionByName(winners)
+
+
+def append_new(
+    target: DataFrame, source: DataFrame, key: str | Sequence[str]
+) -> DataFrame:
+    """J2/P7 — insert-only dedupe: append source rows whose key is absent
+    from target (`…CTR with boto3/SP_boto3_connect_redshift.sql:15-26`).
+    Duplicate keys *within* the source batch are collapsed
+    (arbitrary-but-deterministic first by full row order) — the reference
+    relies on its DynamoDB/stream dedup for this.
+    """
+    keys = _key_list(key)
+    other = [c for c in source.columns if c not in keys]
+    dedup_src = latest_per_key(source, keys, other[0]) if other else source.distinct()
+    new_rows = dedup_src.join(target.select(*keys), keys, "left_anti")
+    return target.unionByName(new_rows.select(*target.columns))
+
+
+def upsert_if_changed(
+    target: DataFrame,
+    source: DataFrame,
+    key: str | Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """J5 — composite-key upsert with update-only-if-changed semantics
+    (`Google Sheets/Goals/lambda_legal_goals_upsert.py:48-77`: INSERT
+    WHERE NOT EXISTS(email, week) + UPDATE WHERE goal != new_goal).
+
+    Equivalent set algebra: rows from source win whenever the key is new
+    OR any compare column differs; otherwise the target row stands
+    (identical outcome either way — "unchanged" rows are identical).
+    """
+    keys = _key_list(key)
+    src = source.select(*target.columns).dropDuplicates(keys)
+    kept = target.join(src.select(*keys), keys, "left_anti")
+    return kept.unionByName(src)
+
+
+def merge_scd1_write(
+    spark_target_path: str,
+    target: DataFrame,
+    source: DataFrame,
+    key: str | Sequence[str],
+    recency_col: str,
+) -> None:
+    """Materializing variant: write the merged table to parquet via a
+    temp path + rename (merge atomicity without Delta — SURVEY §7 risk 1).
+    On a Delta/Iceberg-enabled cluster this becomes
+    ``DeltaTable.merge(...).whenMatchedUpdateAll().whenNotMatchedInsertAll()``.
+    """
+    import os
+    import shutil
+
+    merged = merge_scd1(target, source, key, recency_col)
+    tmp = spark_target_path.rstrip("/") + ".__tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    final_tmp = spark_target_path.rstrip("/") + ".__old__"
+    if os.path.exists(spark_target_path):
+        os.rename(spark_target_path, final_tmp)
+    os.rename(tmp, spark_target_path)
+    if os.path.exists(final_tmp):
+        shutil.rmtree(final_tmp)

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant
+(random-hyperplane signatures) is the 100 TB scale path: it prunes the
+candidate set per query to one bucket's worth of vectors before the
+exact rescoring, turning O(|Q|·|C|) into O(|Q|·bucket).
+
+Arithmetic policy: embeddings are float32 on disk; all math is done in
+double (exact float→double widening) with a left-fold accumulation
+(`F.aggregate`), and cosine is rounded to 6 decimals so results are
+comparable across engines.
+
+The "random" hyperplanes are derived deterministically from md5 — no RNG
+state, reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold Σ a_i·b_i in double."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine, excluding self-matches.
+
+    The query side is broadcast (the small side by construction); the
+    corpus is scanned once with no shuffle until the final per-query
+    top-k (a single hash partition on query_id). Ranking uses the
+    rounded cosine with id tiebreak → fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )
+
+
+# --- LSH-bucketed ANN (scale path) ----------------------------------------
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from md5(f"{plane}:{dim}") — stable across engines/runs."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()
+    return (int(h[:8], 16) / float(0xFFFFFFFF)) * 2.0 - 1.0
+
+
+def hyperplane_signature(
+    vec: Column, dims: int, planes: int = 8
+) -> Column:
+    """Random-hyperplane LSH signature: bit p = sign(v · plane_p).
+    Packed into a long. Planes are literal constants folded by Catalyst —
+    zero per-row Python."""
+    v = _as_double(vec)
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        comps = [_plane_component(p, d) for d in range(dims)]
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(c) for c in comps]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return sig
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Approximate top-k: candidates share the hyperplane bucket, then
+    exact cosine rescoring within the bucket. At scale: corpus bucketed/
+    persisted by signature once, queries hash-join on signature — no
+    cross product anywhere."""
+    from pyspark.sql import Window
+
+    sig = lambda df, a, b: df.select(  # noqa: E731
+        F.col(id_col).alias(a),
+        F.col(vec_col).alias(b),
+        hyperplane_signature(F.col(vec_col), dims, planes).alias("__bucket"),
+    )
+    c = sig(corpus, "neighbor_id", "__cvec")
+    q = sig(queries, "query_id", "__qvec")
+    scored = (
+        c.join(F.broadcast(q), ["__bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )

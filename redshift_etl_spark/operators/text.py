@@ -1,0 +1,119 @@
+"""Text analysis operators — language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All built-in Catalyst expressions (split/regexp/md5/higher-order array
+functions) — zero Python in the row path, so these run at scan speed
+over a 100 TB corpus with full column pruning.
+
+Ratio outputs are exact-int divisions cast to double → bit-identical
+across engines (no rounding needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+# Tiny per-language marker sets for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "in"),
+    "es": ("el", "la", "de", "y", "en"),
+    "fr": ("le", "la", "de", "et", "dans"),
+    "de": ("der", "die", "das", "und", "in"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+# BPE-ish token regex: word pieces OR digit runs OR single non-space symbol.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def marker_hits(text: Column | str, markers: tuple[str, ...]) -> Column:
+    """Count of tokens that are in the marker set."""
+    t = tokens_col(text)
+    return F.size(F.filter(t, lambda w: w.isin(*markers))).cast("long")
+
+
+def lang_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Add one ``hits_<lang>`` column per language + ``predicted_lang``
+    (argmax, ties broken by language-code order → deterministic)."""
+    out = df
+    for lang, markers in LANG_MARKERS.items():
+        out = out.withColumn(f"hits_{lang}", marker_hits(text_col, markers))
+    best = F.lit("unknown")
+    best_hits = F.lit(0).cast("long")
+    for lang in sorted(LANG_MARKERS):  # later langs win only strictly
+        h = F.col(f"hits_{lang}")
+        cond = h > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, h).otherwise(best_hits)
+    return out.withColumn("predicted_lang", best)
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text)).cast("long")
+
+
+def regex_token_count(text: Column | str) -> Column:
+    """BPE-ish regex token count (word pieces / digit runs / symbols)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0))).cast("long")
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c).cast("long")
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """stopword tokens / total tokens — exact int division in double."""
+    return marker_hits(text, STOPWORDS).cast("double") / token_count(text)
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length = non-space chars / tokens (exact ints)."""
+    c = F.col(text) if isinstance(text, str) else text
+    non_space = F.length(F.replace(c, F.lit(" "), F.lit(""))).cast("double")
+    return non_space / token_count(text)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic quality flag: length in a sane band, not stopword soup,
+    tokens not degenerate. Mirrors the length/punct/stopword-ratio
+    recipe used by web-corpus quality filters."""
+    nt = token_count(text)
+    return (
+        (nt >= 20)
+        & (nt <= 95)
+        & (stopword_ratio(text) < 0.5)
+        & (avg_token_len(text) >= 2.0)
+    ).cast("int")
+
+
+def content_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (bag-of-words identity — catches reordered
+    near-identical docs that exact md5 misses)."""
+    t = tokens_col(text)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t))))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The full per-document stats frame (one projection, no shuffle)."""
+    return df.select(
+        F.col(id_col),
+        char_count(text_col).alias("n_chars"),
+        token_count(text_col).alias("n_tokens"),
+        F.size(F.array_distinct(tokens_col(text_col))).cast("long").alias(
+            "n_distinct_tokens"
+        ),
+        regex_token_count(text_col).alias("n_regex_tokens"),
+        avg_token_len(text_col).alias("avg_token_len"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        quality_score(text_col).alias("is_quality"),
+        F.md5(F.col(text_col)).alias("exact_fingerprint"),
+        content_fingerprint(text_col).alias("bow_fingerprint"),
+    )

@@ -1,0 +1,321 @@
+"""Training-data pipeline queries — dedup, similarity search, text
+analysis — over `documents` / `embeddings`, each with an ANSI/DuckDB
+oracle twin built from the SAME canonical definitions (md5 hashing,
+whitespace tokens, word-3-gram shingles, left-fold double arithmetic).
+
+These are first-class engine operators (BASELINE.json north-star), not
+demos: every one is shuffle-minimal and driver-state-free (see the
+operator modules for the 100 TB design notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as TX
+from .tables import load
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# DuckDB shingle fragment shared by several oracles: distinct word
+# 3-grams, 1-based list indexing (mirrors operators.dedup.shingles_col).
+_DUCK_SHINGLES = """
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(str_split(text, ' ')) - 1),
+      i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+           || ' ' || str_split(text, ' ')[i+2])
+  )) AS shingle
+  FROM documents
+  WHERE len(str_split(text, ' ')) >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_jaccard",
+    f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+""",
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH candidate pairs (8 hashes, 2 bands of 4)
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n    ".join(
+        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(8)
+    )
+    agree = " + ".join(f"CAST(a.h{j} = b.h{j} AS INT)" for j in range(8))
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT *, md5(h0 || h1 || h2 || h3) AS band0,
+            md5(h4 || h5 || h6 || h7) AS band1
+  FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ({agree}) / 8.0 AS est_jaccard
+FROM banded a
+JOIN banded b
+  ON a.doc_id < b.doc_id
+ AND (a.band0 = b.band0 OR a.band1 = b.band1)
+"""
+
+
+@_q("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=2, shingle_n=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (16-bit, md5-nibble construction)
+# ---------------------------------------------------------------------------
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = []
+    for b in range(bits):
+        pos = b // 4 + 1
+        shift = 3 - b % 4
+        nib = f"(instr('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+        sums.append(f"SUM((({nib} >> {shift}) & 1) * 2 - 1) AS s{b}")
+    pack = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** (bits - 1 - b)} ELSE 0 END)"
+        for b in range(bits)
+    )
+    sums_sql = ",\n    ".join(sums)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
+  FROM documents
+),
+h AS (SELECT doc_id, md5(w) AS h FROM tok),
+bits AS (
+  SELECT doc_id,
+    {sums_sql}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({pack} AS BIGINT) AS simhash
+FROM bits
+"""
+
+
+@_q("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text", bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search — exact brute-force cosine top-k (queries = vec_id < 5)
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM c WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(
+           list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+           6
+         ) AS cosine
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@_q("ann_cosine_topk", _ANN_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+_EMB_DEDUP_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(
+           list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+           6
+         ) AS cosine
+  FROM c a JOIN c b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.99
+"""
+
+
+@_q("dedup_embedding_cosine", _EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(S.cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.99)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text stats / quality / fingerprints
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+
+_TEXT_STATS_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(length(text) AS BIGINT)                           AS n_chars,
+  CAST(len(str_split(text, ' ')) AS BIGINT)              AS n_tokens,
+  CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+  CAST(len(regexp_extract_all(text, '{TX.TOKEN_REGEX}')) AS BIGINT) AS n_regex_tokens,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+    / len(str_split(text, ' '))                          AS avg_token_len,
+  CAST(len(list_filter(str_split(text, ' '), w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+    / len(str_split(text, ' '))                          AS stopword_ratio,
+  CASE WHEN len(str_split(text, ' ')) >= 20
+        AND len(str_split(text, ' ')) <= 95
+        AND CAST(len(list_filter(str_split(text, ' '), w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+              / len(str_split(text, ' ')) < 0.5
+        AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / len(str_split(text, ' ')) >= 2.0
+       THEN 1 ELSE 0 END                                 AS is_quality,
+  md5(text)                                              AS exact_fingerprint,
+  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))
+                                                         AS bow_fingerprint
+FROM documents
+"""
+
+
+@_q("text_stats", _TEXT_STATS_ORACLE)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.text_stats(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (marker-token argmax; fold order = sorted langs,
+# later language wins only on strictly more hits)
+# ---------------------------------------------------------------------------
+
+def _lang_id_oracle() -> str:
+    hit_cols = ",\n  ".join(
+        "CAST(len(list_filter(str_split(text, ' '), w -> w IN ({}))) AS BIGINT)"
+        " AS hits_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in TX.LANG_MARKERS.items()
+    )
+    # Replicate the fold: start at ('unknown', 0); per sorted lang, take it
+    # only on strictly-more hits.
+    steps = []
+    prev_b, prev_n = "'unknown'", "0"
+    for i, lang in enumerate(sorted(TX.LANG_MARKERS)):
+        b = f"CASE WHEN hits_{lang} > {prev_n} THEN '{lang}' ELSE {prev_b} END"
+        n = f"CASE WHEN hits_{lang} > {prev_n} THEN hits_{lang} ELSE {prev_n} END"
+        prev_b, prev_n = b, n
+        steps.append((b, n))
+    predicted = prev_b
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+  {hit_cols}
+  FROM documents
+)
+SELECT doc_id, lang, hits_de, hits_en, hits_es, hits_fr,
+       {predicted} AS predicted_lang,
+       CAST(({predicted}) = lang AS INT) AS lang_match
+FROM h
+"""
+
+
+@_q("lang_id", _lang_id_oracle())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = TX.lang_scores(docs, "text")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "hits_de",
+        "hits_en",
+        "hits_es",
+        "hits_fr",
+        "predicted_lang",
+        (F.col("predicted_lang") == F.col("lang")).cast("int").alias("lang_match"),
+    )

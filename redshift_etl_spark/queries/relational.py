@@ -1,0 +1,467 @@
+"""Operator query catalog — one oracle-checked query per relational
+operator family from SURVEY §2 (scans S, projections/filters P, joins J,
+aggregations A, window/sort, scalar functions F, coercions T), expressed
+over the driver testdata.
+
+Each entry has a DataFrame builder (Spark-first, built-ins only) and an
+ANSI-SQL oracle twin with IDENTICAL column names and canonical
+semantics. Float policy (see queries/agent_metrics.py docstring):
+per-row scalars need no rounding (bit-identical inputs); aggregate sums
+are rounded at the data's native decimal granularity; ratios divide
+already-rounded sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import merge as M
+from .tables import load
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A2/A3/A6 — pricing summary (TPC-H Q1 shape; `view_agent_metrics.sql:15-35`
+# aggregate family: SUM/AVG/MIN/MAX/COUNT + derived expressions)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "pricing_summary",
+    """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2)                              AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+  ROUND(SUM(l_quantity), 2) / COUNT(*)                   AS avg_qty,
+  ROUND(SUM(l_extendedprice), 2) / COUNT(*)              AS avg_price,
+  ROUND(SUM(l_discount), 2) / COUNT(*)                   AS avg_disc,
+  COUNT(*)                                               AS count_order,
+  COUNT(DISTINCT l_orderkey)                             AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            (F.round(F.sum("l_quantity"), 2) / n).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / n).alias("avg_price"),
+            (F.round(F.sum("l_discount"), 2) / n).alias("avg_disc"),
+            n.alias("count_order"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P3/P5 + J3 — star projection/filter (filter + column pruning reach the
+# parquet scan; dims broadcast)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "star_filter_project",
+    """
+SELECT
+  l.l_orderkey,
+  l.l_linenumber,
+  l.l_quantity,
+  p.p_name,
+  p.p_brand,
+  s.s_name
+FROM lineitem l
+LEFT JOIN part     p ON l.l_partkey = p.p_partkey
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE l.l_quantity > 45 AND p.p_size < 10
+""",
+)
+def star_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+        .filter((F.col("l_quantity") > 45) & (F.col("p_size") < 10))
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "p_name", "p_brand", "s_name"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window — latest-per-key dedup (SURVEY §2.5; the explicit row_number the
+# reference's SCD1 needs)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "latest_order_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC
+         ) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return M.latest_per_key(
+        orders, "o_custkey", "o_orderdate", tiebreakers=("o_orderkey",)
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# J4 — SCD Type 1 merge as a deterministic query
+# (`Salesforce/Task/SP_litify_task.sql:14-77`): target = orders with
+# key%3≠0; source = modified copy of orders with key%2=0, one day newer →
+# every overlapping key is overwritten, new keys inserted.
+# ---------------------------------------------------------------------------
+
+_SCD1_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 3 <> 0
+), source AS (
+  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+         ROUND(o_totalprice + 10.0, 2) AS o_totalprice,
+         o_orderdate + INTERVAL 1 DAY AS o_orderdate,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+), unioned AS (
+  SELECT *, 2 AS __pri FROM source
+  UNION ALL
+  SELECT *, 1 AS __pri FROM target
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY o_orderdate DESC, __pri DESC
+  ) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM ranked WHERE rn = 1
+"""
+
+
+def _scd1_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    target = orders.filter(F.col("o_orderkey") % 3 != 0)
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("R").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") + 10.0, 2).alias("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return target, source
+
+
+@_q("scd1_merge", _SCD1_ORACLE)
+def scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, source = _scd1_frames(spark, sf_dir)
+    return M.merge_scd1(target, source, "o_orderkey", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# J2/P7 — insert-only anti-join append
+# (`…CTR with boto3/SP_boto3_connect_redshift.sql:15-26`)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "append_new",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+""",
+)
+def append_new_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 == 0)
+    source = orders.filter(F.col("o_orderkey") % 5 == 0)
+    return M.append_new(target, source, "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# P6/J1 — new-or-newer change detection
+# (`Salesforce/Task/SP_litify_task.sql:6-11`)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "changed_or_new",
+    """
+WITH tgt AS (
+  SELECT o_custkey, max(o_orderdate) AS o_orderdate
+  FROM orders
+  WHERE o_custkey % 2 = 0 AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+FROM orders o
+LEFT JOIN tgt t ON o.o_custkey = t.o_custkey
+WHERE t.o_custkey IS NULL OR o.o_orderdate > t.o_orderdate
+""",
+)
+def changed_or_new_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    target = (
+        orders.filter(
+            (F.col("o_custkey") % 2 == 0)
+            & (F.col("o_orderdate") < "1999-01-01 00:00:00")
+        )
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("o_orderdate"))
+    )
+    return M.changed_or_new(
+        orders, target, "o_custkey", "o_orderdate"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# A5 — gap-free conditional-count histogram (`view_agent_metrics.sql:36-65`,
+# canonicalized per SURVEY §7 risk 6)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "quantity_histogram",
+    """
+SELECT
+  l_returnflag,
+  COUNT(CASE WHEN l_quantity < 10 THEN 1 END)                      AS q_00_10,
+  COUNT(CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1 END) AS q_10_20,
+  COUNT(CASE WHEN l_quantity >= 20 AND l_quantity < 30 THEN 1 END) AS q_20_30,
+  COUNT(CASE WHEN l_quantity >= 30 AND l_quantity < 40 THEN 1 END) AS q_30_40,
+  COUNT(CASE WHEN l_quantity >= 40 THEN 1 END)                     AS q_40_up,
+  COUNT(*)                                                         AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def quantity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+
+    def b(pred):
+        return F.count(F.when(pred, 1))
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            b(q < 10).alias("q_00_10"),
+            b((q >= 10) & (q < 20)).alias("q_10_20"),
+            b((q >= 20) & (q < 30)).alias("q_20_30"),
+            b((q >= 30) & (q < 40)).alias("q_30_40"),
+            b(q >= 40).alias("q_40_up"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — pivot to wide row (`Amazon Connect/connect_agent_metrics.py:139-158`:
+# metric list → one wide row per entity)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+@_q(
+    "events_pivot",
+    """
+SELECT
+  user_id,
+  ROUND(SUM(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+  ROUND(SUM(CASE WHEN event_type = 'view'     THEN value END), 2) AS "view",
+  ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+  ROUND(SUM(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+  ROUND(SUM(CASE WHEN event_type = 'error'    THEN value END), 2) AS error
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1–F6, F10–F12, F15 — scalar function suite (per-row; no float rounding
+# needed: inputs are bit-identical parquet values)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "scalar_suite",
+    """
+SELECT
+  o_orderkey,
+  CAST(o_orderdate AS DATE)                       AS order_date,
+  EXTRACT(month FROM o_orderdate)                 AS order_month,
+  EXTRACT(day FROM o_orderdate)                   AS order_day,
+  EXTRACT(hour FROM o_orderdate)                  AS order_hour,
+  CAST(epoch(o_orderdate) AS BIGINT)              AS epoch_s,
+  o_orderstatus || '-' || o_orderpriority         AS status_priority,
+  lower(o_orderpriority)                          AS priority_lower,
+  split_part(o_orderpriority, '-', 2)             AS priority_word,
+  o_totalprice / 60.0                             AS price_per_min,
+  COALESCE(NULLIF(o_orderstatus, 'O'), 'open')    AS status_defaulted,
+  length(o_orderpriority)                         AS priority_len
+FROM orders
+""",
+)
+def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.hour("o_orderdate").cast("long").alias("order_hour"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.concat(
+            F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")
+        ).alias("status_priority"),
+        F.lower("o_orderpriority").alias("priority_lower"),
+        F.split(F.col("o_orderpriority"), "-").getItem(1).alias("priority_word"),
+        (F.col("o_totalprice") / F.lit(60.0)).alias("price_per_min"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
+        ).alias("status_defaulted"),
+        F.length("o_orderpriority").cast("long").alias("priority_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F14 — JSON parse + nested field access
+# (`…CTR with Firehose/lambda_connect_firehose_redshift.py:59,91-126`)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "json_extract",
+    """
+SELECT
+  event_id,
+  CAST(props->>'$.k' AS BIGINT)  AS prop_k,
+  COALESCE(CAST(props->>'$.missing' AS BIGINT), -1) AS prop_missing
+FROM events
+""",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing").cast("long"), F.lit(-1)
+        ).alias("prop_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1–T7 — type-coercion layer (truthy-set booleans, try-cast numerics,
+# blank→NULL strings) — `Salesforce/Matter/lambda_litify_matter.py:286-297`
+# ---------------------------------------------------------------------------
+
+@_q(
+    "type_coercion",
+    """
+SELECT
+  o_orderkey,
+  CASE WHEN CASE WHEN o_orderstatus = 'O' THEN 'true' ELSE 'f' END
+            IN ('t', 'T', 'True', 'true', '1') THEN 1 ELSE 0 END AS is_open01,
+  COALESCE(TRY_CAST(o_orderpriority AS DOUBLE), 0.0)       AS pri_num,
+  COALESCE(CAST(TRY_CAST(split_part(o_orderpriority, '-', 1) AS DOUBLE) AS BIGINT), 0)
+                                                           AS pri_int,
+  CASE WHEN trim(o_orderstatus) = '' THEN NULL
+       ELSE trim(o_orderstatus) END                        AS status_clean,
+  TRY_CAST(o_orderpriority AS TIMESTAMP)                   AS bad_ts
+FROM orders
+""",
+)
+def type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import functions as fx
+
+    o = load(spark, sf_dir, "orders")
+    truthyish = F.when(F.col("o_orderstatus") == "O", "true").otherwise("f")
+    return o.select(
+        "o_orderkey",
+        fx.bool01(truthyish).alias("is_open01"),
+        fx.float0(F.col("o_orderpriority")).alias("pri_num"),
+        fx.int0(F.split(F.col("o_orderpriority"), "-").getItem(0)).alias("pri_int"),
+        fx.null_if_blank(F.col("o_orderstatus")).alias("status_clean"),
+        fx.ts_or_null(F.col("o_orderpriority")).alias("bad_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST2 (batch algebra) — stream dedup by key, earliest-event-wins
+# (`…CTR with Firehose/lambda_connect_firehose_redshift.py:9-28`)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "stream_dedup_batch",
+    """
+SELECT event_id, ts, user_id, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )

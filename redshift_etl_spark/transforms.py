@@ -1,0 +1,63 @@
+"""Normalize layer — the reference's transform stage (SURVEY §2.2 P1/P2,
+§2.7 T1–T7) as one declarative operator.
+
+The reference does this per-object in pandas: project a keep-list,
+lowercase headers, coerce datetimes/booleans/numerics/strings
+(`Salesforce/Task/lambda_litify_task.py:59-114`,
+`Salesforce/Matter/lambda_litify_matter.py:74-303`). Here it is a single
+``normalize(df, schema)`` that emits one ``select`` — one projection node
+Catalyst pushes into the scan, no per-column withColumn chains (each
+withColumn adds an analysis pass; a single select keeps the plan flat).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import functions as fx
+from .schemas import (
+    BOOL01,
+    DATE_DDMMYYYY,
+    FLOAT0,
+    INT0,
+    STRING,
+    TIMESTAMP,
+    ObjectSchema,
+)
+
+_COERCERS = {
+    TIMESTAMP: fx.ts_or_null,
+    BOOL01: fx.bool01,
+    INT0: fx.int0,
+    FLOAT0: fx.float0,
+    DATE_DDMMYYYY: fx.parse_ddmmyyyy,
+    STRING: fx.null_if_blank,  # '' → NULL end-to-end (T6 + COPY EMPTYASNULL)
+}
+
+
+def lowercase_columns(df: DataFrame) -> DataFrame:
+    """P2 — `Salesforce/Task/lambda_litify_task.py:113`."""
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def normalize(df: DataFrame, schema: ObjectSchema, strict: bool = False) -> DataFrame:
+    """Project to the schema's keep-list (P1), lowercase (P2), and coerce
+    every column per its class (T1–T7) in ONE select.
+
+    Missing source columns are tolerated (the reference guards each
+    boolean with ``if field in df.columns``,
+    `Salesforce/Matter/lambda_litify_matter.py:287`): absent → typed NULL
+    column unless ``strict``.
+    """
+    present = {c.lower(): c for c in df.columns}
+    cols: list[Column] = []
+    for name, cls in schema.fields.items():
+        if name in present:
+            cols.append(_COERCERS[cls](F.col(present[name])).alias(name))
+        elif strict:
+            raise ValueError(f"{schema.name}: missing required column {name!r}")
+        else:
+            spark_type = schema.spark_schema()[name].dataType
+            cols.append(F.lit(None).cast(spark_type).alias(name))
+    return df.select(*cols)

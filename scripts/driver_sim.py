@@ -1,0 +1,75 @@
+"""Simulate the driver harness against __spark_entry__.py: a PLAIN
+SparkSession (none of our engine confs), entry() smoke at sf0.001, then
+every queries() entry vs its oracle_sql() twin via DuckDB at sf0.01.
+Usage: python scripts/driver_sim.py [--quick]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from tests.oracle_compare import rows_key  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    # deliberately plain session — the driver owns the session config
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = E.entry(spark)
+    rows = out.collect()
+    print(f"entry(): {len(rows)} rows, schema: {[f.name for f in out.schema]}")
+    assert len(rows) > 0
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    names = sorted(queries)
+    if quick:
+        names = names[:4]
+    failed = []
+    for name in names:
+        df = queries[name](spark, SF)
+        sp_cols = [c.lower() for c in df.columns]
+        sp_rows = [tuple(r) for r in df.collect()]
+        if name not in oracles:
+            print(f"  {name}: rows-only check, {len(sp_rows)} rows")
+            continue
+        rel = con.execute(oracles[name])
+        dk_cols = [d[0].lower() for d in rel.description]
+        dk_rows = rel.fetchall()
+        ok = (
+            sorted(sp_cols) == sorted(dk_cols)
+            and len(sp_rows) == len(dk_rows)
+            and rows_key(sp_rows, sp_cols) == rows_key(dk_rows, dk_cols)
+        )
+        print(f"  {name}: {'MATCH' if ok else 'MISMATCH'} ({len(sp_rows)} rows)")
+        if not ok:
+            failed.append(name)
+    if failed:
+        print(f"FAILED: {failed}")
+        sys.exit(1)
+    print("driver-sim: ALL MATCH")
+
+
+if __name__ == "__main__":
+    main()
