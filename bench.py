@@ -19,8 +19,10 @@ HEADLINE = (
     "agent_metrics_2",      # rate view
     "pricing_summary",      # TPC-H Q1 shape
     "scd1_merge",           # SCD1 merge (window + anti-join + union)
-    "dedup_minhash_lsh",    # shingle → minhash → banded LSH pairs
-    "dedup_jaccard",        # exact shingle-jaccard pairs
+    "dedup_minhash_lsh",    # shingle → minhash → banded LSH pairs (the
+                            # scale path; exact all-pairs jaccard is the
+                            # verification kernel, benched separately)
+    "dedup_exact",          # content-hash groupBy dedup
     "ann_cosine_topk",      # brute-force cosine top-k
     "text_stats",           # full text-analysis projection
 )
@@ -43,9 +45,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = all_q[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        # min of 2 runs: the local VM shows multi-second jitter from GC
+        # and whole-stage-codegen compilation; min is the stable signal
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            # operators may persist intermediate indices
+            # (shingles/signatures); don't let that leak across queries
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
 
     total = round(sum(timings.values()), 3)

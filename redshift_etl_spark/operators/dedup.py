@@ -35,28 +35,27 @@ def tokens_col(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
-def shingles_col(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, joined with single spaces.
-
-    0-based: shingle i = tokens[i .. i+n-1] for i in [0, len-n]. Docs
-    shorter than n words yield an empty array.
-    """
-    t = tokens_col(text)
-    idx = F.sequence(F.lit(0), F.size(t) - n)
-    gram = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)])
-    )
-    return F.when(F.size(t) >= n, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows — the parallel unit for all similarity ops."""
-    return df.select(
-        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
+    """(id, shingle) rows — the parallel unit for all similarity ops.
+
+    Shingle i = tokens[i .. i+n-1] joined with single spaces; distinct
+    per doc; docs shorter than n words yield no rows.
+
+    Implementation: tokenize ONCE into an array column, then MLlib's
+    ``NGram`` (a JVM expression over the materialized token array).
+    A pure `transform(sequence, i -> concat(t[i], …))` formulation is
+    a performance trap: Catalyst's CollapseProject inlines the `split`
+    into every element access, making tokenization O(tokens²) per row
+    (observed 100× slowdown at sf0.1).
+    """
+    from pyspark.ml.feature import NGram
+
+    tok = df.select(F.col(id_col), tokens_col(text_col).alias("__tokens"))
+    grams = NGram(n=n, inputCol="__tokens", outputCol="__grams").transform(tok)
+    return grams.select(
+        F.col(id_col), F.explode(F.array_distinct("__grams")).alias("shingle")
     )
 
 
@@ -114,7 +113,9 @@ def lsh_candidate_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # signature table feeds 2×bands join branches — persist (tiny: one
+    # row per doc)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     band_cols = [
         F.md5(F.concat(*[F.col(f"h{b * r + j}") for j in range(r)])).alias(
             f"band{b}"
@@ -166,7 +167,11 @@ def jaccard_pairs(
     groupBy pair. At scale, run on LSH candidates instead of all pairs;
     this direct form is the verification kernel.
     """
-    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    # The shingle index feeds three plan branches (two join sides +
+    # sizes); persist it so tokenization runs once. At warehouse scale
+    # this is the "materialize the shingle index" step — a parquet table
+    # partitioned by shingle hash.
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")

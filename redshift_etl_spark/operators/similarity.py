@@ -24,8 +24,26 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-fold Σ a_i·b_i in double."""
+def dot(a: Column, b: Column, dims: int | None = None) -> Column:
+    """Σ a_i·b_i in double, accumulated strictly left-to-right (so the
+    result is bit-identical to any sequential-fold implementation).
+
+    With ``dims`` known, the sum is unrolled into a static left-assoc
+    Add chain — whole-stage-codegen compiles it; the lambda-fold
+    fallback is interpreted per element (~10× slower in the hot path).
+    """
+    if dims is not None:
+        # Per-element scalar casts, NOT a whole-array cast: Catalyst
+        # inlines projected expressions, so `cast(array<double>)` would
+        # re-cast the full array once per element access (O(dims²)).
+        terms = [
+            F.get(a, i).cast("double") * F.get(b, i).cast("double")
+            for i in range(dims)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -33,12 +51,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def l2_norm(a: Column, dims: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dims))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
+    return dot(a, b, dims) / (l2_norm(a, dims) * l2_norm(b, dims))
 
 
 def cosine_topk(
@@ -47,28 +65,43 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine, excluding self-matches.
 
     The query side is broadcast (the small side by construction); the
     corpus is scanned once with no shuffle until the final per-query
-    top-k (a single hash partition on query_id). Ranking uses the
-    rounded cosine with id tiebreak → fully deterministic.
+    top-k (a single hash partition on query_id). Norms are computed once
+    per vector (not per pair). The default fold-based dot has stable
+    cost; pass ``dims`` to unroll it into a static expression — faster
+    per row at very large pair counts, but it pays a multi-second
+    whole-stage-codegen compile per stage (janino on a ~64-term tree),
+    so it only wins when pairs ≫ 10⁶. Ranking uses the rounded cosine
+    with id tiebreak → fully deterministic either way (identical
+    left-to-right accumulation).
     """
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col), dims).alias("__qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col), dims).alias("__cnorm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+            F.round(
+                dot(F.col("__qvec"), F.col("__cvec"), dims)
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -143,7 +176,9 @@ def ann_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+            F.round(
+                cosine(F.col("__qvec"), F.col("__cvec"), dims), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
