@@ -88,8 +88,9 @@ ISO_Z = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
 def parse_utc_iso(col: Column | str) -> Column:
     """Fixed-format UTC parse, invalid → NULL —
-    `…CTR with Firehose/lambda_connect_firehose_redshift.py:30-39`."""
-    return F.to_timestamp(_c(col), ISO_Z)
+    `…CTR with Firehose/lambda_connect_firehose_redshift.py:30-39`.
+    (try_ variant: Spark 4 runs ANSI mode, where to_timestamp throws.)"""
+    return F.try_to_timestamp(_c(col), F.lit(ISO_Z))
 
 
 def utc_to_local(col: Column | str, tz: str = "America/New_York") -> Column:

@@ -1,1 +1,1 @@
-from . import dedup, merge, similarity, text  # noqa: F401
+from . import dedup, merge, multimodal, similarity, text  # noqa: F401

@@ -105,8 +105,11 @@ def merge_scd1(
     history).
     """
     keys = _key_list(key)
+    tiebreakers = [
+        c for c in target.columns if c not in keys and c != recency_col
+    ]
     src = latest_per_key(
-        source.select(*target.columns), keys, recency_col
+        source.select(*target.columns), keys, recency_col, tiebreakers
     )
     winners = changed_or_new(src, target, keys, recency_col)
     kept = target.join(winners.select(*keys), keys, "left_anti")

@@ -1,0 +1,210 @@
+"""Multimodal columns — image/audio/video as opaque ``binary`` columns
+with typed metadata structs, plus the decode / feature-extract / resize
+/ frame-sample plumbing as Arrow-batched ``mapInPandas`` operators.
+
+This extends the reference (whose payloads are all text/JSON) to the
+media side of a training-data pipeline. The Spark-side contract is
+real and tested: schemas, batch shapes, partition sizing. The actual
+codec work is pluggable — this container ships no image/audio libs, so
+``decode_fn=None`` selects a clearly-marked deterministic fake (derived
+from the bytes' md5) and ``strict_decode_fn`` raises NotImplementedError
+to mark where a real decoder (PIL/ffmpeg/torchaudio) plugs in.
+
+Scale notes:
+- media bytes dominate row size → repartition so a task's Arrow batch
+  stays ~10-100 MB (``rows_per_batch`` guidance below), and NEVER
+  shuffle the binary column through a groupBy — extract features first,
+  then drop/offload the bytes.
+- feature extraction is per-row embarrassing parallelism: mapInPandas
+  streams batches, so peak memory is one batch per core, not one
+  partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),   # image|audio|video
+        T.StructField("format", T.StringType()),       # jpeg|wav|mp4|...
+        T.StructField("source_uri", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def fake_image_decode(buf: bytes) -> dict:
+    """Deterministic FAKE decoder (no image libs in this container):
+    dimensions/luma derived from md5 of the bytes. Stable across runs
+    and engines — used to exercise the full pipeline shape."""
+    h = hashlib.md5(buf).hexdigest()
+    return {
+        "width": 1 + int(h[0:4], 16) % 4096,
+        "height": 1 + int(h[4:8], 16) % 4096,
+        "n_channels": 1 + int(h[8], 16) % 4,
+        "mean_luma": round((int(h[9:13], 16) % 25600) / 100.0, 2),
+    }
+
+
+def strict_decode_fn(buf: bytes) -> dict:
+    """Marker for the real decoder integration point."""
+    raise NotImplementedError(
+        "real image decode requires PIL/libvips — not available in this "
+        "container; inject a decode_fn or use fake_image_decode"
+    )
+
+
+def extract_image_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], dict] | None = None,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode + feature-extract over Arrow batches. One output row per
+    media row; the binary column is consumed here and NOT carried
+    forward (drop the bytes before any shuffle)."""
+    decode = decode_fn or fake_image_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                buf = bytes(buf) if buf is not None else b""
+                d = decode(buf)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "byte_len": len(buf),
+                        "content_md5": hashlib.md5(buf).hexdigest(),
+                        **d,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES])
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema=IMAGE_FEATURES
+    )
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize plumbing: binary in → binary out, same schema + new dims
+    in meta. Fake path: content passes through unchanged (resize is a
+    codec concern); the Spark contract — batch iteration, schema, byte
+    passthrough — is the tested part."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(buf) if buf is not None else b""
+                out = resize_fn(buf, target_w, target_h) if resize_fn else buf
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "content": out,
+                        "width": target_w,
+                        "height": target_h,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return media.select("media_id", "content").mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 10,
+    n_frames: int = 3,
+    extract_fn: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame-sample plumbing (video → rows of frame bytes): one input
+    row fans out to ``n_frames`` rows — the mapInPandas generator yields
+    more rows than it receives, the shape a real ffmpeg sampler needs.
+    Fake path: frame i = md5-derived slice marker over the source bytes.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def fake_frames(buf: bytes, k: int) -> list[bytes]:
+        return [
+            hashlib.md5(buf + str(i * every_n).encode()).digest() for i in range(k)
+        ]
+
+    fn = extract_fn or fake_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(buf) if buf is not None else b""
+                for i, frame in enumerate(fn(buf, n_frames)):
+                    rows.append(
+                        {"media_id": mid, "frame_index": i, "frame": frame}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return media.select("media_id", "content").mapInPandas(run, schema=out_schema)
+
+
+def attach_media(
+    df: DataFrame,
+    content_col: str,
+    media_type: str,
+    fmt: str,
+    uri_col: str | None = None,
+) -> DataFrame:
+    """Wrap a raw binary column into the canonical (content, meta)
+    shape."""
+    uri = F.col(uri_col) if uri_col else F.lit(None).cast("string")
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            uri.alias("source_uri"),
+        ),
+    ).withColumnRenamed(content_col, "content")

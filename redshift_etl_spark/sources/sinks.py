@@ -1,0 +1,54 @@
+"""Warehouse sinks (SURVEY §2.1 S5/S6/S7).
+
+The reference loads Redshift three ways: S3-staged COPY
+(`Salesforce/Task/lambda_litify_task.py:40-48`), multi-row INSERT
+(`Amazon Connect/connect_agent_metrics.py:108-131`), and row-by-row
+keyed upsert (`…/lambda_connect_user_upsert.py:107-143`). In Spark all
+three collapse to set-based operations:
+
+- bulk append   → ``df.write.jdbc(..., mode="append")`` (executors
+  write partitions in parallel — the COPY analog)
+- staged upsert → stage the DataFrame, then a MERGE statement on the
+  warehouse (or operators.merge.merge_scd1 when the target is a lake
+  table). NEVER row-at-a-time probes.
+
+No JDBC driver jar ships in this container, so the JDBC calls are
+gated; ``parquet_table_sink`` is the testable lake-table sink with the
+same interface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def jdbc_append(
+    df: DataFrame, url: str, table: str, properties: dict[str, str] | None = None
+) -> None:
+    """S5/S6 — parallel bulk append to a warehouse table. Partition
+    count = write parallelism; coalesce upstream if the warehouse
+    throttles concurrent loaders."""
+    df.write.jdbc(url=url, table=table, mode="append", properties=properties or {})
+
+
+def jdbc_staged_merge_sql(
+    staging_table: str, target_table: str, key_cols: list[str], all_cols: list[str]
+) -> str:
+    """S7 replacement — the MERGE statement to run warehouse-side after
+    staging (the reference's stored-procedure body,
+    `Salesforce/Task/SP_litify_task.sql:14-77`, generated instead of
+    hand-written per object)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    set_cols = ", ".join(f"{c} = s.{c}" for c in all_cols if c not in key_cols)
+    ins_cols = ", ".join(all_cols)
+    ins_vals = ", ".join(f"s.{c}" for c in all_cols)
+    return (
+        f"MERGE INTO {target_table} t USING {staging_table} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {set_cols} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def parquet_table_sink(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Lake-table sink used by tests and local pipelines."""
+    df.write.mode(mode).parquet(path)

@@ -58,6 +58,9 @@ def normalize(df: DataFrame, schema: ObjectSchema, strict: bool = False) -> Data
         elif strict:
             raise ValueError(f"{schema.name}: missing required column {name!r}")
         else:
-            spark_type = schema.spark_schema()[name].dataType
-            cols.append(F.lit(None).cast(spark_type).alias(name))
+            # absent column ⇒ coerce a NULL through the class rules, so
+            # defaults apply (bool→0, int→0, float→0.0, string/ts→NULL)
+            cols.append(
+                _COERCERS[cls](F.lit(None).cast("string")).alias(name)
+            )
     return df.select(*cols)

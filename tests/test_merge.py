@@ -1,0 +1,118 @@
+"""SCD1 / append / upsert invariants (SURVEY §5.4): key uniqueness,
+latest-wins, idempotence, re-ingest no-op, deterministic ties."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from redshift_etl_spark.operators import merge as M
+
+SCHEMA = "id string, val string, lmd timestamp"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, v, datetime(2024, 1, d)) for i, v, d in rows], SCHEMA
+    )
+
+
+def _as_set(df):
+    return {(r["id"], r["val"], r["lmd"].day) for r in df.collect()}
+
+
+def test_scd1_latest_wins_and_inserts(spark):
+    target = _df(spark, [("a", "old", 1), ("b", "keep", 5)])
+    source = _df(spark, [("a", "new", 3), ("b", "stale", 2), ("c", "ins", 1)])
+    out = M.merge_scd1(target, source, "id", "lmd")
+    assert _as_set(out) == {("a", "new", 3), ("b", "keep", 5), ("c", "ins", 1)}
+
+
+def test_scd1_equal_recency_keeps_target(spark):
+    # P6 uses strict `>` (`Salesforce/Task/SP_litify_task.sql:9-11`)
+    target = _df(spark, [("a", "tgt", 3)])
+    source = _df(spark, [("a", "src", 3)])
+    out = M.merge_scd1(target, source, "id", "lmd")
+    assert _as_set(out) == {("a", "tgt", 3)}
+
+
+def test_scd1_multirow_source_deduped(spark):
+    # SURVEY §7 risk 2: staging may hold several rows per key; newest
+    # wins, ties broken deterministically
+    target = _df(spark, [])
+    source = _df(spark, [("a", "v1", 1), ("a", "v2", 4), ("a", "v3", 2)])
+    out = M.merge_scd1(target, source, "id", "lmd")
+    assert _as_set(out) == {("a", "v2", 4)}
+
+
+def test_scd1_idempotent(spark):
+    target = _df(spark, [("a", "old", 1), ("b", "keep", 5)])
+    source = _df(spark, [("a", "new", 3), ("c", "ins", 1)])
+    once = M.merge_scd1(target, source, "id", "lmd")
+    twice = M.merge_scd1(once, source, "id", "lmd")
+    assert _as_set(once) == _as_set(twice)
+
+
+def test_append_new_anti_join(spark):
+    target = _df(spark, [("a", "x", 1)])
+    source = _df(spark, [("a", "dup", 2), ("b", "new", 2), ("b", "newer", 3)])
+    out = M.append_new(target, source, "id")
+    assert _as_set(out) == {("a", "x", 1), ("b", "newer", 3)}
+
+
+def test_upsert_if_changed_composite_key(spark):
+    # J5 — `Google Sheets/Goals/lambda_legal_goals_upsert.py:48-77`
+    schema = "email string, week string, goal double"
+    target = spark.createDataFrame(
+        [("a@x", "w1", 10.0), ("b@x", "w1", 20.0)], schema
+    )
+    source = spark.createDataFrame(
+        [("a@x", "w1", 15.0), ("b@x", "w1", 20.0), ("c@x", "w1", 5.0)], schema
+    )
+    out = M.upsert_if_changed(
+        target, source, ["email", "week"], compare_cols=["goal"]
+    )
+    assert {(r["email"], r["goal"]) for r in out.collect()} == {
+        ("a@x", 15.0), ("b@x", 20.0), ("c@x", 5.0),
+    }
+
+
+def test_changed_or_new_filter(spark):
+    target = _df(spark, [("a", "t", 5), ("b", "t", 5)])
+    source = _df(spark, [("a", "older", 3), ("b", "newer", 7), ("c", "new", 1)])
+    out = M.changed_or_new(source, target, "id", "lmd")
+    assert _as_set(out) == {("b", "newer", 7), ("c", "new", 1)}
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None)
+@given(
+    tgt=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(1, 9)), max_size=6
+    ),
+    src=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.integers(1, 9)), max_size=6
+    ),
+)
+def test_scd1_matches_reference_model(spark, tgt, src):
+    """Property: merge == per-key argmax over (recency, source-wins-only-
+    if-strictly-newer), computed by a trivial Python model."""
+    tgt = [(k, f"t{d}", d) for k, d in {k: d for k, d in tgt}.items()]
+    src = [(k, f"s{d}", d) for k, d in src]
+    out = M.merge_scd1(_df(spark, tgt), _df(spark, src), "id", "lmd")
+
+    model: dict[str, tuple[str, int]] = {}
+    best_src: dict[str, tuple[str, int]] = {}
+    for k, v, d in src:  # newest source row per key; tie → larger val wins
+        cur = best_src.get(k)
+        if cur is None or (d, v) > (cur[1], cur[0]):
+            best_src[k] = (v, d)
+    for k, v, d in tgt:
+        model[k] = (v, d)
+    for k, (v, d) in best_src.items():
+        if k not in model or d > model[k][1]:
+            model[k] = (v, d)
+    assert _as_set(out) == {(k, v, d) for k, (v, d) in model.items()}

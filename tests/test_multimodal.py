@@ -1,0 +1,73 @@
+"""Multimodal plumbing: schemas, mapInPandas batch shapes, fan-out,
+stubbed decode."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from redshift_etl_spark.operators import multimodal as MM
+
+
+def _media(spark, n=6):
+    rows = [(i, f"payload-{i}".encode() * (i + 1), None) for i in range(n)]
+    return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+
+def test_extract_image_features_fake_decode(spark):
+    media = _media(spark)
+    feats = MM.extract_image_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 6
+    r0 = rows[0]
+    buf = b"payload-0"
+    assert r0["byte_len"] == len(buf)
+    assert r0["content_md5"] == hashlib.md5(buf).hexdigest()
+    d = MM.fake_image_decode(buf)
+    assert (r0["width"], r0["height"], r0["n_channels"]) == (
+        d["width"], d["height"], d["n_channels"],
+    )
+    # deterministic across runs
+    again = {r["media_id"]: r for r in MM.extract_image_features(media).collect()}
+    assert again[3]["content_md5"] == rows[3]["content_md5"]
+
+
+def test_strict_decode_raises():
+    with pytest.raises(NotImplementedError, match="real image decode"):
+        MM.strict_decode_fn(b"x")
+
+
+def test_resize_passthrough_contract(spark):
+    media = _media(spark, 3)
+    out = MM.resize_images(media, 224, 224)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r["width"] == 224 and r["height"] == 224 for r in rows)
+    assert bytes(rows[0]["content"]) == b"payload-0"
+
+
+def test_sample_frames_fanout(spark):
+    media = _media(spark, 4)
+    frames = MM.sample_frames(media, every_n=10, n_frames=3)
+    rows = frames.collect()
+    assert len(rows) == 12  # 4 media × 3 frames
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert all(sorted(v) == [0, 1, 2] for v in by_media.values())
+    # frame bytes deterministic
+    f0 = [bytes(r["frame"]) for r in rows if r["media_id"] == 1 and r["frame_index"] == 0]
+    assert f0[0] == hashlib.md5(b"payload-1" * 2 + b"0").digest()
+
+
+def test_attach_media_schema(spark):
+    df = spark.createDataFrame([(1, b"xx")], "media_id long, blob binary")
+    out = MM.attach_media(df, "blob", "image", "jpeg")
+    got = out.schema["meta"].dataType
+    assert [(f.name, f.dataType) for f in got.fields] == [
+        (f.name, f.dataType) for f in MM.MEDIA_META.fields
+    ]
+    row = out.first()
+    assert row["meta"]["media_type"] == "image"
+    assert bytes(row["content"]) == b"xx"

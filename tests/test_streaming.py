@@ -1,0 +1,118 @@
+"""Streaming CTR pipeline (ST1/ST2): micro-batch file stream with
+out-of-order, duplicate, and malformed records (FIXTURES.md §11)."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+
+from redshift_etl_spark.streaming import ctr
+
+
+def _rec(contact_id=None, init="2024-01-15T15:00:00Z", agent=True, raw=None):
+    if raw is not None:
+        payload = raw
+    else:
+        doc = {
+            "Channel": "VOICE",
+            "InitiationMethod": "INBOUND",
+            "InitiationTimestamp": init,
+            "DisconnectTimestamp": "2024-01-15T15:10:00Z",
+        }
+        if contact_id:
+            doc["ContactId"] = contact_id
+        if agent:
+            doc["Agent"] = {
+                "ARN": "arn:aws:connect:r:1:instance/i/agent/AG1",
+                "Username": "jdoe",
+                "ConnectedToAgentTimestamp": "2024-01-15T15:00:30Z",
+                "AgentInteractionDuration": 540,
+                "NumberOfHolds": 1,
+                "LongestHoldDuration": 30,
+                "CustomerHoldDuration": 30,
+            }
+        payload = json.dumps(doc).encode()
+    return {"data": base64.b64encode(payload).decode()}
+
+
+def _write_batch(tmp_path, name, records):
+    p = tmp_path / name
+    with open(p, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_batch_flatten_semantics(spark):
+    """The ST1 transforms on a static frame: malformed → null struct,
+    missing ContactId dropped, nested flatten + tz shift + defaults."""
+    rows = [
+        _rec("C1"),
+        _rec(None),                      # no ContactId → dropped
+        _rec(raw=b"not json"),           # malformed → dropped
+        _rec("C2", agent=False),         # no Agent block → null agent cols
+    ]
+    df = spark.createDataFrame([(r["data"],) for r in rows], "data string")
+    flat = ctr.flatten_ctr(ctr.parse_ctr_records(df))
+    out = {r["contact_id"]: r for r in flat.collect()}
+    assert set(out) == {"C1", "C2"}
+    c1 = out["C1"]
+    assert str(c1["init_time"]) == "2024-01-15 10:00:00"   # UTC→NY (EST)
+    assert c1["agent_id"] == "AG1"
+    assert c1["agent_interact_duration"] == 540
+    assert c1["contact_duration"] == 600.0
+    c2 = out["C2"]
+    assert c2["agent_id"] is None
+    assert c2["agent_interact_duration"] == 0               # F15 default
+    assert c2["agent_holds"] == 0
+
+
+@pytest.mark.slow
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """ST2: duplicate ContactIds within and across micro-batches are
+    dropped by the watermarked state (replaces DynamoDB)."""
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _write_batch(indir, "b1.json", [_rec("C1"), _rec("C2"), _rec("C1")])
+    _write_batch(indir, "b2.json", [_rec("C2"), _rec("C3"), _rec(None)])
+
+    stream = ctr.build_ctr_stream(
+        spark, str(indir), watermark="1 hour", max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ctr_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql(
+        "SELECT contact_id, count(*) AS n FROM ctr_out GROUP BY 1"
+    ).collect()
+    counts = {r["contact_id"]: r["n"] for r in out}
+    assert counts == {"C1": 1, "C2": 1, "C3": 1}
+
+
+@pytest.mark.slow
+def test_stream_foreach_batch_sink(spark, tmp_path):
+    """ST1 stage 3: foreachBatch parquet append + restartable
+    checkpoint."""
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _write_batch(indir, "b1.json", [_rec("C1"), _rec("C2")])
+    stream = ctr.build_ctr_stream(spark, str(indir))
+    q = ctr.start_append_sink(
+        stream, str(tmp_path / "fact"), str(tmp_path / "ckpt2")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    assert {r["contact_id"] for r in fact.collect()} == {"C1", "C2"}
+    assert fact.schema["contact_duration"].dataType.typeName() == "double"

@@ -1,0 +1,101 @@
+"""normalize() — the P1/P2/T1–T7 layer against FIXTURES.md §1/§3
+fixtures (mixed-case headers, garbage cells, missing columns)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from redshift_etl_spark import schemas as S
+from redshift_etl_spark.transforms import lowercase_columns, normalize
+
+
+def test_normalize_task_fixture(spark):
+    raw = spark.createDataFrame(
+        [
+            (
+                "00T1",
+                "W1",
+                "Call client",
+                "2024-02-01",
+                "Open",
+                "true",
+                "false",
+                "2024-01-01 09:00:00",
+                "2024-02-01 10:00:00",
+                "",
+                "Task",
+                "U1",
+            ),
+            (
+                "00T2",
+                "",
+                None,
+                "not a date",
+                "Done",
+                "",
+                "1",
+                "2024-01-02 09:00:00",
+                "2024-02-02 10:00:00",
+                "2024-02-02 11:00:00",
+                "Email",
+                "U2",
+            ),
+        ],
+        "Id string, WhatId string, Subject string, ActivityDate string, "
+        "Status string, IsHighPriority string, IsClosed string, "
+        "CreatedDate string, LastModifiedDate string, CompletedDateTime string, "
+        "TaskSubtype string, OwnerId string",
+    )
+    out = normalize(raw, S.SF_TASK)
+    assert out.columns == list(S.SF_TASK.fields)
+    rows = {r["id"]: r for r in out.collect()}
+    r1, r2 = rows["00T1"], rows["00T2"]
+    assert r1["ishighpriority"] == 1 and r1["isclosed"] == 0
+    assert r2["ishighpriority"] == 0 and r2["isclosed"] == 1
+    assert r1["completeddatetime"] is None          # blank → NULL
+    assert r2["activitydate"] is None               # garbage → NULL
+    assert r2["whatid"] is None                     # '' → NULL (T6 round-trip)
+    assert r1["activitydate"] == datetime(2024, 2, 1)
+
+
+def test_normalize_missing_column_tolerated(spark):
+    # `Salesforce/Matter/lambda_litify_matter.py:287` guards each bool
+    # with `if field in df.columns` — absent columns become typed NULLs
+    raw = spark.createDataFrame(
+        [("M1", "2024-01-01 00:00:00", "t", "3")],
+        "Id string, LastModifiedDate string, IsDeleted string, "
+        "Lives_Saved__c string",
+    )
+    out = normalize(raw, S.SF_MATTER)
+    row = out.first()
+    assert row["isdeleted"] == 1
+    assert row["lives_saved__c"] == 3
+    assert row["urgent__c"] == 0            # missing bool col → NULL → 0
+    assert row["name"] is None
+    assert row["litify_pm__total_damages__c"] == 0.0
+
+
+def test_normalize_strict_raises(spark):
+    raw = spark.createDataFrame([("M1",)], "Id string")
+    import pytest
+
+    with pytest.raises(ValueError, match="missing required column"):
+        normalize(raw, S.SF_MATTER, strict=True)
+
+
+def test_lowercase_columns(spark):
+    df = spark.createDataFrame([(1, 2)], "Foo long, BAR long")
+    assert lowercase_columns(df).columns == ["foo", "bar"]
+
+
+def test_employee_dates_ddmmyyyy(spark):
+    raw = spark.createDataFrame(
+        [("a@x.com", "25/12/2023", "31/02/2024", "")],
+        "Email string, Hiring_Date string, Last_Working_Day string, "
+        "Date_Of_Birth string",
+    )
+    out = normalize(raw, S.EMPLOYEE)
+    row = out.first()
+    assert str(row["hiring_date"]) == "2023-12-25"
+    assert row["last_working_day"] is None
+    assert row["date_of_birth"] is None
