@@ -1,0 +1,86 @@
+"""As-of join — for each left row, the most recent right row at-or-
+before (or strictly before) its timestamp, per key.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do). The naive
+formulations are a range join (O(n·m) nested loop) or join+groupBy-max+
+rejoin (three shuffles). This implementation is the single-shuffle
+merge: union both sides tagged, hash-partition by key, sort by (time,
+side), and carry the latest right values forward with
+``last(ignorenulls)`` over an unbounded-preceding window — the
+distributed equivalent of pandas ``merge_asof``. Cost: ONE shuffle of
+(left + right), no duplication, no range explosion; skewed keys are
+split by AQE like any window.
+
+Right-side ties (same key, same time) must be resolved by the caller
+(dedupe to one row per (key, time)) — same requirement DuckDB's ASOF
+imposes for determinism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Left as-of join: left columns + ``value_cols`` from the matched
+    right row (NULL when no right row precedes).
+
+    inclusive=True  → right_time <= left_time (DuckDB ``ON l.t >= r.t``)
+    inclusive=False → right_time <  left_time (previous-row semantics)
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = left.columns
+
+    # tag order decides whether an equal-time right row is visible to
+    # the left row: right first (0) = inclusive, left first = strict
+    right_tag, left_tag = (0, 1) if inclusive else (1, 0)
+
+    l_side = left.select(
+        *keys,
+        F.col(left_time).alias("__t"),
+        F.lit(left_tag).alias("__side"),
+        *[F.col(c) for c in lcols if c not in keys],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols],
+    )
+    r_side = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(right_tag).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in keys],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = l_side.unionByName(r_side)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *unioned.columns,
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+    )
+    is_left = F.col("__side") == left_tag
+    out_cols = (
+        [F.col(k) for k in keys]
+        + [F.col("__t").alias(left_time)]
+        + [F.col(c) for c in lcols if c not in keys and c != left_time]
+        + [F.col(f"__m_{c}").alias(c) for c in value_cols]
+    )
+    return carried.filter(is_left).select(*out_cols)

@@ -333,3 +333,50 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_lang",
         (F.col("predicted_lang") == F.col("lang")).cast("int").alias("lang_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (half-band candidates + Hamming verify; oracle
+# replicates the identical candidate rule so recall semantics match)
+# ---------------------------------------------------------------------------
+
+def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 3) -> str:
+    base = _simhash_oracle(bits)
+    half = bits // 2
+    return f"""
+WITH sig AS ({base}),
+banded AS (
+  SELECT doc_id, simhash,
+         simhash >> {half} AS hi, simhash % {2 ** half} AS lo
+  FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.doc_id < b.doc_id AND (a.hi = b.hi OR a.lo = b.lo)
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+@_q("dedup_simhash_pairs", _simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(
+        docs, "doc_id", "text", bits=16, max_hamming=3
+    ).select("doc_a", "doc_b", F.col("hamming").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL sketch) — rows-only check: Spark's HLL++ and
+# any oracle's sketch differ by design; the exact twin is
+# `agent_metrics.unique_props`/A4. Kept as a catalog entry because the
+# 100 TB path uses the sketch, not exact COUNT(DISTINCT).
+# ---------------------------------------------------------------------------
+
+@_q("approx_distinct", None)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

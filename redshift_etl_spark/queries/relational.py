@@ -465,3 +465,312 @@ def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# J5 — composite-key update-if-changed upsert
+# (`Google Sheets/Goals/lambda_legal_goals_upsert.py:48-77`): target =
+# earliest value per (user, type), source = latest; source wins where
+# present, target rows survive otherwise.
+# ---------------------------------------------------------------------------
+
+_GOALS_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn_first,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+),
+tgt AS (SELECT user_id, event_type, value FROM ranked WHERE rn_first = 1),
+src AS (SELECT user_id, event_type, value FROM ranked
+        WHERE rn_last = 1 AND user_id % 2 = 0)
+SELECT user_id, event_type, value FROM src
+UNION ALL
+SELECT t.user_id, t.event_type, t.value
+FROM tgt t LEFT JOIN src s
+  ON t.user_id = s.user_id AND t.event_type = s.event_type
+WHERE s.user_id IS NULL
+"""
+
+
+@_q("upsert_if_changed", _GOALS_ORACLE)
+def upsert_if_changed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first = M.latest_per_key(
+        ev.withColumn("__neg_ts", -F.unix_micros("ts"))
+          .withColumn("__neg_id", -F.col("event_id")),
+        ["user_id", "event_type"], "__neg_ts", tiebreakers=("__neg_id",),
+    ).select("user_id", "event_type", "value")
+    last = M.latest_per_key(
+        ev, ["user_id", "event_type"], "ts", tiebreakers=("event_id",)
+    ).select("user_id", "event_type", "value")
+    src = last.filter(F.col("user_id") % 2 == 0)
+    return M.upsert_if_changed(
+        first, src, ["user_id", "event_type"], compare_cols=["value"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops — the reference's implicit UNION ALL across per-folder CSVs
+# (`Salesforce/Task/lambda_litify_task.py:153-164`)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "union_slices",
+    """
+SELECT l_returnflag, COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM (
+  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_orderkey % 4 = 0
+  UNION ALL
+  SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity > 40
+) GROUP BY l_returnflag
+""",
+)
+def union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity",
+                                                "l_orderkey")
+    a = li.filter(F.col("l_orderkey") % 4 == 0)
+    b = li.filter(F.col("l_quantity") > 40)
+    return (
+        a.select("l_returnflag", "l_quantity")
+        .unionByName(b.select("l_returnflag", "l_quantity"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST3/ST5 (batch algebra) — tumbling-window aggregation
+# (`…CTR with boto3/lambda_boto3_connect_redshift.py:30-55` 2-hour
+# windows; canonical half-open windows per SURVEY §7 risk 6)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "windowed_agg",
+    """
+SELECT
+  date_trunc('hour', ts)     AS window_start,
+  event_type,
+  COUNT(*)                   AS n_events,
+  ROUND(SUM(value), 2)       AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (window + rank — the guide's canonical OLAP pattern)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "topk_per_group",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rank
+  FROM orders
+) WHERE rank <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            F.col("rank").cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — hierarchical totals (beyond the reference; free via Catalyst)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "rollup_totals",
+    """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       COUNT(*) AS n_rows, ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — lag + cumulative gap count (guide pattern; the batch
+# analog of streaming session windows)
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+
+@_q("sessionization", _SESSION_ORACLE)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1800), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator — Spark lacks a native one; single-shuffle
+# union+window implementation in operators/asof.py). Semantics anchored
+# to DuckDB's ASOF JOIN: previous order per customer, strictly before.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+    ) AS rn FROM orders
+  ) WHERE rn = 1
+)
+SELECT l.o_orderkey, l.o_custkey, l.o_orderdate,
+       r.o_orderkey AS prev_order_key, r.o_totalprice AS prev_order_price
+FROM orders l
+ASOF LEFT JOIN r
+  ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate
+"""
+
+
+@_q("asof_prev_order", _ASOF_ORACLE)
+def asof_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    orders = load(spark, sf_dir, "orders")
+    right = M.latest_per_key(
+        orders, ["o_custkey", "o_orderdate"], "o_orderkey"
+    ).select(
+        "o_custkey",
+        F.col("o_orderdate").alias("r_time"),
+        F.col("o_orderkey").alias("prev_order_key"),
+        F.col("o_totalprice").alias("prev_order_price"),
+    )
+    left = orders.select("o_custkey", "o_orderdate", "o_orderkey")
+    return asof_join(
+        left,
+        right,
+        on="o_custkey",
+        left_time="o_orderdate",
+        right_time="r_time",
+        value_cols=["prev_order_key", "prev_order_price"],
+        inclusive=False,
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        "prev_order_key", "prev_order_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11/F12/F13 + more string scalars — suite 2 (base64, case, replace,
+# substring, regexp_extract, instr)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "scalar_suite2",
+    """
+SELECT
+  o_orderkey,
+  base64(encode(o_orderstatus))                  AS status_b64,
+  upper(o_orderpriority)                         AS priority_upper,
+  replace(o_orderpriority, '-', '_')             AS priority_snake,
+  substr(o_orderpriority, 1, 3)                  AS priority_prefix,
+  regexp_extract(o_orderpriority, '[0-9]+')      AS priority_digits,
+  CAST(instr(o_orderpriority, '-') AS BIGINT)    AS dash_pos,
+  lpad(o_orderstatus, 3, '.')                    AS status_padded,
+  reverse(o_orderstatus)                         AS status_rev
+FROM orders
+""",
+)
+def scalar_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.base64(F.col("o_orderstatus").cast("binary")).alias("status_b64"),
+        F.upper("o_orderpriority").alias("priority_upper"),
+        F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ).alias("priority_snake"),
+        F.substring("o_orderpriority", 1, 3).alias("priority_prefix"),
+        F.regexp_extract(F.col("o_orderpriority"), "[0-9]+", 0).alias(
+            "priority_digits"
+        ),
+        F.instr(F.col("o_orderpriority"), "-").cast("long").alias("dash_pos"),
+        F.lpad(F.col("o_orderstatus"), 3, ".").alias("status_padded"),
+        F.reverse(F.col("o_orderstatus")).alias("status_rev"),
+    )

@@ -20,8 +20,11 @@ def test_oracle_parity(spark, duck, name):
     compare(df, duck, Q.all_oracles()[name], name)
 
 
+# queries deliberately without oracle twins (driver records rows-only):
+# sketch-based ops whose algorithm differs from any oracle by design
+ROWS_ONLY_OK = {"approx_distinct"}
+
+
 def test_every_query_has_oracle_or_is_documented():
     missing = set(Q.all_queries()) - set(Q.all_oracles())
-    # queries without oracles get the driver's weaker rows-only check;
-    # keep this list explicit and small
-    assert missing == set(), f"queries without oracle twins: {missing}"
+    assert missing == ROWS_ONLY_OK, f"undocumented rows-only queries: {missing - ROWS_ONLY_OK}"
