@@ -24,6 +24,8 @@ HEADLINE = (
                             # verification kernel, benched separately)
     "dedup_exact",          # content-hash groupBy dedup
     "ann_cosine_topk",      # brute-force cosine top-k
+    "ann_topk_lsh",         # hyperplane-LSH ANN (the scale path)
+    "asof_prev_order",      # single-shuffle as-of join
     "text_stats",           # full text-analysis projection
 )
 

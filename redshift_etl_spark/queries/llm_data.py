@@ -380,3 +380,85 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path): random-hyperplane buckets, exact
+# rescoring inside the bucket. The planes are md5-derived constants, so
+# the oracle replicates them as literal arrays — full value check of an
+# *approximate* index.
+# ---------------------------------------------------------------------------
+
+def _ann_lsh_oracle(dims: int = 64, planes: int = 8, k: int = 3) -> str:
+    from ..operators.similarity import _plane_component
+
+    plane_arrays = [
+        "[" + ", ".join(repr(_plane_component(p, d)) for d in range(dims)) + "]"
+        for p in range(planes)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {2 ** p} ELSE 0 END)"
+        for p, arr in enumerate(plane_arrays)
+    )
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM c),
+q AS (SELECT * FROM sig WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+         ROUND(
+           list_dot_product(q.v, s.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(s.v, s.v))),
+           6
+         ) AS cosine
+  FROM q JOIN sig s ON q.bucket = s.bucket AND q.vec_id <> s.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@_q("ann_topk_lsh", _ann_lsh_oracle())
+def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ann_topk_lsh(
+        emb, queries, "vec_id", "embedding", dims=64, planes=8, k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction — the mapInPandas decode pipeline over a
+# binary media column (synthesized from documents; the deterministic
+# fake decoder is md5-derived, so the oracle replicates it exactly —
+# this checks the full Arrow batch plumbing end-to-end).
+# ---------------------------------------------------------------------------
+
+_MEDIA_FEATURES_ORACLE = """
+SELECT
+  doc_id                                                         AS media_id,
+  CAST(octet_length(encode(text)) AS BIGINT)                     AS byte_len,
+  md5(text)                                                      AS content_md5,
+  CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 4096 AS INT)  AS width,
+  CAST(1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 4096 AS INT)  AS height,
+  CAST(1 + ('0x' || substr(md5(text), 9, 1))::BIGINT % 4 AS INT)     AS n_channels,
+  ROUND((('0x' || substr(md5(text), 10, 4))::BIGINT % 25600) / 100.0, 2)
+                                                                 AS mean_luma
+FROM documents
+"""
+
+
+@_q("media_features", _MEDIA_FEATURES_ORACLE)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return MM.extract_image_features(media)

@@ -774,3 +774,40 @@ def scalar_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("o_orderstatus"), 3, ".").alias("status_padded"),
         F.reverse(F.col("o_orderstatus")).alias("status_rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P4 — malformed-record filter: PERMISSIVE from_json → NULL → dropped
+# (`…CTR with Firehose/lambda_connect_firehose_redshift.py:46-79`).
+# Every 10th record is corrupted (truncated JSON) to exercise the path.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "malformed_json_filter",
+    """
+WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 3) ELSE props END
+           AS payload
+  FROM events
+)
+SELECT event_id, CAST(payload->>'$.k' AS BIGINT) AS prop_k
+FROM raw
+WHERE json_valid(payload)
+""",
+)
+def malformed_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 10 == 0, F.substring("props", 1, 3)
+    ).otherwise(F.col("props"))
+    # PERMISSIVE from_json yields an all-NULL struct (not a NULL struct)
+    # for corrupt input; the declared _corrupt_record column is the
+    # precise validity signal
+    parsed = ev.select(
+        "event_id",
+        F.from_json(payload, "k bigint, _corrupt_record string").alias("p"),
+    )
+    return parsed.filter(F.col("p._corrupt_record").isNull()).select(
+        "event_id", F.col("p.k").alias("prop_k")
+    )
