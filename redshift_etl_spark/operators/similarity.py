@@ -189,3 +189,99 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
     )
+
+
+# --- IVF (inverted-file) ANN ----------------------------------------------
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int | None = None,
+) -> DataFrame:
+    """Coarse quantization: each vector joins its argmax-cosine centroid
+    (rounded cosine + centroid-id tiebreak → deterministic). Centroids
+    are broadcast; the fan-out is |vectors|·K rows of SCALAR scores
+    (vectors are not duplicated K times through a shuffle — the window
+    that picks the argmax partitions by the vector id, which the
+    broadcast join already co-locates)."""
+    from pyspark.sql import Window
+
+    cent = centroids.select(
+        F.col(id_col).alias("__cent_id"), F.col(vec_col).alias("__cent_vec")
+    )
+    scored = vectors.join(F.broadcast(cent)).select(
+        *vectors.columns,
+        "__cent_id",
+        F.round(
+            cosine(F.col(vec_col), F.col("__cent_vec"), dims), 6
+        ).alias("__cent_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cent_cos").desc(), F.col("__cent_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__cent_cos")
+        .withColumnRenamed("__cent_id", "cluster")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    k: int = 3,
+    dims: int | None = None,
+) -> DataFrame:
+    """IVF ANN: corpus bucketed by nearest centroid once (at scale:
+    persisted/partitioned by `cluster`); each query probes only its own
+    centroid's bucket, then exact cosine rescoring + top-k.
+
+    Centroids here are the first ``n_centroids`` corpus vectors by id —
+    deterministic and engine-replicable; swap in k-means centroids (or
+    any trained codebook) without touching the plan shape. At very
+    large K, replace the broadcast-join assignment with a Pandas-UDF
+    matrix multiply against the codebook.
+    """
+    from pyspark.sql import Window
+
+    centroids = (
+        corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+    )
+    c_assigned = assign_clusters(corpus, centroids, id_col, vec_col, dims)
+    q_assigned = assign_clusters(queries, centroids, id_col, vec_col, dims)
+
+    c = c_assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        "cluster",
+    )
+    q = q_assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        "cluster",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["cluster"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("__qvec"), F.col("__cvec"), dims), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )

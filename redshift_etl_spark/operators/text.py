@@ -117,3 +117,23 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(F.col(text_col)).alias("exact_fingerprint"),
         content_fingerprint(text_col).alias("bow_fingerprint"),
     )
+
+
+def rolling_fingerprint(
+    text: Column | str, gram: int = 5, keep: int = 4
+) -> Column:
+    """Rolling-hash document fingerprint (winnowing-style k-min sketch):
+    hash every character ``gram``-gram, keep the ``keep`` smallest
+    hashes, fingerprint = md5 of their concatenation. Robust to small
+    edits anywhere in the document (an edit perturbs only the grams it
+    touches, and only changes the sketch if it displaces a minimum).
+
+    All built-ins: the gram expansion indexes an attribute column, so
+    there is no repeated-expression trap; cost is O(len) per row at
+    scan speed.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (gram - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: c.substr(i, F.lit(gram)))
+    kmin = F.slice(F.array_sort(F.transform(grams, F.md5)), 1, keep)
+    return F.md5(F.concat_ws("", kmin))

@@ -462,3 +462,80 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("content"),
     )
     return MM.extract_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — corpus bucketed by nearest-of-8 deterministic centroids
+# (first 8 vectors), queries probe their own bucket, exact rescore.
+# The oracle replicates assignment relationally.
+# ---------------------------------------------------------------------------
+
+_IVF_ORACLE = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM c ORDER BY vec_id LIMIT 8),
+assigned AS (
+  SELECT vec_id, v, cent_id AS cluster FROM (
+    SELECT c.vec_id, c.v, cent.cent_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY ROUND(
+               list_dot_product(c.v, cent.cv)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cent.cv, cent.cv))),
+               6
+             ) DESC, cent.cent_id ASC
+           ) AS rn
+    FROM c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT * FROM assigned WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+         ROUND(
+           list_dot_product(q.v, s.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(s.v, s.v))),
+           6
+         ) AS cosine
+  FROM q JOIN assigned s ON q.cluster = s.cluster AND q.vec_id <> s.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@_q("ann_topk_ivf", _IVF_ORACLE)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(
+        emb, queries, "vec_id", "embedding", n_centroids=8, k=3, dims=64
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint (winnowing-style k-min sketch over character
+# 5-grams) — edit-tolerant document identity.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "rolling_fingerprint",
+    """
+SELECT
+  doc_id,
+  md5(array_to_string(
+    list_sort(list_transform(
+      range(1, greatest(length(text) - 4, 1) + 1),
+      i -> md5(substr(text, i, 5))
+    ))[1:4], ''
+  )) AS roll_fp
+FROM documents
+""",
+)
+def rolling_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.rolling_fingerprint("text").alias("roll_fp")
+    )

@@ -811,3 +811,115 @@ def malformed_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.filter(F.col("p._corrupt_record").isNull()).select(
         "event_id", F.col("p.k").alias("prop_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi / full-outer joins + deterministic LIMIT (beyond the reference's
+# left/anti surface — free via df.join(how=...), declared for coverage)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "semi_join_customers",
+    """
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+""",
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@_q(
+    "full_outer_join",
+    """
+WITH big_cust AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0
+),
+big_orders AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+  WHERE o_custkey % 5 = 0 GROUP BY o_custkey
+)
+SELECT
+  COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+  c.c_name,
+  o.n_orders
+FROM big_cust c FULL OUTER JOIN big_orders o ON c.c_custkey = o.o_custkey
+""",
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    ).select("c_custkey", "c_name")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 5 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "full").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+    )
+
+
+@_q(
+    "ordered_limit",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LIMIT is only deterministic under a total order — tie-broken here
+    # (TopK via sort+limit compiles to TakeOrderedAndProject: no full
+    # sort materialization at scale)
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation — the skew pattern: pre-aggregate on (key, salt),
+# then final-aggregate on key. Result ≡ plain GROUP BY (the oracle), but
+# a hot key's partial rows spread over `salt` reducers first. (For joins
+# the same salt trick applies to the build side; AQE skew-join covers
+# the runtime case.)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "salted_aggregation",
+    """
+SELECT l_returnflag AS flag, COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "__salt", (F.col("l_orderkey") % 16).cast("int")
+    )
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("l_quantity").alias("__q"),
+    )
+    return partial.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum("__n").alias("n_rows"),
+        F.round(F.sum("__q"), 2).alias("sum_qty"),
+    )

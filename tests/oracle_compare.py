@@ -27,9 +27,9 @@ def _norm_cell(v):
 
 def rows_key(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
-    )
+    normed = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    # NULL-safe sort (full-outer joins produce None cells)
+    return sorted(normed, key=lambda row: [(c is None, str(c)) for c in row])
 
 
 def compare(spark_df, duck_con, sql: str, name: str = "") -> None:

