@@ -103,10 +103,12 @@ def agent_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket((F.hour("ts") >= 8) & (F.hour("ts") < 13)).alias("n_morning"),
             bucket((F.hour("ts") >= 13) & (F.hour("ts") < 17)).alias("n_afternoon"),
         )
-        .orderBy(
-            "event_date", "event_month", "event_day", F.desc("event_hour")
-        )  # `view_agent_metrics.sql:133-137` mixed-direction sort
     )
+    # The reference view ends with ORDER BY (`view_agent_metrics.sql:
+    # 133-137`) — cosmetic in a Redshift view, and a full range-shuffle
+    # of every group at scale. The engine omits it; the driver compare
+    # is order-insensitive. Callers wanting the display order add
+    # .orderBy("event_date","event_month","event_day",desc("event_hour")).
 
 
 AGENT_METRICS_ORACLE = """
@@ -170,8 +172,7 @@ def agent_metrics_2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("unique_agents"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
-        .orderBy("event_date", F.desc("event_hour"), "nation")
-    )
+    )  # final ORDER BY omitted — see agent_metrics note
 
 
 AGENT_METRICS_2_ORACLE = """

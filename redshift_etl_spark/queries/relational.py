@@ -923,3 +923,28 @@ def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__n").alias("n_rows"),
         F.round(F.sum("__q"), 2).alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (continuous interpolation — identical formula in
+# both engines; the approximate path is `approx_distinct`-style
+# percentile_approx, which has no oracle by design)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "percentiles",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5)  AS median_qty,
+       quantile_cont(l_quantity, 0.9)  AS p90_qty,
+       quantile_cont(l_extendedprice, 0.5) AS median_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_extendedprice", 0.5).alias("median_price"),
+    )

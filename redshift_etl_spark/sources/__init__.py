@@ -1,1 +1,1 @@
-from . import batch, checkpoint, rest, sinks  # noqa: F401
+from . import batch, checkpoint, lake, rest, sinks  # noqa: F401

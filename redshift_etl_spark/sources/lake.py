@@ -1,0 +1,56 @@
+"""Lake layout — partitioning and bucketing for the 100 TB posture.
+
+SURVEY §4: the reference's only partition-pruning analog is "process
+only unprocessed date folders". The engine makes layout explicit:
+
+- ``write_partitioned``: facts land partitioned by a date column →
+  partition pruning turns time-window queries into directory pruning.
+- ``write_bucketed``: big join/merge keys get bucketed tables → a join
+  between two tables bucketed on the same key by the same bucket count
+  is SHUFFLE-FREE (verified in tests/test_lake.py by plan inspection).
+  This is exactly what the recurring SCD1 merge wants: target bucketed
+  by key, only the (small) staging side ever shuffles.
+
+Bucketed tables go through the session catalog (``saveAsTable``) —
+Spark's bucketing metadata lives in the table definition, not the
+parquet files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    date_col: str,
+    mode: str = "append",
+) -> None:
+    """Date-partitioned fact layout (adds ``load_date`` if absent)."""
+    if "load_date" not in df.columns:
+        df = df.withColumn("load_date", F.to_date(F.col(date_col)))
+    df.write.mode(mode).partitionBy("load_date").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table; joins/aggregations on ``bucket_col``
+    between equally-bucketed tables skip the shuffle entirely."""
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -1,0 +1,47 @@
+"""Lake layout: partition pruning and shuffle-free bucketed joins,
+asserted at the plan level."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from redshift_etl_spark import plans as P
+from redshift_etl_spark.sources import lake
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-02 10:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "fact")
+    lake.write_partitioned(df, path, "ts", mode="overwrite")
+
+    back = spark.read.parquet(path).filter(F.col("load_date") == "2024-01-01")
+    assert back.count() == 1
+    # partition filter must appear as a partition filter, not a data filter
+    plan = P.physical_plan(back)
+    assert "PartitionFilters" in plan and "load_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+
+@pytest.mark.slow
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+        b = spark.range(0, 1000).withColumn("w", F.col("id") + 1)
+        lake.write_bucketed(a, "bk_a", "id", num_buckets=8)
+        lake.write_bucketed(b, "bk_b", "id", num_buckets=8)
+        joined = lake.read_table(spark, "bk_a").join(
+            lake.read_table(spark, "bk_b"), "id"
+        )
+        # same-key same-bucket-count join: ZERO Exchange operators
+        assert P.count_shuffles(joined) == 0
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
