@@ -26,6 +26,7 @@ HEADLINE = (
     "ann_cosine_topk",      # brute-force cosine top-k
     "ann_topk_lsh",         # hyperplane-LSH ANN (the scale path)
     "asof_prev_order",      # single-shuffle as-of join
+    "range_join_incidents", # bucketed point-in-interval join
     "text_stats",           # full text-analysis projection
 )
 
@@ -47,12 +48,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = all_q[name]
+        n = fn(spark, sf_dir).count()  # row count for the report (untimed)
+        spark.catalog.clearCache()
         best = None
         # min of 2 runs: the local VM shows multi-second jitter from GC
         # and whole-stage-codegen compilation; min is the stable signal
         for _ in range(2):
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
+            # noop sink: materializes EVERY output column (a bare count()
+            # lets Catalyst prune projection-only queries down to a
+            # zero-column scan — ReadSchema: struct<> — timing nothing)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)
             # operators may persist intermediate indices

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import merge as M
+from ..operators import rangejoin as RJ
 from .tables import load
 
 QUERIES = {}
@@ -947,4 +948,109 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.percentile("l_quantity", 0.9).alias("p90_qty"),
         F.percentile("l_extendedprice", 0.5).alias("median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join (point-in-interval) — `operators/rangejoin.range_join`
+# bucketed rewrite; a naive non-equi join would plan as
+# BroadcastNestedLoopJoin (O(|P|·|I|) at scale). Workload: each 'error'
+# event opens a 1-hour incident window; aggregate the events landing in
+# each window. Timestamps become epoch-second doubles for bucketing AND
+# the exact predicate — the cast is monotone and injective at micro-
+# second precision, so the comparison is identical to the oracle's
+# native timestamp comparison.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "range_join_incidents",
+    """
+WITH inc AS (
+  SELECT event_id AS incident_id, ts AS start_ts,
+         ts + INTERVAL 1 HOUR AS end_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT incident_id, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+FROM inc JOIN events e ON e.ts >= inc.start_ts AND e.ts < inc.end_ts
+GROUP BY incident_id
+""",
+)
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").cast("double").alias("start_s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).cast("double").alias("end_s"),
+    )
+    points = ev.select(F.col("ts").cast("double").alias("pt_s"), "value")
+    joined = RJ.range_join(
+        points,
+        intervals,
+        point_on="pt_s",
+        start_on="start_s",
+        end_on="end_s",
+        bucket_width=3600,
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE (full grouping sets; completes ROLLUP above) — every combination
+# of the two dimensions plus both margins and the grand total
+# ---------------------------------------------------------------------------
+
+@_q(
+    "cube_totals",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows — 1-hour windows every 30 min: each event
+# lands in exactly window/slide = 2 windows. Spark assigns them inside
+# one hash aggregate (the window expression expands to the overlap
+# set); the oracle materializes the same two starts per event.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "sliding_window_agg",
+    """
+SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts)
+           - u.off * INTERVAL '30 minutes' AS window_start,
+         value
+  FROM events, (SELECT UNNEST([0, 1]) AS off) u
+)
+GROUP BY 1
+""",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "sum_value"
+        )
     )

@@ -1,1 +1,1 @@
-from . import ctr  # noqa: F401
+from . import ctr, stateful  # noqa: F401

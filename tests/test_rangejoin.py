@@ -1,0 +1,65 @@
+"""Bucketed range join: equivalence to the naive non-equi join, left
+variant, and the no-nested-loop plan guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redshift_etl_spark import plans as P
+from redshift_etl_spark.operators.rangejoin import range_join
+
+
+def _fixtures(spark):
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 15.0), (4, 99.0), (5, 20.0)],
+        "pid long, p double",
+    )
+    intervals = spark.createDataFrame(
+        # widths straddle the bucket size (10): sub-bucket, exact,
+        # multi-bucket, empty
+        [(100, 0.0, 7.0), (200, 10.0, 20.0), (300, 4.0, 41.0), (400, 50.0, 60.0)],
+        "iid long, s double, e double",
+    )
+    return points, intervals
+
+
+def test_matches_naive_nonequi_join(spark):
+    points, intervals = _fixtures(spark)
+    got = range_join(points, intervals, "p", "s", "e", bucket_width=10.0)
+    naive = points.join(
+        intervals, (F.col("p") >= F.col("s")) & (F.col("p") < F.col("e"))
+    )
+    key = lambda rows: sorted((r.pid, r.iid) for r in rows)  # noqa: E731
+    assert key(got.collect()) == key(naive.collect())
+    # boundary semantics: half-open — p=10 is in [10,20) not [0,7);
+    # p=20 is NOT in [10,20)
+    pairs = set(key(got.collect()))
+    assert (2, 200) in pairs and (5, 200) not in pairs
+
+
+def test_no_duplicate_pairs_across_buckets(spark):
+    points, intervals = _fixtures(spark)
+    got = range_join(points, intervals, "p", "s", "e", bucket_width=10.0)
+    pairs = [(r.pid, r.iid) for r in got.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_left_keeps_unmatched_points(spark):
+    points, intervals = _fixtures(spark)
+    got = range_join(
+        points, intervals, "p", "s", "e", bucket_width=10.0,
+        how="left", point_key="pid",
+    )
+    by_pid = {}
+    for r in got.collect():
+        by_pid.setdefault(r.pid, []).append(r.iid)
+    assert by_pid[4] == [None]  # p=99 matches nothing
+    assert None not in by_pid[1]  # matched points get no NULL row
+
+
+def test_plan_is_equi_join_not_nested_loop(spark):
+    points, intervals = _fixtures(spark)
+    got = range_join(points, intervals, "p", "s", "e", bucket_width=10.0)
+    plan = P.physical_plan(got)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
