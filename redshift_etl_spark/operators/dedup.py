@@ -270,3 +270,72 @@ def simhash_near_pairs(
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# --- near-dup cluster formation (connected components) ---------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → the cluster
+    step of dedup: pairs (from `jaccard_pairs`/`lsh_candidate_pairs`)
+    become groups with a canonical representative (the min node id).
+
+    Returns (node, component) for every node that appears in an edge;
+    component = min node id reachable.
+
+    Algorithm: hash-min label propagation with pointer jumping — per
+    iteration each node takes the min label over {self} ∪ neighbors
+    (one shuffle join + groupBy), then follows its label's label
+    (second join), halving path lengths — O(log n) rounds on typical
+    dedup graphs, where clusters are near-cliques from LSH buckets.
+    Lineage is cut per iteration with an eager localCheckpoint:
+    iterated self-joins otherwise stack an exponentially growing plan
+    (Catalyst re-optimizes the whole history each round and codegen
+    blows up). Early-exits when a round changes nothing (one count()
+    action per round — the driver holds no graph data).
+    """
+    sym = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr")
+    ).unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+    labels = (
+        sym.select("node").distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        step1 = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        # pointer jump: label(n) <- label(label(n))
+        jumped = step1.join(
+            step1.select(
+                F.col("node").alias("label"), F.col("label").alias("jump")
+            ),
+            "label",
+            "left",
+        ).select(
+            "node", F.least("label", F.coalesce("jump", "label")).alias("label")
+        ).localCheckpoint()
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -1,0 +1,62 @@
+"""Deterministic sampling and dataset splits.
+
+A training pipeline needs STABLE sampling: the same document must land
+in the same split on every run, on any engine, regardless of
+partitioning — `df.sample()`/`RAND()` give none of that. The standard
+trick: hash a key column and bucket the hash. md5 is used (not
+Spark-internal murmur3/xxhash) so the assignment is reproducible
+everywhere, including the DuckDB oracle — same policy as the dedup
+signatures (operators/dedup.py).
+
+The bucket is the first two hex nibbles of md5(key) → uniform 0..255.
+Everything is a per-row projection: no shuffle, no state, trivially
+parallel at any scale, and a split filter pushes down to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def hash_bucket(key: Column | str) -> Column:
+    """Uniform bucket 0..255 from md5(key) — spelled with instr/substr
+    only, so the identical expression text runs on any SQL engine."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(c.cast("string"))
+    nib = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
+    return (nib(1) * 16 + nib(2)).cast("long")
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Deterministic ~fraction sample: keep rows whose bucket falls
+    below fraction·256 (resolution 1/256)."""
+    return df.filter(hash_bucket(key) < int(round(fraction * 256)))
+
+
+def deterministic_split(
+    df: DataFrame,
+    key: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Adds `split` ∈ {train, val, test} with ~train/val/rest weights,
+    stable in the key: re-runs, engine changes, and new data never move
+    an existing row between splits (no leakage of val/test into train)."""
+    b = hash_bucket(key)
+    t_edge = int(round(train * 256))
+    v_edge = t_edge + int(round(val * 256))
+    return df.withColumn(
+        split_col,
+        F.when(b < t_edge, "train").when(b < v_edge, "val").otherwise("test"),
+    )
+
+
+def oracle_bucket_sql(key_sql: str) -> str:
+    """The DuckDB-side twin of `hash_bucket` for oracle queries."""
+    h = f"md5(CAST({key_sql} AS VARCHAR))"
+    nib = lambda p: f"(instr('{_HEX}', substr({h}, {p}, 1)) - 1)"  # noqa: E731
+    return f"({nib(1)} * 16 + {nib(2)})"

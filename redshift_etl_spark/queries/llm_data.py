@@ -539,3 +539,97 @@ def rolling_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", TX.rolling_fingerprint("text").alias("roll_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster formation — connected components over the exact-
+# Jaccard pair graph (threshold 0.5, same pairs as dedup_jaccard).
+# Spark side: iterative hash-min + pointer-jump label propagation
+# (operators/dedup.connected_components). Oracle: recursive-CTE
+# transitive closure (exact, fine at oracle scale).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE
+sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT component, COUNT(*) AS n_docs FROM (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+)
+GROUP BY component
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+    cc = D.connected_components(pairs, "doc_a", "doc_b")
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split + hash sampling — stable-in-the-key
+# md5 bucketing (operators/sampling.py): identical assignment in any
+# engine, no RAND(), no shuffle, filter pushes down to the scan.
+# ---------------------------------------------------------------------------
+
+from ..operators import sampling as SP  # noqa: E402
+
+_BUCKET_SQL = SP.oracle_bucket_sql("doc_id")
+
+@_q(
+    "deterministic_split",
+    f"""
+SELECT split, COUNT(*) AS n_docs, SUM(len(text)) AS total_chars
+FROM (
+  SELECT text,
+         CASE WHEN {_BUCKET_SQL} < 205 THEN 'train'
+              WHEN {_BUCKET_SQL} < 231 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split
+""",
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        SP.deterministic_split(docs, "doc_id", train=0.8, val=0.1)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+
+
+@_q(
+    "hash_sample",
+    f"""
+SELECT doc_id, lang FROM documents WHERE {_BUCKET_SQL} < 26
+""",
+)
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return SP.hash_sample(docs, "doc_id", 0.1).select("doc_id", "lang")
