@@ -1054,3 +1054,81 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "n_events", "sum_value"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape) — revenue from
+# small-quantity orders: l_quantity < 0.2 * AVG(l_quantity) per part.
+# The reference has no subqueries, but its change-detection predicate
+# (SURVEY §2.2 P6) is the same decorrelation class. Spark plan: filter
+# part on brand → broadcast-join to PRUNE lineitem first (the
+# correlated subquery never scans the full table), then the per-part
+# threshold is a windowed AVG over the pruned rows — one shuffle by
+# l_partkey, no self-join, no re-aggregation. l_quantity is integral so
+# the AVG is order-independent (exact int sum / n) — safe to compare
+# against the oracle's correlated form bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "small_qty_revenue",
+    """
+SELECT ROUND(SUM(l.l_extendedprice), 2) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    pruned = li.join(F.broadcast(p), "l_partkey")
+    w = Window.partitionBy("l_partkey")
+    return (
+        pruned.withColumn("qty_thresh", 0.2 * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg((F.round(F.sum("l_extendedprice"), 2) / 7.0).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile bucketing — NTILE(4) per nation over account balance.
+# Partitioned window (never a global single-partition sort): each
+# nation's customers sort independently, so the operator scales with
+# the number of groups. Tie-break on c_custkey makes the bucket
+# assignment deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "ntile_quartiles",
+    """
+SELECT c_nationkey, quartile,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS sum_bal
+FROM (
+  SELECT c_nationkey, c_acctbal,
+         NTILE(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+GROUP BY c_nationkey, quartile
+""",
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
