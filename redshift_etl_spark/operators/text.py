@@ -137,3 +137,16 @@ def rolling_fingerprint(
     grams = F.transform(idx, lambda i: c.substr(i, F.lit(gram)))
     kmin = F.slice(F.array_sort(F.transform(grams, F.md5)), 1, keep)
     return F.md5(F.concat_ws("", kmin))
+
+
+def clean_text(text: Column | str) -> Column:
+    """Canonical text normalization for training-data prep: lowercase,
+    non-alphanumerics → space, whitespace collapse, trim, empty → NULL.
+    Pure per-row projection (no shuffle); the same four regex/string
+    steps are expressible verbatim in any SQL engine, so the operator is
+    oracle-checkable bit-for-bit."""
+    c = F.col(text) if isinstance(text, str) else text
+    collapsed = F.regexp_replace(
+        F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "
+    )
+    return F.nullif(F.trim(collapsed), F.lit(""))

@@ -633,3 +633,62 @@ SELECT doc_id, lang FROM documents WHERE {_BUCKET_SQL} < 26
 def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return SP.hash_sample(docs, "doc_id", 0.1).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (training-data cleaning) — operators/text.clean_text.
+# Per-row projection only; the oracle spells the identical lower →
+# strip-symbols → collapse-spaces → trim → empty-is-NULL chain.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "text_clean",
+    """
+SELECT
+  doc_id,
+  NULLIF(trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '') AS clean_text,
+  length(NULLIF(trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '')) AS clean_chars
+FROM documents
+""",
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cleaned = TX.clean_text("text")
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).cast("long").alias("clean_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified cap sampling (source balancing) —
+# operators/sampling.stratified_cap_sample: per-group counts aggregated
+# then BROADCAST back (the oracle's window COUNT(*) OVER is the
+# semantic twin, but the engine never pays a full-data shuffle for it);
+# keep-decision is the shared md5 bucket, so membership is stable
+# across runs, engines, and partitioning.
+# ---------------------------------------------------------------------------
+
+def _stratified_oracle(cap: float = 13.0) -> str:
+    bucket = SP.oracle_bucket_sql("doc_id")
+    return f"""
+WITH sized AS (
+  SELECT doc_id, source, lang,
+         COUNT(*) OVER (PARTITION BY source) AS __n
+  FROM documents
+)
+SELECT doc_id, source, lang
+FROM sized
+WHERE {bucket} < CAST(floor(least(1.0, {cap} / __n) * 256) AS BIGINT)
+"""
+
+
+@_q("stratified_sample", _stratified_oracle())
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return SP.stratified_cap_sample(
+        docs, key="doc_id", group="source", cap=13.0
+    ).select("doc_id", "source", "lang")

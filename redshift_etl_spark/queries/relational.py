@@ -1132,3 +1132,112 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Window FRAMES (running / moving aggregates) — the one window family the
+# catalog lacked: SUM over ROWS UNBOUNDED PRECEDING (running total),
+# SUM/COUNT over ROWS 6 PRECEDING (trailing-7 average — divided from the
+# rounded sum per the float policy), first_value, and a lag delta. All
+# share ONE partitioned sort (o_custkey; orderdate+orderkey total order)
+# so the physical plan is a single shuffle + a single Window operator —
+# per-customer state is O(frame), never O(partition), at any scale.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "window_frames",
+    """
+SELECT
+  o_custkey,
+  o_orderkey,
+  ROUND(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+  ROUND(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+  / COUNT(*) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)              AS avg_last7,
+  first_value(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)      AS first_price,
+  o_totalprice - lag(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS price_delta
+FROM orders
+""",
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    ordering = [F.col("o_orderdate"), F.col("o_orderkey")]
+    base = Window.partitionBy("o_custkey").orderBy(*ordering)
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trailing7 = base.rowsBetween(-6, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        (
+            F.round(F.sum("o_totalprice").over(trailing7), 2)
+            / F.count(F.lit(1)).over(trailing7)
+        ).alias("avg_last7"),
+        F.first("o_totalprice").over(running).alias("first_price"),
+        (
+            F.col("o_totalprice") - F.lag("o_totalprice").over(base)
+        ).alias("price_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shipping priority (TPC-H Q3 shape) — the catalog's multi-way JOIN +
+# AGG + TOP-K pipeline in one query: selective dim filter broadcast into
+# the fact-fact join, partial aggregation before the group-by shuffle,
+# and TakeOrderedAndProject for the limit (no global sort). customer is
+# the only broadcast side; orders⋈lineitem shuffles on the join key and
+# AQE picks the final strategy from runtime sizes.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "shipping_priority",
+    """
+SELECT
+  l.l_orderkey,
+  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+  o.o_orderdate,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01 00:00:00"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01 00:00:00"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
