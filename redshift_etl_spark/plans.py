@@ -61,3 +61,16 @@ def assert_scan_pruned(df: DataFrame, table_cols: int) -> None:
             raise AssertionError(
                 f"unpruned scan: {len(cols)} columns read ({cols})"
             )
+
+
+def plan_tree(df: DataFrame) -> str:
+    """Operator tree only — the first block of the formatted plan. In
+    the full formatted output every operator appears twice (tree +
+    per-operator detail section), so substring counts over it double;
+    counts over the tree are exact."""
+    return physical_plan(df).split("\n\n")[0]
+
+
+def tree_count(df: DataFrame, op: str) -> int:
+    """Exact occurrence count of a physical operator in the plan tree."""
+    return len(re.findall(rf"\b{op}\b", plan_tree(df)))

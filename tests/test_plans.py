@@ -44,3 +44,38 @@ def test_dedup_scan_reads_only_needed_columns(spark):
     df = Q.all_queries()["dedup_exact"](spark, SF_ORACLE)
     scans = P.scanned_columns(df)
     assert scans and all(set(s) <= {"doc_id", "text"} for s in scans)
+
+
+def test_window_frames_single_pass(spark):
+    # four frame expressions (running, trailing-7, first_value, lag) over
+    # one (partition, order) spec must compile to ONE Window operator
+    # behind ONE shuffle — not a shuffle or sort per frame
+    df = Q.all_queries()["window_frames"](spark, SF_ORACLE)
+    assert P.tree_count(df, "Window") == 1
+    assert P.tree_count(df, "Exchange") - P.tree_count(df, "BroadcastExchange") == 1
+
+
+def test_shipping_priority_posture(spark):
+    # dim filter broadcasts; date filters reach both scans; the LIMIT
+    # plans as TakeOrderedAndProject (no global sort materialization)
+    df = Q.all_queries()["shipping_priority"](spark, SF_ORACLE)
+    assert P.has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in P.plan_tree(df)
+    pushed = " ".join(P.pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed
+
+
+def test_stratified_sample_data_path_shuffle_free(spark):
+    # at most one Exchange — the tiny per-group COUNT aggregate; group
+    # sizes come back via BroadcastExchange, so the full-data path never
+    # shuffles (the oracle's COUNT() OVER would shuffle every row)
+    df = Q.all_queries()["stratified_sample"](spark, SF_ORACLE)
+    assert P.tree_count(df, "Exchange") - P.tree_count(df, "BroadcastExchange") <= 1
+    assert P.tree_count(df, "BroadcastHashJoin") == 1
+    assert P.tree_count(df, "BroadcastExchange") == 1
+    assert P.tree_count(df, "Window") == 0
+
+
+def test_text_clean_pure_projection(spark):
+    df = Q.all_queries()["text_clean"](spark, SF_ORACLE)
+    assert P.count_shuffles(df) == 0
