@@ -28,6 +28,9 @@ HEADLINE = (
     "asof_prev_order",      # single-shuffle as-of join
     "range_join_incidents", # bucketed point-in-interval join
     "text_stats",           # full text-analysis projection
+    "shipping_priority",    # multi-join + agg + top-k (TPC-H Q3 shape)
+    "window_frames",        # running/moving frame aggregates, one Window op
+    "dedup_embedding_cosine",  # blocked-numpy all-pairs kernel (Arrow path)
 )
 
 

@@ -24,20 +24,42 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
-def dot(a: Column, b: Column, dims: int | None = None) -> Column:
+def _sql_dot(a: str, b: str, dims: int) -> str:
+    """Unrolled Σ a_i·b_i as ONE SQL string (left-assoc Add chain, so
+    parsing reproduces strict left-to-right accumulation).
+
+    Why text and not Column algebra: building 64 `F.get(...)* ...` terms
+    costs ~200 py4j round-trips PER dot — measured at 1.5-3 s of pure
+    driver time per ANN query build (execution itself was 0.6 s). One
+    `F.expr` string is a single round-trip for the same plan.
+    Per-element scalar casts, NOT a whole-array cast: Catalyst inlines
+    projected expressions, so `cast(array<double>)` would re-cast the
+    full array once per element access (O(dims²))."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+        for i in range(dims)
+    )
+
+
+def dot(
+    a: Column | str, b: Column | str, dims: int | None = None
+) -> Column:
     """Σ a_i·b_i in double, accumulated strictly left-to-right (so the
     result is bit-identical to any sequential-fold implementation).
 
-    With ``dims`` known, the sum is unrolled into a static left-assoc
-    Add chain — whole-stage-codegen compiles it; the lambda-fold
-    fallback is interpreted per element (~10× slower in the hot path).
+    With ``dims`` known AND string column names, the sum is unrolled
+    into a static left-assoc Add chain via one `F.expr` — whole-stage
+    codegen compiles it, and the build is one py4j call (see _sql_dot).
+    The lambda-fold fallback is interpreted per element (~10× slower in
+    the hot path) but works for unknown dims.
     """
+    if dims is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(_sql_dot(a, b, dims))
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
     if dims is not None:
-        # Per-element scalar casts, NOT a whole-array cast: Catalyst
-        # inlines projected expressions, so `cast(array<double>)` would
-        # re-cast the full array once per element access (O(dims²)).
         terms = [
-            F.get(a, i).cast("double") * F.get(b, i).cast("double")
+            F.get(ca, i).cast("double") * F.get(cb, i).cast("double")
             for i in range(dims)
         ]
         out = terms[0]
@@ -45,17 +67,26 @@ def dot(a: Column, b: Column, dims: int | None = None) -> Column:
             out = out + t
         return out
     return F.aggregate(
-        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.zip_with(_as_double(ca), _as_double(cb), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def l2_norm(a: Column, dims: int | None = None) -> Column:
+def l2_norm(a: Column | str, dims: int | None = None) -> Column:
+    if dims is not None and isinstance(a, str):
+        return F.expr(f"sqrt({_sql_dot(a, a, dims)})")
     return F.sqrt(dot(a, a, dims))
 
 
-def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
+def cosine(
+    a: Column | str, b: Column | str, dims: int | None = None
+) -> Column:
+    if dims is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"({_sql_dot(a, b, dims)}) / "
+            f"(sqrt({_sql_dot(a, a, dims)}) * sqrt({_sql_dot(b, b, dims)}))"
+        )
     return dot(a, b, dims) / (l2_norm(a, dims) * l2_norm(b, dims))
 
 
@@ -85,12 +116,12 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        l2_norm(F.col(vec_col), dims).alias("__qnorm"),
+        l2_norm(vec_col, dims).alias("__qnorm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        l2_norm(F.col(vec_col), dims).alias("__cnorm"),
+        l2_norm(vec_col, dims).alias("__cnorm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -98,7 +129,7 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("__qvec"), F.col("__cvec"), dims)
+                dot("__qvec", "__cvec", dims)
                 / (F.col("__qnorm") * F.col("__cnorm")),
                 6,
             ).alias("cosine"),
@@ -126,19 +157,42 @@ def _plane_component(plane: int, dim: int) -> float:
 
 
 def hyperplane_signature(
-    vec: Column, dims: int, planes: int = 8
+    vec: Column | str, dims: int, planes: int = 8
 ) -> Column:
     """Random-hyperplane LSH signature: bit p = sign(v · plane_p).
     Packed into a long. Planes are literal constants folded by Catalyst —
     zero per-row Python.
 
-    Shape matters for the optimizer: ONE nested higher-order expression
-    (transform over an array-of-arrays plane matrix, then a bit-packing
-    fold) instead of `planes` chained per-plane folds. The chained form
-    builds a tree Catalyst re-walks per rule — and when the signature
-    feeds a join key it gets inlined into several operators, multiplying
-    that cost (2–3× slower to plan AND execute, measured; same results).
+    Two shape decisions, both measured on the bench:
+    - ONE nested higher-order expression (transform over an
+      array-of-arrays plane matrix, then a bit-packing fold) instead of
+      `planes` chained per-plane folds. The chained form builds a tree
+      Catalyst re-walks per rule — and when the signature feeds a join
+      key it gets inlined into several operators, multiplying that cost
+      (2–3× slower to plan AND execute, same results).
+    - With a string column name, the whole thing (512 plane literals
+      included) is ONE `F.expr` string — one py4j round-trip instead of
+      ~1000 `F.lit`/`F.array` driver calls (which cost more wall-clock
+      than executing the query at sf0.1).
     """
+    if isinstance(vec, str):
+        plane_rows = ", ".join(
+            "array("
+            + ", ".join(
+                f"{_plane_component(p, d)!r}D" for d in range(dims)
+            )
+            + ")"
+            for p in range(planes)
+        )
+        weights = ", ".join(f"{2 ** p}L" for p in range(planes))
+        return F.expr(
+            f"aggregate(zip_with(transform(array({plane_rows}), "
+            f"plane -> aggregate(zip_with(CAST({vec} AS ARRAY<DOUBLE>), plane, "
+            f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)), "
+            f"array({weights}), "
+            f"(pr, w) -> CASE WHEN pr > 0.0D THEN w ELSE 0L END), "
+            f"0L, (acc, x) -> acc + x)"
+        )
     v = _as_double(vec)
     planes_lit = F.array(*[
         F.array(*[F.lit(_plane_component(p, d)) for d in range(dims)])
@@ -182,7 +236,7 @@ def ann_topk_lsh(
     sig = lambda df, a, b: df.select(  # noqa: E731
         F.col(id_col).alias(a),
         F.col(vec_col).alias(b),
-        hyperplane_signature(F.col(vec_col), dims, planes).alias("__bucket"),
+        hyperplane_signature(vec_col, dims, planes).alias("__bucket"),
     )
     c = sig(corpus, "neighbor_id", "__cvec")
     q = sig(queries, "query_id", "__qvec")
@@ -193,7 +247,7 @@ def ann_topk_lsh(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine(F.col("__qvec"), F.col("__cvec"), dims), 6
+                cosine("__qvec", "__cvec", dims), 6
             ).alias("cosine"),
         )
     )
@@ -231,7 +285,7 @@ def assign_clusters(
         *vectors.columns,
         "__cent_id",
         F.round(
-            cosine(F.col(vec_col), F.col("__cent_vec"), dims), 6
+            cosine(vec_col, "__cent_vec", dims), 6
         ).alias("__cent_cos"),
     )
     w = Window.partitionBy(id_col).orderBy(
@@ -289,7 +343,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine(F.col("__qvec"), F.col("__cvec"), dims), 6
+                cosine("__qvec", "__cvec", dims), 6
             ).alias("cosine"),
         )
     )
@@ -300,4 +354,83 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+    )
+
+
+# --- Blocked numpy all-pairs kernel (Arrow batch path) ---------------------
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    out_a: str = "vec_a",
+    out_b: str = "vec_b",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold — the exact O(n²) kernel, executed
+    as a blocked numpy sweep under ``mapInPandas``.
+
+    Why not pure column expressions: per-pair dot products evaluate one
+    scalar expression tree per pair; a 64-dim unrolled tree over 2M
+    pairs measured 15+ s at sf0.1 (the generated method is too large
+    for JIT), the lambda-fold 9 s. This kernel does the same arithmetic
+    as 64 vectorized numpy ops over row-blocks — sub-second, and the
+    Arrow transfer only ships each row once, not once per pair.
+
+    Bit-exactness contract (the oracle hash-matches): accumulation is a
+    loop over dimensions with element-wise `+=`, which performs the
+    IDENTICAL left-to-right float64 add sequence per pair as the
+    sequential fold in DuckDB's list_dot_product / F.aggregate — never
+    `np.dot`/`@` (pairwise/SIMD accumulation order differs). Rounding
+    happens Spark-side (HALF_UP, matching the oracle's ROUND) — the
+    kernel only pre-filters with a 1e-6 safety margin.
+
+    Scale posture: one side is broadcast as a numpy matrix (sent once
+    per executor, not per task), the other side streams through in
+    Arrow batches — no shuffle at all. This is the rescoring kernel:
+    at 100 TB you LSH/IVF-bucket first and run this within buckets; the
+    broadcast side must fit in executor memory (a few GB of vectors),
+    which bucketing guarantees.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids_all = pdf[id_col].to_numpy()
+    mat_all = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids_all, mat_all))
+    dims = mat_all.shape[1]
+    margin = threshold - 1e-6
+
+    def sweep(batches):
+        ids_b, B = bc.value
+        nb = np.zeros(len(ids_b))
+        for i in range(dims):
+            nb += B[:, i] * B[:, i]
+        nb = np.sqrt(nb)
+        for part in batches:
+            if len(part) == 0:
+                continue
+            ida = part[id_col].to_numpy()
+            A = np.array(part[vec_col].tolist(), dtype=np.float64)
+            acc = np.zeros((len(ida), len(ids_b)))
+            na = np.zeros(len(ida))
+            for i in range(dims):
+                acc += A[:, i][:, None] * B[:, i][None, :]
+                na += A[:, i] * A[:, i]
+            cos = acc / (np.sqrt(na)[:, None] * nb[None, :])
+            ai, bi = np.nonzero(
+                (cos >= margin) & (ida[:, None] < ids_b[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    out_a: ida[ai],
+                    out_b: ids_b[bi],
+                    "cosine_raw": cos[ai, bi],
+                }
+            )
+
+    return df.mapInPandas(
+        sweep, schema=f"{out_a} long, {out_b} long, cosine_raw double"
     )

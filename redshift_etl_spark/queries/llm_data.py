@@ -219,31 +219,18 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.45
 @_q("dedup_embedding_cosine", _EMB_DEDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.45 sits above the p99.9 of the testdata's cosine
-    # distribution (max ≈ 0.51) so the result is small but non-empty
+    # distribution (max ≈ 0.51) so the result is small but non-empty.
+    # Blocked numpy kernel (see operators/similarity.cosine_pairs_blocked
+    # for why expression-per-pair is 30× slower and how bit-parity with
+    # the oracle's fold arithmetic is preserved); rounding + the final
+    # threshold test stay Spark-side so ROUND semantics match the oracle.
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("__va"),
-        S.l2_norm(F.col("embedding"), 64).alias("__na"),
+    pairs = S.cosine_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=0.45
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("__vb"),
-        S.l2_norm(F.col("embedding"), 64).alias("__nb"),
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                S.dot(F.col("__va"), F.col("__vb"), 64)
-                / (F.col("__na") * F.col("__nb")),
-                6,
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.45)
-    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.45)
 
 
 # ---------------------------------------------------------------------------

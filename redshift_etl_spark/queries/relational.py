@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators import merge as M
 from ..operators import rangejoin as RJ
+from ..operators import skew as SK
 from .tables import load
 
 QUERIES = {}
@@ -1240,4 +1241,92 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join — operators/skew.salted_join: lineitem's l_orderkey
+# scattered over 8 sub-keys, orders replicated 8×, joined on
+# (key, salt). The aggregate collapses the salt again, so the result is
+# the plain join's (the oracle); only the shuffle-time distribution
+# differs. The salt column never escapes the operator.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "salted_join",
+    """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    joined = SK.salted_join(li, o, key="k", salt_from="l_linenumber", salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (native) — F.session_window groups events whose gaps
+# stay under 5 minutes; the window closes at last_event + gap
+# (half-open, so a row at exactly prev+5min starts a NEW session). The
+# oracle derives identical islands from a strict-< lag test + running
+# sum. Complements `sessionization` (the manual lag+cumsum form): this
+# is the built-in operator Structured Streaming shares, so the same
+# query runs on a stream with state eviction for free.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "session_window_agg",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL 5 MINUTE
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+""",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
     )
