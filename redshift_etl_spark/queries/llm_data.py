@@ -94,8 +94,11 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _minhash_oracle() -> str:
+    # same 32-bit family as operators/dedup.minhash_signatures: four
+    # 8-hex-char slices per salted md5
     sig_cols = ",\n    ".join(
-        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(8)
+        f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS h{j}"
+        for j in range(8)
     )
     agree = " + ".join(f"CAST(a.h{j} = b.h{j} AS INT)" for j in range(8))
     return f"""

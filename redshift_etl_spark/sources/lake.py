@@ -54,3 +54,42 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for one partition directory (or an
+    unpartitioned table root). Returns the output file count.
+
+    Streaming `foreachBatch` appends and fine-grained incremental loads
+    leave hundreds of tiny parquet files per partition; at 100 TB the
+    resulting scan pays one task + one footer-read per file and the
+    NameNode/listing cost dwarfs the I/O. Compaction rewrites the
+    partition into ceil(bytes / target_bytes) files of ~target size
+    (the 128 MiB default matches a typical HDFS/S3 block sweet spot).
+
+    Uses coalesce (narrow — no shuffle: each output task concatenates
+    whole input files) and a temp-dir + atomic-rename swap so a reader
+    never sees a half-compacted partition — same pattern as
+    operators/merge.merge_scd1_write.
+    """
+    import math
+
+    from py4j.java_gateway import java_import
+
+    jvm = spark._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    fs = jvm.Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm.Path(path)).getLength()
+    n_out = max(1, math.ceil(total / target_bytes))
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    fs.rename(jvm.Path(path), jvm.Path(old))
+    fs.rename(jvm.Path(tmp), jvm.Path(path))
+    fs.delete(jvm.Path(old), True)
+    return n_out

@@ -45,3 +45,23 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_compact_partition(spark, tmp_path):
+    path = str(tmp_path / "shards")
+    # simulate a streaming sink's droppings: many tiny appended files
+    # (AQE may coalesce a single repartition(40), so append in slices)
+    import glob
+    for lo in range(0, 40, 10):
+        spark.range(lo, lo + 10).repartition(4).write.mode("append").parquet(path)
+    n_small = len(glob.glob(f"{path}/part-*.parquet"))
+    assert n_small >= 4
+
+    n_out = lake.compact_partition(spark, path, target_bytes=1 << 30)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert n_out == 1 and len(files) == 1
+    # contents survive the swap, temp/old dirs are gone
+    assert sorted(
+        r.id for r in spark.read.parquet(path).collect()
+    ) == list(range(40))
+    assert not glob.glob(f"{path}__compact_*")
