@@ -116,3 +116,47 @@ def test_stream_foreach_batch_sink(spark, tmp_path):
     fact = spark.read.parquet(str(tmp_path / "fact"))
     assert {r["contact_id"] for r in fact.collect()} == {"C1", "C2"}
     assert fact.schema["contact_duration"].dataType.typeName() == "double"
+
+
+@pytest.mark.slow
+def test_stream_session_windows(spark, tmp_path):
+    """The same F.session_window the batch catalog query uses, running
+    on a stream: sessions close (and append) only once the watermark
+    passes session_end, so state is bounded — the property that makes
+    the operator viable on an unbounded 100 TB stream."""
+    from pyspark.sql import functions as F
+
+    indir = tmp_path / "ev"
+    indir.mkdir()
+    with open(indir / "b1.json", "w") as f:
+        f.write('{"ts": "2024-01-15 10:00:00", "user_id": 1, "value": 1.0}\n')
+        f.write('{"ts": "2024-01-15 10:02:00", "user_id": 1, "value": 2.0}\n')
+    with open(indir / "b2.json", "w") as f:
+        # 10:30 advances the watermark past session_end 10:07 → closes it
+        f.write('{"ts": "2024-01-15 10:30:00", "user_id": 2, "value": 9.0}\n')
+
+    stream = (
+        spark.readStream.schema("ts string, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    closed = {(r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"]) for r in rows}
+    # user 1's merged 2-event session closed; user 2's is still open
+    assert closed == {(1, "2024-01-15 10:00:00", 2, 3.0)}
