@@ -1330,3 +1330,101 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function suite — rank / dense_rank / percent_rank / cume_dist
+# / lead over ONE shared window spec (one shuffle, one sort, one Window
+# operator). The (o_totalprice, o_orderkey) order is a total order, so
+# every ranking value is deterministic.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "rank_suite",
+    """
+SELECT o_custkey, o_orderkey,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist()    OVER w AS cdist,
+       lead(o_orderkey) OVER w AS next_ok
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation — collect per-group lists, operate on them with
+# array functions, and REDUCE to scalars before output (the driver's
+# value-hash compares scalar cells; the array machinery is what's under
+# test). sort_array makes collect_list order-insensitive →
+# deterministic under any shuffle schedule.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "array_agg_suite",
+    """
+SELECT o_custkey,
+       CAST(len(list_sort(list(o_orderkey))) AS BIGINT)  AS n_orders,
+       list_sort(list(o_orderkey))[1]                    AS first_order,
+       list_sort(list(o_orderkey))[-1]                   AS last_order,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def array_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    arr = F.sort_array(F.collect_list("o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.size(arr).cast("long").alias("n_orders"),
+        F.element_at(arr, 1).alias("first_order"),
+        F.element_at(arr, -1).alias("last_order"),
+        F.concat_ws(
+            ",", F.transform(arr, lambda x: x.cast("string"))
+        ).alias("order_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (explicit, via the spark.sql surface) — the engine's
+# queries are DataFrame-native, but spark.sql is an equal entry point
+# (same Catalyst plan); this declares the two-margins shape ROLLUP/CUBE
+# can't express: each dimension's margin WITHOUT the cross cells.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "grouping_sets_margins",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def grouping_sets_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)
