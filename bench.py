@@ -31,6 +31,7 @@ HEADLINE = (
     "shipping_priority",    # multi-join + agg + top-k (TPC-H Q3 shape)
     "window_frames",        # running/moving frame aggregates, one Window op
     "dedup_embedding_cosine",  # blocked-numpy all-pairs kernel (Arrow path)
+    "corpus_prep",          # clean → filter → dedup → split composite
 )
 
 

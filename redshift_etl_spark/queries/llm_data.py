@@ -682,3 +682,73 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.stratified_cap_sample(
         docs, key="doc_id", group="source", cap=13.0
     ).select("doc_id", "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation — the LLM-data flagship: canonical
+# cleaning → token/quality filter → exact dedup (min-id representative)
+# → deterministic split → per-(split, lang) accounting. One pipeline of
+# the catalog's own operators, verified as a single nested-SQL oracle.
+# Plan shape: projection → one dedup shuffle (on the 128-bit
+# fingerprint, never the text) → broadcast-free hash agg; the split is
+# a per-row projection so it adds nothing to the shuffle budget.
+# ---------------------------------------------------------------------------
+
+def _corpus_prep_oracle() -> str:
+    bucket = SP.oracle_bucket_sql("k.doc_id")
+    clean = ("NULLIF(trim(regexp_replace(regexp_replace(lower(text), "
+             "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '')")
+    return f"""
+WITH cleaned AS (
+  SELECT doc_id, lang, {clean} AS clean_text
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, clean_text,
+         CAST(len(str_split(clean_text, ' ')) AS BIGINT) AS n_tokens
+  FROM cleaned
+  WHERE clean_text IS NOT NULL
+),
+kept AS (
+  SELECT * FROM scored WHERE n_tokens >= 5
+),
+dedup AS (
+  SELECT md5(clean_text) AS fp, min(doc_id) AS doc_id
+  FROM kept GROUP BY 1
+),
+final AS (
+  SELECT k.doc_id, k.lang, k.n_tokens,
+         CASE WHEN {bucket} < 205 THEN 'train'
+              WHEN {bucket} < 231 THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
+)
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS sum_tokens
+FROM final
+GROUP BY split, lang
+"""
+
+
+@_q("corpus_prep", _corpus_prep_oracle())
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id", "lang", TX.clean_text("text").alias("clean_text")
+    ).filter(F.col("clean_text").isNotNull())
+    kept = cleaned.withColumn(
+        "n_tokens", TX.token_count("clean_text")
+    ).filter(F.col("n_tokens") >= 5)
+    reps = (
+        kept.select("doc_id", F.md5("clean_text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = kept.join(reps, "doc_id", "left_semi")
+    split = SP.deterministic_split(deduped, "doc_id", train=0.8, val=0.1)
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
