@@ -1428,3 +1428,91 @@ def grouping_sets_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """)
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide → long, the inverse of A8's pivot) — three measure
+# columns melt into (measure, value) rows. Spark's unpivot/melt is a
+# zero-shuffle Expand: each input row emits one output row per measure
+# in place. The oracle spells the same relation as a UNION ALL of
+# per-measure projections (portable to any engine).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "lineitem_unpivot",
+    """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+FROM lineitem WHERE l_orderkey % 50 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_orderkey % 50 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_orderkey % 50 = 0
+""",
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics suite — the classic engine-parity traps declared as
+# one query: null-safe equality (<=> ≡ IS NOT DISTINCT FROM), NULL
+# propagation through arithmetic/concat vs coalesce defaults, and
+# NULL-aware conditionals. Every third supplier comment is nulled to
+# exercise the paths. (Sort-order NULL placement is pinned separately:
+# Spark default NULLS FIRST asc, DuckDB NULLS LAST — any ORDER BY over
+# nullable keys in this catalog says NULLS FIRST/LAST explicitly.)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "null_semantics",
+    """
+WITH s AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE s_acctbal END AS bal,
+         CASE WHEN s_suppkey % 2 = 0 THEN NULL ELSE s_name END    AS nm
+  FROM supplier
+)
+SELECT s_suppkey,
+       bal IS NOT DISTINCT FROM 0.0       AS null_safe_zero,
+       (bal + 1.0) IS NULL                AS arith_propagates,
+       COALESCE(bal, -1.0)                AS bal_default,
+       nm || '!'                          AS nm_bang,
+       COALESCE(nm, 'anon') || '!'        AS nm_bang_default,
+       CASE WHEN bal IS NULL THEN 'missing'
+            WHEN bal < 0 THEN 'negative'
+            ELSE 'ok' END                 AS bal_class
+FROM s
+""",
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 3 == 0, None)
+        .otherwise(F.col("s_acctbal"))
+        .alias("bal"),
+        F.when(F.col("s_suppkey") % 2 == 0, None)
+        .otherwise(F.col("s_name"))
+        .alias("nm"),
+    )
+    return s.select(
+        "s_suppkey",
+        F.col("bal").eqNullSafe(F.lit(0.0)).alias("null_safe_zero"),
+        (F.col("bal") + 1.0).isNull().alias("arith_propagates"),
+        F.coalesce("bal", F.lit(-1.0)).alias("bal_default"),
+        F.concat(F.col("nm"), F.lit("!")).alias("nm_bang"),
+        F.concat(F.coalesce("nm", F.lit("anon")), F.lit("!")).alias(
+            "nm_bang_default"
+        ),
+        F.when(F.col("bal").isNull(), "missing")
+        .when(F.col("bal") < 0, "negative")
+        .otherwise("ok")
+        .alias("bal_class"),
+    )
