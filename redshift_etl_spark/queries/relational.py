@@ -1516,3 +1516,49 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("bal_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Datetime suite (extends F1–F3/F7–F9): trunc-to-month/week, month
+# arithmetic, day diffs, last-day-of-month, epoch extraction, and
+# date_part — per-row projections, each spelled identically enough in
+# both engines to compare bit-for-bit. Spark's datediff(end, start)
+# argument order matches DuckDB's date_diff('day', start, end) with the
+# operands swapped — pinned here so no other query trips on it.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "datetime_suite",
+    """
+SELECT o_orderkey,
+       date_trunc('month', o_orderdate)                   AS month_start,
+       date_trunc('week', o_orderdate)                    AS week_start,
+       o_orderdate + INTERVAL 3 MONTH                     AS plus_3m,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+            AS BIGINT)                                    AS days_since_epoch0,
+       last_day(CAST(o_orderdate AS DATE))                AS month_end,
+       CAST(extract(epoch FROM o_orderdate) AS BIGINT)    AS epoch_s,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT)  AS qtr,
+       CAST(extract(dow FROM o_orderdate) AS BIGINT)      AS dow_sunday0
+FROM orders
+""",
+)
+def datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        # DuckDB date_trunc returns DATE for day-or-coarser precision;
+        # Spark returns TIMESTAMP — cast to the common type
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        (d + F.expr("INTERVAL 3 MONTH")).alias("plus_3m"),
+        F.datediff(d, F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch0"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.quarter(d).cast("long").alias("qtr"),
+        # Spark dayofweek: Sunday=1; DuckDB dow: Sunday=0
+        (F.dayofweek(d) - 1).cast("long").alias("dow_sunday0"),
+    )

@@ -160,3 +160,54 @@ def test_stream_session_windows(spark, tmp_path):
     closed = {(r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"]) for r in rows}
     # user 1's merged 2-event session closed; user 2's is still open
     assert closed == {(1, "2024-01-15 10:00:00", 2, 3.0)}
+
+
+@pytest.mark.slow
+def test_stream_stream_time_bounded_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks on both sides and a
+    time-range condition — the condition is what lets Spark EVICT
+    buffered rows once the watermark passes their join window, so state
+    stays bounded on unbounded streams (without it, both sides buffer
+    forever)."""
+    from pyspark.sql import functions as F
+
+    cdir, bdir = tmp_path / "clicks", tmp_path / "buys"
+    cdir.mkdir(); bdir.mkdir()
+    with open(cdir / "c1.json", "w") as f:
+        f.write('{"ts": "2024-01-15 10:00:00", "user_id": 1}\n')
+        f.write('{"ts": "2024-01-15 10:00:00", "user_id": 2}\n')
+    with open(bdir / "b1.json", "w") as f:
+        f.write('{"bts": "2024-01-15 10:04:00", "user_id": 1}\n')   # in window
+        f.write('{"bts": "2024-01-15 11:00:00", "user_id": 2}\n')   # too late
+
+    def src(path, col):
+        return (
+            spark.readStream.schema(f"{col} string, user_id long")
+            .json(str(path))
+            .withColumn(col, F.to_timestamp(col))
+            .withWatermark(col, "10 minutes")
+        )
+
+    q = (
+        src(cdir, "ts").alias("c")
+        .join(
+            src(bdir, "bts").alias("b"),
+            F.expr(
+                "c.user_id = b.user_id AND "
+                "bts BETWEEN ts AND ts + INTERVAL 10 MINUTES"
+            ),
+            "inner",
+        )
+        .select(F.col("c.user_id").alias("user_id"), "ts", "bts")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT user_id FROM ss_join_out").collect()
+    assert [r["user_id"] for r in rows] == [1]
