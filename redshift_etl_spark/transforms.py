@@ -64,3 +64,33 @@ def normalize(df: DataFrame, schema: ObjectSchema, strict: bool = False) -> Data
                 _COERCERS[cls](F.lit(None).cast("string")).alias(name)
             )
     return df.select(*cols)
+
+
+def observed(
+    df: DataFrame,
+    name: str,
+    null_cols: tuple[str, ...] = (),
+):
+    """Attach zero-cost pipeline metrics: row count plus a null count
+    per requested column, gathered DURING the next action on the
+    returned frame — no second scan, no collect.
+
+    This is the engine's replacement for the reference's print-based
+    observability (`Procesando CSV: {key}` + row-count prints, SURVEY
+    §5): the reference pays a pandas `len(df)` on the driver; `observe`
+    rides the existing job as accumulator-style metrics, which is the
+    only observability pattern that survives a 1000-executor run.
+
+    Returns ``(df, observation)``; read ``observation.get`` after an
+    action. Works in batch; for streams use the listener-based variant
+    of the same API.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in null_cols:
+        metrics.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_null_{c}")
+        )
+    return df.observe(obs, *metrics), obs

@@ -99,3 +99,16 @@ def test_employee_dates_ddmmyyyy(spark):
     assert str(row["hiring_date"]) == "2023-12-25"
     assert row["last_working_day"] is None
     assert row["date_of_birth"] is None
+
+
+def test_observed_metrics_ride_the_action(spark):
+    from redshift_etl_spark import transforms as TR
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    out, obs = TR.observed(df, "ingest", null_cols=("v",))
+    assert out.count() == 10          # the action that materializes metrics
+    assert obs.get == {"n_rows": 10, "n_null_v": 4}
