@@ -93,3 +93,43 @@ def compact_partition(
     fs.rename(jvm.Path(tmp), jvm.Path(path))
     fs.delete(jvm.Path(old), True)
     return n_out
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet lake whose slices were written under EVOLVING
+    schemas (columns added over time): ``mergeSchema`` unions the
+    footers; rows from slices lacking a column read as NULL there.
+    Schema merging is a footer-only operation (no data scan), but it
+    reads every footer — on a million-file lake pin the schema
+    explicitly instead and rely on by-name column resolution."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_sorted_partitioned(
+    df: DataFrame,
+    path: str,
+    date_col: str,
+    sort_cols: list[str],
+    mode: str = "append",
+    options: dict[str, str] | None = None,
+) -> None:
+    """Date-partitioned layout with rows SORTED WITHIN each file by
+    ``sort_cols`` (sortWithinPartitions — a per-task sort, no shuffle
+    beyond the partitioning write already does).
+
+    Why: parquet stores per-row-group min/max stats; when a file's rows
+    arrive sorted on a filter column, each row group covers a narrow,
+    disjoint range, so a point/range predicate prunes most row groups
+    at scan time (verified by footer stats in tests/test_lake.py). This
+    is the poor-man's clustering index — same idea as Z-ordering for
+    the single-column case, with zero extra machinery.
+    ``options`` passes parquet writer knobs (e.g. ``parquet.block.size``
+    to bound row-group size, the granularity of that skipping).
+    """
+    out = df
+    if "load_date" not in out.columns:
+        out = out.withColumn("load_date", F.to_date(F.col(date_col)))
+    writer = out.sortWithinPartitions(*sort_cols).write.mode(mode)
+    if options:
+        writer = writer.options(**options)
+    writer.partitionBy("load_date").parquet(path)

@@ -65,3 +65,50 @@ def test_compact_partition(spark, tmp_path):
         r.id for r in spark.read.parquet(path).collect()
     ) == list(range(40))
     assert not glob.glob(f"{path}__compact_*")
+
+
+def test_read_merged_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id")).write.parquet(path)
+    spark.range(3, 6).select(
+        F.col("id"), (F.col("id") * 10).alias("score")
+    ).write.mode("append").parquet(path)
+
+    df = lake.read_merged_schema(spark, path)
+    assert set(df.columns) == {"id", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows[1] is None and rows[4] == 40
+
+
+def test_sorted_write_tightens_row_group_stats(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "sorted")
+    df = (
+        spark.range(100_000)
+        .select(
+            (F.xxhash64("id") % 1000000).alias("key"),
+            F.lit("2024-01-01").cast("timestamp").alias("ts"),
+        )
+        .repartition(2)
+    )
+    # small row groups → many min/max stat ranges per file
+    lake.write_sorted_partitioned(
+        df, path, "ts", ["key"], options={"parquet.block.size": str(64 * 1024)}
+    )
+
+    spans = []
+    for f in glob.glob(f"{path}/load_date=*/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "key"
+            spans.append(col.statistics.max - col.statistics.min)
+    # sorted rows → each row group covers a narrow disjoint slice of
+    # the key domain (~domain / row-groups-per-file, since every file
+    # holds a full-domain sample pre-sort), not the whole ±1e6 domain —
+    # an unsorted write would put ~the full span in every row group
+    assert len(spans) >= 10
+    assert max(spans) < 2_000_000 / 10
