@@ -176,3 +176,82 @@ def merge_scd1_write(
     os.rename(tmp, spark_target_path)
     if os.path.exists(final_tmp):
         shutil.rmtree(final_tmp)
+
+
+def merge_scd2(
+    target: DataFrame,
+    source: DataFrame,
+    key: str | Sequence[str],
+    recency_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD Type 2 merge — history-keeping upsert (the natural extension
+    of the reference's Type 1 overwrite, `Salesforce/Task/
+    SP_litify_task.sql:14-77`, for when the warehouse must answer
+    "what did this row look like on date X").
+
+    Contract: ``target`` rows carry ``valid_from``/``valid_to``
+    (NULL = current version); ``source`` rows carry the attributes plus
+    ``recency_col`` (the event time that becomes the new version's
+    ``valid_from``). Per key, a source row that is newer than the
+    current version AND differs on any attribute (null-safely) closes
+    the current version at the source time and opens a new one;
+    unchanged or stale sources are no-ops; unseen keys insert.
+
+    Scale shape: source is deduped to latest-per-key first, the current
+    slice full-outer-joins it (ONE shuffle on the key — history rows
+    never move), and each joined row emits its 0–2 outputs through one
+    array+explode pass — no self-join, no multi-branch recompute of the
+    join, nothing to persist.
+    """
+    keys = _key_list(key)
+    attrs = [c for c in source.columns if c not in (*keys, recency_col)]
+    out_cols = [*keys, *attrs, valid_from, valid_to]
+
+    src = latest_per_key(source, keys, recency_col).select(
+        *keys, *attrs, F.col(recency_col).alias("__src_ts")
+    )
+    cur = target.filter(F.col(valid_to).isNull()).alias("t")
+    hist = target.filter(F.col(valid_to).isNotNull()).select(*out_cols)
+
+    j = cur.join(src.alias("s"), keys, "full_outer")
+    t_present = F.col(f"t.{valid_from}").isNotNull()
+    s_present = F.col("s.__src_ts").isNotNull()
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(f"t.{a}").eqNullSafe(F.col(f"s.{a}"))
+    is_update = (
+        t_present
+        & s_present
+        & (F.col("s.__src_ts") > F.col(f"t.{valid_from}"))
+        & changed
+    )
+
+    def row(from_side: str, vf, vt) -> F.Column:
+        return F.struct(
+            *[F.col(k).alias(k) for k in keys],
+            *[F.col(f"{from_side}.{a}").alias(a) for a in attrs],
+            vf.alias(valid_from),
+            vt.alias(valid_to),
+        )
+
+    null_ts = F.lit(None).cast("timestamp")
+    closed = F.when(
+        is_update, row("t", F.col(f"t.{valid_from}"), F.col("s.__src_ts"))
+    )
+    kept = F.when(
+        t_present & ~is_update, row("t", F.col(f"t.{valid_from}"), null_ts)
+    )
+    opened = F.when(
+        s_present & (~t_present | is_update),
+        row("s", F.col("s.__src_ts"), null_ts),
+    )
+    emitted = j.select(
+        F.explode(
+            F.filter(
+                F.array(closed, kept, opened), lambda x: x.isNotNull()
+            )
+        ).alias("__r")
+    ).select("__r.*")
+    return emitted.unionByName(hist)

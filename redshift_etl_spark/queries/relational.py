@@ -1562,3 +1562,84 @@ def datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark dayofweek: Sunday=1; DuckDB dow: Sunday=0
         (F.dayofweek(d) - 1).cast("long").alias("dow_sunday0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 merge — operators/merge.merge_scd2. Scenario: current
+# versions for key%3≠0 (plus an already-closed history version for
+# key%7=0), staged updates for key%2=0 one day newer where only key%4=0
+# rows actually change price. Exercises every path: close+reopen
+# (changed), no-op (newer but identical), fresh insert (unseen key),
+# and untouched history.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderdate AS d FROM orders
+),
+cur AS (
+  SELECT k, price, d AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM base WHERE k % 3 <> 0
+),
+hist AS (
+  SELECT k, ROUND(price - 50, 2) AS price,
+         d - INTERVAL 30 DAY AS valid_from, d AS valid_to
+  FROM base WHERE k % 7 = 0 AND k % 3 <> 0
+),
+src AS (
+  SELECT k,
+         CASE WHEN k % 4 = 0 THEN ROUND(price + 10, 2) ELSE price END AS price,
+         d + INTERVAL 1 DAY AS ts
+  FROM base WHERE k % 2 = 0
+),
+upd AS (
+  SELECT t.k, t.price, t.valid_from, s.ts
+  FROM cur t JOIN src s ON t.k = s.k
+  WHERE s.ts > t.valid_from AND s.price IS DISTINCT FROM t.price
+),
+closed AS (SELECT k, price, valid_from, ts AS valid_to FROM upd),
+kept AS (
+  SELECT c.k, c.price, c.valid_from, c.valid_to
+  FROM cur c LEFT JOIN upd u ON c.k = u.k WHERE u.k IS NULL
+),
+opened AS (
+  SELECT s.k, s.price, s.ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM src s LEFT JOIN cur c ON s.k = c.k LEFT JOIN upd u ON s.k = u.k
+  WHERE c.k IS NULL OR u.k IS NOT NULL
+)
+SELECT k AS o_orderkey, price AS o_totalprice, valid_from, valid_to FROM hist
+UNION ALL SELECT k, price, valid_from, valid_to FROM closed
+UNION ALL SELECT k, price, valid_from, valid_to FROM kept
+UNION ALL SELECT k, price, valid_from, valid_to FROM opened
+"""
+
+
+@_q("scd2_merge", _SCD2_ORACLE)
+def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_totalprice"), F.col("o_orderdate")
+    )
+    cur = base.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    hist = base.filter(
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 3 != 0)
+    ).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - 50, 2).alias("o_totalprice"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 30 DAY")).alias("valid_from"),
+        F.col("o_orderdate").alias("valid_to"),
+    )
+    target = cur.unionByName(hist)
+    source = base.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.round(F.col("o_totalprice") + 10, 2),
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    return M.merge_scd2(target, source, "o_orderkey", "ts")

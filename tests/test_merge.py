@@ -116,3 +116,60 @@ def test_scd1_matches_reference_model(spark, tgt, src):
         if k not in model or d > model[k][1]:
             model[k] = (v, d)
     assert _as_set(out) == {(k, v, d) for k, (v, d) in model.items()}
+
+
+def _scd2_frames(spark):
+    from datetime import datetime
+
+    def ts(day):
+        return datetime(2024, 1, day)
+
+    target = spark.createDataFrame(
+        [
+            ("a", 10.0, ts(1), None),
+            ("b", 20.0, ts(1), None),
+            ("c", 30.0, ts(1), None),
+        ],
+        "id string, v double, valid_from timestamp, valid_to timestamp",
+    )
+    source = spark.createDataFrame(
+        [
+            ("a", 11.0, ts(5)),   # changed → close + open
+            ("b", 20.0, ts(5)),   # identical → no-op
+            ("d", 40.0, ts(5)),   # new key → insert
+        ],
+        "id string, v double, ts timestamp",
+    )
+    return target, source
+
+
+def test_scd2_paths_and_invariants(spark):
+    target, source = _scd2_frames(spark)
+    out = M.merge_scd2(target, source, "id", "ts")
+    rows = {(r["id"], r["v"], r["valid_from"].day,
+             r["valid_to"].day if r["valid_to"] else None)
+            for r in out.collect()}
+    assert rows == {
+        ("a", 10.0, 1, 5),    # closed old version
+        ("a", 11.0, 5, None), # opened new version
+        ("b", 20.0, 1, None), # unchanged → untouched
+        ("c", 30.0, 1, None), # no source → untouched
+        ("d", 40.0, 5, None), # fresh insert
+    }
+    # invariant: exactly one current (valid_to IS NULL) row per key
+    cur = out.filter("valid_to IS NULL").groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_idempotent(spark):
+    target, source = _scd2_frames(spark)
+    once = M.merge_scd2(target, source, "id", "ts")
+    twice = M.merge_scd2(once, source, "id", "ts")
+
+    def snap(df):
+        return {
+            (r["id"], r["v"], r["valid_from"], r["valid_to"])
+            for r in df.collect()
+        }
+
+    assert snap(twice) == snap(once)
