@@ -1643,3 +1643,54 @@ def scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
     )
     return M.merge_scd2(target, source, "o_orderkey", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Math suite — the arithmetic scalars that are BIT-EXACT across engines:
+# abs/sign/floor/ceil/round, integer modulo and division, greatest/
+# least, square via multiplication, IEEE sqrt, and bit ops. (exp/ln/pow
+# are deliberately absent: they are libm-dependent and differ in the
+# last ulp between runtimes — any future query needing them must round.)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "math_suite",
+    """
+SELECT o_orderkey,
+       abs(o_totalprice - 200000.0)          AS abs_centered,
+       CAST(sign(o_totalprice - 200000.0) AS BIGINT) AS sign_centered,
+       CAST(floor(o_totalprice) AS BIGINT)   AS price_floor,
+       CAST(ceil(o_totalprice) AS BIGINT)    AS price_ceil,
+       ROUND(o_totalprice, 1)                AS price_1dp,
+       o_orderkey % 97                       AS key_mod,
+       CAST(o_orderkey // 97 AS BIGINT)      AS key_div,
+       greatest(o_totalprice, 100000.0)      AS at_least_100k,
+       least(o_totalprice, 100000.0)         AS at_most_100k,
+       o_totalprice * o_totalprice           AS price_sq,
+       sqrt(o_totalprice)                    AS price_sqrt,
+       xor(o_orderkey, 255)                  AS key_xor,
+       o_orderkey << 2                       AS key_shl
+FROM orders
+""",
+)
+def math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.abs(p - 200000.0).alias("abs_centered"),
+        # Spark signum → DOUBLE, DuckDB sign → INT: settle on BIGINT
+        F.signum(p - 200000.0).cast("long").alias("sign_centered"),
+        F.floor(p).cast("long").alias("price_floor"),
+        F.ceil(p).cast("long").alias("price_ceil"),
+        F.round(p, 1).alias("price_1dp"),
+        (k % 97).alias("key_mod"),
+        F.floor(k / 97).cast("long").alias("key_div"),
+        F.greatest(p, F.lit(100000.0)).alias("at_least_100k"),
+        F.least(p, F.lit(100000.0)).alias("at_most_100k"),
+        (p * p).alias("price_sq"),
+        F.sqrt(p).alias("price_sqrt"),
+        k.bitwiseXOR(F.lit(255)).alias("key_xor"),
+        F.shiftleft(k, 2).alias("key_shl"),
+    )

@@ -66,3 +66,22 @@ def test_ann_recall_sanity(spark, emb):
             )
             cosines = [r["cosine"] for r in ranked]
             assert cosines == sorted(cosines, reverse=True)
+
+
+def test_blocked_pairs_partition_invariant(spark):
+    """The mapInPandas all-pairs kernel must produce the identical pair
+    set whatever the physical partitioning of the streaming side — each
+    Arrow batch sweeps against the same broadcast matrix."""
+    from redshift_etl_spark.operators import similarity as S
+    from .conftest import SF_ORACLE
+    from redshift_etl_spark.queries.tables import load
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+
+    def pairs(df):
+        return {
+            (r["vec_a"], r["vec_b"], round(r["cosine_raw"], 6))
+            for r in S.cosine_pairs_blocked(df, threshold=0.4).collect()
+        }
+
+    assert pairs(emb.repartition(8)) == pairs(emb.coalesce(1))
