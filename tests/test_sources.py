@@ -109,3 +109,17 @@ def test_parquet_sink_append(spark, tmp_path):
     sinks.parquet_table_sink(df, str(tmp_path / "t"), mode="append")
     sinks.parquet_table_sink(df, str(tmp_path / "t"), mode="append")
     assert spark.read.parquet(str(tmp_path / "t")).count() == 2
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC is the second columnar lake format Spark ships natively —
+    the engine's readers are format-agnostic DataFrames, so parity is a
+    write/read identity plus predicate pushdown reaching the ORC scan."""
+    from redshift_etl_spark import plans as P
+
+    path = str(tmp_path / "orc_tbl")
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    df.write.orc(path)
+    back = spark.read.orc(path).filter("v > 100")
+    assert back.count() == 949
+    assert any("v" in f for f in P.pushed_filters(back))
