@@ -361,3 +361,44 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+# --- benchmark decontamination --------------------------------------------
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents that share word n-grams with an eval
+    benchmark (the GPT-3/Llama decontamination recipe: any benchmark
+    n-gram appearing in a training doc marks it contaminated).
+
+    Scale shape: the benchmark is tiny next to a 100 TB corpus, so its
+    distinct shingle set is BROADCAST — the corpus side is a map-only
+    probe (no shuffle of corpus shingles), followed by one hash agg on
+    doc id. Returns (id, n_shingles, n_hits, hit_ratio) for every doc
+    with at least ``min_hits`` overlapping n-grams.
+    """
+    sh = exploded_shingles(corpus, id_col, text_col, n=n)
+    bench_sh = (
+        exploded_shingles(benchmark, id_col, text_col, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= min_hits)
+        .withColumn(
+            "hit_ratio", F.col("n_hits") / F.col("n_shingles")
+        )
+    )

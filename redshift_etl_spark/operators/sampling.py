@@ -83,3 +83,52 @@ def stratified_cap_sample(
         .filter(hash_bucket(key) < edge)
         .drop("__n")
     )
+
+
+def sequence_packs(
+    df: DataFrame,
+    key: str,
+    order: str,
+    token_count: Column,
+    cap: int,
+    group_col: str = "pack_group",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: assign each document to a
+    fixed-token-budget training pack.
+
+    Pretraining pipelines concatenate documents in a deterministic
+    order and slice the stream every ``cap`` tokens; a document belongs
+    to the pack where its first token lands. That is exactly
+    ``floor(exclusive_running_total / cap)`` — a single window cumsum,
+    so the whole operator is ONE shuffle on ``key`` (the stream is
+    packed independently per key: per source/shard, which is also how a
+    1000-executor run avoids a global total order — a global
+    ORDER BY would serialize on one reducer). Deterministic: same data
+    + same order column ⇒ same packs on every run and engine.
+
+    Returns one row per (group, pack) with doc/token accounting; packs
+    may exceed ``cap`` by at most one document's spill, matching the
+    chunk-boundary semantics of real packers.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(token_count).over(w), F.lit(0))
+    pack = F.floor(start / F.lit(int(cap)))
+    return (
+        df.select(
+            F.col(key).alias(group_col),
+            pack.alias(pack_col),
+            token_count.alias("__tok"),
+        )
+        .groupBy(group_col, pack_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("total_tokens"),
+        )
+    )

@@ -758,3 +758,78 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — n-gram overlap against an eval set
+# (GPT-3 appendix C / Llama recipe: any shared n-gram marks the doc).
+# Benchmark = the src0 slice; its distinct shingles are broadcast, so
+# the 100 TB corpus side never shuffles its shingles.
+# ---------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, str_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, source, unnest(list_distinct(
+    list_transform(range(1, len(t) - 1),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+  )) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+hits AS (
+  SELECT s.doc_id,
+         COUNT(*)        AS n_shingles,
+         COUNT(b.shingle) AS n_hits
+  FROM sh s LEFT JOIN bsh b USING (shingle)
+  WHERE s.source <> 'src0'
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_hits,
+       CAST(n_hits AS DOUBLE) / n_shingles AS hit_ratio
+FROM hits
+WHERE n_hits >= 1
+"""
+
+
+@_q("decontaminate", _DECONTAM_ORACLE)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    benchmark = docs.filter(F.col("source") == "src0")
+    return D.contamination(corpus, benchmark, "doc_id", "text", n=3, min_hits=1)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concat-then-chunk token budgeting per source
+# stream (one window cumsum = one shuffle on source; no global sort).
+# ---------------------------------------------------------------------------
+
+_PACKING_ORACLE = """
+WITH d AS (
+  SELECT source, doc_id, len(str_split(text, ' ')) AS tok FROM documents
+),
+p AS (
+  SELECT source AS pack_group,
+         CAST(FLOOR(COALESCE(SUM(tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / 512) AS BIGINT) AS pack_id,
+         tok
+  FROM d
+)
+SELECT pack_group, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens
+FROM p GROUP BY 1, 2
+"""
+
+
+@_q("sequence_packing", _PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return SA.sequence_packs(docs, "source", "doc_id", tok, cap=512)

@@ -1694,3 +1694,158 @@ def math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseXOR(F.lit(255)).alias("key_xor"),
         F.shiftleft(k, 2).alias("key_shl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS semi-join + priority rollup (TPC-H Q4 shape; the reference's
+# not-exists/exists family, `SP_upsert_*.sql` WHERE EXISTS guards).
+# Spark: LEFT SEMI join — the probe side never duplicates rows, so no
+# distinct-before-count is needed; at scale the semi join shuffles only
+# the (orderkey) pairs, never the payload.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "exists_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+GROUP BY o_orderpriority
+""",
+)
+def exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(
+            li, orders.o_orderkey == li.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-count distribution with a zero bucket (TPC-H Q13 shape): LEFT
+# join with the filter INSIDE the join condition (not a WHERE — that
+# would drop the zero-order customers), then a two-level aggregate.
+# Both aggs are on already-shuffled keys; the second input is one row
+# per customer, so the second shuffle is tiny.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "custdist",
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "F"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING-filtered join-back (TPC-H Q18 shape): orders whose total
+# quantity clears a threshold, enriched with the customer dim. The
+# HAVING survivor set is small, so it broadcasts back onto orders —
+# the orders/customer sides never shuffle.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "large_orders",
+    """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       ROUND(q.sum_qty, 2) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 180
+) q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    q = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 180)
+    )
+    return (
+        orders.join(F.broadcast(q), "o_orderkey")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("__sq", 2).alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join + global scalar subquery (TPC-H Q22 shape): dormant
+# high-balance customers — balance above the (rounded) positive-balance
+# mean, no order in the final year. The scalar is a 1-row broadcast
+# cross join; the recent-orders probe is a LEFT ANTI join (projected to
+# the key only before shuffling).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dormant_customers",
+    """
+SELECT c_nationkey, COUNT(*) AS n_custs,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT ROUND(AVG(c_acctbal), 2) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_nationkey
+""",
+)
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01 00:00:00")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("__avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

@@ -79,3 +79,43 @@ def test_stratified_sample_data_path_shuffle_free(spark):
 def test_text_clean_pure_projection(spark):
     df = Q.all_queries()["text_clean"](spark, SF_ORACLE)
     assert P.count_shuffles(df) == 0
+
+
+def test_exists_priority_semi_join(spark):
+    # EXISTS compiles to a semi join — probe rows never duplicate, so
+    # the plan needs no distinct before the count
+    tree = P.plan_tree(Q.all_queries()["exists_priority"](spark, SF_ORACLE))
+    assert "LeftSemi" in tree
+
+
+def test_large_orders_broadcasts_survivors(spark):
+    # the HAVING survivor set and the customer dim both broadcast; the
+    # only real shuffle is the lineitem per-order aggregate
+    df = Q.all_queries()["large_orders"](spark, SF_ORACLE)
+    assert P.tree_count(df, "BroadcastHashJoin") == 2
+    assert P.tree_count(df, "Exchange") - P.tree_count(df, "BroadcastExchange") <= 1
+
+
+def test_dormant_customers_anti_join(spark):
+    tree = P.plan_tree(Q.all_queries()["dormant_customers"](spark, SF_ORACLE))
+    assert "LeftAnti" in tree
+    # the scalar threshold rides a broadcast nested loop over ONE row,
+    # never a shuffle of the customer side
+    assert "BroadcastNestedLoopJoin" in tree
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # the benchmark shingle set broadcasts; corpus shingles are a
+    # map-side probe (no shuffle of the exploded corpus)
+    df = Q.all_queries()["decontaminate"](spark, SF_ORACLE)
+    assert P.tree_count(df, "BroadcastHashJoin") == 1
+
+
+def test_sequence_packing_single_shuffle(spark):
+    # one window cumsum on the pack key, then an agg on the same key —
+    # at most two real exchanges, no global sort
+    df = Q.all_queries()["sequence_packing"](spark, SF_ORACLE)
+    assert P.tree_count(df, "Window") == 1
+    assert P.tree_count(df, "Exchange") - P.tree_count(df, "BroadcastExchange") <= 2
+    tree = P.plan_tree(df)
+    assert "rangepartitioning" not in tree.lower()

@@ -53,3 +53,52 @@ def test_stratified_cap_keeps_small_groups_whole(spark):
     a = sorted(r["doc_id"] for r in sampled.collect())
     b = sorted(r["doc_id"] for r in again.collect())
     assert a == b and 0 < len(a) < 120
+
+
+def test_sequence_packs_chunk_boundaries(spark):
+    # docs of 100 tokens each, cap 250: first-token offsets 0,100,200,
+    # 300,400 → packs 0,0,0,1,1 (doc 3 starts at 300 → pack 1; the
+    # boundary doc 2 spills pack 0 to 300 tokens — concat-then-chunk)
+    df = spark.createDataFrame(
+        [("s", i, 100) for i in range(5)], "src string, doc_id long, tok int"
+    )
+    out = {
+        (r["pack_group"], r["pack_id"]): (r["n_docs"], r["total_tokens"])
+        for r in SP.sequence_packs(
+            df, "src", "doc_id", F.col("tok").cast("long"), cap=250
+        ).collect()
+    }
+    assert out == {("s", 0): (3, 300), ("s", 1): (2, 200)}
+
+
+def test_sequence_packs_groups_independent(spark):
+    # each group restarts its token stream at pack 0
+    df = spark.createDataFrame(
+        [("a", 0, 600), ("a", 1, 600), ("b", 0, 10)],
+        "src string, doc_id long, tok int",
+    )
+    rows = SP.sequence_packs(
+        df, "src", "doc_id", F.col("tok").cast("long"), cap=512
+    ).collect()
+    packs = {(r["pack_group"], r["pack_id"]) for r in rows}
+    assert packs == {("a", 0), ("a", 1), ("b", 0)}
+
+
+def test_contamination_hits_and_ratio(spark):
+    from redshift_etl_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 'the quick brown'
+            (2, "totally unrelated words here novel"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the quick brown cat")], "doc_id long, text string"
+    )
+    rows = D.contamination(corpus, bench, "doc_id", "text").collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1
+    # doc 1 has 3 shingles, 1 overlapping
+    assert rows[0]["n_shingles"] == 3 and rows[0]["n_hits"] == 1
+    assert abs(rows[0]["hit_ratio"] - 1 / 3) < 1e-12
