@@ -32,6 +32,10 @@ HEADLINE = (
     "window_frames",        # running/moving frame aggregates, one Window op
     "dedup_embedding_cosine",  # blocked-numpy all-pairs kernel (Arrow path)
     "corpus_prep",          # clean → filter → dedup → split composite
+    "decontaminate",        # n-gram overlap vs broadcast benchmark set
+    "sequence_packing",     # concat-then-chunk token packing (window cumsum)
+    "tfidf_top_terms",      # tf·idf characteristic terms, top-3 per doc
+    "zscore_anomalies",     # per-key 3σ outliers from rounded moments
 )
 
 

@@ -150,3 +150,45 @@ def clean_text(text: Column | str) -> Column:
         F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "
     )
     return F.nullif(F.trim(collapsed), F.lit(""))
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF·IDF.
+
+    IDF is the plain ratio ``n_docs / doc_freq`` (no log): a ratio of
+    exact integers is bit-identical on every engine, whereas ``ln`` is
+    libm-dependent (last-ulp divergence across runtimes — same reason
+    the math oracle suite excludes exp/ln). Ranking is deterministic:
+    score desc, then term asc.
+
+    Scale shape: term frequencies aggregate on (doc, term) — map-side
+    partials absorb the explode fan-out; doc-frequency derives from the
+    TF relation (no second scan) and is vocabulary-sized, so it
+    BROADCASTS back; the final per-doc top-k is a window on the doc
+    key. Two real shuffles total ((doc,term) agg reuses its
+    partitioning for nothing downstream; window repartitions by doc).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("__n").cast("double") / F.col("__df")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "score")
+    )

@@ -833,3 +833,35 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = F.size(F.split(F.col("text"), " ")).cast("long")
     return SA.sequence_packs(docs, "source", "doc_id", tok, cap=512)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — characteristic-term extraction for
+# corpus exploration / topic tagging. IDF is the exact integer ratio
+# n_docs/df (no libm ln — see operators/text.tfidf_top_terms).
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY tf * (CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC, term
+         ) AS rn
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, score FROM scored WHERE rn <= 3
+"""
+
+
+@_q("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, "doc_id", "text", k=3)

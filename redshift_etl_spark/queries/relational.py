@@ -1849,3 +1849,53 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key z-score anomaly detection over the event stream — flag events
+# more than 3σ from their user's mean. Variance comes from rounded
+# first/second moments (ROUND(SUM,·) at native granularity), so every
+# derived quantity — mean, var, z — is the identical IEEE double on
+# both engines; never stddev_samp() directly (Welford accumulation
+# order diverges across engines in the last ulp, and a last-ulp z at
+# the 3σ boundary would flip the filter). One shuffle for the moments,
+# one to join them back (at scale the per-key stats table is data-
+# sized, so no broadcast).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "zscore_anomalies",
+    """
+WITH stats AS (
+  SELECT user_id, COUNT(*) AS n,
+         ROUND(SUM(value), 2) AS sum_v,
+         ROUND(SUM(value * value), 4) AS sum_sq
+  FROM events GROUP BY user_id
+),
+z AS (
+  SELECT e.event_id, e.user_id, e.value,
+         (e.value - sum_v / n)
+           / sqrt((sum_sq - n * (sum_v / n) * (sum_v / n)) / (n - 1)) AS z
+  FROM events e JOIN stats s USING (user_id)
+  WHERE n > 1
+    AND (sum_sq - n * (sum_v / n) * (sum_v / n)) / (n - 1) > 0
+)
+SELECT event_id, user_id, value, z FROM z WHERE ABS(z) > 3
+""",
+)
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_v"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("sum_sq"),
+    )
+    mean = F.col("sum_v") / F.col("n")
+    var = (F.col("sum_sq") - F.col("n") * mean * mean) / (F.col("n") - 1)
+    return (
+        ev.join(stats, "user_id")
+        .filter((F.col("n") > 1) & (var > 0))
+        .withColumn("z", (F.col("value") - mean) / F.sqrt(var))
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "user_id", "value", "z")
+    )

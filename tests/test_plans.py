@@ -119,3 +119,21 @@ def test_sequence_packing_single_shuffle(spark):
     assert P.tree_count(df, "Exchange") - P.tree_count(df, "BroadcastExchange") <= 2
     tree = P.plan_tree(df)
     assert "rangepartitioning" not in tree.lower()
+
+
+def test_tfidf_broadcasts_vocab(spark):
+    # doc-frequency and corpus-size side inputs broadcast; the data
+    # path shuffles only for the (doc,term) agg and the per-doc window
+    df = Q.all_queries()["tfidf_top_terms"](spark, SF_ORACLE)
+    assert P.tree_count(df, "BroadcastExchange") >= 2
+
+
+def test_zscore_moments_via_hash_agg_not_window(spark):
+    # per-key moments come from a partial-aggregating hash agg, never a
+    # COUNT/SUM() OVER window (which would shuffle + sort every event
+    # row); the join strategy itself is left to size estimation —
+    # broadcast at small SF, shuffle join once stats outgrow the
+    # threshold at scale (no hint pins it either way)
+    df = Q.all_queries()["zscore_anomalies"](spark, SF_ORACLE)
+    assert P.tree_count(df, "Window") == 0
+    assert P.tree_count(df, "HashAggregate") >= 2  # partial + final
