@@ -1,0 +1,102 @@
+"""Snapshot diffing and data-quality auditing.
+
+The reference repo's ETL jobs trust their upstreams blindly (every
+`SP_*.sql` merges whatever arrived); a production pipeline wants two
+guard rails around that:
+
+- ``snapshot_diff`` — what actually changed between two loads (the
+  question behind every "why did the dashboard move?"), classified
+  added / removed / changed by a null-safe full outer compare.
+- ``audit`` — per-load health metrics (row count, null rate on
+  required columns, key uniqueness, orphaned foreign keys) computed in
+  ONE pass over the table plus one anti-join per FK.
+
+Scale notes: the diff is a single full outer join on the key — both
+snapshots shuffle once on that key, the comparison itself is a
+projection (``IS DISTINCT FROM`` per column, no row serialization into
+a hash). The audit's single-table metrics ride one hash aggregate
+(count-distinct via size(collect_set) is deliberately avoided — key
+cardinality here is unbounded, so it uses count(distinct) and accepts
+the Expand only when >1 distinct is requested; with exactly one
+distinct aggregate Spark plans it Expand-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """One row per key present in either snapshot whose state differs:
+    ``change_type`` ∈ {added, removed, changed}. Unchanged keys are
+    dropped. NULL-safe per column: NULL→value and value→NULL count as
+    changes, NULL→NULL does not (``IS DISTINCT FROM`` semantics, the
+    same trap the reference's `changed_or_new` predicates hand-spell).
+    """
+    o = old.select(key, *compare_cols)
+    n = new.select(key, *compare_cols)
+    renamed_o = o.select(
+        F.col(key), *[F.col(c).alias(f"__old_{c}") for c in compare_cols]
+    ).withColumn("__in_old", F.lit(1))
+    renamed_n = n.select(
+        F.col(key), *[F.col(c).alias(f"__new_{c}") for c in compare_cols]
+    ).withColumn("__in_new", F.lit(1))
+    any_diff: Column = F.lit(False)
+    for c in compare_cols:
+        any_diff = any_diff | ~F.col(f"__old_{c}").eqNullSafe(
+            F.col(f"__new_{c}")
+        )
+    joined = renamed_o.join(renamed_n, key, "full_outer")
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(F.col("__in_old").isNull(), "added")
+            .when(F.col("__in_new").isNull(), "removed")
+            .when(any_diff, "changed"),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(key, "change_type")
+    )
+
+
+def audit(
+    df: DataFrame,
+    key: str,
+    required_cols: list[str],
+    fk: tuple[str, DataFrame, str] | None = None,
+) -> DataFrame:
+    """One-row health report: n_rows, n_dup_keys (rows beyond the first
+    per key), per-required-column null counts (``n_null_<col>``), and —
+    when ``fk=(local_col, dim_df, dim_col)`` is given — ``n_orphans``
+    (rows whose non-null FK misses the dimension; anti-join, so the
+    dimension never materializes on the driver)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col(key))).alias(
+            "n_dup_keys"
+        ),
+    ]
+    for c in required_cols:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"n_null_{c}")
+        )
+    report = df.agg(*aggs)
+    if fk is not None:
+        local_col, dim, dim_col = fk
+        orphans = (
+            df.filter(F.col(local_col).isNotNull())
+            .join(
+                dim.select(F.col(dim_col).alias(local_col)),
+                local_col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        report = report.crossJoin(F.broadcast(orphans))
+    return report

@@ -1899,3 +1899,98 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 3)
         .select("event_id", "user_id", "value", "z")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — CDC-style classification of what changed between two
+# loads (the reference merges blindly; this is the audit around it).
+# Old = orders loaded before 2000-01-01. New = the next load: through
+# 2000-07-01, 'F' orders purged, 'O' orders repriced +10%. One full
+# outer join on the key; the compare is a null-safe projection.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "snapshot_diff",
+    """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'O'
+              THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END
+           AS o_totalprice
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+    AND o_orderstatus <> 'F'
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+              OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+            THEN 'changed' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+             OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+           THEN 'changed' END IS NOT NULL
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality as QA
+
+    orders = load(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < "2000-01-01 00:00:00")
+    new = (
+        orders.filter(
+            (F.col("o_orderdate") < "2000-07-01 00:00:00")
+            & (F.col("o_orderstatus") != "F")
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderstatus") == "O",
+                F.round(F.col("o_totalprice") * 1.1, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return QA.snapshot_diff(
+        old, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit — one-row load health report: volume, key
+# uniqueness, required-column null counts, FK orphans. Single-table
+# metrics in ONE hash aggregate; the orphan probe is an anti-join whose
+# 1-row count broadcasts back.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dq_audit",
+    """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_dup_keys,
+       COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_o_custkey,
+       COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS n_null_o_orderdate,
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+          SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         AS n_orphans
+FROM orders
+""",
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality as QA
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return QA.audit(
+        orders,
+        "o_orderkey",
+        ["o_custkey", "o_orderdate"],
+        fk=("o_custkey", cust, "c_custkey"),
+    )

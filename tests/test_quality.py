@@ -1,0 +1,53 @@
+"""Snapshot-diff and audit contracts — the NULL-safety table the
+reference's hand-spelled change predicates get wrong silently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redshift_etl_spark.operators import quality as QA
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, status string, price double")
+
+
+def test_snapshot_diff_classification(spark):
+    old = _snap(
+        spark,
+        [
+            (1, "O", 10.0),   # unchanged → dropped
+            (2, "O", 10.0),   # price changes
+            (3, "F", 10.0),   # removed
+            (4, None, None),  # NULL → NULL: unchanged → dropped
+            (5, None, 10.0),  # NULL → value: changed
+        ],
+    )
+    new = _snap(
+        spark,
+        [
+            (1, "O", 10.0),
+            (2, "O", 11.0),
+            (4, None, None),
+            (5, "O", 10.0),
+            (6, "O", 1.0),    # added
+        ],
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in QA.snapshot_diff(old, new, "k", ["status", "price"]).collect()
+    }
+    assert out == {2: "changed", 3: "removed", 5: "changed", 6: "added"}
+
+
+def test_audit_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, None, None), (3, 99, "c")],
+        "k long, fk int, req string",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "d int")
+    row = QA.audit(df, "k", ["req"], fk=("fk", dim, "d")).collect()[0]
+    assert row["n_rows"] == 4
+    assert row["n_dup_keys"] == 1          # key 1 appears twice
+    assert row["n_null_req"] == 1
+    assert row["n_orphans"] == 1           # fk=99; NULL fk is not an orphan
