@@ -163,12 +163,26 @@ def tfidf_top_terms(
     the math oracle suite excludes exp/ln). Ranking is deterministic:
     score desc, then term asc.
 
-    Scale shape: term frequencies aggregate on (doc, term) — map-side
-    partials absorb the explode fan-out; doc-frequency derives from the
-    TF relation (no second scan) and is vocabulary-sized, so it
-    BROADCASTS back; the final per-doc top-k is a window on the doc
-    key. Two real shuffles total ((doc,term) agg reuses its
-    partitioning for nothing downstream; window repartitions by doc).
+    Scale shape — the skew question decides the plan. Doc-frequency
+    must reach every (doc, term) row; the three candidates:
+
+    - COUNT() OVER (PARTITION BY term) window, or a shuffle join on
+      term: every occurrence of a hot term ("the" ≈ one row per doc)
+      lands on ONE reducer — unbounded skew at corpus scale. Rejected
+      (measured too: the window's partition sort also loses at sf0.1).
+    - persist the TF relation across the two branches: pays a
+      corpus-wide cache materialization to save one map-side pass —
+      measured strictly slower at bench scale, and a memory cliff at
+      100 TB. Rejected.
+    - recompute: the doc-frequency branch re-tokenizes the corpus
+      (map-side CPU, embarrassingly parallel, no bottleneck) into a
+      term-keyed partial agg whose network traffic is vocabulary-sized,
+      then the vocab table BROADCASTS back onto TF — the TF relation
+      itself never moves. Skew-free, no memory cliff. Chosen.
+
+    (Exchange reuse cannot merge the branches: Catalyst's
+    RemoveRedundantAggregates strips the count from the dfreq branch,
+    making the subtrees structurally different.)
     """
     from pyspark.sql import Window
 
