@@ -1994,3 +1994,155 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_custkey", "o_orderdate"],
         fk=("o_custkey", cust, "c_custkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT (retained buyers) / EXCEPT (churned
+# buyers) across two order-year cohorts. Both compile to aggregate-or-
+# semi/anti joins on the projected key only — never a row-level
+# comparison of full rows.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "cohort_set_ops",
+    """
+WITH y1999 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+),
+y2000 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+)
+SELECT o_custkey, 'retained' AS cohort FROM (
+  SELECT o_custkey FROM y1999 INTERSECT SELECT o_custkey FROM y2000)
+UNION ALL
+SELECT o_custkey, 'churned' AS cohort FROM (
+  SELECT o_custkey FROM y1999 EXCEPT SELECT o_custkey FROM y2000)
+""",
+)
+def cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def cohort(lo: str, hi: str) -> DataFrame:
+        # distinct BEFORE the set op: INTERSECT/EXCEPT are set-semantic
+        # (exceptAll on the raw multiset would keep keys merely ordered
+        # more often in one year than the other)
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y1999 = cohort("1999-01-01 00:00:00", "2000-01-01 00:00:00")
+    y2000 = cohort("2000-01-01 00:00:00", "2001-01-01 00:00:00")
+    retained = y1999.intersect(y2000).withColumn("cohort", F.lit("retained"))
+    churned = y1999.subtract(y2000).withColumn("cohort", F.lit("churned"))
+    return retained.unionByName(churned)
+
+
+# ---------------------------------------------------------------------------
+# LISTAGG — ordered string aggregation (Redshift's LISTAGG(x, ',')
+# WITHIN GROUP (ORDER BY x)). Spark has no ordered string_agg: the
+# deterministic spelling is collect_list → array_sort → array_join,
+# which rides the normal hash aggregate (collect_list partials merge
+# map-side; the sort is per-group at the end, never a global sort).
+# Grouped on a filtered slice so group payloads stay bounded — LISTAGG
+# of unbounded groups is an anti-pattern at any scale.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "listagg_names",
+    """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_name) AS names,
+       COUNT(*) AS n
+FROM customer
+WHERE c_acctbal > 9900
+GROUP BY c_nationkey
+""",
+)
+def listagg_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+            "names"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill — densify daily revenue per order priority over
+# a fixed calendar, forward-filling missing days (resample + ffill).
+# The calendar is sequence()+explode of ~60 rows cross-joined with the
+# tiny priority dim — both broadcast; the fill is last(ignorenulls)
+# over a per-priority window, so the only real shuffle is the daily
+# aggregate itself.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "gap_fill_daily",
+    """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+  GROUP BY 1, 2
+),
+calendar AS (
+  SELECT unnest(generate_series(DATE '2001-06-01', DATE '2001-07-31',
+                                INTERVAL 1 DAY))::DATE AS d
+),
+grid AS (
+  SELECT p.o_orderpriority, c.d
+  FROM (SELECT DISTINCT o_orderpriority FROM orders) p CROSS JOIN calendar c
+)
+SELECT o_orderpriority, d,
+       COALESCE(last_value(revenue IGNORE NULLS) OVER (
+         PARTITION BY o_orderpriority ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS revenue
+FROM grid LEFT JOIN daily USING (o_orderpriority, d)
+""",
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.col("o_orderdate") >= "2001-06-01 00:00:00")
+        .groupBy(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    calendar = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2001-06-01").cast("date"),
+                F.lit("2001-07-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    grid = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .crossJoin(F.broadcast(calendar))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(F.broadcast(daily), ["o_orderpriority", "d"], "left")
+        .withColumn(
+            "revenue",
+            F.coalesce(F.last("revenue", ignorenulls=True).over(w), F.lit(0.0)),
+        )
+    )
