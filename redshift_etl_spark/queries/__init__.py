@@ -1,4 +1,4 @@
-from . import agent_metrics, llm_data, relational, tables  # noqa: F401
+from . import agent_metrics, llm_data, relational, tables, tpch_shapes  # noqa: F401
 
 
 def all_queries() -> dict:
@@ -6,6 +6,7 @@ def all_queries() -> dict:
     out.update(agent_metrics.QUERIES)
     out.update(relational.QUERIES)
     out.update(llm_data.QUERIES)
+    out.update(tpch_shapes.QUERIES)
     return out
 
 
@@ -14,4 +15,5 @@ def all_oracles() -> dict:
     out.update(agent_metrics.ORACLES)
     out.update(relational.ORACLES)
     out.update(llm_data.ORACLES)
+    out.update(tpch_shapes.ORACLES)
     return out
