@@ -503,8 +503,10 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q15 shape — top supplier: per-supplier revenue for a quarter, keep the
-# max. The max is a 1-row broadcast joined back against the (already
-# tiny, supplier-grain) revenue table — the fact is scanned ONCE.
+# max. The max rides a whole-frame window OVER the already-aggregated
+# supplier-grain table (dimension-sized), so lineitem is scanned ONCE —
+# a separate MAX branch would re-scan the fact (DataFrame lineage does
+# not share subplans without persist).
 # ---------------------------------------------------------------------------
 
 @_q(
@@ -524,6 +526,8 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """,
 )
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     rev = (
         load(spark, sf_dir, "lineitem")
         .filter(
@@ -533,10 +537,11 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.round(F.sum(_revenue()), 4).alias("total_revenue"))
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    # single-partition window is safe: input is supplier-grain (dim-sized)
+    mx = F.max("total_revenue").over(Window.partitionBy())
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(mx))
+        rev.withColumn("mx", mx)
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
