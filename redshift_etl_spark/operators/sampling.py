@@ -85,6 +85,51 @@ def stratified_cap_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    group: str,
+    weights: dict[str, float],
+    total: float,
+) -> DataFrame:
+    """Deterministic data-mixture resampling: downsample each ``group``
+    (source/domain) toward a target mixture — ``weights[g] · total``
+    rows from group ``g``, capped at what the group has.
+
+    The standard pretraining-mix op (web 30% / code 20% / …), shaped for
+    100 TB: (1) per-group counts via hash aggregate (tiny result);
+    (2) counts ⋈ weights → per-group keep-edge, BROADCAST back onto the
+    data; (3) the keep decision is the same per-row md5-bucket filter as
+    `hash_sample` — so the data path is shuffle-free, and the sample is
+    stable under re-runs, engine changes, and repartitioning. Groups
+    absent from ``weights`` are dropped (weight 0). Edges use
+    floor(min(1, total·w/n)·256) — floor, not round, so both engines
+    make the identical IEEE-double boundary decision.
+    """
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        sorted((g, float(wt)) for g, wt in weights.items()),
+        f"{group} string, __wt double",
+    )
+    sizes = df.groupBy(group).agg(F.count(F.lit(1)).alias("__n"))
+    edges = sizes.join(w, group).select(
+        group,
+        F.floor(
+            F.least(
+                F.lit(1.0), F.lit(float(total)) * F.col("__wt") / F.col("__n")
+            )
+            * 256
+        )
+        .cast("long")
+        .alias("__edge"),
+    )
+    return (
+        df.join(F.broadcast(edges), group)
+        .filter(hash_bucket(key) < F.col("__edge"))
+        .drop("__edge")
+    )
+
+
 def sequence_packs(
     df: DataFrame,
     key: str,

@@ -139,6 +139,99 @@ def rolling_fingerprint(
     return F.md5(F.concat_ws("", kmin))
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition/quality signals per document (the standard
+    web-corpus filters beyond plain length/stopword checks):
+
+    - ``consec_repeat_ratio``: fraction of adjacent token pairs that are
+      equal (catches "spam spam spam" runs).
+    - ``top_bigram_ratio``: occurrences of the most frequent bigram over
+      all bigrams (catches boilerplate loops).
+    - ``distinct_token_ratio``: vocabulary diversity.
+
+    One pure projection — no shuffle, no Python in the row path. The
+    token and bigram arrays are materialized as attributes in a staged
+    select (NOT inlined) so CollapseProject never re-expands the split
+    per reference; the per-distinct-bigram count is O(D·N) per row,
+    bounded by document length, at scan speed.
+
+    Ratios are exact-int divisions in double → bit-identical on any
+    engine (oracle ``repetition_stats``).
+    """
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("__t"))
+    n = F.size("__t")
+    pair_len = F.greatest(n - 1, F.lit(0))
+    staged = toks.select(
+        id_col,
+        "__t",
+        n.alias("__n"),
+        F.zip_with(
+            F.slice("__t", 1, pair_len),
+            F.slice("__t", 2, pair_len),
+            lambda x, y: x == y,
+        ).alias("__same"),
+        F.zip_with(
+            F.slice("__t", 1, pair_len),
+            F.slice("__t", 2, pair_len),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ).alias("__grams"),
+    )
+    consec = F.size(F.filter("__same", lambda b: b))
+    top_bi = F.array_max(
+        F.transform(
+            F.array_distinct("__grams"),
+            lambda d: F.size(F.filter("__grams", lambda g: g == d)),
+        )
+    )
+    nn = F.col("__n")
+    return staged.select(
+        F.col(id_col),
+        nn.cast("long").alias("n_tokens"),
+        F.when(nn >= 2, consec.cast("double") / (nn - 1))
+        .otherwise(F.lit(0.0))
+        .alias("consec_repeat_ratio"),
+        F.when(nn >= 2, top_bi.cast("double") / (nn - 1))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+        (F.size(F.array_distinct("__t")).cast("double") / nn).alias(
+            "distinct_token_ratio"
+        ),
+    )
+
+
+# PII patterns kept to the RE2 ∩ Java-regex common dialect (no
+# backreferences, no lookaround) so the identical pattern text runs on
+# Spark and any RE2-based engine (DuckDB oracle).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Scrub emails / IPv4s / phone numbers to typed placeholder tokens.
+    Pure projection (regexp_replace chain, replacement order = pattern
+    order so an IP is consumed before the phone pattern can see its
+    digit groups)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """Per-pattern match counts (``n_emails``/``n_ips``/``n_phones``),
+    each counted independently on the un-redacted text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}s")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
 def clean_text(text: Column | str) -> Column:
     """Canonical text normalization for training-data prep: lowercase,
     non-alphanumerics → space, whitespace collapse, trim, empty → NULL.

@@ -865,3 +865,141 @@ SELECT doc_id, term, tf, score FROM scored WHERE rn <= 3
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return TX.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality signals (Gopher-style web-corpus filters) —
+# operators/text.repetition_stats. Pure projection; arrays staged as
+# attributes so CollapseProject never re-expands the tokenizer.
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS tk, len(str_split(text, ' ')) AS n
+  FROM documents
+), g AS (
+  SELECT doc_id, tk, n,
+    len(list_filter(range(1, n), i -> tk[i] = tk[i+1])) AS consec,
+    list_transform(range(1, n), i -> tk[i] || ' ' || tk[i+1]) AS grams
+  FROM t
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  CASE WHEN n >= 2 THEN CAST(consec AS DOUBLE) / (n - 1) ELSE 0.0 END
+    AS consec_repeat_ratio,
+  CASE WHEN n >= 2 THEN
+    CAST(list_max(list_transform(list_distinct(grams),
+      d -> len(list_filter(grams, x -> x = d)))) AS DOUBLE) / (n - 1)
+  ELSE 0.0 END AS top_bigram_ratio,
+  CAST(len(list_distinct(tk)) AS DOUBLE) / n AS distinct_token_ratio
+FROM g
+"""
+
+
+@_q("repetition_stats", _REPETITION_ORACLE)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — operators/text.redact_pii. The corpus has no real PII,
+# so both engines deterministically inject a synthetic email/phone/IP on
+# even doc_ids (the odd rows exercise the zero-redaction path), then
+# redact and count. Patterns live in text.PII_PATTERNS (RE2 ∩ Java
+# dialect) and this oracle is generated from the SAME constants.
+# ---------------------------------------------------------------------------
+
+def _pii_oracle() -> str:
+    redacted = "pii"
+    for _, pat, repl in TX.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(pii, '{pat}')) AS BIGINT) AS n_{name}s"
+        for name, pat, _ in TX.PII_PATTERNS
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com call 555-'
+           || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+           || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+           || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+    ELSE text END AS pii
+  FROM documents
+)
+SELECT doc_id,
+  {redacted} AS redacted,
+  {counts}
+FROM p
+"""
+
+
+@_q("pii_redact", _pii_oracle())
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com call 555-"),
+        (did % 900 + 100).cast("string"),
+        F.lit("-"),
+        (did % 9000 + 1000).cast("string"),
+        F.lit(" ip 10.0."),
+        (did % 256).cast("string"),
+        F.lit(".1"),
+    )
+    pii = docs.select(
+        "doc_id",
+        F.when(did % 2 == 0, injected).otherwise(F.col("text")).alias("pii"),
+    )
+    return pii.select(
+        "doc_id",
+        TX.redact_pii("pii").alias("redacted"),
+        *TX.pii_counts("pii"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture resampling — operators/sampling.mixture_sample. Target
+# pretraining mix over sources; per-group edges broadcast back, data
+# path shuffle-free. Oracle generated from the SAME weights constant.
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {
+    "src0": 0.30, "src1": 0.18, "src2": 0.12, "src3": 0.10, "src5": 0.08,
+    "src7": 0.07, "src10": 0.06, "src12": 0.05, "src15": 0.03, "src17": 0.01,
+}
+_MIX_TOTAL = 400.0
+
+
+def _mixture_oracle() -> str:
+    vals = ", ".join(
+        f"('{g}', CAST({w} AS DOUBLE))"
+        for g, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH w(source, wt) AS (SELECT * FROM (VALUES {vals})),
+c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+e AS (
+  SELECT c.source,
+         CAST(floor(least(1.0, ({_MIX_TOTAL} * wt) / n) * 256) AS BIGINT)
+           AS edge
+  FROM c JOIN w ON c.source = w.source
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN e ON d.source = e.source
+WHERE {_BUCKET_SQL} < e.edge
+"""
+
+
+@_q("mixture_sample", _mixture_oracle())
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return SP.mixture_sample(
+        docs, "doc_id", "source", _MIX_WEIGHTS, _MIX_TOTAL
+    ).select("doc_id", "source")

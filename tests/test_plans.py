@@ -137,3 +137,27 @@ def test_zscore_moments_via_hash_agg_not_window(spark):
     df = Q.all_queries()["zscore_anomalies"](spark, SF_ORACLE)
     assert P.tree_count(df, "Window") == 0
     assert P.tree_count(df, "HashAggregate") >= 2  # partial + final
+
+
+def test_repetition_stats_pure_projection(spark):
+    # Gopher-style repetition signals are a per-row projection — nothing
+    # in this plan may shuffle, and only (doc_id, text) may be scanned
+    df = Q.all_queries()["repetition_stats"](spark, SF_ORACLE)
+    assert P.count_shuffles(df) == 0
+    scans = P.scanned_columns(df)
+    assert scans and all(set(s) <= {"doc_id", "text"} for s in scans)
+
+
+def test_pii_redact_pure_projection(spark):
+    df = Q.all_queries()["pii_redact"](spark, SF_ORACLE)
+    assert P.count_shuffles(df) == 0
+
+
+def test_mixture_sample_data_path_shuffle_free(spark):
+    # per-source counts are the only real exchange (tiny agg); the edges
+    # come back via BroadcastExchange so the full-data path never
+    # shuffles and the keep-filter is a map-side projection
+    df = Q.all_queries()["mixture_sample"](spark, SF_ORACLE)
+    assert P.tree_count(df, "Exchange") - P.tree_count(df, "BroadcastExchange") <= 1
+    assert P.tree_count(df, "BroadcastHashJoin") >= 1
+    assert P.tree_count(df, "Window") == 0
