@@ -211,3 +211,39 @@ def test_stream_stream_time_bounded_join(spark, tmp_path):
         q.stop()
     rows = spark.sql("SELECT user_id FROM ss_join_out").collect()
     assert [r["user_id"] for r in rows] == [1]
+
+
+@pytest.mark.slow
+def test_stream_restart_exactly_once(spark, tmp_path):
+    """Kill the query, add data, restart a NEW query from the same
+    checkpoint: already-committed batches are not reprocessed and new
+    data arrives exactly once — the recovery contract a 1000-executor
+    deployment leans on when executors/drivers die mid-run."""
+    indir = tmp_path / "in"
+    indir.mkdir()
+    fact = str(tmp_path / "fact")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    _write_batch(indir, "b1.json", [_rec("C1"), _rec("C2")])
+    q1 = ctr.start_append_sink(
+        ctr.build_ctr_stream(spark, str(indir)), fact, ckpt
+    )
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # data lands while the query is DOWN (b2 includes a C1 duplicate,
+    # which the watermark dedup must still drop after recovery)
+    _write_batch(indir, "b2.json", [_rec("C3"), _rec("C1")])
+    q2 = ctr.start_append_sink(
+        ctr.build_ctr_stream(spark, str(indir)), fact, ckpt
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(fact).groupBy("contact_id").count().collect()
+    counts = {r["contact_id"]: r["count"] for r in rows}
+    assert counts == {"C1": 1, "C2": 1, "C3": 1}
