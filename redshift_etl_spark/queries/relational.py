@@ -978,12 +978,19 @@ GROUP BY incident_id
 )
 def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+
+    # ts may surface as TIMESTAMP or TIMESTAMP_NTZ depending on the
+    # parquet writer; NTZ has no direct cast to double, so hop through
+    # TIMESTAMP (session tz is UTC — value-preserving).
+    def _epoch_s(c: F.Column) -> F.Column:
+        return c.cast("timestamp").cast("double")
+
     intervals = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("incident_id"),
-        F.col("ts").cast("double").alias("start_s"),
-        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).cast("double").alias("end_s"),
+        _epoch_s(F.col("ts")).alias("start_s"),
+        _epoch_s(F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_s"),
     )
-    points = ev.select(F.col("ts").cast("double").alias("pt_s"), "value")
+    points = ev.select(_epoch_s(F.col("ts")).alias("pt_s"), "value")
     joined = RJ.range_join(
         points,
         intervals,

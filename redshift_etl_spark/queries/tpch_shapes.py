@@ -741,3 +741,120 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_supp.join(
         F.broadcast(sup), per_supp.suppkey == sup.s_suppkey
     ).select("s_suppkey", "s_name", "numwait")
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — min-cost supplier per part inside one region (correlated
+# MIN subquery). The testdata has no partsupp table; the observed
+# minimum l_extendedprice per (partkey, suppkey) stands in as the
+# supply cost (SURVEY §2.5b note).
+# Posture at scale: the per-(part,supp) cost agg is the only lineitem
+# shuffle; the correlated MIN decorrelates to a partkey-partitioned
+# window over the (much smaller) cost relation; part slice and the
+# region-filtered supplier⋈nation dim broadcast.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "min_cost_supplier",
+    """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, p_name, s_name, n_name, s_acctbal, supply_cost
+FROM ps
+JOIN eu ON ps.l_suppkey = eu.s_suppkey
+JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 15 AND p_type = 'ECONOMY'
+  AND supply_cost = (
+    SELECT MIN(ps2.supply_cost)
+    FROM ps ps2 JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey
+    WHERE ps2.l_partkey = ps.l_partkey
+  )
+""",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation")
+                .join(
+                    F.broadcast(
+                        load(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part_slice = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_name")
+    )
+    # the one lineitem shuffle: cost per (part, supplier)
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    # correlated MIN decorrelated: restrict to EUROPE suppliers first
+    # (the subquery is over eu-joined ps), then a partkey window —
+    # the agg output is small, this shuffle is cheap
+    eu_ps = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        eu_ps.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .join(F.broadcast(part_slice), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name", "s_acctbal",
+            "supply_cost",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape — forecast-revenue change: single-table scan + tight
+# predicate + one global agg. The whole point at 100 TB is the scan:
+# every predicate must reach the parquet reader (PushedFilters), the
+# ReadSchema must be exactly the 4 touched columns, and the agg is a
+# partial/final pair with a 1-row exchange. Plan test pins all three.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "forecast_revenue",
+    """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1999-01-01 00:00:00")
+        & (F.col("l_shipdate") < "2000-01-01 00:00:00")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+        .alias("revenue")
+    )

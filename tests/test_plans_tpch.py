@@ -141,3 +141,30 @@ def test_waiting_suppliers_one_lineitem_pass(spark):
     tree = P.plan_tree(df)
     assert "Expand" not in tree
     assert P.tree_count(df, "Window") == 0
+
+
+def test_min_cost_supplier_decorrelated_single_lineitem_pass(spark):
+    # Q2: the correlated MIN decorrelates to ONE partkey window over the
+    # per-(part,supp) cost agg — lineitem is scanned once; part slice and
+    # the region-filtered supplier dim broadcast
+    df = _q(spark, "min_cost_supplier")
+    scans = P.scanned_columns(df)
+    li_scans = [s for s in scans if "l_extendedprice" in s]
+    assert len(li_scans) == 1
+    assert P.count_broadcasts(df) >= 2
+    pushed = " ".join(P.pushed_filters(df))
+    assert "p_size" in pushed
+    assert "r_name" in pushed
+
+
+def test_forecast_revenue_scan_posture(spark):
+    # Q6: every predicate reaches the parquet reader and the scan reads
+    # exactly the 4 touched columns — at 100 TB this query IS its scan
+    df = _q(spark, "forecast_revenue")
+    pushed = " ".join(P.pushed_filters(df))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed
+    scans = P.scanned_columns(df)
+    assert scans and all(len(s) <= 4 for s in scans)
+    # single global agg: exactly one exchange (the 1-row final agg)
+    assert P.tree_count(df, "Exchange") == 1
