@@ -49,10 +49,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     for col in _NANOS_TS.get(name, ()):
-        if isinstance(df.schema[col].dataType, T.LongType):
+        dt = df.schema[col].dataType
+        if isinstance(dt, T.LongType):
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
+        elif isinstance(dt, T.TimestampNTZType):
+            # writer-dependent: some testdata generations store micros
+            # NTZ instead of nanos-long. Canonicalize to TIMESTAMP so
+            # every downstream epoch/tz function sees one type; session
+            # tz is UTC, so the wall-clock value is preserved.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

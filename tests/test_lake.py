@@ -112,3 +112,28 @@ def test_sorted_write_tightens_row_group_stats(spark, tmp_path):
     # an unsorted write would put ~the full span in every row group
     assert len(spans) >= 10
     assert max(spans) < 2_000_000 / 10
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    # 100 TB posture: when the date predicate arrives via a dim join
+    # (calendar/dim_date) instead of a literal, Catalyst must still prune
+    # fact partitions AT RUNTIME (DPP) — the fact scan carries a
+    # dynamicpruning subquery on load_date, not a full scan.
+    rows = [(i, f"2024-01-{1 + i % 5:02d} 10:00:00") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    path = str(tmp_path / "fact_dpp")
+    lake.write_partitioned(df, path, "ts", mode="overwrite")
+
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("2024-01-01", "holiday")], "d string, kind string"
+    ).select(F.col("d").cast("date").alias("d"), "kind")
+    joined = fact.join(
+        F.broadcast(dim.filter(F.col("kind") == "holiday")),
+        fact.load_date == dim.d,
+    )
+    plan = P.physical_plan(joined)
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() == 40
