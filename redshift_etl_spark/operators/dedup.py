@@ -282,11 +282,21 @@ def simhash_near_pairs(
         F.col("hi").alias("hi_b"),
         F.col("lo").alias("lo_b"),
     )
-    cand = a.join(
-        b,
-        ((F.col("hi_a") == F.col("hi_b")) | (F.col("lo_a") == F.col("lo_b")))
-        & (F.col("doc_a") < F.col("doc_b")),
-    )
+    # One equi-join PER half, unioned, then pair-dedup. The obvious
+    # single join on (hi_a=hi_b OR lo_a=lo_b) defeats hash-join planning
+    # entirely — Catalyst can only run a disjunction of equalities as a
+    # CartesianProduct, O(n²) at scale. Two hash joins + dropDuplicates
+    # compute the identical candidate set as bucketed equi-joins, the
+    # same per-band pattern `lsh_candidate_pairs` uses.
+    cand = None
+    for half_col in ("hi", "lo"):
+        part = a.join(
+            b,
+            (F.col(f"{half_col}_a") == F.col(f"{half_col}_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        ).select("doc_a", "doc_b", "sh_a", "sh_b")
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
     xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     hamming = F.bit_count(xor)
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(

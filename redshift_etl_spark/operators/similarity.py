@@ -366,71 +366,98 @@ def cosine_pairs_blocked(
     threshold: float = 0.45,
     out_a: str = "vec_a",
     out_b: str = "vec_b",
+    n_blocks: int = 4,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold — the exact O(n²) kernel, executed
-    as a blocked numpy sweep under ``mapInPandas``.
+    """All-pairs cosine ≥ threshold — exact, but fully distributed: a
+    block-partitioned numpy sweep under ``applyInPandas``. Nothing ever
+    rides through the driver.
+
+    Shape: each vector is hashed into one of ``n_blocks`` blocks, then
+    replicated to every unordered block pair (i ≤ j) it belongs to —
+    `n_blocks` copies per row. Each (i, j) group holds just blocks i
+    and j, and a numpy kernel scores its pairs locally on an executor.
+    Every unordered vector pair lands in EXACTLY one owning group
+    (cross-block pairs in (blk_a, blk_b) sorted; same-block pairs in
+    (b, b) — the kernel masks same-block pairs out of mixed groups), so
+    the union over groups is the exact all-pairs result, and the sweep
+    is embarrassingly parallel over n_blocks·(n_blocks+1)/2 groups.
+
+    Scale math: per-group memory is (2n/B)² score cells, so B grows
+    with √n and total replicated shuffle volume is B·|data| — e.g. 1B
+    vectors at B=1000 → 2M-row groups, each a 4M-cell float64 tile.
+    Choose B so a group's tile fits an executor; the B·|data| shuffle
+    is the honest cost of EXACT all-pairs (the approximate alternative
+    is `ann_topk_lsh`/`ivf_topk` bucketing, which this kernel rescopes
+    to when used within LSH buckets).
 
     Why not pure column expressions: per-pair dot products evaluate one
     scalar expression tree per pair; a 64-dim unrolled tree over 2M
     pairs measured 15+ s at sf0.1 (the generated method is too large
     for JIT), the lambda-fold 9 s. This kernel does the same arithmetic
-    as 64 vectorized numpy ops over row-blocks — sub-second, and the
-    Arrow transfer only ships each row once, not once per pair.
+    as 64 vectorized numpy ops over row-blocks — sub-second, and Arrow
+    ships each row B times total, never once per pair.
 
     Bit-exactness contract (the oracle hash-matches): accumulation is a
     loop over dimensions with element-wise `+=`, which performs the
     IDENTICAL left-to-right float64 add sequence per pair as the
     sequential fold in DuckDB's list_dot_product / F.aggregate — never
-    `np.dot`/`@` (pairwise/SIMD accumulation order differs). Rounding
-    happens Spark-side (HALF_UP, matching the oracle's ROUND) — the
-    kernel only pre-filters with a 1e-6 safety margin.
-
-    Scale posture: one side is broadcast as a numpy matrix (sent once
-    per executor, not per task), the other side streams through in
-    Arrow batches — no shuffle at all. This is the rescoring kernel:
-    at 100 TB you LSH/IVF-bucket first and run this within buckets; the
-    broadcast side must fit in executor memory (a few GB of vectors),
-    which bucketing guarantees.
+    `np.dot`/`@` (pairwise/SIMD accumulation order differs). Block
+    assignment only routes pairs to groups; it cannot affect any score.
+    Rounding happens Spark-side (HALF_UP, matching the oracle's ROUND)
+    — the kernel only pre-filters with a 1e-6 safety margin.
     """
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    pdf = df.select(id_col, vec_col).toPandas()
-    ids_all = pdf[id_col].to_numpy()
-    mat_all = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-    bc = spark.sparkContext.broadcast((ids_all, mat_all))
-    dims = mat_all.shape[1]
     margin = threshold - 1e-6
 
-    def sweep(batches):
-        ids_b, B = bc.value
-        nb = np.zeros(len(ids_b))
-        for i in range(dims):
-            nb += B[:, i] * B[:, i]
-        nb = np.sqrt(nb)
-        for part in batches:
-            if len(part) == 0:
-                continue
-            ida = part[id_col].to_numpy()
-            A = np.array(part[vec_col].tolist(), dtype=np.float64)
-            acc = np.zeros((len(ida), len(ids_b)))
-            na = np.zeros(len(ida))
-            for i in range(dims):
-                acc += A[:, i][:, None] * B[:, i][None, :]
-                na += A[:, i] * A[:, i]
-            cos = acc / (np.sqrt(na)[:, None] * nb[None, :])
-            ai, bi = np.nonzero(
-                (cos >= margin) & (ida[:, None] < ids_b[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    out_a: ida[ai],
-                    out_b: ids_b[bi],
-                    "cosine_raw": cos[ai, bi],
-                }
-            )
+    src = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_blocks))
+        .cast("int")
+        .alias("__blk"),
+    )
+    # replicate: block b participates in groups {(min(b,x), max(b,x))}
+    # for every x — one copy per partner block, no duplicates.
+    rep = src.select(
+        "__id",
+        "__v",
+        "__blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__other"),
+    ).select(
+        "__id",
+        "__v",
+        "__blk",
+        F.least("__blk", "__other").alias("__gi"),
+        F.greatest("__blk", "__other").alias("__gj"),
+    )
 
-    return df.mapInPandas(
+    def sweep(key, part):
+        gi, gj = key
+        ids = part["__id"].to_numpy()
+        blks = part["__blk"].to_numpy()
+        M = np.array(part["__v"].tolist(), dtype=np.float64)
+        dims = M.shape[1]
+        nrm = np.zeros(len(ids))
+        acc = np.zeros((len(ids), len(ids)))
+        for i in range(dims):
+            acc += M[:, i][:, None] * M[:, i][None, :]
+            nrm += M[:, i] * M[:, i]
+        nrm = np.sqrt(nrm)
+        cos = acc / (nrm[:, None] * nrm[None, :])
+        # ownership: this group emits a pair iff its sorted block pair
+        # IS (gi, gj) — same-block pairs belong to the diagonal group.
+        own = (np.minimum(blks[:, None], blks[None, :]) == gi) & (
+            np.maximum(blks[:, None], blks[None, :]) == gj
+        )
+        ai, bi = np.nonzero(
+            (cos >= margin) & (ids[:, None] < ids[None, :]) & own
+        )
+        return pd.DataFrame(
+            {out_a: ids[ai], out_b: ids[bi], "cosine_raw": cos[ai, bi]}
+        )
+
+    return rep.groupBy("__gi", "__gj").applyInPandas(
         sweep, schema=f"{out_a} long, {out_b} long, cosine_raw double"
     )

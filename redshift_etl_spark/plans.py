@@ -74,3 +74,12 @@ def plan_tree(df: DataFrame) -> str:
 def tree_count(df: DataFrame, op: str) -> int:
     """Exact occurrence count of a physical operator in the plan tree."""
     return len(re.findall(rf"\b{op}\b", plan_tree(df)))
+
+
+def has_cross_product(df: DataFrame) -> bool:
+    """True if the plan contains any all-pairs join — CartesianProduct
+    or BroadcastNestedLoopJoin. Scale-path operators (dedup candidate
+    generation, bucketed ANN) must never plan one: an OR of equalities
+    or a pure inequality join silently degrades to O(n²)."""
+    tree = plan_tree(df)
+    return "CartesianProduct" in tree or "BroadcastNestedLoopJoin" in tree

@@ -223,10 +223,12 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.45
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.45 sits above the p99.9 of the testdata's cosine
     # distribution (max ≈ 0.51) so the result is small but non-empty.
-    # Blocked numpy kernel (see operators/similarity.cosine_pairs_blocked
-    # for why expression-per-pair is 30× slower and how bit-parity with
-    # the oracle's fold arithmetic is preserved); rounding + the final
-    # threshold test stay Spark-side so ROUND semantics match the oracle.
+    # Distributed block-pair numpy kernel: exact all-pairs, partitioned
+    # into block-pair groups executed executor-side via applyInPandas —
+    # no driver collect anywhere (see cosine_pairs_blocked for the
+    # B·|data| replication math and the fold-order bit-parity contract);
+    # rounding + the final threshold test stay Spark-side so ROUND
+    # semantics match the oracle.
     emb = load(spark, sf_dir, "embeddings")
     pairs = S.cosine_pairs_blocked(
         emb, "vec_id", "embedding", threshold=0.45

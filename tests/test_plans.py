@@ -153,6 +153,43 @@ def test_pii_redact_pure_projection(spark):
     assert P.count_shuffles(df) == 0
 
 
+def test_no_cross_product_in_scale_path_entry_points(spark):
+    # every dedup / bucketed-ANN entry point must plan as hash
+    # equi-joins — a CartesianProduct or BroadcastNestedLoopJoin here is
+    # the O(n²) failure mode that kills the operator at 100 TB. The one
+    # deliberate exception is the exact brute-force baseline
+    # `ann_cosine_topk`, which is all-pairs BY DEFINITION and exists
+    # only as the recall oracle for the LSH/IVF scale paths.
+    queries = Q.all_queries()
+    scale_path = [
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_jaccard",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "decontaminate",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "dedup_embedding_cosine",
+    ]
+    # ann_topk_ivf's coarse quantization joins every vector against the
+    # BROADCAST K-row codebook with no key — physically a
+    # BroadcastNestedLoopJoin, but the nested side is a constant-size
+    # codebook (a bounded fan-out of K scores per vector), not data².
+    # It still must never plan a CartesianProduct.
+    bnlj_codebook_ok = {"ann_topk_ivf"}
+    bad = []
+    for name in scale_path:
+        assert name in queries, f"unknown catalog query: {name}"
+        df = queries[name](spark, SF_ORACLE)
+        tree = P.plan_tree(df)
+        if "CartesianProduct" in tree:
+            bad.append(name)
+        elif "BroadcastNestedLoopJoin" in tree and name not in bnlj_codebook_ok:
+            bad.append(name)
+    assert not bad, f"cross-product join planned in: {bad}"
+
+
 def test_mixture_sample_data_path_shuffle_free(spark):
     # per-source counts are the only real exchange (tiny agg); the edges
     # come back via BroadcastExchange so the full-data path never
