@@ -979,9 +979,11 @@ GROUP BY incident_id
 def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
 
-    # ts may surface as TIMESTAMP or TIMESTAMP_NTZ depending on the
-    # parquet writer; NTZ has no direct cast to double, so hop through
-    # TIMESTAMP (session tz is UTC — value-preserving).
+    # belt-and-suspenders over load(): tables.py already canonicalizes
+    # events.ts (NTZ or nanos-long parquet) to TIMESTAMP, so the hop
+    # through TIMESTAMP is a no-op today — kept so this query stays
+    # correct if handed a frame that bypassed load()'s canonicalization
+    # (NTZ has no direct cast to double; session tz is UTC).
     def _epoch_s(c: F.Column) -> F.Column:
         return c.cast("timestamp").cast("double")
 

@@ -7,6 +7,7 @@ Usage: python scripts/driver_sim.py [--quick]
 from __future__ import annotations
 
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -43,16 +44,22 @@ def main() -> None:
 
     queries = E.queries()
     oracles = E.oracle_sql()
-    names = sorted(queries)
+    # registration order, not sorted — mirrors the driver harness, so a
+    # per-query time budget plays out here the same way it will there
+    names = list(queries)
     if quick:
         names = names[:4]
     failed = []
+    times: dict[str, float] = {}
     for name in names:
+        t0 = time.monotonic()
         df = queries[name](spark, SF)
         sp_cols = [c.lower() for c in df.columns]
         sp_rows = [tuple(r) for r in df.collect()]
+        times[name] = time.monotonic() - t0
         if name not in oracles:
-            print(f"  {name}: rows-only check, {len(sp_rows)} rows")
+            print(f"  {name}: rows-only check, {len(sp_rows)} rows "
+                  f"[{times[name]:.2f}s]")
             continue
         rel = con.execute(oracles[name])
         dk_cols = [d[0].lower() for d in rel.description]
@@ -62,9 +69,13 @@ def main() -> None:
             and len(sp_rows) == len(dk_rows)
             and rows_key(sp_rows, sp_cols) == rows_key(dk_rows, dk_cols)
         )
-        print(f"  {name}: {'MATCH' if ok else 'MISMATCH'} ({len(sp_rows)} rows)")
+        print(f"  {name}: {'MATCH' if ok else 'MISMATCH'} "
+              f"({len(sp_rows)} rows) [{times[name]:.2f}s]")
         if not ok:
             failed.append(name)
+    slow = sorted(times.items(), key=lambda kv: -kv[1])[:10]
+    print("slowest:", ", ".join(f"{n}={t:.1f}s" for n, t in slow))
+    print(f"total spark-side: {sum(times.values()):.1f}s over {len(times)}")
     if failed:
         print(f"FAILED: {failed}")
         sys.exit(1)

@@ -165,6 +165,9 @@ def test_forecast_revenue_scan_posture(spark):
     for c in ("l_shipdate", "l_discount", "l_quantity"):
         assert c in pushed
     scans = P.scanned_columns(df)
-    assert scans and all(len(s) <= 4 for s in scans)
+    assert scans and all(
+        set(s) == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+        for s in scans
+    )
     # single global agg: exactly one exchange (the 1-row final agg)
     assert P.tree_count(df, "Exchange") == 1
