@@ -299,6 +299,68 @@ def assign_clusters(
     )
 
 
+def kmeans_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    dims: int | None = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means codebook for IVF coarse
+    quantization. Returns (id_col, vec_col) — k (or fewer, see below)
+    centroids usable anywhere a centroid DataFrame is expected.
+
+    Every step is reproducible bit-for-bit across engines AND across
+    Spark partitionings — the property that lets an external SQL oracle
+    replicate the training:
+
+    - seeds: the k lowest-id corpus vectors (no RNG state);
+    - assignment: argmax cosine rounded to 6 dp, centroid-id tiebreak
+      (`assign_clusters`) — per-row deterministic;
+    - update: element-wise mean via SCALED-INTEGER sums —
+      ``SUM(CAST(ROUND(v_i·10⁶) AS LONG)) / (10⁶ · COUNT)``. Long sums
+      are associative-exact, so the mean does not depend on row order
+      or partition boundaries; a double SUM would differ run-to-run at
+      scale and between engines. The 10⁻⁶ quantization is far below
+      any clustering-relevant signal.
+
+    Empty clusters drop out of the codebook (both engines compute
+    identical assignments, so they drop identically). One shuffle per
+    iteration (the (cluster, pos) aggregate over a dims-wide explode);
+    the codebook itself stays tiny and broadcasts everywhere it's used.
+    """
+    cent = corpus.orderBy(F.col(id_col).asc()).limit(k).select(id_col, vec_col)
+    for _ in range(iters):
+        assigned = assign_clusters(corpus, cent, id_col, vec_col, dims)
+        comp = (
+            assigned.select(
+                "cluster",
+                F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.round(F.col("val") * scale, 0).cast("long"))
+                    .cast("double")
+                    / (F.lit(float(scale)) * F.count(F.lit(1)))
+                ).alias("cval")
+            )
+        )
+        cent = (
+            comp.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s.getField("cval"),
+                ).alias(vec_col)
+            )
+            .select(F.col("cluster").alias(id_col), vec_col)
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -307,22 +369,31 @@ def ivf_topk(
     n_centroids: int = 8,
     k: int = 3,
     dims: int | None = None,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF ANN: corpus bucketed by nearest centroid once (at scale:
     persisted/partitioned by `cluster`); each query probes only its own
     centroid's bucket, then exact cosine rescoring + top-k.
 
-    Centroids here are the first ``n_centroids`` corpus vectors by id —
-    deterministic and engine-replicable; swap in k-means centroids (or
-    any trained codebook) without touching the plan shape. At very
-    large K, replace the broadcast-join assignment with a Pandas-UDF
-    matrix multiply against the codebook.
+    ``train_iters=0`` uses the first ``n_centroids`` corpus vectors by
+    id as the codebook — deterministic but degenerate on real data
+    (clusters of the n smallest ids). ``train_iters>0`` runs that many
+    deterministic Lloyd's iterations (`kmeans_codebook`) from those
+    seeds — still engine-replicable, real clusters. At very large K,
+    replace the broadcast-join assignment with a Pandas-UDF matrix
+    multiply against the codebook.
     """
     from pyspark.sql import Window
 
-    centroids = (
-        corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
-    )
+    if train_iters > 0:
+        centroids = kmeans_codebook(
+            corpus, id_col, vec_col, k=n_centroids, iters=train_iters,
+            dims=dims,
+        )
+    else:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
+        )
     c_assigned = assign_clusters(corpus, centroids, id_col, vec_col, dims)
     q_assigned = assign_clusters(queries, centroids, id_col, vec_col, dims)
 

@@ -457,38 +457,71 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF ANN — corpus bucketed by nearest-of-8 deterministic centroids
-# (first 8 vectors), queries probe their own bucket, exact rescore.
-# The oracle replicates assignment relationally.
+# IVF ANN — codebook trained by deterministic Lloyd's k-means (seeded
+# from the 8 lowest-id vectors, scaled-integer centroid means — see
+# operators/similarity.kmeans_codebook for why the training is
+# bit-replicable cross-engine), corpus bucketed by nearest centroid,
+# queries probe their own bucket, exact rescore. The oracle replicates
+# BOTH the training iterations and the probe relationally.
 # ---------------------------------------------------------------------------
 
-_IVF_ORACLE = """
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cent AS (SELECT vec_id AS cent_id, v AS cv FROM c ORDER BY vec_id LIMIT 8),
-assigned AS (
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+def _duck_assign(out: str, cent: str) -> str:
+    return f"""{out} AS (
   SELECT vec_id, v, cent_id AS cluster FROM (
-    SELECT c.vec_id, c.v, cent.cent_id,
+    SELECT c.vec_id, c.v, {cent}.cent_id,
            row_number() OVER (
              PARTITION BY c.vec_id
-             ORDER BY ROUND(
-               list_dot_product(c.v, cent.cv)
-               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(cent.cv, cent.cv))),
-               6
-             ) DESC, cent.cent_id ASC
+             ORDER BY {_duck_cos("c.v", cent + ".cv")} DESC,
+                      {cent}.cent_id ASC
            ) AS rn
-    FROM c CROSS JOIN cent
+    FROM c CROSS JOIN {cent}
   ) WHERE rn = 1
-),
-q AS (SELECT * FROM assigned WHERE vec_id < 5),
-scored AS (
+)"""
+
+
+def _ivf_kmeans_oracle(
+    k: int = 8, iters: int = 2, scale: int = 10**6
+) -> str:
+    parts = [
+        "WITH c AS "
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM c "
+        f"ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(iters):
+        parts.append(_duck_assign(f"assign{i}", f"cent{i}"))
+        # scaled-integer mean: SUM over BIGINT is order-exact, so the
+        # centroid bits match Spark's partitioned aggregation
+        parts.append(f"""cent{i + 1} AS (
+  SELECT cluster AS cent_id, list(cval ORDER BY pos) AS cv FROM (
+    SELECT cluster, pos,
+           CAST(SUM(CAST(ROUND(val * {scale}) AS BIGINT)) AS DOUBLE)
+             / ({scale}.0 * COUNT(*)) AS cval
+    FROM (SELECT cluster, unnest(range(1, len(v) + 1)) AS pos,
+                 unnest(v) AS val
+          FROM assign{i})
+    GROUP BY cluster, pos
+  ) GROUP BY cluster
+)""")
+    parts.append(_duck_assign("assignF", f"cent{iters}"))
+    parts.append("q AS (SELECT * FROM assignF WHERE vec_id < 5)")
+    parts.append(f"""scored AS (
   SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
-         ROUND(
-           list_dot_product(q.v, s.v)
-           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(s.v, s.v))),
-           6
-         ) AS cosine
-  FROM q JOIN assigned s ON q.cluster = s.cluster AND q.vec_id <> s.vec_id
-)
+         {_duck_cos("q.v", "s.v")} AS cosine
+  FROM q JOIN assignF s ON q.cluster = s.cluster AND q.vec_id <> s.vec_id
+)""")
+    return (
+        ",\n".join(parts)
+        + """
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
@@ -496,14 +529,16 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM scored
 ) WHERE rank <= 3
 """
+    )
 
 
-@_q("ann_topk_ivf", _IVF_ORACLE)
+@_q("ann_topk_ivf", _ivf_kmeans_oracle())
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_topk(
-        emb, queries, "vec_id", "embedding", n_centroids=8, k=3, dims=64
+        emb, queries, "vec_id", "embedding", n_centroids=8, k=3, dims=64,
+        train_iters=2,
     )
 
 

@@ -69,9 +69,10 @@ def test_ann_recall_sanity(spark, emb):
 
 
 def test_blocked_pairs_partition_invariant(spark):
-    """The mapInPandas all-pairs kernel must produce the identical pair
-    set whatever the physical partitioning of the streaming side — each
-    Arrow batch sweeps against the same broadcast matrix."""
+    """The block-pair applyInPandas kernel must produce the identical
+    pair set whatever the physical partitioning of the input — block
+    routing decides WHERE a pair is scored, never WHETHER or to WHAT
+    value."""
     from redshift_etl_spark.operators import similarity as S
     from .conftest import SF_ORACLE
     from redshift_etl_spark.queries.tables import load
@@ -85,3 +86,71 @@ def test_blocked_pairs_partition_invariant(spark):
         }
 
     assert pairs(emb.repartition(8)) == pairs(emb.coalesce(1))
+
+
+def test_blocked_pairs_block_count_invariant(spark):
+    """Exactness must not depend on the block count — every unordered
+    pair is owned by exactly one block-pair group for ANY n_blocks."""
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+
+    def pairs(n_blocks):
+        return {
+            (r["vec_a"], r["vec_b"], round(r["cosine_raw"], 6))
+            for r in S.cosine_pairs_blocked(
+                emb, threshold=0.4, n_blocks=n_blocks
+            ).collect()
+        }
+
+    one = pairs(1)
+    assert one  # non-empty at this threshold
+    assert pairs(3) == one
+    assert pairs(7) == one
+
+
+def test_kmeans_codebook_partition_invariant(spark):
+    """Scaled-integer centroid means are associative-exact: the trained
+    codebook must be bit-identical under any input partitioning (a
+    double SUM would not be)."""
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+
+    def codebook(df):
+        return {
+            r["vec_id"]: tuple(r["embedding"])
+            for r in S.kmeans_codebook(df, k=8, iters=2, dims=64).collect()
+        }
+
+    a = codebook(emb.repartition(16))
+    b = codebook(emb.coalesce(1))
+    assert a == b
+    assert len(a) >= 2  # training kept a real codebook, not one blob
+
+
+def test_kmeans_improves_quantization(spark):
+    """Two Lloyd's iterations must not worsen the quantization error of
+    the seed codebook (monotonic non-increase is Lloyd's invariant)."""
+    import numpy as np
+
+    from .conftest import SF_ORACLE
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+
+    def err(centroids):
+        cents = {r["vec_id"]: np.array(r["embedding"]) for r in centroids}
+        total = 0.0
+        for v in vecs.values():
+            best = max(
+                float(np.dot(v, c) / (np.linalg.norm(v) * np.linalg.norm(c)))
+                for c in cents.values()
+            )
+            total += 1.0 - best
+        return total
+
+    seeds = emb.orderBy("vec_id").limit(8).collect()
+    trained = S.kmeans_codebook(emb, k=8, iters=2, dims=64).collect()
+    assert err(trained) <= err(seeds) + 1e-9
