@@ -203,6 +203,92 @@ def scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J4 at real width — the reference's widest merge is ~250 columns
+# (`Salesforce/Matter/SP_litify_matter.sql:307-595`). Same scd1 fixture,
+# widened with 244 generated columns (bigint / varchar / date cycling)
+# derived from the base columns AFTER the source modifications, so
+# updated rows genuinely carry 250 changed-column payloads through the
+# merge. Proves merge_scd1 is schema-driven at Matter width and that
+# plan build / codegen survive a 250-column window + anti-join.
+# ---------------------------------------------------------------------------
+
+_WIDE_N = 244
+# width is the thing under test, not volume: restrict the fixture to a
+# fifth of orders so the driver-run cost stays proportionate (the
+# 250-col × full-table variant was ~5× slower for zero extra coverage)
+_WIDE_SLICE = "o_orderkey % 5 = 0"
+
+
+def _wide_exprs() -> list[str]:
+    """244 generated column exprs as SQL text, valid in BOTH Spark SQL
+    and DuckDB — one selectExpr round-trip Spark-side (244 Column
+    objects cost ~5 s of pure py4j driver time; one string batch is
+    ~free), and the literal same text feeds the oracle."""
+    sql_cols = []
+    for i in range(_WIDE_N):
+        name = f"w{i:03d}"
+        t = i % 3
+        if t == 0:
+            sql_cols.append(f"o_orderkey * 1000 + {i} AS {name}")
+        elif t == 1:
+            sql_cols.append(f"o_orderstatus || '_' || '{i}' AS {name}")
+        else:
+            d = i % 28 + 1
+            sql_cols.append(f"o_orderdate + INTERVAL {d} DAY AS {name}")
+    return sql_cols
+
+
+_BASE_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+    "o_orderpriority"
+)
+
+
+def _scd1_wide_oracle() -> str:
+    sql_cols = _wide_exprs()
+    wide = ",\n         ".join(sql_cols)
+    all_cols = _BASE_COLS + ", " + ", ".join(
+        f"w{i:03d}" for i in range(_WIDE_N)
+    )
+    return f"""
+WITH tgt_base AS (
+  SELECT {_BASE_COLS}
+  FROM orders WHERE {_WIDE_SLICE} AND o_orderkey % 3 <> 0
+), src_base AS (
+  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+         ROUND(o_totalprice + 10.0, 2) AS o_totalprice,
+         o_orderdate + INTERVAL 1 DAY AS o_orderdate,
+         o_orderpriority
+  FROM orders WHERE {_WIDE_SLICE} AND o_orderkey % 2 = 0
+), target AS (
+  SELECT *, {wide} FROM tgt_base
+), source AS (
+  SELECT *, {wide} FROM src_base
+), unioned AS (
+  SELECT *, 2 AS __pri FROM source
+  UNION ALL
+  SELECT *, 1 AS __pri FROM target
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY o_orderdate DESC, __pri DESC
+  ) AS rn
+  FROM unioned
+)
+SELECT {all_cols}
+FROM ranked WHERE rn = 1
+"""
+
+
+@_q("scd1_merge_wide", _scd1_wide_oracle())
+def scd1_merge_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sql_cols = _wide_exprs()
+    tgt_base, src_base = _scd1_frames(spark, sf_dir)
+    target = tgt_base.filter(F.expr(_WIDE_SLICE)).selectExpr("*", *sql_cols)
+    source = src_base.filter(F.expr(_WIDE_SLICE)).selectExpr("*", *sql_cols)
+    return M.merge_scd1(target, source, "o_orderkey", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
 # J2/P7 — insert-only anti-join append
 # (`…CTR with boto3/SP_boto3_connect_redshift.sql:15-26`)
 # ---------------------------------------------------------------------------

@@ -161,6 +161,36 @@ def test_scd2_paths_and_invariants(spark):
     assert all(r["count"] == 1 for r in cur)
 
 
+def test_scd1_merge_at_matter_width(spark):
+    """The reference's widest merge is ~250 columns
+    (`Salesforce/Matter/SP_litify_matter.sql:307-595`). merge_scd1 must
+    stay schema-driven at that width: plan construction must not blow
+    up in analysis/codegen, and merge semantics must hold column-for-
+    column (value correctness vs the DuckDB oracle is covered by
+    test_oracle_parity on `scd1_merge_wide`)."""
+    import time
+
+    from redshift_etl_spark.queries import relational as R
+
+    from .conftest import SF_ORACLE
+
+    t0 = time.monotonic()
+    df = R.QUERIES["scd1_merge_wide"](spark, SF_ORACLE)
+    build = time.monotonic() - t0
+    assert len(df.columns) == 250
+    # generous canary: a codegen/analysis blowup at width shows up as
+    # minutes, not seconds (warm session builds this in ~2 s)
+    assert build < 30, f"wide merge plan build took {build:.1f}s"
+    rows = df.collect()
+    assert len({r["o_orderkey"] for r in rows}) == len(rows)
+    # an updated key carries the full modified payload: status-derived
+    # wide strings flip to the source's 'R' prefix
+    updated = next(r for r in rows if r["o_orderkey"] % 2 == 0)
+    assert updated["o_orderstatus"] == "R"
+    assert updated["w001"] == "R_1"
+    assert updated["w000"] == updated["o_orderkey"] * 1000
+
+
 def test_scd2_idempotent(spark):
     target, source = _scd2_frames(spark)
     once = M.merge_scd2(target, source, "id", "ts")
