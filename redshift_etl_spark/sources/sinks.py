@@ -12,9 +12,11 @@ three collapse to set-based operations:
   warehouse (or operators.merge.merge_scd1 when the target is a lake
   table). NEVER row-at-a-time probes.
 
-No JDBC driver jar ships in this container, so the JDBC calls are
-gated; ``parquet_table_sink`` is the testable lake-table sink with the
-same interface.
+The JDBC path is round-tripped in tests against embedded Apache Derby
+(ships inside the Spark distribution — see tests/test_jdbc.py), so both
+``jdbc_append`` and the generated MERGE execute against a real SQL
+engine; ``parquet_table_sink`` is the lake-table sink with the same
+interface.
 """
 
 from __future__ import annotations
@@ -32,16 +34,29 @@ def jdbc_append(
 
 
 def jdbc_staged_merge_sql(
-    staging_table: str, target_table: str, key_cols: list[str], all_cols: list[str]
+    staging_table: str,
+    target_table: str,
+    key_cols: list[str],
+    all_cols: list[str],
+    quote: str = "",
 ) -> str:
     """S7 replacement — the MERGE statement to run warehouse-side after
     staging (the reference's stored-procedure body,
     `Salesforce/Task/SP_litify_task.sql:14-77`, generated instead of
-    hand-written per object)."""
-    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
-    set_cols = ", ".join(f"{c} = s.{c}" for c in all_cols if c not in key_cols)
-    ins_cols = ", ".join(all_cols)
-    ins_vals = ", ".join(f"s.{c}" for c in all_cols)
+    hand-written per object).
+
+    ``quote`` wraps column identifiers (e.g. ``'"'``) for warehouses
+    where the staged tables were created with exact-case quoted columns
+    — Spark's JDBC writer quotes lowercase names, so case-sensitive
+    engines (Derby, Postgres) need the MERGE to quote them too;
+    Redshift's case-insensitive default needs none."""
+    q = lambda c: f"{quote}{c}{quote}"  # noqa: E731
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in key_cols)
+    set_cols = ", ".join(
+        f"{q(c)} = s.{q(c)}" for c in all_cols if c not in key_cols
+    )
+    ins_cols = ", ".join(q(c) for c in all_cols)
+    ins_vals = ", ".join(f"s.{q(c)}" for c in all_cols)
     return (
         f"MERGE INTO {target_table} t USING {staging_table} s ON {on} "
         f"WHEN MATCHED THEN UPDATE SET {set_cols} "
