@@ -19,12 +19,14 @@ HEADLINE = (
     "agent_metrics_2",      # rate view
     "pricing_summary",      # TPC-H Q1 shape
     "scd1_merge",           # SCD1 merge (window + anti-join + union)
+    "scd1_merge_wide",      # same merge at Matter width (250 columns)
     "dedup_minhash_lsh",    # shingle → minhash → banded LSH pairs (the
                             # scale path; exact all-pairs jaccard is the
                             # verification kernel, benched separately)
     "dedup_exact",          # content-hash groupBy dedup
     "ann_cosine_topk",      # brute-force cosine top-k
     "ann_topk_lsh",         # hyperplane-LSH ANN (the scale path)
+    "ann_topk_ivf",         # IVF ANN with k-means-trained codebook
     "asof_prev_order",      # single-shuffle as-of join
     "range_join_incidents", # bucketed point-in-interval join
     "text_stats",           # full text-analysis projection

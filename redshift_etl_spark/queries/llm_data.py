@@ -536,8 +536,14 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
+    # dims=None → fold-based cosine: bit-identical values to the
+    # unrolled dims=64 form (same left-to-right accumulation), but no
+    # 64-term janino compile per stage. The training loop adds 3 extra
+    # codegen'd stages, and at this corpus size compile time dominates
+    # (measured 4.9 s unrolled vs 2.6 s fold at sf0.1); pass dims=64
+    # once per-row work outweighs compile, i.e. pairs ≫ 10⁶.
     return S.ivf_topk(
-        emb, queries, "vec_id", "embedding", n_centroids=8, k=3, dims=64,
+        emb, queries, "vec_id", "embedding", n_centroids=8, k=3,
         train_iters=2,
     )
 
