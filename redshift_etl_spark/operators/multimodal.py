@@ -72,11 +72,143 @@ def fake_image_decode(buf: bytes) -> dict:
     }
 
 
+def pil_image_decode(buf: bytes) -> dict:
+    """REAL image decoder (PIL), import-guarded: decodes dimensions,
+    channel count, and mean luminance from actual image bytes. Raises
+    ImportError with a clear message where Pillow isn't installed —
+    `default_image_decode` falls back to the deterministic fake there."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - container has no PIL
+        raise ImportError(
+            "pil_image_decode needs Pillow (pip install pillow); "
+            "use fake_image_decode or inject a decode_fn instead"
+        ) from e
+    img = Image.open(io.BytesIO(buf))
+    gray = img.convert("L")
+    hist = gray.histogram()
+    n = sum(hist) or 1
+    mean_luma = round(sum(i * c for i, c in enumerate(hist)) / n, 2)
+    return {
+        "width": img.width,
+        "height": img.height,
+        "n_channels": len(img.getbands()),
+        "mean_luma": mean_luma,
+    }
+
+
+def default_image_decode() -> Callable[[bytes], dict]:
+    """The out-of-the-box decoder: real PIL decode when Pillow is
+    importable, the deterministic fake otherwise (so the pipeline shape
+    runs anywhere and upgrades itself where the codec lib exists)."""
+    try:
+        import PIL  # noqa: F401  type: ignore[import-not-found]
+
+        return pil_image_decode
+    except ImportError:
+        return fake_image_decode
+
+
 def strict_decode_fn(buf: bytes) -> dict:
-    """Marker for the real decoder integration point."""
+    """Marker for a strict integration: refuses to run without a real
+    codec rather than silently using the fake."""
     raise NotImplementedError(
         "real image decode requires PIL/libvips — not available in this "
         "container; inject a decode_fn or use fake_image_decode"
+    )
+
+
+# --- audio: REAL decoder, zero dependencies ---------------------------------
+# WAV (RIFF/PCM) parses with the stdlib `wave` module, so unlike the
+# image path this decoder is real everywhere — actual codec work over
+# actual media bytes, no import guard needed.
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak_amplitude", T.IntegerType()),
+    ]
+)
+
+
+def wav_audio_decode(buf: bytes) -> dict:
+    """REAL WAV decode via the stdlib: channel layout, sample rate,
+    frame count, duration, and peak |amplitude| over the PCM samples."""
+    import array
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(buf)) as w:
+        n_channels = w.getnchannels()
+        n_frames = w.getnframes()
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        pcm = w.readframes(n_frames)
+    if width == 2:
+        samples = array.array("h")
+        samples.frombytes(pcm)
+        peak = max((abs(s) for s in samples), default=0)
+    else:  # 8-bit PCM is unsigned with a 128 bias
+        peak = max((abs(b - 128) for b in pcm), default=0)
+    return {
+        "n_channels": n_channels,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // rate if rate else 0,
+        "peak_amplitude": peak,
+    }
+
+
+def synth_wav(
+    n_samples: int, sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Deterministic 16-bit PCM WAV bytes (a ramp capped at 999·16) —
+    the fixture generator for round-tripping the real decoder."""
+    import array
+    import io
+    import wave
+
+    out = io.BytesIO()
+    with wave.open(out, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        samples = array.array(
+            "h", ((i % 1000) * 16 for i in range(n_samples * n_channels))
+        )
+        w.writeframes(samples.tobytes())
+    return out.getvalue()
+
+
+def extract_audio_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], dict] | None = None,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Audio analog of extract_image_features, with a REAL default
+    decoder (stdlib WAV). Same posture: bytes consumed batch-wise, only
+    scalar features survive to shuffle."""
+    decode = decode_fn or wav_audio_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                buf = bytes(buf) if buf is not None else b""
+                d = decode(buf)
+                rows.append({"media_id": mid, "byte_len": len(buf), **d})
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES])
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema=AUDIO_FEATURES
     )
 
 

@@ -457,6 +457,63 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio features — a REAL codec round-trip: per-document WAV bytes are
+# synthesized (stdlib `wave`, deterministic PCM), then decoded back by
+# the real stdlib decoder in extract_audio_features. The oracle
+# independently predicts every recovered field from the synthesis
+# parameters — so a decoder that misparses headers, frame counts, or
+# sample packing hash-mismatches immediately.
+# ---------------------------------------------------------------------------
+
+# synthesis parameters (shared by query + oracle): n_samples = 50 +
+# length(text) % 200, channels = 1 + doc_id % 2, rate 8000 Hz, 16-bit →
+# byte_len = 44-byte canonical header + 2·samples·channels; the ramp
+# peaks at (total_samples − 1)·16 while total < 1000 (always true here)
+_AUDIO_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 50 + length(text) % 200 AS ns, 1 + doc_id % 2 AS nc
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(44 + 2 * ns * nc AS BIGINT)        AS byte_len,
+       CAST(nc AS INT)                         AS n_channels,
+       CAST(8000 AS INT)                       AS sample_rate,
+       CAST(ns AS BIGINT)                      AS n_frames,
+       CAST((ns * 1000) // 8000 AS BIGINT)     AS duration_ms,
+       CAST((ns * nc - 1) * 16 AS INT)         AS peak_amplitude
+FROM p
+"""
+
+
+@_q("audio_features", _AUDIO_ORACLE)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": [
+                        MM.synth_wav(
+                            50 + len(t) % 200, 8000, 1 + int(d) % 2
+                        )
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        synth, schema="media_id long, content binary"
+    )
+    return MM.extract_audio_features(media)
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN — codebook trained by deterministic Lloyd's k-means (seeded
 # from the 8 lowest-id vectors, scaled-integer centroid means — see
 # operators/similarity.kmeans_codebook for why the training is

@@ -71,3 +71,46 @@ def test_attach_media_schema(spark):
     row = out.first()
     assert row["meta"]["media_type"] == "image"
     assert bytes(row["content"]) == b"xx"
+
+
+def test_wav_decode_real_round_trip():
+    """REAL codec path, no Spark: synthesized PCM WAV parses back to
+    its exact synthesis parameters via the stdlib decoder."""
+    buf = MM.synth_wav(120, sample_rate=8000, n_channels=2)
+    d = MM.wav_audio_decode(buf)
+    assert d == {
+        "n_channels": 2,
+        "sample_rate": 8000,
+        "n_frames": 120,
+        "duration_ms": 120 * 1000 // 8000,
+        "peak_amplitude": (120 * 2 - 1) * 16,
+    }
+    assert len(buf) == 44 + 2 * 120 * 2  # canonical header + 16-bit PCM
+
+
+def test_extract_audio_features_distributed(spark):
+    """The mapInPandas audio operator decodes real WAV bytes
+    executor-side and only scalar features come back."""
+    rows = [(i, MM.synth_wav(50 + i, 8000, 1)) for i in range(1, 9)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in MM.extract_audio_features(media).collect()}
+    assert len(out) == 8
+    for i in range(1, 9):
+        assert out[i]["n_frames"] == 50 + i
+        assert out[i]["sample_rate"] == 8000
+        assert out[i]["byte_len"] == 44 + 2 * (50 + i)
+
+
+def test_default_image_decode_falls_back_without_pil():
+    """Out-of-the-box resolver: real PIL decode where Pillow exists,
+    the deterministic fake here (container ships no Pillow)."""
+    try:
+        import PIL  # noqa: F401
+
+        assert MM.default_image_decode() is MM.pil_image_decode
+    except ImportError:
+        assert MM.default_image_decode() is MM.fake_image_decode
+        import pytest
+
+        with pytest.raises(ImportError, match="Pillow"):
+            MM.pil_image_decode(b"\x89PNG")
