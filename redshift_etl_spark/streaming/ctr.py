@@ -114,6 +114,52 @@ def build_ctr_stream(
     return dedup_stream(flatten_ctr(parse_ctr_records(records)), watermark)
 
 
+def synth_ctr_payload(value: Column, ts: Column) -> Column:
+    """Deterministic base64 CTR record from a rate-source row — the
+    SAME wire format the Firehose Lambda receives (base64 JSON), so the
+    full parse → flatten → dedup path runs unmodified against an
+    unbounded source."""
+    body = F.format_string(
+        '{"ContactId":"c-%08d","Channel":"VOICE",'
+        '"InitiationMethod":"INBOUND","InitiationTimestamp":"%s"}',
+        value,
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+    )
+    return F.base64(body.cast("binary"))
+
+
+def build_ctr_rate_stream(
+    spark,
+    rows_per_second: int = 100,
+    dup_every: int = 10,
+    watermark: str = "1 hour",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ST1 over a TRUE unbounded source (S10 — the Firehose semantics
+    the file stand-in can't exercise): Spark's rate source drives
+    trigger scheduling and backpressure (`rowsPerSecond` is the
+    admission cap — the micro-batch engine sizes batches to it, the
+    direct analog of Firehose buffer tuning; `numPartitions` the
+    source-side parallelism). Every ``dup_every``-th record reuses the
+    previous ContactId so the stateful dedup path is continuously
+    exercised, not just on replays."""
+    reader = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+    )
+    if num_partitions:
+        reader = reader.option("numPartitions", num_partitions)
+    raw = reader.load()  # (timestamp, value)
+    contact_no = F.when(
+        (F.col("value") % dup_every == 0) & (F.col("value") > 0),
+        F.col("value") - 1,
+    ).otherwise(F.col("value"))
+    records = raw.select(
+        synth_ctr_payload(contact_no, F.col("timestamp")).alias("data")
+    )
+    return dedup_stream(flatten_ctr(parse_ctr_records(records)), watermark)
+
+
 def start_append_sink(
     stream: DataFrame,
     target_path: str,

@@ -247,3 +247,48 @@ def test_stream_restart_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(fact).groupBy("contact_id").count().collect()
     counts = {r["contact_id"]: r["count"] for r in rows}
     assert counts == {"C1": 1, "C2": 1, "C3": 1}
+
+
+def test_rate_source_ctr_stream_backpressure_and_dedup(spark):
+    """S10/ST1 over a TRUE unbounded source: the rate source drives
+    trigger scheduling + admission control (rowsPerSecond), and the
+    synthetic duplicate pattern proves stateful dedup drops records
+    continuously — not only on file replays."""
+    import time
+
+    from redshift_etl_spark.streaming import ctr as C
+
+    stream = C.build_ctr_rate_stream(
+        spark, rows_per_second=200, dup_every=10, num_partitions=2
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_ctr")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # NOTE: never processAllAvailable() on a rate stream — the
+        # source is unbounded, so "all available" never drains; poll
+        # the sink until enough rows flowed instead.
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            n = spark.table("rate_ctr").count()
+            if n >= 200:
+                break
+            time.sleep(0.5)
+        q.stop()
+        rows = spark.table("rate_ctr").collect()
+        ids = [r["contact_id"] for r in rows]
+        assert len(ids) >= 200, "stream produced too few rows"
+        # exactly-once per ContactId survived an unbounded source
+        assert len(ids) == len(set(ids))
+        # duplicates were admitted by the source and dropped by state:
+        # every 10th record reused an id, so input > distinct output
+        admitted = sum(
+            p["numInputRows"] for p in (q.recentProgress or []) if p
+        )
+        assert admitted > len(ids)
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("rate_ctr")
