@@ -299,3 +299,79 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .select(id_col, "term", "tf", "score")
     )
+
+
+def bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, w1, w2) for every adjacent whitespace-token pair. Docs
+    with < 2 tokens produce no rows (no bigram context exists)."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("ws"))
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1), "
+                "(w, i) -> struct(w AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def bigram_likelihood(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 10**6,
+) -> DataFrame:
+    """CCNet-style LM quality scoring: train a Laplace-smoothed bigram
+    model ON the corpus itself, score each document by its average
+    bigram likelihood p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V). Garbled or
+    out-of-distribution text scores low; boilerplate scores high —
+    both are the tails a training-data pipeline filters.
+
+    Returns (id, n_bigrams, avg_bigram_likelihood, min_bigram_likelihood).
+
+    Determinism contract (what makes this oracle-checkable bit-for-bit):
+    - per-bigram likelihood is one integer-ratio double division — exact
+      and engine-independent (production LMs take log-probs; ln() last-
+      ulp behavior differs per libm, so the ranking signal here stays in
+      likelihood space — monotone per bigram, threshold-equivalent);
+    - the per-doc mean uses the scaled-integer-sum trick (ROUND(p·1e6)
+      summed as BIGINT, divided once) so partitioning cannot reorder a
+      double accumulation; MIN is order-free already.
+
+    Scale posture: two count aggregates (bigram, context) shuffle
+    model-sized relations, not the corpus; scoring joins bigrams to the
+    model on (w1,w2) — Zipf-head keys are exactly what AQE skew-split
+    handles (see test_aqe_skew) — and the vocab size rides a 1-row
+    broadcast. One final hash agg per doc.
+    """
+    bg = bigram_pairs(df, id_col, text_col)
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).agg(F.count_distinct("w").alias("v"))
+    # model relations broadcast: they are vocab-bounded (≤ distinct
+    # bigrams), not corpus-sized, so the bigram stream itself never
+    # shuffles for scoring — only the two model-building aggregates and
+    # the final per-doc agg move data. If a trained model ever outgrows
+    # the broadcast threshold, drop these hints: the join keys are
+    # Zipf-skewed and AQE's skew-split (test_aqe_skew) takes over.
+    scored = (
+        bg.join(F.broadcast(bg_counts), ["w1", "w2"])
+        .join(F.broadcast(ctx_counts), ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p",
+            (F.col("c12") + 1).cast("double")
+            / (F.col("c1") + F.col("v")).cast("double"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(F.round(F.col("p") * scale, 0).cast("long")).cast("double")
+            / (F.lit(float(scale)) * F.count(F.lit(1)))
+        ).alias("avg_bigram_likelihood"),
+        F.min(F.round(F.col("p"), 9)).alias("min_bigram_likelihood"),
+    )

@@ -606,6 +606,45 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-trained bigram-LM quality scoring (CCNet-style): Laplace-
+# smoothed bigram likelihoods, averaged per document via the scaled-
+# integer-sum trick (see operators/text.bigram_likelihood for why the
+# signal stays in likelihood space instead of log space).
+# ---------------------------------------------------------------------------
+
+_LM_QUALITY_ORACLE = """
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i]))     AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM toks
+),
+bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+voc AS (SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS p
+  FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(ROUND(p * 1000000) AS BIGINT)) AS DOUBLE)
+         / (1000000.0 * COUNT(*))                   AS avg_bigram_likelihood,
+       MIN(ROUND(p, 9))                             AS min_bigram_likelihood
+FROM scored GROUP BY doc_id
+"""
+
+
+@_q("lm_quality", _LM_QUALITY_ORACLE)
+def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.bigram_likelihood(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # Rolling-hash fingerprint (winnowing-style k-min sketch over character
 # 5-grams) — edit-tolerant document identity.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,74 @@
+"""Bigram-LM quality scoring (operators/text.bigram_likelihood)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redshift_etl_spark.operators import text as TX
+
+
+def _corpus(spark):
+    # 20 in-distribution docs from a tiny grammar + 1 garbled outlier
+    rows = [
+        (i, "the cat sat on the mat and the dog sat on the rug")
+        for i in range(10)
+    ] + [
+        (10 + i, "the dog ran to the cat and the cat ran to the mat")
+        for i in range(10)
+    ] + [(99, "zqx vbn wfg plk zqx mjr tyu")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_outlier_scores_lowest(spark):
+    docs = _corpus(spark)
+    out = {
+        r["doc_id"]: r["avg_bigram_likelihood"]
+        for r in TX.bigram_likelihood(docs).collect()
+    }
+    assert len(out) == 21
+    outlier = out.pop(99)
+    assert outlier < min(out.values())
+
+
+def test_likelihood_partition_invariant(spark):
+    """Scaled-integer mean: identical bits under any partitioning."""
+    docs = _corpus(spark)
+
+    def snap(df):
+        return {
+            (r["doc_id"], r["n_bigrams"], r["avg_bigram_likelihood"],
+             r["min_bigram_likelihood"])
+            for r in TX.bigram_likelihood(df).collect()
+        }
+
+    assert snap(docs.repartition(13)) == snap(docs.coalesce(1))
+
+
+def test_short_docs_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    out = TX.bigram_likelihood(docs).collect()
+    assert {r["doc_id"] for r in out} == {3}
+    assert out[0]["n_bigrams"] == 1
+
+
+def test_model_relations_broadcast(spark):
+    """Scoring joins must broadcast the model, not shuffle the bigram
+    stream (the corpus-sized side)."""
+    from redshift_etl_spark import plans as P
+
+    docs = _corpus(spark)
+    df = TX.bigram_likelihood(docs)
+    assert P.tree_count(df, "BroadcastHashJoin") >= 2
+
+
+def test_degenerate_uniform_text(spark):
+    # one repeated token: c12 = c1 = n-1, V = 1 → p = n/(n-1+1) = 1.0
+    docs = spark.createDataFrame(
+        [(1, "a a a a a")], "doc_id long, text string"
+    )
+    r = TX.bigram_likelihood(docs).collect()[0]
+    assert r["n_bigrams"] == 4
+    assert r["avg_bigram_likelihood"] == 1.0
