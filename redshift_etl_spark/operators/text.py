@@ -375,3 +375,69 @@ def bigram_likelihood(
         ).alias("avg_bigram_likelihood"),
         F.min(F.round(F.col("p"), 9)).alias("min_bigram_likelihood"),
     )
+
+
+def token_chunks(ws: Column | str, n: int) -> Column:
+    """Fixed-``n``-token span strings from a token-array column — the
+    span splitter for corpora without native paragraph separators (for
+    separator-delimited text, `F.split(text, sep)` replaces this)."""
+    w = F.col(ws) if isinstance(ws, str) else ws
+    return F.expr(
+        f"transform(sequence(0, (size({ws}) - 1) div {n}), "
+        f"i -> array_join(slice({ws}, i * {n} + 1, {n}), ' '))"
+    ) if isinstance(ws, str) else F.transform(
+        F.sequence(F.lit(0), (F.size(w) - 1) / n),
+        lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
+    )
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    max_doc_freq: int = 1,
+    sep: str = " ",
+) -> DataFrame:
+    """Sub-document (paragraph/span-level) boilerplate dedup — the
+    CCNet-style pass that EXACT document dedup can't do: a span that
+    repeats across more than ``max_doc_freq`` distinct documents
+    (headers, footers, license blocks) is removed from EVERY document,
+    and each document is reassembled from its surviving spans in
+    original order.
+
+    Returns (id, clean_text, n_spans_kept, n_spans_removed); a fully-
+    boilerplate document survives as an empty string (count columns
+    make the removal auditable). Documents with an empty spans array
+    drop out (nothing to reassemble).
+
+    Scale: three shuffles, all required by the algebra — the span
+    frequency agg, the spans⋈freq join (both corpus-sized; boilerplate
+    keys are exactly the hot keys AQE skew-split handles), and the
+    per-doc reassembly agg. Order restoration is array_sort over
+    (pos, span) structs — no global sort.
+    """
+    sp = df.select(
+        F.col(id_col), F.posexplode(F.col(spans_col)).alias("pos", "span")
+    )
+    freq = sp.groupBy("span").agg(
+        F.count_distinct(F.col(id_col)).alias("dfreq")
+    )
+    flagged = sp.join(freq, "span").withColumn(
+        "keep", F.col("dfreq") <= max_doc_freq
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "span"))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.getField("span"),
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans_kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans_removed"),
+    )

@@ -645,6 +645,54 @@ def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Span-level (paragraph) boilerplate dedup: spans repeated across >1
+# distinct documents are cut from every document, which is then
+# reassembled in original span order. Testdata has no paragraph
+# separators, so spans are fixed 3-token chunks (the operator takes any
+# pre-split spans array — real corpora pass split(text, '\n\n')).
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 3
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+spans AS (
+  SELECT doc_id,
+         unnest(range(0, (len(ws) - 1) // {_SPAN_N} + 1)) AS pos,
+         unnest(list_transform(range(0, (len(ws) - 1) // {_SPAN_N} + 1),
+                i -> array_to_string(
+                  ws[i * {_SPAN_N} + 1 : i * {_SPAN_N} + {_SPAN_N}], ' ')))
+           AS span
+  FROM toks
+),
+freq AS (SELECT span, COUNT(DISTINCT doc_id) AS dfreq FROM spans GROUP BY 1),
+flagged AS (
+  SELECT doc_id, pos, span, dfreq <= 1 AS keep
+  FROM spans JOIN freq USING (span)
+)
+SELECT doc_id,
+       COALESCE(array_to_string(
+         list(span ORDER BY pos) FILTER (WHERE keep), ' '), '')
+                                                    AS clean_text,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                                                    AS n_spans_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                                                    AS n_spans_removed
+FROM flagged GROUP BY doc_id
+"""
+
+
+@_q("span_dedup", _SPAN_DEDUP_ORACLE)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    chunked = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("ws"),
+    ).select("doc_id", TX.token_chunks("ws", _SPAN_N).alias("spans"))
+    return TX.dedup_spans(chunked, "doc_id", "spans", max_doc_freq=1)
+
+
+# ---------------------------------------------------------------------------
 # Rolling-hash fingerprint (winnowing-style k-min sketch over character
 # 5-grams) — edit-tolerant document identity.
 # ---------------------------------------------------------------------------

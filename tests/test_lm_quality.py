@@ -72,3 +72,50 @@ def test_degenerate_uniform_text(spark):
     r = TX.bigram_likelihood(docs).collect()[0]
     assert r["n_bigrams"] == 4
     assert r["avg_bigram_likelihood"] == 1.0
+
+
+# --- span-level boilerplate dedup ------------------------------------------
+
+
+def test_dedup_spans_removes_shared_keeps_unique(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, ["COPYRIGHT FOOTER", "alpha beta", "gamma delta"]),
+            (2, ["COPYRIGHT FOOTER", "epsilon zeta"]),
+            (3, ["unique only here"]),
+        ],
+        "doc_id long, spans array<string>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TX.dedup_spans(docs, "doc_id", "spans").collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["n_spans_removed"] == 1
+    assert out[2]["clean_text"] == "epsilon zeta"
+    assert out[3]["clean_text"] == "unique only here"
+    assert out[3]["n_spans_removed"] == 0
+
+
+def test_dedup_spans_fully_boilerplate_doc_survives_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, ["SAME"]), (2, ["SAME"]), (3, ["SAME", "extra"])],
+        "doc_id long, spans array<string>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TX.dedup_spans(docs, "doc_id", "spans").collect()
+    }
+    assert out[1]["clean_text"] == "" and out[1]["n_spans_kept"] == 0
+    assert out[3]["clean_text"] == "extra"
+
+
+def test_dedup_spans_order_restored(spark):
+    # within-doc duplicates are NOT boilerplate (1 distinct doc) and
+    # order restoration must be by position, not value
+    docs = spark.createDataFrame(
+        [(1, ["z end", "a start", "z end"])],
+        "doc_id long, spans array<string>",
+    )
+    out = TX.dedup_spans(docs, "doc_id", "spans").collect()[0]
+    assert out["clean_text"] == "z end a start z end"
