@@ -1,0 +1,100 @@
+"""Hypertable-style multi-resolution rollup cascade.
+
+The continuous-aggregate pattern (TimescaleDB hypertables, Druid
+rollups): raw events reduce once to the finest bucket, and every
+coarser resolution aggregates the PREVIOUS rollup — sum-of-sums,
+min-of-mins, count-of-counts — never rescanning raw. At 100 TB that is
+the difference between one full scan + two tiny aggs and three full
+scans; it is also the incremental-maintenance shape (a late event
+touches one minute bucket, and the hour/day levels refresh from the
+minute table alone).
+
+Determinism contract: the re-aggregated measures are all associative-
+exact — COUNT and integer-cent SUMs (``ROUND(value·100)`` as BIGINT,
+order-independent unlike a double SUM), MIN/MAX. Deriv­ed doubles
+(sum_value, avg_value) are computed once per output row from those
+exact ints, so the cascade is bit-identical to direct aggregation at
+every level — which is exactly what the oracle checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LEVELS = ("minute", "hour", "day")
+
+
+def rollup_cascade(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    scale: int = 100,
+    levels: Sequence[str] = LEVELS,
+    reuse: bool = True,
+) -> DataFrame:
+    """Cascaded rollups at each resolution in ``levels`` (finest
+    first), unioned with a ``resolution`` tag. Raw data is scanned and
+    shuffled exactly once (the finest level); coarser levels shuffle
+    only the already-reduced rollup rows.
+
+    ``reuse=True`` persists each intermediate level: Catalyst does NOT
+    share the finest aggregate between its own output branch and the
+    next level's input on its own (no exchange reuse across the union
+    branches — verified empirically), so without pinning, a 3-level
+    cascade plans THREE raw scans and the hypertable win evaporates.
+    Each persisted level is exactly the "continuous aggregate" a real
+    deployment materializes as a table; callers streaming level-by-
+    level to storage can pass reuse=False and checkpoint themselves.
+    Unpersist happens at the usual cache lifecycle (clearCache or GC)."""
+    keys = list(key_cols)
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
+    finest = (
+        df.groupBy(
+            *keys, F.date_trunc(levels[0], F.col(ts_col)).alias("bucket_ts")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("__cents"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+
+    def coarsen(prev: DataFrame, res: str) -> DataFrame:
+        return prev.groupBy(
+            *keys, F.date_trunc(res, F.col("bucket_ts")).alias("bucket_ts")
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__cents").alias("__cents"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+
+    rollups = [finest]
+    for res in levels[1:]:
+        if reuse:
+            rollups[-1] = rollups[-1].persist()
+        rollups.append(coarsen(rollups[-1], res))
+
+    def finish(level_df: DataFrame, res: str) -> DataFrame:
+        return level_df.select(
+            F.lit(res).alias("resolution"),
+            *keys,
+            "bucket_ts",
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("__cents").cast("double") / scale).alias("sum_value"),
+            "min_value",
+            "max_value",
+            (
+                F.col("__cents").cast("double")
+                / (F.lit(float(scale)) * F.col("n_events"))
+            ).alias("avg_value"),
+        )
+
+    out = finish(rollups[0], levels[0])
+    for res, level_df in zip(levels[1:], rollups[1:]):
+        out = out.unionByName(finish(level_df, res))
+    return out

@@ -2241,3 +2241,48 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.last("revenue", ignorenulls=True).over(w), F.lit(0.0)),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style rollup cascade: minute → hour → day, each coarser
+# level aggregated from the PREVIOUS rollup (sum-of-sums / min-of-mins
+# — one raw scan total). The oracle computes every level DIRECTLY from
+# raw events, so a hash match proves the cascade is exactly associative
+# (the integer-cent sums are what make that bit-exact).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+WITH base AS (
+  SELECT event_type, ts, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), lv AS (
+  SELECT 'minute' AS resolution, event_type,
+         date_trunc('minute', ts) AS bucket_ts,
+         COUNT(*) AS n, SUM(cents) AS cents,
+         MIN(value) AS min_value, MAX(value) AS max_value
+  FROM base GROUP BY 2, 3
+  UNION ALL
+  SELECT 'hour', event_type, date_trunc('hour', ts),
+         COUNT(*), SUM(cents), MIN(value), MAX(value)
+  FROM base GROUP BY 2, 3
+  UNION ALL
+  SELECT 'day', event_type, date_trunc('day', ts),
+         COUNT(*), SUM(cents), MIN(value), MAX(value)
+  FROM base GROUP BY 2, 3
+)
+SELECT resolution, event_type, bucket_ts,
+       CAST(n AS BIGINT)                          AS n_events,
+       CAST(cents AS DOUBLE) / 100                AS sum_value,
+       min_value, max_value,
+       CAST(cents AS DOUBLE) / (100.0 * n)        AS avg_value
+FROM lv
+"""
+
+
+@_q("rollup_cascade", _ROLLUP_ORACLE)
+def rollup_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollup as RU
+
+    ev = load(spark, sf_dir, "events")
+    return RU.rollup_cascade(ev, "ts", ["event_type"], "value")

@@ -153,6 +153,17 @@ def test_pii_redact_pure_projection(spark):
     assert P.count_shuffles(df) == 0
 
 
+def test_rollup_cascade_reuses_levels(spark):
+    # hypertable contract: coarser levels must read the PINNED previous
+    # rollup (InMemoryTableScan), not re-aggregate raw — without the
+    # pin, Catalyst plans one full raw scan per resolution (verified:
+    # no exchange reuse across the union branches)
+    df = Q.all_queries()["rollup_cascade"](spark, SF_ORACLE)
+    tree = P.plan_tree(df)
+    assert tree.count("InMemoryTableScan") >= 2
+    spark.catalog.clearCache()
+
+
 def test_no_cross_product_in_scale_path_entry_points(spark):
     # every dedup / bucketed-ANN entry point must plan as hash
     # equi-joins — a CartesianProduct or BroadcastNestedLoopJoin here is
