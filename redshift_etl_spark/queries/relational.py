@@ -2286,3 +2286,27 @@ def rollup_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return RU.rollup_cascade(ev, "ts", ["event_type"], "value")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string join: levenshtein-≤1 part-name pairs via partition-lemma
+# half-fragment equi-joins (operators/fuzzy.py). The oracle is the
+# brute-force ALL-PAIRS join — hash equality proves the candidate
+# generation is lossless for the threshold, not merely high-recall.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "fuzzy_pairs_lev1",
+    """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 1
+""",
+)
+def fuzzy_pairs_lev1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import fuzzy as FZ
+
+    part = load(spark, sf_dir, "part")
+    return FZ.fuzzy_join_lev1(part, "p_partkey", "p_name")

@@ -182,6 +182,8 @@ def test_no_cross_product_in_scale_path_entry_points(spark):
         "ann_topk_lsh",
         "ann_topk_ivf",
         "dedup_embedding_cosine",
+        "fuzzy_pairs_lev1",
+        "span_dedup",
     ]
     # ann_topk_ivf's coarse quantization joins every vector against the
     # BROADCAST K-row codebook with no key — physically a
