@@ -255,3 +255,21 @@ def merge_scd2(
         ).alias("__r")
     ).select("__r.*")
     return emitted.unionByName(hist)
+
+
+def scd2_snapshot(
+    df: DataFrame,
+    as_of,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Temporal point-in-time read over an SCD2 table (``AS OF T``):
+    the row version whose validity interval covers T — the query-side
+    payoff of keeping history with merge_scd2. A pure filter, so it
+    pushes down to the scan; lay the table out partitioned/sorted by
+    ``valid_from`` and the scan prunes to the relevant slices."""
+    t = F.lit(as_of).cast("timestamp")
+    return df.filter(
+        (F.col(valid_from) <= t)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > t))
+    )

@@ -51,17 +51,7 @@ def rollup_cascade(
     level to storage can pass reuse=False and checkpoint themselves.
     Unpersist happens at the usual cache lifecycle (clearCache or GC)."""
     keys = list(key_cols)
-    cents = F.round(F.col(value_col) * scale, 0).cast("long")
-    finest = (
-        df.groupBy(
-            *keys, F.date_trunc(levels[0], F.col(ts_col)).alias("bucket_ts")
-        ).agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(cents).alias("__cents"),
-            F.min(value_col).alias("min_value"),
-            F.max(value_col).alias("max_value"),
-        )
-    )
+    finest = finest_rollup(df, ts_col, keys, value_col, scale, levels[0])
 
     def coarsen(prev: DataFrame, res: str) -> DataFrame:
         return prev.groupBy(
@@ -98,3 +88,84 @@ def rollup_cascade(
     for res, level_df in zip(levels[1:], rollups[1:]):
         out = out.unionByName(finish(level_df, res))
     return out
+
+
+def apply_delta(
+    rollup: DataFrame,
+    delta: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    scale: int = 100,
+    level: str = "minute",
+) -> DataFrame:
+    """Incremental rollup maintenance — the late-data refresh path: a
+    delta batch of raw events updates an EXISTING finest-level rollup
+    without touching untouched buckets or rescanning history.
+
+    The delta aggregates to the rollup grain (delta-sized shuffle),
+    then FULL OUTER joins the base rollup on (keys, bucket): counts and
+    integer-cent sums add, min/least and max/greatest combine — all
+    associative+commutative, so the result is bit-identical to
+    re-aggregating base+delta raw from scratch (which is what the
+    oracle does). Cost is O(|delta| + touched buckets), the whole point
+    of keeping a continuous aggregate.
+
+    Input ``rollup`` must carry the internal measure columns produced
+    by ``rollup_cascade``'s finest level (n_events, __cents, min/max) —
+    i.e. maintain the stored rollup in measure space and derive
+    sum/avg at read time (`finish_rollup`)."""
+    keys = list(key_cols)
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
+    d = delta.groupBy(
+        *keys, F.date_trunc(level, F.col(ts_col)).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("__d_n"),
+        F.sum(cents).alias("__d_cents"),
+        F.min(value_col).alias("__d_min"),
+        F.max(value_col).alias("__d_max"),
+    )
+    on = keys + ["bucket_ts"]
+    merged = rollup.join(d, on, "full_outer")
+    z = F.lit(0).cast("long")
+    return merged.select(
+        *on,
+        (F.coalesce("n_events", z) + F.coalesce("__d_n", z)).alias("n_events"),
+        (F.coalesce("__cents", z) + F.coalesce("__d_cents", z)).alias("__cents"),
+        F.least("min_value", "__d_min").alias("min_value"),
+        F.greatest("max_value", "__d_max").alias("max_value"),
+    )
+
+
+def finest_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    scale: int = 100,
+    level: str = "minute",
+) -> DataFrame:
+    """The stored (measure-space) finest-level rollup: what a deployment
+    materializes and maintains with `apply_delta`."""
+    keys = list(key_cols)
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
+    return df.groupBy(
+        *keys, F.date_trunc(level, F.col(ts_col)).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents).alias("__cents"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def finish_rollup(rollup: DataFrame, scale: int = 100) -> DataFrame:
+    """Measure space → read schema (derive sum/avg from exact ints)."""
+    return rollup.select(
+        *[c for c in rollup.columns if not c.startswith("__")],
+        (F.col("__cents").cast("double") / scale).alias("sum_value"),
+        (
+            F.col("__cents").cast("double")
+            / (F.lit(float(scale)) * F.col("n_events"))
+        ).alias("avg_value"),
+    ).drop("__cents")

@@ -2310,3 +2310,60 @@ def fuzzy_pairs_lev1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load(spark, sf_dir, "part")
     return FZ.fuzzy_join_lev1(part, "p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time snapshot (AS OF): the temporal read over the SCD2
+# merge result — exactly one version per key whose validity interval
+# covers the timestamp.
+# ---------------------------------------------------------------------------
+
+_SCD2_ASOF = "1998-06-15"
+
+
+@_q(
+    "scd2_asof_snapshot",
+    f"""
+WITH scd2 AS ({_SCD2_ORACLE})
+SELECT o_orderkey, o_totalprice, valid_from, valid_to
+FROM scd2
+WHERE valid_from <= TIMESTAMP '{_SCD2_ASOF}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_SCD2_ASOF}')
+""",
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.scd2_snapshot(scd2_merge(spark, sf_dir), _SCD2_ASOF)
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance: a stored minute rollup over 90% of
+# events is refreshed with the remaining 10% as a late-arriving delta
+# (operators/rollup.apply_delta). The oracle re-aggregates EVERYTHING
+# from raw — hash equality proves the delta merge is exactly
+# associative (counts/integer-cents add, min/max combine).
+# ---------------------------------------------------------------------------
+
+_DELTA_ORACLE = """
+SELECT event_type,
+       date_trunc('minute', ts)                    AS bucket_ts,
+       CAST(COUNT(*) AS BIGINT)                    AS n_events,
+       MIN(value)                                  AS min_value,
+       MAX(value)                                  AS max_value,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                                                   AS sum_value,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * COUNT(*))                      AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@_q("rollup_delta_refresh", _DELTA_ORACLE)
+def rollup_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollup as RU
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    delta = ev.filter(F.col("event_id") % 10 == 0)
+    stored = RU.finest_rollup(base, "ts", ["event_type"], "value")
+    refreshed = RU.apply_delta(stored, delta, "ts", ["event_type"], "value")
+    return RU.finish_rollup(refreshed)

@@ -1,0 +1,66 @@
+"""Rollup cascade + incremental maintenance (operators/rollup.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from redshift_etl_spark.operators import rollup as RU
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (t, dt.datetime(2024, 1, 1, hh, mm, ss), v)
+            for t, hh, mm, ss, v in rows
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+
+
+def test_apply_delta_empty_is_identity(spark):
+    base = _events(spark, [("a", 0, 0, 10, 1.25), ("a", 0, 0, 40, 2.50)])
+    stored = RU.finest_rollup(base, "ts", ["event_type"], "value")
+    empty = base.filter("1=0")
+    refreshed = RU.apply_delta(stored, empty, "ts", ["event_type"], "value")
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+
+
+def test_apply_delta_merges_and_inserts_buckets(spark):
+    base = _events(spark, [("a", 0, 0, 10, 1.00), ("a", 0, 0, 40, 3.00)])
+    delta = _events(spark, [("a", 0, 0, 55, 5.00), ("b", 0, 1, 0, 7.00)])
+    stored = RU.finest_rollup(base, "ts", ["event_type"], "value")
+    out = {
+        (r["event_type"], r["bucket_ts"].minute): r
+        for r in RU.finish_rollup(
+            RU.apply_delta(stored, delta, "ts", ["event_type"], "value")
+        ).collect()
+    }
+    touched = out[("a", 0)]
+    assert touched["n_events"] == 3
+    assert touched["sum_value"] == 9.0
+    assert touched["min_value"] == 1.0 and touched["max_value"] == 5.0
+    fresh = out[("b", 1)]
+    assert fresh["n_events"] == 1 and fresh["sum_value"] == 7.0
+
+
+def test_delta_refresh_equals_full_recompute(spark):
+    base = _events(
+        spark,
+        [("a", h, m, s, float(h + m + s)) for h in (0, 1) for m in (0, 30)
+         for s in (5, 10)],
+    )
+    delta = _events(spark, [("a", 0, 0, 7, 99.25), ("c", 2, 0, 0, 1.75)])
+    stored = RU.finest_rollup(base, "ts", ["event_type"], "value")
+    incr = RU.finish_rollup(
+        RU.apply_delta(stored, delta, "ts", ["event_type"], "value")
+    )
+    full = RU.finish_rollup(
+        RU.finest_rollup(
+            base.unionByName(delta), "ts", ["event_type"], "value"
+        )
+    )
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, full.collect())
+    )
