@@ -38,6 +38,10 @@ HEADLINE = (
     "sequence_packing",     # concat-then-chunk token packing (window cumsum)
     "tfidf_top_terms",      # tf·idf characteristic terms, top-3 per doc
     "zscore_anomalies",     # per-key 3σ outliers from rounded moments
+    "lm_quality",           # corpus-trained bigram-LM quality scoring
+    "span_dedup",           # sub-document boilerplate span removal
+    "fuzzy_pairs_lev1",     # lev-1 fuzzy join (partition-lemma equi-joins)
+    "rollup_cascade",       # hypertable minute→hour→day cascade
 )
 
 
