@@ -54,11 +54,23 @@ def _half_keys(str_col: str) -> F.Column:
 def fuzzy_join_lev1(
     df: DataFrame, id_col: str, str_col: str
 ) -> DataFrame:
-    """All (id_a, id_b, lev) pairs with levenshtein ≤ 1 over ``str_col``
-    (including identical strings under distinct ids), id_a < id_b.
-    Exact — candidate generation loses nothing (partition lemma)."""
-    tagged = df.select(
-        F.col(id_col).alias("id"),
+    """(id_a, id_b, lev) pairs over the DISTINCT values of ``str_col``
+    with levenshtein ≤ 1, each value represented by its minimum id,
+    id_a < id_b. Exact — candidate generation loses nothing
+    (partition lemma).
+
+    Distinct-first is load-bearing, not a shortcut: real name/title
+    columns are duplicate-heavy (the sf0.1 part table holds 20k rows
+    over 64 distinct names), and row-level pair semantics square BOTH
+    the candidate buckets and the output itself (3.9M pairs there, 91 s
+    even brute-forced). Value-level pairs are the useful answer —
+    "which name variants are near-misses" — and expanding to row pairs
+    is a cheap join-back on the string for callers that truly want the
+    cross product. Exact-duplicate rows (lev 0) are `dedup_exact`'s
+    job, not a fuzzy join's."""
+    reps = df.groupBy(str_col).agg(F.min(id_col).alias("__rep"))
+    tagged = reps.select(
+        F.col("__rep").alias("id"),
         F.col(str_col).alias("s"),
         F.explode(_half_keys(str_col)).alias("k"),
     )

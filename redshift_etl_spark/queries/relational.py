@@ -2289,20 +2289,23 @@ def rollup_cascade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Fuzzy string join: levenshtein-≤1 part-name pairs via partition-lemma
-# half-fragment equi-joins (operators/fuzzy.py). The oracle is the
-# brute-force ALL-PAIRS join — hash equality proves the candidate
-# generation is lossless for the threshold, not merely high-recall.
+# Fuzzy string join: levenshtein-≤1 pairs over DISTINCT part names
+# (min-key representative) via partition-lemma half-fragment equi-joins
+# (operators/fuzzy.py — see there for why value-level semantics are the
+# scale-sane contract on duplicate-heavy columns). The oracle is the
+# brute-force all-pairs join over the distinct values — hash equality
+# proves candidate generation is lossless, not merely high-recall.
 # ---------------------------------------------------------------------------
 
 
 @_q(
     "fuzzy_pairs_lev1",
     """
-SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+WITH d AS (SELECT p_name, MIN(p_partkey) AS rep FROM part GROUP BY 1)
+SELECT a.rep AS id_a, b.rep AS id_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
-FROM part a JOIN part b
-  ON a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 1
+FROM d a JOIN d b
+  ON a.rep < b.rep AND levenshtein(a.p_name, b.p_name) <= 1
 """,
 )
 def fuzzy_pairs_lev1(spark: SparkSession, sf_dir: str) -> DataFrame:

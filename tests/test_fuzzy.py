@@ -38,9 +38,15 @@ def test_each_edit_kind_found(spark):
     assert not any(7 in (a, b) for a, b in found)
 
 
-def test_identical_strings_lev_zero(spark):
-    got = _pairs(spark, ["same", "same", "same"])
-    assert got == {(0, 1, 0), (0, 2, 0), (1, 2, 0)}
+def test_identical_strings_collapse_to_one_value(spark):
+    # value-level contract: exact duplicates are dedup_exact's job —
+    # a fuzzy join over one distinct value has no pairs at all
+    assert _pairs(spark, ["same", "same", "same"]) == set()
+
+
+def test_duplicates_use_min_id_representative(spark):
+    got = _pairs(spark, ["kettle", "kettle", "kettlex", "kettlex"])
+    assert got == {(0, 2, 1)}
 
 
 def test_matches_bruteforce_on_random_fixture(spark):
@@ -64,7 +70,7 @@ def test_matches_bruteforce_on_random_fixture(spark):
         return prev[-1]
 
     strings = ["ab", "a", "b", "abc", "abd", "acb", "ba", "aab",
-               "x", "", "xy", "ax"]
+               "x", "", "xy", "ax"]  # all distinct → ids are the reps
     expect = {
         (i, j, lev(a, b))
         for (i, a), (j, b) in itertools.combinations(enumerate(strings), 2)
