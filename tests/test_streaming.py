@@ -297,3 +297,89 @@ def test_rate_source_ctr_stream_backpressure_and_dedup(spark):
     finally:
         q.stop()
         spark.catalog.dropTempView("rate_ctr")
+
+
+def test_stream_merge_sink_upserts_lake_table(spark, tmp_path):
+    """CDC apply: micro-batches MERGE into the lake table — overlapping
+    keys are upserted latest-wins, so the target is current state, not
+    an append log."""
+    import json
+
+    from redshift_etl_spark.streaming import ctr as C
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    (indir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 1, "v": "a", "ver": 1},
+                {"k": 2, "v": "b", "ver": 1},
+            ]
+        )
+    )
+    (indir / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"k": 2, "v": "B2", "ver": 2},  # update
+                {"k": 3, "v": "c", "ver": 2},   # insert
+                {"k": 1, "v": "stale", "ver": 0},  # older — must lose
+            ]
+        )
+    )
+
+    stream = (
+        spark.readStream.schema("k long, v string, ver long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q = C.start_merge_sink(stream, target, ckpt, "k", "ver")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["k"]: (r["v"], r["ver"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: ("a", 1), 2: ("B2", 2), 3: ("c", 2)}
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriches against a static
+    broadcast dim inside the micro-batch plan — no state store, the
+    dim is re-resolved per batch (picks up dim updates between
+    triggers)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "f.json").write_text(
+        "\n".join(json.dumps({"k": i % 3, "x": i}) for i in range(9))
+    )
+    dim = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two")], "k long, name string"
+    )
+    stream = spark.readStream.schema("k long, x long").json(str(indir))
+    enriched = stream.join(F.broadcast(dim), "k")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("enrich").collect()
+    assert len(rows) == 9
+    assert {r["name"] for r in rows} == {"zero", "one", "two"}
+    spark.catalog.dropTempView("enrich")
