@@ -66,7 +66,13 @@ def rollup_cascade(
     rollups = [finest]
     for res in levels[1:]:
         if reuse:
-            rollups[-1] = rollups[-1].persist()
+            # coalesce before pinning: a rollup is a reduction, but the
+            # cache inherits the full shuffle partition count (AQE may
+            # not re-partition cached plans), and hundreds of near-empty
+            # cached partitions cost a task each at every reuse;
+            # defaultParallelism keeps the cache exactly core-wide
+            par = df.sparkSession.sparkContext.defaultParallelism
+            rollups[-1] = rollups[-1].coalesce(par).persist()
         rollups.append(coarsen(rollups[-1], res))
 
     def finish(level_df: DataFrame, res: str) -> DataFrame:
