@@ -441,3 +441,42 @@ def dedup_spans(
         .cast("long")
         .alias("n_spans_removed"),
     )
+
+
+def compression_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Compression-ratio quality signal (Gopher/RedPajama-style):
+    highly repetitive or templated text compresses far below natural
+    prose, so ``deflate_ratio`` (compressed/raw bytes) is a cheap
+    redundancy detector that catches patterns n-gram filters miss.
+
+    zlib with a pinned level is fully deterministic, but no SQL engine
+    exposes it — this is one of the few operators that genuinely needs
+    Python, so it runs as an Arrow-batched mapInPandas (never row-at-a-
+    time) and gets a rows-only driver check plus value pytests instead
+    of a DuckDB oracle twin."""
+    import pandas as pd
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
+            comp = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "raw_bytes": [len(b) for b in raw],
+                    "compressed_bytes": comp,
+                    "deflate_ratio": [
+                        c / n if n else 1.0 for c, n in zip(comp, (len(b) for b in raw))
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        schema="doc_id long, raw_bytes long, compressed_bytes long, "
+        "deflate_ratio double",
+    )

@@ -1190,3 +1190,17 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.mixture_sample(
         docs, "doc_id", "source", _MIX_WEIGHTS, _MIX_TOTAL
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio redundancy signal — zlib is deterministic but not
+# SQL-expressible, so this entry is deliberately oracle-less (the
+# driver records the weaker rows-only check; value-level coverage lives
+# in pytest against hand-computed zlib outputs).
+# ---------------------------------------------------------------------------
+
+
+@_q("compression_signals", None)
+def compression_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.compression_signals(docs)

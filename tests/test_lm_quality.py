@@ -119,3 +119,41 @@ def test_dedup_spans_order_restored(spark):
     )
     out = TX.dedup_spans(docs, "doc_id", "spans").collect()[0]
     assert out["clean_text"] == "z end a start z end"
+
+
+# --- compression signals ----------------------------------------------------
+
+
+def test_compression_signals_match_local_zlib(spark):
+    import zlib
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spam " * 200),          # repetitive → tiny ratio
+        (3, ""),                      # empty → ratio 1.0 by convention
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.compression_signals(docs).collect()}
+    for i, t in texts:
+        b = t.encode()
+        assert out[i]["raw_bytes"] == len(b)
+        assert out[i]["compressed_bytes"] == len(zlib.compress(b, 6))
+    assert out[2]["deflate_ratio"] < 0.05 < out[1]["deflate_ratio"]
+    assert out[3]["deflate_ratio"] == 1.0
+
+
+def test_approx_distinct_within_hll_error_bound(spark):
+    """approx_count_distinct's default rsd is 5%; on thousands of
+    distinct keys the estimate must sit well inside ±4 standard
+    deviations (catches a silently mis-wired sketch)."""
+    from redshift_etl_spark.queries import llm_data as L  # noqa: F401
+    from redshift_etl_spark.queries import relational as R  # noqa: F401
+    from redshift_etl_spark import queries as Q
+
+    from .conftest import SF_ORACLE
+
+    rows = Q.all_queries()["approx_distinct"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_users"]
+        assert abs(r["approx_users"] - exact) <= max(4 * 0.05 * exact, 2), r
