@@ -273,3 +273,36 @@ def scd2_snapshot(
         (F.col(valid_from) <= t)
         & (F.col(valid_to).isNull() | (F.col(valid_to) > t))
     )
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str | Sequence[str],
+    recency_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC feed with inserts, updates AND deletes — the merge
+    shape SCD1 can't express (its source rows only ever win or lose,
+    never remove). ``changes`` carries the target's columns plus an
+    ``op`` column in {'I','U','D'}; conflicts within the feed resolve
+    latest-per-key by ``recency_col``, with op (descending, so 'U' >
+    'I' > 'D') pinning the otherwise-undefined same-instant tie — real
+    feeds carry a unique LSN as the recency column, making the
+    tiebreak moot; here it just keeps the operator deterministic.
+
+    result = target rows whose key never appears in the feed
+           ∪ latest feed row per key, when its op is not D
+
+    One window shuffle over the (small) feed + one anti-join against
+    the target — the target table itself is never window-sorted. On
+    Delta/Iceberg this compiles to MERGE ... WHEN MATCHED AND op='D'
+    THEN DELETE; here it stays a pure DataFrame expression.
+    """
+    keys = _key_list(key)
+    latest = latest_per_key(
+        changes, keys, recency_col, tiebreakers=(op_col,)
+    )
+    survivors = latest.filter(F.col(op_col) != "D").drop(op_col)
+    kept = target.join(latest.select(*keys), keys, "left_anti")
+    return kept.unionByName(survivors.select(*target.columns))

@@ -203,3 +203,42 @@ def test_scd2_idempotent(spark):
         }
 
     assert snap(twice) == snap(once)
+
+
+def test_apply_cdc_paths(spark):
+    target = spark.createDataFrame(
+        [("a", 1.0, 1), ("b", 2.0, 1), ("c", 3.0, 1)],
+        "id string, v double, ts long",
+    )
+    changes = spark.createDataFrame(
+        [
+            ("b", 9.0, 2, "U"),   # update
+            ("c", 0.0, 2, "D"),   # delete
+            ("d", 4.0, 2, "I"),   # insert
+            ("e", 5.0, 2, "I"),   # insert then newer delete → gone
+            ("e", 0.0, 3, "D"),
+            ("f", 6.0, 3, "U"),   # delete then newer update → present
+            ("f", 0.0, 2, "D"),
+        ],
+        "id string, v double, ts long, op string",
+    )
+    out = {
+        r["id"]: (r["v"], r["ts"])
+        for r in M.apply_cdc(target, changes, "id", "ts").collect()
+    }
+    assert out == {
+        "a": (1.0, 1),   # untouched
+        "b": (9.0, 2),
+        "d": (4.0, 2),
+        "f": (6.0, 3),
+    }
+
+
+def test_apply_cdc_same_instant_tie_pins_update_over_delete(spark):
+    target = spark.createDataFrame([], "id string, v double, ts long")
+    changes = spark.createDataFrame(
+        [("x", 1.0, 5, "D"), ("x", 2.0, 5, "U")],
+        "id string, v double, ts long, op string",
+    )
+    out = M.apply_cdc(target, changes, "id", "ts").collect()
+    assert [(r["id"], r["v"]) for r in out] == [("x", 2.0)]
