@@ -100,3 +100,46 @@ def audit(
         )
         report = report.crossJoin(F.broadcast(orphans))
     return report
+
+
+def validate_split(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter validation: evaluate named rule predicates once per
+    row, split into (valid, quarantined). Quarantined rows carry a
+    ``violations`` column — the '|'-joined names of every failed rule
+    (all of them, not just the first), so the dead-letter sink is
+    actionable without re-running validation.
+
+    Pure projection + filter: no shuffle, predicates evaluate once via
+    a staged select (the flags become attributes), and both outputs
+    share the single scan. A NULL rule result counts as a violation
+    (SQL three-valued logic must not let unknowns through)."""
+    flags = df.select(
+        "*",
+        *[
+            F.coalesce(pred, F.lit(False)).alias(f"__ok_{name}")
+            for name, pred in rules.items()
+        ],
+    )
+    all_ok = None
+    for name in rules:
+        c = F.col(f"__ok_{name}")
+        all_ok = c if all_ok is None else (all_ok & c)
+    drop = [f"__ok_{name}" for name in rules]
+    valid = flags.filter(all_ok).drop(*drop)
+    quarantined = (
+        flags.filter(~all_ok)
+        .withColumn(
+            "violations",
+            F.concat_ws(
+                "|",
+                *[
+                    F.when(~F.col(f"__ok_{n}"), F.lit(n))
+                    for n in rules
+                ],
+            ),
+        )
+        .drop(*drop)
+    )
+    return valid, quarantined

@@ -2433,3 +2433,48 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.apply_cdc(
         target, dels.unionByName(upds), "o_orderkey", "o_orderdate"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter validation (operators/quality.validate_split): rules are
+# named predicates; quarantined rows carry EVERY failed rule name.
+# Rules chosen to overlap on testdata (some rows fail two), proving the
+# all-violations reporting, not just first-failure.
+# ---------------------------------------------------------------------------
+
+_QUARANTINE_ORACLE = """
+WITH flagged AS (
+  SELECT *,
+         o_orderstatus IN ('O', 'F')                    AS ok_settled_status,
+         o_orderdate < TIMESTAMP '2001-01-01'           AS ok_date_window,
+         o_totalprice <= 450000.0                       AS ok_price_cap
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+       array_to_string(
+         [x FOR x IN [
+            CASE WHEN NOT ok_settled_status THEN 'settled_status' END,
+            CASE WHEN NOT ok_date_window THEN 'date_window' END,
+            CASE WHEN NOT ok_price_cap THEN 'price_cap' END
+          ] IF x IS NOT NULL], '|')                     AS violations
+FROM flagged
+WHERE NOT (ok_settled_status AND ok_date_window AND ok_price_cap)
+"""
+
+
+@_q("quarantine_orders", _QUARANTINE_ORACLE)
+def quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality as QL
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    _, quarantined = QL.validate_split(
+        orders,
+        {
+            "settled_status": F.col("o_orderstatus").isin("O", "F"),
+            "date_window": F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"),
+            "price_cap": F.col("o_totalprice") <= 450000.0,
+        },
+    )
+    return quarantined

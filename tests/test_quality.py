@@ -51,3 +51,38 @@ def test_audit_metrics(spark):
     assert row["n_dup_keys"] == 1          # key 1 appears twice
     assert row["n_null_req"] == 1
     assert row["n_orphans"] == 1           # fk=99; NULL fk is not an orphan
+
+
+def test_validate_split_paths(spark):
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.operators import quality as QL
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "ok"),
+            (2, -5.0, "ok"),        # fails positive
+            (3, 10.0, None),        # NULL predicate → violation
+            (4, -1.0, "bad"),       # fails BOTH rules
+        ],
+        "id long, amount double, status string",
+    )
+    valid, quarantined = QL.validate_split(
+        df,
+        {
+            "positive": F.col("amount") > 0,
+            "status_ok": F.col("status") == "ok",
+        },
+    )
+    assert [r["id"] for r in valid.collect()] == [1]
+    assert "violations" not in valid.columns
+    q = {r["id"]: r["violations"] for r in quarantined.collect()}
+    assert q == {
+        2: "positive",
+        3: "status_ok",
+        4: "positive|status_ok",
+    }
+    # pure projection — dead-lettering must not shuffle
+    from redshift_etl_spark import plans as P
+
+    assert P.count_shuffles(quarantined) == 0
