@@ -143,3 +143,40 @@ def validate_split(
         .drop(*drop)
     )
     return valid, quarantined
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Order-independent table checksum — the migration/replication
+    validation primitive: run on both sides of a copy and compare one
+    row (or one row per ``group_by`` partition to localize a mismatch).
+
+    checksum = BIT_XOR over a 60-bit hash of each row's canonical
+    string. XOR is commutative+associative, so the result is identical
+    under any partitioning or row order — and any single-row difference
+    flips it. Hash collisions (~2⁻⁶⁰ per pair) are the accepted trade
+    for a one-scan, shuffle-free-until-the-1-row-agg check.
+
+    Canonical row string: '|'-joined string casts with a NULL sentinel.
+    Cast floats to DECIMAL first — raw float→string formatting is
+    engine-specific; int/string/date/timestamp/decimal casts are stable
+    across engines (verified vs DuckDB)."""
+    cols = cols or [c for c in df.columns if c not in (group_by or [])]
+    row = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+            for c in cols
+        ],
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    aggs = [
+        F.bit_xor(h).alias("checksum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)

@@ -2478,3 +2478,44 @@ def quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return quarantined
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table fingerprint (migration validation): BIT_XOR
+# over per-row 60-bit hashes, one checksum row per order status. Float
+# columns ride as DECIMAL(12,2) strings (raw float formatting is
+# engine-specific; decimal casts are not).
+# ---------------------------------------------------------------------------
+
+_FPR_ORACLE = """
+SELECT o_orderstatus,
+       bit_xor(CAST(('0x' || substr(md5(
+         CAST(o_orderkey AS VARCHAR) || '|' ||
+         CAST(o_custkey AS VARCHAR) || '|' ||
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+         CAST(o_orderdate AS VARCHAR) || '|' ||
+         o_orderpriority
+       ), 1, 15)) AS BIGINT))                 AS checksum,
+       CAST(COUNT(*) AS BIGINT)               AS n_rows
+FROM orders GROUP BY 1
+"""
+
+
+@_q("table_fingerprint", _FPR_ORACLE)
+def table_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality as QL
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    return QL.table_fingerprint(
+        orders,
+        cols=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+              "o_orderpriority"],
+        group_by=["o_orderstatus"],
+    )

@@ -86,3 +86,29 @@ def test_validate_split_paths(spark):
     from redshift_etl_spark import plans as P
 
     assert P.count_shuffles(quarantined) == 0
+
+
+def test_table_fingerprint_invariant_and_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.operators import quality as QL
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string"
+    )
+
+    def fp(frame):
+        r = QL.table_fingerprint(frame).collect()[0]
+        return (r["checksum"], r["n_rows"])
+
+    base = fp(df)
+    assert fp(df.repartition(16)) == base          # partitioning-proof
+    assert fp(df.orderBy(F.desc("id"))) == base    # order-proof
+    changed = df.withColumn(
+        "v", F.when(F.col("id") == 50, "TAMPERED").otherwise(F.col("v"))
+    )
+    assert fp(changed) != base                     # single-row sensitive
+    # NULL vs the string "<NULL>" must differ only via the sentinel
+    a = spark.createDataFrame([(1, None)], "id long, v string")
+    b = spark.createDataFrame([(1, "<NULL>")], "id long, v string")
+    assert fp(a) == fp(b)  # documented sentinel collision — by design
