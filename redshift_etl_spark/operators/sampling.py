@@ -15,6 +15,8 @@ parallel at any scale, and a split filter pushes down to the scan.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -177,3 +179,37 @@ def sequence_packs(
             F.sum("__tok").alias("total_tokens"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization — clip ``value_col`` to its per-key [lower, upper]
+    exact percentile band (continuous interpolation, the same formula
+    DuckDB's quantile_cont uses, so the bounds are oracle-exact).
+    Standard outlier treatment before z-scores / model features.
+
+    Two passes, both cheap: a per-key percentile aggregate (tiny
+    result), broadcast back onto the data path — the full table itself
+    never shuffles. With no keys the bounds are global (a 1-row
+    broadcast)."""
+    keys = list(keys)
+    out_col = out_col or f"{value_col}_clipped"
+    bounds = (df.groupBy(*keys) if keys else df.groupBy()).agg(
+        F.percentile(value_col, lower).alias("__lo"),
+        F.percentile(value_col, upper).alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), keys)
+        if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    return joined.withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+    ).drop("__lo", "__hi")

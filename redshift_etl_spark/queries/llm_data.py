@@ -1204,3 +1204,33 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def compression_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return TX.compression_signals(docs)
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: per-event-type [p01, p99] clipping; the percentile
+# bounds use the same continuous-interpolation formula as DuckDB's
+# quantile_cont (parity established by the `percentiles` query), and
+# the clip itself is exact comparisons.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, b.lo), b.hi) AS value_clipped
+FROM events e JOIN b USING (event_type)
+"""
+
+
+@_q("winsorize_events", _WINSOR_ORACLE)
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return SA.winsorize(ev, "value", keys=["event_type"])
