@@ -304,5 +304,11 @@ def apply_cdc(
         changes, keys, recency_col, tiebreakers=(op_col,)
     )
     survivors = latest.filter(F.col(op_col) != "D").drop(op_col)
-    kept = target.join(latest.select(*keys), keys, "left_anti")
+    # the anti-join needs only "key appears in the feed" — a distinct
+    # key set (map-side partial agg), NOT the windowed winner: any fed
+    # key leaves the target either way, and skipping the second window
+    # subtree halves the feed's sort work in the plan
+    kept = target.join(
+        changes.select(*keys).distinct(), keys, "left_anti"
+    )
     return kept.unionByName(survivors.select(*target.columns))

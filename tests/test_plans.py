@@ -211,3 +211,28 @@ def test_mixture_sample_data_path_shuffle_free(spark):
     assert P.tree_count(df, "Exchange") - P.tree_count(df, "BroadcastExchange") <= 1
     assert P.tree_count(df, "BroadcastHashJoin") >= 1
     assert P.tree_count(df, "Window") == 0
+
+
+def test_winsorize_data_path_shuffle_free(spark):
+    # the only real exchange is the tiny per-key percentile aggregate;
+    # bounds come back via BroadcastExchange so the event stream itself
+    # never shuffles
+    df = Q.all_queries()["winsorize_events"](spark, SF_ORACLE)
+    assert P.tree_count(df, "Exchange") - P.tree_count(df, "BroadcastExchange") <= 1
+    assert P.tree_count(df, "BroadcastHashJoin") == 1
+
+
+def test_cdc_apply_two_shuffles_max(spark):
+    # one window over the (small) feed + the anti-join against the
+    # target; the target table is never window-sorted
+    df = Q.all_queries()["cdc_apply"](spark, SF_ORACLE)
+    assert P.tree_count(df, "Window") == 1
+    tree = P.plan_tree(df)
+    assert "LeftAnti" in tree
+
+
+def test_table_fingerprint_single_scan(spark):
+    df = Q.all_queries()["table_fingerprint"](spark, SF_ORACLE)
+    tree = P.plan_tree(df)
+    assert tree.count("Scan parquet") == 1
+    assert P.tree_count(df, "Exchange") - P.tree_count(df, "BroadcastExchange") <= 1
