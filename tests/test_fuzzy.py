@@ -87,3 +87,9 @@ def test_no_cross_product_plan(spark):
     )
     out = FZ.fuzzy_join_lev1(df, "id", "s")
     assert not P.has_cross_product(out)
+
+
+def test_empty_strings_participate(spark):
+    # empty halves produce empty-fragment keys; "" is lev-1 from "a"
+    got = _pairs(spark, ["", "", "a"])
+    assert got == {(0, 2, 1)}

@@ -64,3 +64,10 @@ def test_delta_refresh_equals_full_recompute(spark):
     assert sorted(map(tuple, incr.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_rollup_empty_frame(spark):
+    empty = spark.createDataFrame(
+        [], "event_type string, ts timestamp, value double"
+    )
+    assert RU.rollup_cascade(empty, "ts", ["event_type"], "value").count() == 0

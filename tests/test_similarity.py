@@ -154,3 +154,18 @@ def test_kmeans_improves_quantization(spark):
     seeds = emb.orderBy("vec_id").limit(8).collect()
     trained = S.kmeans_codebook(emb, k=8, iters=2, dims=64).collect()
     assert err(trained) <= err(seeds) + 1e-9
+
+
+def test_degenerate_sizes_do_not_crash(spark):
+    """k > n, tiny corpora, empty frames: every operator degrades
+    gracefully instead of raising."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    assert len(S.kmeans_codebook(emb, k=8, iters=2, dims=2).collect()) == 3
+    assert (
+        S.ivf_topk(emb, emb.limit(1), n_centroids=8, k=2, train_iters=2)
+        .count()
+        == 0
+    )
