@@ -21,8 +21,10 @@ def test_oracle_parity(spark, duck, name):
 
 
 # queries deliberately without oracle twins (driver records rows-only):
-# sketch-based ops whose algorithm differs from any oracle by design
-ROWS_ONLY_OK = {"approx_distinct"}
+# sketch-based ops whose algorithm differs from any oracle by design,
+# and zlib compression which no SQL engine can replicate (value-level
+# coverage lives in pytest against local zlib instead)
+ROWS_ONLY_OK = {"approx_distinct", "compression_signals"}
 
 
 def test_every_query_has_oracle_or_is_documented():
