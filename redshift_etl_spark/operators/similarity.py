@@ -272,12 +272,13 @@ def assign_clusters(
 ) -> DataFrame:
     """Coarse quantization: each vector joins its argmax-cosine centroid
     (rounded cosine + centroid-id tiebreak → deterministic). Centroids
-    are broadcast; the fan-out is |vectors|·K rows of SCALAR scores
-    (vectors are not duplicated K times through a shuffle — the window
-    that picks the argmax partitions by the vector id, which the
-    broadcast join already co-locates)."""
-    from pyspark.sql import Window
+    are broadcast; the fan-out is |vectors|·K rows of SCALAR scores.
 
+    The argmax is a ``max_by`` hash aggregate over (cosine, −centroid)
+    struct ordering, NOT a row_number window: same deterministic winner,
+    but a hash agg partially aggregates map-side behind the broadcast
+    join and never sorts — a window would range-sort all |vectors|·K
+    scored rows per assignment round."""
     cent = centroids.select(
         F.col(id_col).alias("__cent_id"), F.col(vec_col).alias("__cent_vec")
     )
@@ -288,14 +289,13 @@ def assign_clusters(
             cosine(vec_col, "__cent_vec", dims), 6
         ).alias("__cent_cos"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cent_cos").desc(), F.col("__cent_id").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__cent_cos")
-        .withColumnRenamed("__cent_id", "cluster")
+    other = [c for c in vectors.columns if c != id_col]
+    return scored.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in other],
+        F.max_by(
+            F.col("__cent_id"),
+            F.struct(F.col("__cent_cos"), (-F.col("__cent_id")).alias("n")),
+        ).alias("cluster"),
     )
 
 
