@@ -1,0 +1,64 @@
+"""Funnel analysis — ordered step completion per entity.
+
+The product-analytics staple: given a step sequence (view → click →
+purchase), how far did each user get, honoring EVENT-TIME order with
+arbitrary other events interleaved? Subsequence matching, not set
+membership — a purchase before the first view does not count.
+
+Shape: one hash aggregate collects each user's type sequence (sorted
+in-row by (ts, tiebreak) — array_sort on structs, no window, no global
+sort), then a higher-order fold walks it against the step list. One
+shuffle total, state bounded by events-per-user; at 100 TB partition-
+prune the time window first and the shuffle carries (user, type-seq)
+only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_depth(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(user, n_events, funnel_depth): the longest prefix of ``steps``
+    completed as an in-order subsequence of the user's event stream.
+    Same-timestamp events order deterministically by ``tiebreak_cols``
+    (pass a unique id column).
+
+    The fold is exact integer arithmetic — engine-portable by value
+    even though SQL engines without typed folds express it as chained
+    substring positions instead."""
+    ordered = events.groupBy(user_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(ts_col, *tiebreak_cols, type_col)
+                )
+            ),
+            lambda s: s.getField(type_col),
+        ).alias("__seq")
+    )
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    depth = F.aggregate(
+        "__seq",
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < F.lit(len(steps)))
+            & (e == F.element_at(steps_lit, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    return ordered.select(
+        F.col(user_col),
+        F.size("__seq").cast("long").alias("n_events"),
+        depth.cast("int").alias("funnel_depth"),
+    )

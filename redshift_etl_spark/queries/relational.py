@@ -2519,3 +2519,57 @@ def table_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
               "o_orderpriority"],
         group_by=["o_orderstatus"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: longest in-order prefix of view→click→purchase per
+# user (operators/funnel.py). Spark folds the ordered type array with
+# exact integer arithmetic; DuckDB (no typed fold) chains substring
+# positions over the pipe-delimited sequence — same integers.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_oracle(steps=_FUNNEL_STEPS) -> str:
+    ctes = [
+        "seq AS (SELECT user_id, COUNT(*) AS n_events,\n"
+        "  '|' || string_agg(event_type, '|' ORDER BY ts, event_id) || '|' AS r0\n"
+        "  FROM events GROUP BY 1)"
+    ]
+    for i, step in enumerate(steps, start=1):
+        prev = i - 1
+        prev_rel = "seq" if i == 1 else f"s{prev}"
+        guard = "TRUE" if i == 1 else f"p{prev} > 0"
+        hit = f"position('|{step}|' IN r{prev})"
+        ctes.append(
+            f"s{i} AS (SELECT *, "
+            f"CASE WHEN {guard} THEN {hit} ELSE 0 END AS p{i}, "
+            f"CASE WHEN {guard} AND {hit} > 0 "
+            f"THEN substr(r{prev}, {hit} + {len(step) + 1}) "
+            f"ELSE '' END AS r{i} FROM {prev_rel})"
+        )
+    # depth = first step whose position is 0
+    cases = " ".join(
+        f"WHEN p{i} = 0 THEN {i - 1}" for i in range(1, len(steps) + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(CASE {cases} ELSE {len(steps)} END AS INT) AS funnel_depth
+FROM s{len(steps)}
+"""
+    )
+
+
+@_q("funnel_depth", _funnel_oracle())
+def funnel_depth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import funnel as FN
+
+    ev = load(spark, sf_dir, "events")
+    return FN.funnel_depth(
+        ev, "user_id", "ts", "event_type", _FUNNEL_STEPS,
+        tiebreak_cols=("event_id",),
+    )

@@ -1,0 +1,60 @@
+"""Funnel analysis (operators/funnel.py) — in-order subsequence
+semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from redshift_etl_spark.operators import funnel as FN
+
+STEPS = ("view", "click", "purchase")
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1, 0, 0, s), i, t)
+         for i, (u, s, t) in enumerate(rows)],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+
+
+def _depths(spark, rows):
+    ev = _events(spark, rows)
+    return {
+        r["user_id"]: r["funnel_depth"]
+        for r in FN.funnel_depth(
+            ev, "user_id", "ts", "event_type", STEPS, ("event_id",)
+        ).collect()
+    }
+
+
+def test_order_matters_not_presence(spark):
+    got = _depths(
+        spark,
+        [
+            # u1: full funnel with noise interleaved
+            (1, 0, "view"), (1, 1, "error"), (1, 2, "click"),
+            (1, 3, "signup"), (1, 4, "purchase"),
+            # u2: purchase BEFORE the view→click — depth stops at 2
+            (2, 0, "purchase"), (2, 1, "view"), (2, 2, "click"),
+            # u3: click only, never viewed — depth 0
+            (3, 0, "click"), (3, 1, "purchase"),
+            # u4: no funnel events at all
+            (4, 0, "error"),
+        ],
+    )
+    assert got == {1: 3, 2: 2, 3: 0, 4: 0}
+
+
+def test_repeated_steps_consume_once(spark):
+    got = _depths(
+        spark,
+        [(1, 0, "view"), (1, 1, "view"), (1, 2, "click"), (1, 3, "click")],
+    )
+    assert got == {1: 2}
+
+
+def test_same_timestamp_tiebreak_by_event_id(spark):
+    # both events at t=0: event_id order makes view precede click
+    got = _depths(spark, [(1, 0, "view"), (1, 0, "click")])
+    assert got == {1: 2}
