@@ -62,3 +62,49 @@ def funnel_depth(
         F.size("__seq").cast("long").alias("n_events"),
         depth.cast("int").alias("funnel_depth"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-activity week;
+    for every (cohort_week, weeks_since_first) cell, how many of the
+    cohort were active, and what fraction of the cohort that is.
+
+    Shape: per-user MIN (hash agg) + a distinct user-week activity set,
+    joined on the user key — both sides already reduced to user grain
+    before the join, so the raw event stream shuffles exactly once
+    (into the per-user aggregates). Retention fraction is exact-int
+    division in double — engine-portable."""
+    cohorts = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    activity = events.select(
+        F.col(user_col),
+        F.date_trunc("week", F.col(ts_col)).alias("active_week"),
+    ).distinct()
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    cells = (
+        activity.join(cohorts, user_col)
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_n"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_n",
+        "n_active",
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias(
+            "retention"
+        ),
+    )

@@ -2573,3 +2573,39 @@ def funnel_depth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_type", _FUNNEL_STEPS,
         tiebreak_cols=("event_id",),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts (operators/funnel.retention_cohorts): both
+# engines truncate to ISO Monday weeks; retention is exact-int division.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "retention_cohorts",
+    """
+WITH cohorts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week FROM events
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS n_cohort FROM cohorts GROUP BY 1
+), cells AS (
+  SELECT c.cohort_week,
+         CAST(datediff('day', c.cohort_week, a.active_week) / 7 AS INT)
+           AS week_n,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_n, CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_active AS DOUBLE) / n_cohort AS retention
+FROM cells JOIN sizes USING (cohort_week)
+""",
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import funnel as FN
+
+    ev = load(spark, sf_dir, "events")
+    return FN.retention_cohorts(ev, "user_id", "ts")

@@ -58,3 +58,27 @@ def test_same_timestamp_tiebreak_by_event_id(spark):
     # both events at t=0: event_id order makes view precede click
     got = _depths(spark, [(1, 0, "view"), (1, 0, "click")])
     assert got == {1: 2}
+
+
+def test_retention_cohorts_fractions(spark):
+    # cohort A (week of Jan 1): users 1,2 — user 1 returns week 1,
+    # user 2 does not. cohort B (week of Jan 8): user 3 only.
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1)),   # Monday, cohort A week 0
+            (2, dt.datetime(2024, 1, 3)),   # cohort A week 0
+            (1, dt.datetime(2024, 1, 10)),  # cohort A week 1
+            (3, dt.datetime(2024, 1, 8)),   # Monday, cohort B week 0
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r["cohort_week"].date().isoformat(), r["week_n"]):
+            (r["n_active"], r["retention"])
+        for r in FN.retention_cohorts(ev, "user_id", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 1): (1, 0.5),
+        ("2024-01-08", 0): (1, 1.0),
+    }
