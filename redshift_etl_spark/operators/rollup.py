@@ -175,3 +175,54 @@ def finish_rollup(rollup: DataFrame, scale: int = 100) -> DataFrame:
             / (F.lit(float(scale)) * F.col("n_events"))
         ).alias("avg_value"),
     ).drop("__cents")
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key time-weighted average: each observation holds its value
+    until the next one, so the mean weights values by interval length —
+    the correct aggregate for sampled gauges (billing, monitoring),
+    where a plain AVG over-counts bursts of samples. The last
+    observation per key carries no interval and drops out.
+
+    Exactness: weights are integer products — ROUND(value·scale) cents
+    × interval milliseconds (micros ÷ 1000, truncating identically on
+    any engine) — summed as BIGINT, so the result is partition-order-
+    exact and oracle-portable. Overflow headroom: cents·ms per interval
+    must stay under 2⁶³/rows-per-key (≈9·10¹⁸) — at `scale`=100 that
+    allows value·interval products up to ~10¹⁴ value-seconds per key.
+
+    One window (lead) + one hash agg, both on the same key partitioning
+    — Catalyst reuses the single shuffle."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    stepped = (
+        df.withColumn("__next_ts", F.lead(ts_col).over(w))
+        .filter(F.col("__next_ts").isNotNull())
+        .select(
+            *keys,
+            (
+                (F.unix_micros("__next_ts") - F.unix_micros(F.col(ts_col)))
+                / 1000
+            ).cast("long").alias("__dur_ms"),
+            F.round(F.col(value_col) * scale, 0).cast("long").alias("__cents"),
+        )
+    )
+    return stepped.groupBy(*keys).agg(
+        (
+            F.sum(F.col("__cents") * F.col("__dur_ms")).cast("double")
+            / (F.lit(float(scale)) * F.sum("__dur_ms"))
+        ).alias("time_weighted_avg"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

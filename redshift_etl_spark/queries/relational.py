@@ -2609,3 +2609,38 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return FN.retention_cohorts(ev, "user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average per (user, event_type): each sample holds until
+# the next one; weights are integer cents × interval-ms products summed
+# as BIGINT (operators/rollup.time_weighted_avg), so the result is
+# partition-order-exact and matches the window-based SQL twin.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "time_weighted_avg",
+    """
+WITH stepped AS (
+  SELECT user_id, event_type,
+         (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000 AS dur_ms,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT user_id, event_type,
+       CAST(SUM(cents * dur_ms) AS DOUBLE) / (100.0 * SUM(dur_ms))
+         AS time_weighted_avg,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM stepped WHERE dur_ms IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollup as RU
+
+    ev = load(spark, sf_dir, "events")
+    return RU.time_weighted_avg(
+        ev, ["user_id", "event_type"], "ts", "value", tiebreak_col="event_id"
+    )

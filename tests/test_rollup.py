@@ -71,3 +71,37 @@ def test_rollup_empty_frame(spark):
         [], "event_type string, ts timestamp, value double"
     )
     assert RU.rollup_cascade(empty, "ts", ["event_type"], "value").count() == 0
+
+
+def test_time_weighted_avg_weights_by_interval(spark):
+    # value 10 held for 9s, value 1 held for 1s, last sample dropped:
+    # TWA = (10·9000 + 1·1000)/10000 = 9.1 — a plain AVG would say 7.0
+    ev = spark.createDataFrame(
+        [
+            (1, "g", dt.datetime(2024, 1, 1, 0, 0, 0), 0, 10.0),
+            (1, "g", dt.datetime(2024, 1, 1, 0, 0, 9), 1, 1.0),
+            (1, "g", dt.datetime(2024, 1, 1, 0, 0, 10), 2, 99.0),
+        ],
+        "user_id long, event_type string, ts timestamp, event_id long, "
+        "value double",
+    )
+    out = RU.time_weighted_avg(
+        ev, ["user_id", "event_type"], "ts", "value", "event_id"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["time_weighted_avg"] == 9.1
+    assert out[0]["n_intervals"] == 2
+
+
+def test_time_weighted_avg_single_sample_drops_out(spark):
+    ev = spark.createDataFrame(
+        [(1, "g", dt.datetime(2024, 1, 1), 0, 5.0)],
+        "user_id long, event_type string, ts timestamp, event_id long, "
+        "value double",
+    )
+    assert (
+        RU.time_weighted_avg(
+            ev, ["user_id", "event_type"], "ts", "value", "event_id"
+        ).count()
+        == 0
+    )
