@@ -108,3 +108,40 @@ def retention_cohorts(
             "retention"
         ),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: counts and probabilities of each consecutive (from → to)
+    event-type pair. The empirical behavior model behind next-action
+    prediction and anomaly scoring on clickstreams.
+
+    One lead window per user (the only shuffle of raw events) + two
+    tiny aggregates; probability is exact-int division in double."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.withColumn("__to", F.lead(type_col).over(w))
+        .filter(F.col("__to").isNotNull())
+        .select(F.col(type_col).alias("from_type"), F.col("__to").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("__tot")).alias("p"),
+    )

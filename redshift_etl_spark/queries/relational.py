@@ -2644,3 +2644,34 @@ def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RU.time_weighted_avg(
         ev, ["user_id", "event_type"], "ts", "value", tiebreak_col="event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event streams
+# (operators/funnel.transition_matrix).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "event_transitions",
+    """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+FROM counts
+""",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import funnel as FN
+
+    ev = load(spark, sf_dir, "events")
+    return FN.transition_matrix(ev, "user_id", "ts", "event_type", "event_id")

@@ -82,3 +82,28 @@ def test_retention_cohorts_fractions(spark):
         ("2024-01-01", 1): (1, 0.5),
         ("2024-01-08", 0): (1, 1.0),
     }
+
+
+def test_transition_matrix_counts_and_rows(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 0, "a"),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 1), 1, "b"),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 2), 2, "a"),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 0), 3, "a"),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 1), 4, "a"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in FN.transition_matrix(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).collect()
+    }
+    # user boundaries never produce cross-user transitions
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("b", "a"): (1, 1.0),
+        ("a", "a"): (1, 0.5),
+    }
