@@ -2675,3 +2675,48 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return FN.transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution by composition: fuzzy lev-1 name pairs
+# (operators/fuzzy.py) → connected components (operators/dedup.py) →
+# name clusters with a canonical representative. The oracle rebuilds
+# the same edges brute-force and closes them with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "fuzzy_name_clusters",
+    """
+WITH RECURSIVE
+d AS (SELECT p_name, MIN(p_partkey) AS rep FROM part GROUP BY 1),
+pairs AS (
+  SELECT a.rep AS id_a, b.rep AS id_b
+  FROM d a JOIN d b
+    ON a.rep < b.rep AND levenshtein(a.p_name, b.p_name) <= 1
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_names FROM (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+)
+GROUP BY component
+""",
+)
+def fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as DD
+    from ..operators import fuzzy as FZ
+
+    part = load(spark, sf_dir, "part")
+    pairs = FZ.fuzzy_join_lev1(part, "p_partkey", "p_name")
+    cc = DD.connected_components(pairs, "id_a", "id_b")
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_names")
+    )
