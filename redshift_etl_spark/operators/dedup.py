@@ -412,3 +412,74 @@ def contamination(
             "hit_ratio", F.col("n_hits") / F.col("n_shingles")
         )
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard-≥t pairs via PREFIX FILTERING (AllPairs/PPJoin
+    family) — the scale path `jaccard_pairs` isn't: instead of joining
+    EVERY shingle occurrence (which explodes on corpus-common
+    shingles), each document indexes only its p = n − ⌈t·n⌉ + 1 RAREST
+    shingles under a global (doc-frequency, shingle) order. The prefix
+    filtering principle guarantees two sets with J ≥ t share at least
+    one prefix element under any global order, so the candidate join is
+    LOSSLESS — verified by the oracle being the plain all-shingle
+    formulation. Survivors get one exact intersection count each.
+
+    Why it scales where the direct join doesn't: boilerplate shingles
+    have the HIGHEST doc-frequency, so they sort to the ends of every
+    document and out of every prefix — precisely the join keys that
+    explode quadratically in `jaccard_pairs` are the ones this skips.
+    Three shuffles: the df count, the per-doc rank window, and the
+    candidate verify; prefix buckets are rare-by-construction keys.
+    """
+    from pyspark.sql import Window
+
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("__rk") <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1
+    ).select(id_col, "shingle")
+    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    full_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    full_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(full_a, "doc_a")
+        .join(full_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1234,3 +1234,18 @@ def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     return SA.winsorize(ev, "value", keys=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered Jaccard join (AllPairs/PPJoin family): same answer as
+# dedup_jaccard — the oracle IS the plain all-shingle formulation, so
+# a hash match proves the prefix candidate generation is lossless.
+# ---------------------------------------------------------------------------
+
+
+@_q("dedup_jaccard_prefix", ORACLES["dedup_jaccard"])
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.jaccard_pairs_prefix(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3
+    )

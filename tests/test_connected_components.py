@@ -32,3 +32,63 @@ def test_long_path_converges(spark):
 def test_min_id_is_representative_regardless_of_edge_order(spark):
     got = _cc(spark, [(9, 5), (5, 7), (3, 7)])
     assert got == {3: 3, 5: 3, 7: 3, 9: 3}
+
+
+# --- prefix-filtered Jaccard (AllPairs/PPJoin family) -----------------------
+
+
+def test_prefix_jaccard_equals_direct(spark):
+    """Prefix filtering must lose nothing: identical output to the
+    all-shingle formulation on a boilerplate-heavy fixture (the case
+    where prefixes actually prune)."""
+    from redshift_etl_spark.operators import dedup as D
+
+    boiler = "shared legal disclaimer text appears on every page"
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon"),
+        (2, boiler + " alpha beta gamma delta zeta"),
+        (3, boiler + " completely different tail content here now"),
+        (4, "unrelated document with entirely distinct words inside"),
+        (5, boiler + " alpha beta gamma delta epsilon"),  # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(fn):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in fn(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+
+    direct = pairs(D.jaccard_pairs)
+    prefix = pairs(D.jaccard_pairs_prefix)
+    assert prefix == direct
+    assert (1, 5, 1.0) in prefix  # exact dups survive at J=1
+
+
+def test_prefix_actually_prunes_candidates(spark):
+    """The prefix index must be smaller than the full shingle index —
+    otherwise it's the same join with extra steps."""
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.operators import dedup as D
+    from redshift_etl_spark.queries.tables import load
+
+    from .conftest import SF_ORACLE
+
+    docs = load(spark, SF_ORACLE, "documents")
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
+    full = sh.count()
+    # rebuild the prefix selection exactly as the operator does
+    from pyspark.sql import Window
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    pref = (
+        sh.join(dfreq, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("__rk") <= F.col("n_sh") - F.ceil(F.col("n_sh") * 0.5) + 1)
+        .count()
+    )
+    assert pref < 0.65 * full  # at t=0.5 the prefix is ~half + 1

@@ -184,6 +184,7 @@ def test_no_cross_product_in_scale_path_entry_points(spark):
         "dedup_embedding_cosine",
         "fuzzy_pairs_lev1",
         "span_dedup",
+        "dedup_jaccard_prefix",
     ]
     # ann_topk_ivf's coarse quantization joins every vector against the
     # BROADCAST K-row codebook with no key — physically a
