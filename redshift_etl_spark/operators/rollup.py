@@ -226,3 +226,48 @@ def time_weighted_avg(
         ).alias("time_weighted_avg"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Maximum number of simultaneously-open intervals per key — the
+    call-center staple (peak concurrent calls) and the capacity-planning
+    aggregate for any session table.
+
+    Sweep-line as relational algebra: every interval contributes a
+    (+1 at start, −1 at end) delta point; a running sum over the
+    time-ordered points is the live concurrency, and its max is the
+    peak. Boundary rule: an end sorts BEFORE a coincident start
+    (delta ascending), so back-to-back intervals never double-count.
+    All integer arithmetic — exact on any engine. One range-sort window
+    per key over 2·|intervals| delta points; report also the earliest
+    time the peak was reached (deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    starts = df.select(
+        *keys, F.col(start_col).alias("t"), F.lit(1).alias("delta")
+    )
+    ends = df.select(
+        *keys, F.col(end_col).alias("t"), F.lit(-1).alias("delta")
+    )
+    points = starts.unionByName(ends)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy(*keys)
+    live = points.withColumn("live", F.sum("delta").over(w)).withColumn(
+        "__peak", F.max("live").over(wk)
+    )
+    return live.groupBy(*keys).agg(
+        F.max("live").cast("int").alias("peak_concurrency"),
+        F.min(
+            F.when(F.col("live") == F.col("__peak"), F.col("t"))
+        ).alias("peak_at"),
+    )

@@ -2720,3 +2720,54 @@ def fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_names")
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency per event_type (operators/rollup.peak_concurrency):
+# intervals are [ts, ts + value seconds); +1/-1 sweep with an integer
+# running sum — ends sort before coincident starts, so back-to-back
+# intervals never double-count.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "peak_concurrency",
+    """
+WITH iv AS (
+  SELECT event_type, ts AS start_ts,
+         ts + INTERVAL 1 SECOND * CAST(ROUND(value) AS BIGINT) AS end_ts
+  FROM events
+), pts AS (
+  SELECT event_type, start_ts AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, end_ts, -1 FROM iv
+), live AS (
+  SELECT event_type, t, delta,
+         SUM(delta) OVER (
+           PARTITION BY event_type ORDER BY t, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS live
+  FROM pts
+), peaks AS (
+  SELECT event_type, MAX(live) AS peak FROM live GROUP BY 1
+)
+SELECT l.event_type,
+       CAST(p.peak AS INT) AS peak_concurrency,
+       MIN(CASE WHEN l.live = p.peak THEN l.t END) AS peak_at
+FROM live l JOIN peaks p USING (event_type)
+GROUP BY 1, 2
+""",
+)
+def peak_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollup as RU
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts")
+            + (F.round(F.col("value"), 0).cast("long")).cast("string")
+            .cast("interval second")
+        ).alias("end_ts"),
+    )
+    return RU.peak_concurrency(ev, ["event_type"], "start_ts", "end_ts")

@@ -105,3 +105,24 @@ def test_time_weighted_avg_single_sample_drops_out(spark):
         ).count()
         == 0
     )
+
+
+def test_peak_concurrency_sweep(spark):
+    iv = spark.createDataFrame(
+        [
+            # three overlapping at 00:05; boundary pair at 00:10/00:10
+            ("a", dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 10)),
+            ("a", dt.datetime(2024, 1, 1, 0, 3), dt.datetime(2024, 1, 1, 0, 7)),
+            ("a", dt.datetime(2024, 1, 1, 0, 5), dt.datetime(2024, 1, 1, 0, 6)),
+            ("a", dt.datetime(2024, 1, 1, 0, 10), dt.datetime(2024, 1, 1, 0, 20)),
+            ("b", dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 1)),
+        ],
+        "k string, s timestamp, e timestamp",
+    )
+    got = {
+        r["k"]: (r["peak_concurrency"], r["peak_at"])
+        for r in RU.peak_concurrency(iv, ["k"], "s", "e").collect()
+    }
+    assert got["a"] == (3, dt.datetime(2024, 1, 1, 0, 5))
+    # the 00:10 end sorts before the 00:10 start — never 2 concurrent
+    assert got["b"] == (1, dt.datetime(2024, 1, 1, 0, 0))
