@@ -271,3 +271,43 @@ def peak_concurrency(
             F.when(F.col("live") == F.col("__peak"), F.col("t"))
         ).alias("peak_at"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Total time covered by the UNION of intervals per key — overlaps
+    merged, gaps excluded (billing/SLA: "hours with at least one active
+    session"). Same sweep-line as `peak_concurrency`: between two
+    consecutive delta points the live count is constant, so covered
+    time = Σ segment lengths where live > 0. Exact integer microsecond
+    arithmetic; one window per key."""
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    starts = df.select(
+        *keys, F.col(start_col).alias("t"), F.lit(1).alias("delta")
+    )
+    ends = df.select(
+        *keys, F.col(end_col).alias("t"), F.lit(-1).alias("delta")
+    )
+    points = starts.unionByName(ends)
+    w = Window.partitionBy(*keys).orderBy("t", "delta")
+    run = Window.partitionBy(*keys).orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    live = points.withColumn("live", F.sum("delta").over(run)).withColumn(
+        "__next_t", F.lead("t").over(w)
+    )
+    seg_us = F.unix_micros("__next_t") - F.unix_micros(F.col("t"))
+    return live.filter(F.col("__next_t").isNotNull()).groupBy(*keys).agg(
+        F.sum(F.when(F.col("live") > 0, seg_us).otherwise(F.lit(0)))
+        .alias("covered_us"),
+        (
+            F.max(F.unix_micros(F.col("t")))
+            - F.min(F.unix_micros(F.col("t")))
+        ).alias("span_us"),
+    )

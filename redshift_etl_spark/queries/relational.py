@@ -2771,3 +2771,53 @@ def peak_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("end_ts"),
     )
     return RU.peak_concurrency(ev, ["event_type"], "start_ts", "end_ts")
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage per event_type: merged overlapping intervals,
+# exact integer microseconds (operators/rollup.interval_coverage).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "interval_coverage",
+    """
+WITH iv AS (
+  SELECT event_type, ts AS start_ts,
+         ts + INTERVAL 1 SECOND * CAST(ROUND(value) AS BIGINT) AS end_ts
+  FROM events
+), pts AS (
+  SELECT event_type, start_ts AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, end_ts, -1 FROM iv
+), live AS (
+  SELECT event_type, t, delta,
+         SUM(delta) OVER (
+           PARTITION BY event_type ORDER BY t, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS live,
+         lead(t) OVER (PARTITION BY event_type ORDER BY t, delta) AS next_t
+  FROM pts
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN live > 0
+                     THEN epoch_us(next_t) - epoch_us(t) ELSE 0 END)
+            AS BIGINT)                                        AS covered_us,
+       CAST(MAX(epoch_us(t)) - MIN(epoch_us(t)) AS BIGINT)    AS span_us
+FROM live WHERE next_t IS NOT NULL
+GROUP BY 1
+""",
+)
+def interval_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollup as RU
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts")
+            + (F.round(F.col("value"), 0).cast("long")).cast("string")
+            .cast("interval second")
+        ).alias("end_ts"),
+    )
+    return RU.interval_coverage(ev, ["event_type"], "start_ts", "end_ts")

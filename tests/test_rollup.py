@@ -126,3 +126,18 @@ def test_peak_concurrency_sweep(spark):
     assert got["a"] == (3, dt.datetime(2024, 1, 1, 0, 5))
     # the 00:10 end sorts before the 00:10 start — never 2 concurrent
     assert got["b"] == (1, dt.datetime(2024, 1, 1, 0, 0))
+
+
+def test_interval_coverage_merges_overlaps_excludes_gaps(spark):
+    iv = spark.createDataFrame(
+        [
+            # [0,10) and [5,15) merge → 15 min; gap; [20,25) → 5 min
+            ("a", dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 0, 10)),
+            ("a", dt.datetime(2024, 1, 1, 0, 5), dt.datetime(2024, 1, 1, 0, 15)),
+            ("a", dt.datetime(2024, 1, 1, 0, 20), dt.datetime(2024, 1, 1, 0, 25)),
+        ],
+        "k string, s timestamp, e timestamp",
+    )
+    r = RU.interval_coverage(iv, ["k"], "s", "e").collect()[0]
+    assert r["covered_us"] == 20 * 60 * 1_000_000
+    assert r["span_us"] == 25 * 60 * 1_000_000
