@@ -303,9 +303,13 @@ def interval_coverage(
         "__next_t", F.lead("t").over(w)
     )
     seg_us = F.unix_micros("__next_t") - F.unix_micros(F.col("t"))
-    return live.filter(F.col("__next_t").isNotNull()).groupBy(*keys).agg(
-        F.sum(F.when(F.col("live") > 0, seg_us).otherwise(F.lit(0)))
-        .alias("covered_us"),
+    # the last point has no next segment but must still bound the span
+    return live.groupBy(*keys).agg(
+        F.sum(
+            F.when(
+                F.col("__next_t").isNotNull() & (F.col("live") > 0), seg_us
+            ).otherwise(F.lit(0))
+        ).alias("covered_us"),
         (
             F.max(F.unix_micros(F.col("t")))
             - F.min(F.unix_micros(F.col("t")))

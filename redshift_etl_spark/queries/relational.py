@@ -2800,11 +2800,11 @@ WITH iv AS (
   FROM pts
 )
 SELECT event_type,
-       CAST(SUM(CASE WHEN live > 0
+       CAST(SUM(CASE WHEN next_t IS NOT NULL AND live > 0
                      THEN epoch_us(next_t) - epoch_us(t) ELSE 0 END)
             AS BIGINT)                                        AS covered_us,
        CAST(MAX(epoch_us(t)) - MIN(epoch_us(t)) AS BIGINT)    AS span_us
-FROM live WHERE next_t IS NOT NULL
+FROM live
 GROUP BY 1
 """,
 )
