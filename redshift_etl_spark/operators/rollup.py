@@ -315,3 +315,65 @@ def interval_coverage(
             - F.min(F.unix_micros(F.col("t")))
         ).alias("span_us"),
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key least-squares trend of value over time: slope (value
+    units per minute), intercept (value at each key's first minute),
+    and R² — drift detection over metric streams.
+
+    Exact distributed OLS: the moment sums (Σx, Σy, Σx², Σxy, Σy²) are
+    BIGINT sums of integer products — x = minutes since the KEY'S OWN
+    first event (two-pass: per-key min epoch broadcast back), y =
+    ROUND(value·scale). The shift keeps x small enough that x²·rows
+    stays under 2⁶³ at realistic scale (raw epoch seconds would
+    overflow), and slope is shift-invariant. Only the final closed-form
+    arithmetic runs in double — a fixed expression over exact integers,
+    so results are bit-identical on any engine and partitioning.
+    Degenerate keys (all events in one minute) yield NULL slope/R²."""
+    keys = list(key_cols)
+    mins = df.groupBy(*keys).agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("__t0_us")
+    )
+    pts = df.join(F.broadcast(mins), keys).select(
+        *keys,
+        (
+            (F.unix_micros(F.col(ts_col)) - F.col("__t0_us")) / 60_000_000
+        ).cast("long").alias("__x"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__y"),
+    )
+    m = pts.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when(varx > 0, cov / varx / scale)
+    return m.select(
+        *keys,
+        F.col("__n").alias("n_points"),
+        slope.alias("slope_per_min"),
+        F.when(varx > 0, (sy - (cov / varx) * sx) / (n * scale)).alias(
+            "intercept"
+        ),
+        F.when(
+            (varx > 0) & (vary > 0), (cov * cov) / (varx * vary)
+        ).alias("r2"),
+    )

@@ -2821,3 +2821,55 @@ def interval_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("end_ts"),
     )
     return RU.interval_coverage(ev, ["event_type"], "start_ts", "end_ts")
+
+
+# ---------------------------------------------------------------------------
+# Per-key linear trend (operators/rollup.linear_trend): exact OLS from
+# BIGINT moment sums over shifted-minute x and cent y; only the final
+# closed form runs in double — identical expression both engines.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "linear_trend",
+    """
+WITH m0 AS (
+  SELECT event_type, MIN(epoch_us(ts)) AS t0 FROM events GROUP BY 1
+), pts AS (
+  SELECT e.event_type,
+         (epoch_us(e.ts) - m0.t0) // 60000000 AS x,
+         CAST(ROUND(e.value * 100) AS BIGINT) AS y
+  FROM events e JOIN m0 USING (event_type)
+), m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+  FROM pts GROUP BY 1
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_points,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0 THEN
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 100
+       END AS slope_per_min,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0 THEN
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+         / (CAST(n AS DOUBLE) * 100)
+       END AS intercept,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+             AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0 THEN
+         ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+         / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+       END AS r2
+FROM m
+""",
+)
+def linear_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollup as RU
+
+    ev = load(spark, sf_dir, "events")
+    return RU.linear_trend(ev, ["event_type"], "ts", "value")

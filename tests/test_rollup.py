@@ -141,3 +141,26 @@ def test_interval_coverage_merges_overlaps_excludes_gaps(spark):
     r = RU.interval_coverage(iv, ["k"], "s", "e").collect()[0]
     assert r["covered_us"] == 20 * 60 * 1_000_000
     assert r["span_us"] == 25 * 60 * 1_000_000
+
+
+def test_linear_trend_recovers_known_slope(spark):
+    # y = 2.5 + 0.5/min, exact on the grid → r2 == 1.0, slope exact
+    ev = spark.createDataFrame(
+        [("g", dt.datetime(2024, 1, 1, 0, m), 2.5 + 0.5 * m)
+         for m in range(10)]
+        + [("flat", dt.datetime(2024, 1, 1, 0, m), 7.0) for m in range(5)]
+        + [("deg", dt.datetime(2024, 1, 1, 0, 0, s), 1.0 + s) for s in range(3)],
+        "event_type string, ts timestamp, value double",
+    )
+    got = {
+        r["event_type"]: r
+        for r in RU.linear_trend(ev, ["event_type"], "ts", "value").collect()
+    }
+    g = got["g"]
+    assert abs(g["slope_per_min"] - 0.5) < 1e-12
+    assert abs(g["intercept"] - 2.5) < 1e-12
+    assert abs(g["r2"] - 1.0) < 1e-12
+    flat = got["flat"]  # zero variance in y → r2 NULL, slope 0
+    assert flat["slope_per_min"] == 0.0 and flat["r2"] is None
+    deg = got["deg"]  # all in one minute → varx == 0 → NULLs
+    assert deg["slope_per_min"] is None and deg["r2"] is None
