@@ -213,3 +213,40 @@ def winsorize(
         out_col,
         F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
     ).drop("__lo", "__hi")
+
+
+def mixture_concentration(
+    df: DataFrame,
+    group_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Concentration accounting for a training-data mixture: per
+    ``group_col``, how dominated is it by its ``category_col`` shares?
+
+    - ``hhi``: Herfindahl–Hirschman index Σ share² (1 = one category);
+    - ``gini_impurity``: 1 − HHI (0 = one category);
+    - ``top_share``: the largest single category share;
+    - ``n_categories``.
+
+    All exact-int ratios — Σn_c² and N as BIGINTs, one double division
+    each — so no libm entropy is needed to rank skewed groups (HHI
+    orders identically for the filter-threshold use case). Two tiny
+    aggregates: (group, category) counts, then per-group reduction."""
+    counts = df.groupBy(group_col, category_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return counts.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        (
+            F.sum(F.col("__n") * F.col("__n")).cast("double")
+            / (F.sum("__n") * F.sum("__n")).cast("double")
+        ).alias("hhi"),
+        (
+            1
+            - F.sum(F.col("__n") * F.col("__n")).cast("double")
+            / (F.sum("__n") * F.sum("__n")).cast("double")
+        ).alias("gini_impurity"),
+        (
+            F.max("__n").cast("double") / F.sum("__n").cast("double")
+        ).alias("top_share"),
+    )

@@ -1249,3 +1249,31 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs_prefix(
         docs, "doc_id", "text", threshold=0.5, shingle_n=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture concentration: per-source language dominance (HHI / Gini
+# impurity / top share) — exact-int ratios, no libm entropy.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "mixture_concentration",
+    """
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_categories,
+       CAST(SUM(n * n) AS DOUBLE) / CAST(SUM(n) * SUM(n) AS DOUBLE) AS hhi,
+       1 - CAST(SUM(n * n) AS DOUBLE) / CAST(SUM(n) * SUM(n) AS DOUBLE)
+         AS gini_impurity,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_share
+FROM c GROUP BY 1
+""",
+)
+def mixture_concentration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    return SA.mixture_concentration(docs, "source", "lang")

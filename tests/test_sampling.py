@@ -102,3 +102,23 @@ def test_contamination_hits_and_ratio(spark):
     # doc 1 has 3 shingles, 1 overlapping
     assert rows[0]["n_shingles"] == 3 and rows[0]["n_hits"] == 1
     assert abs(rows[0]["hit_ratio"] - 1 / 3) < 1e-12
+
+
+def test_mixture_concentration_metrics(spark):
+    from redshift_etl_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [("s1", "en")] * 8 + [("s1", "fr")] * 2 + [("s2", "en")] * 5,
+        "source string, lang string",
+    )
+    got = {
+        r["source"]: r
+        for r in SA.mixture_concentration(df, "source", "lang").collect()
+    }
+    s1 = got["s1"]  # shares 0.8/0.2 → HHI 0.68
+    assert s1["n_categories"] == 2
+    assert abs(s1["hhi"] - 0.68) < 1e-12
+    assert abs(s1["gini_impurity"] - 0.32) < 1e-12
+    assert s1["top_share"] == 0.8
+    s2 = got["s2"]  # pure group
+    assert s2["hhi"] == 1.0 and s2["gini_impurity"] == 0.0
