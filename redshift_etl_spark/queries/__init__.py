@@ -3,13 +3,23 @@ from . import agent_metrics, llm_data, relational, tables, tpch_shapes  # noqa: 
 _MODULES = (llm_data, tpch_shapes, agent_metrics, relational)
 
 # Registration order IS the driver's execution order (dicts preserve
-# insertion order), and the driver may cap its run — round 1 stopped
-# after 50 entries. Priority: everything the driver has NEVER verified
-# runs first (module order preserved within each tier), then the
-# 50 queries already driver-green in CORRECTNESS_r01 re-verify if the
-# budget allows.
-_R1_DRIVER_GREEN = frozenset(
-    """agent_metrics agent_metrics_2 pricing_summary star_filter_project
+# insertion order), and the driver caps its run at ~50 entries per
+# round. Priority is staleness: sort ascending by the round in which
+# the driver last recorded a fully-green row (never-verified = 0), so
+# the head of the window is always the queries with the oldest (or no)
+# driver evidence, and previously-green queries rotate back in before
+# their evidence goes more than a couple of rounds stale. Ties keep
+# module insertion order (sort is stable).
+#
+# Maintained each round from CORRECTNESS_r{N}.json: add hash-green rows
+# at round N; leave hash-mismatched rows at their previous value so
+# they re-run immediately. Rows-only-by-design queries (approx_distinct,
+# compression_signals) count as green when the driver records them.
+
+_LAST_GREEN: dict[str, int] = {}
+
+# Round 1 (CORRECTNESS_r01): 50 fully-green rows.
+for _n in """agent_metrics agent_metrics_2 pricing_summary star_filter_project
     latest_order_per_customer scd1_merge append_new changed_or_new
     quantity_histogram events_pivot scalar_suite json_extract
     type_coercion stream_dedup_batch upsert_if_changed union_slices
@@ -21,14 +31,35 @@ _R1_DRIVER_GREEN = frozenset(
     salted_join session_window_agg rank_suite array_agg_suite
     grouping_sets_margins lineitem_unpivot null_semantics datetime_suite
     scd2_merge math_suite exists_priority custdist large_orders
-    dormant_customers zscore_anomalies""".split()
-)
+    dormant_customers zscore_anomalies""".split():
+    _LAST_GREEN[_n] = 1
+
+# Round 2 (CORRECTNESS_r02): 45 hash-green + 2 documented rows-only.
+# The 3 hash-mismatched rows (deterministic_split, corpus_prep,
+# priority_shipping_mix — DuckDB HUGEINT representation artifact, fixed
+# by CAST in round 3) are deliberately left unlisted so they re-run at
+# the head of the round-3 window.
+for _n in """dedup_exact dedup_jaccard dedup_minhash_lsh dedup_simhash
+    ann_cosine_topk dedup_embedding_cosine text_stats lang_id
+    dedup_simhash_pairs ann_topk_lsh media_features audio_features
+    ann_topk_ivf lm_quality span_dedup rolling_fingerprint
+    dedup_clusters hash_sample text_clean stratified_sample
+    decontaminate sequence_packing tfidf_top_terms repetition_stats
+    pii_redact mixture_sample winsorize_events dedup_jaccard_prefix
+    mixture_concentration regional_revenue volume_shipping market_share
+    profit_by_nation_year returned_top_customers nation_balance_share
+    promo_revenue top_supplier supplier_part_variety disjunctive_revenue
+    promotion_suppliers waiting_suppliers min_cost_supplier
+    forecast_revenue scd1_merge_wide snapshot_diff approx_distinct
+    compression_signals""".split():
+    _LAST_GREEN[_n] = 2
 
 
 def _prioritized(merged: dict) -> dict:
-    fresh = {k: v for k, v in merged.items() if k not in _R1_DRIVER_GREEN}
-    seen = {k: v for k, v in merged.items() if k in _R1_DRIVER_GREEN}
-    return {**fresh, **seen}
+    # stable sort: staleness tier first, module insertion order within.
+    order = {n: i for i, n in enumerate(merged)}
+    names = sorted(merged, key=lambda n: (_LAST_GREEN.get(n, 0), order[n]))
+    return {n: merged[n] for n in names}
 
 
 def all_queries() -> dict:

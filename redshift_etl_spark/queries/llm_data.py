@@ -778,7 +778,8 @@ _BUCKET_SQL = SP.oracle_bucket_sql("doc_id")
 @_q(
     "deterministic_split",
     f"""
-SELECT split, COUNT(*) AS n_docs, SUM(len(text)) AS total_chars
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(len(text)) AS BIGINT) AS total_chars
 FROM (
   SELECT text,
          CASE WHEN {_BUCKET_SQL} < 205 THEN 'train'
@@ -912,7 +913,7 @@ final AS (
 )
 SELECT split, lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS sum_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
 FROM final
 GROUP BY split, lang
 """

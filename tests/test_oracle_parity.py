@@ -30,3 +30,26 @@ ROWS_ONLY_OK = {"approx_distinct", "compression_signals"}
 def test_every_query_has_oracle_or_is_documented():
     missing = set(Q.all_queries()) - set(Q.all_oracles())
     assert missing == ROWS_ONLY_OK, f"undocumented rows-only queries: {missing - ROWS_ONLY_OK}"
+
+
+# DuckDB promotes SUM over integers to HUGEINT (int128); the driver's
+# fetch path represents int128 differently from Spark's BIGINT before
+# hashing, so an oracle that surfaces HUGEINT fails hash-compare even
+# when every value is identical (round-2 verdict, "What's wrong #1").
+# Guard: LIMIT-0 every oracle and assert no int128 column ever escapes —
+# wrap integer SUMs in CAST(... AS BIGINT) at declaration time.
+_INT128_TYPES = {"HUGEINT", "UHUGEINT", "INT128", "UINT128"}
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_oracle_column_types_have_no_hugeint(duck, name):
+    rel = duck.sql(f"SELECT * FROM ({Q.all_oracles()[name]}) LIMIT 0")
+    bad = [
+        (col, str(typ))
+        for col, typ in zip(rel.columns, rel.types)
+        if str(typ).upper() in _INT128_TYPES
+    ]
+    assert not bad, (
+        f"oracle '{name}' surfaces int128 column(s) {bad}; wrap the "
+        "integer SUM in CAST(... AS BIGINT) so the driver hash matches"
+    )
