@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 LEVELS = ("minute", "hour", "day")
@@ -330,18 +330,24 @@ def linear_trend(
 
     Exact distributed OLS: the moment sums (Σx, Σy, Σx², Σxy, Σy²) are
     BIGINT sums of integer products — x = minutes since the KEY'S OWN
-    first event (two-pass: per-key min epoch broadcast back), y =
+    first event (window-min over the key partitioning), y =
     ROUND(value·scale). The shift keeps x small enough that x²·rows
     stays under 2⁶³ at realistic scale (raw epoch seconds would
     overflow), and slope is shift-invariant. Only the final closed-form
     arithmetic runs in double — a fixed expression over exact integers,
     so results are bit-identical on any engine and partitioning.
-    Degenerate keys (all events in one minute) yield NULL slope/R²."""
+    Degenerate keys (all events in one minute) yield NULL slope/R².
+
+    Scale note: one hash shuffle on the keys feeds BOTH the window-min
+    and the moment aggregation (same partitioning, no exchange between
+    them). The earlier formulation broadcast a per-key min frame — with
+    millions of keys that forced broadcast OOMs the driver; the window
+    is safe at any key cardinality."""
     keys = list(key_cols)
-    mins = df.groupBy(*keys).agg(
-        F.min(F.unix_micros(F.col(ts_col))).alias("__t0_us")
-    )
-    pts = df.join(F.broadcast(mins), keys).select(
+    w_key = Window.partitionBy(*keys)
+    pts = df.withColumn(
+        "__t0_us", F.min(F.unix_micros(F.col(ts_col))).over(w_key)
+    ).select(
         *keys,
         (
             (F.unix_micros(F.col(ts_col)) - F.col("__t0_us")) / 60_000_000

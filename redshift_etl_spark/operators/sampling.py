@@ -70,9 +70,12 @@ def stratified_cap_sample(
     """Deterministic per-group downsampling to ~``cap`` rows per group
     (source balancing for training mixes). Two passes, scale-shaped:
     (1) per-group counts via hash aggregate — map-side partials, tiny
-    result; (2) counts BROADCAST back onto the data (never a window
+    result; (2) counts joined back onto the data (never a window
     COUNT() OVER the full table, which would shuffle every row just to
-    learn its group size). The keep decision is then the same per-row
+    learn its group size). The join carries no broadcast hint — group
+    cardinality is caller-controlled, so AQE decides (it broadcasts
+    whenever the count frame is actually small; a forced hint would OOM
+    at millions of groups). The keep decision is then the same per-row
     md5-bucket filter as `hash_sample`, with the group's edge
     floor(min(1, cap/n)·256) — floor, not round, so both engines make
     the identical IEEE-double decision at the boundary."""
@@ -81,7 +84,7 @@ def stratified_cap_sample(
         F.least(F.lit(1.0), F.lit(float(cap)) / F.col("__n")) * 256
     ).cast("long")
     return (
-        df.join(F.broadcast(sizes), group)
+        df.join(sizes, group)
         .filter(hash_bucket(key) < edge)
         .drop("__n")
     )
@@ -101,7 +104,10 @@ def mixture_sample(
     The standard pretraining-mix op (web 30% / code 20% / …), shaped for
     100 TB: (1) per-group counts via hash aggregate (tiny result);
     (2) counts ⋈ weights → per-group keep-edge, BROADCAST back onto the
-    data; (3) the keep decision is the same per-row md5-bucket filter as
+    data (bounded by construction: the edge frame is inner-joined to
+    the driver-side ``weights`` dict, so its size is |weights|, never
+    the data's group cardinality); (3) the keep decision is the same
+    per-row md5-bucket filter as
     `hash_sample` — so the data path is shuffle-free, and the sample is
     stable under re-runs, engine changes, and repartitioning. Groups
     absent from ``weights`` are dropped (weight 0). Edges use
@@ -194,10 +200,13 @@ def winsorize(
     DuckDB's quantile_cont uses, so the bounds are oracle-exact).
     Standard outlier treatment before z-scores / model features.
 
-    Two passes, both cheap: a per-key percentile aggregate (tiny
-    result), broadcast back onto the data path — the full table itself
-    never shuffles. With no keys the bounds are global (a 1-row
-    broadcast)."""
+    Two passes, both cheap: a per-key percentile aggregate (one row per
+    key) joined back onto the data path. The keyed join carries NO
+    broadcast hint — per-key frames are unbounded in key cardinality,
+    and a forced broadcast OOMs the driver at millions of keys; AQE
+    picks broadcast on its own whenever the frame is actually small.
+    With no keys the bounds are a single global row, which IS safely
+    broadcast (bounded by construction)."""
     keys = list(keys)
     out_col = out_col or f"{value_col}_clipped"
     bounds = (df.groupBy(*keys) if keys else df.groupBy()).agg(
@@ -205,7 +214,7 @@ def winsorize(
         F.percentile(value_col, upper).alias("__hi"),
     )
     joined = (
-        df.join(F.broadcast(bounds), keys)
+        df.join(bounds, keys)
         if keys
         else df.crossJoin(F.broadcast(bounds))
     )

@@ -71,6 +71,28 @@ def plan_tree(df: DataFrame) -> str:
     return physical_plan(df).split("\n\n")[0]
 
 
+def final_plan_tree(df: DataFrame) -> str:
+    """Operator tree of the FINAL adaptive plan: executes the frame
+    (rows discarded) so AQE's runtime re-plan — e.g. the SMJ→broadcast
+    conversion it makes from actual frame sizes — is visible. Use when
+    the posture under test is a deliberate runtime decision instead of
+    a forced static hint (per-key frames of caller-controlled
+    cardinality must NOT carry a broadcast hint; AQE broadcasts them
+    when they are actually small)."""
+    df.collect()
+    tree = plan_tree(df)
+    # after execution the tree block holds "== Final Plan ==" followed
+    # by "== Initial Plan ==" — keep only the final section so operator
+    # counts don't double
+    if "== Initial Plan ==" in tree:
+        tree = tree.split("== Initial Plan ==")[0]
+    return tree
+
+
+def final_tree_count(df: DataFrame, op: str) -> int:
+    return len(re.findall(rf"\b{op}\b", final_plan_tree(df)))
+
+
 def tree_count(df: DataFrame, op: str) -> int:
     """Exact occurrence count of a physical operator in the plan tree."""
     return len(re.findall(rf"\b{op}\b", plan_tree(df)))

@@ -66,14 +66,16 @@ def test_shipping_priority_posture(spark):
 
 
 def test_stratified_sample_data_path_shuffle_free(spark):
-    # at most one Exchange — the tiny per-group COUNT aggregate; group
-    # sizes come back via BroadcastExchange, so the full-data path never
-    # shuffles (the oracle's COUNT() OVER would shuffle every row)
+    # the group-sizes join carries NO broadcast hint (group cardinality
+    # is caller-controlled; a forced hint would OOM at millions of
+    # groups) — so the posture is a runtime decision: in the FINAL
+    # adaptive plan AQE must have converted the join to broadcast, and
+    # the full-data path never shuffles (the oracle's COUNT() OVER
+    # would shuffle every row)
     df = Q.all_queries()["stratified_sample"](spark, SF_ORACLE)
-    assert P.tree_count(df, "Exchange") - P.tree_count(df, "BroadcastExchange") <= 1
-    assert P.tree_count(df, "BroadcastHashJoin") == 1
-    assert P.tree_count(df, "BroadcastExchange") == 1
-    assert P.tree_count(df, "Window") == 0
+    tree = P.final_plan_tree(df)
+    assert tree.count("BroadcastHashJoin") == 1
+    assert tree.count("Window") == 0
 
 
 def test_text_clean_pure_projection(spark):
@@ -215,12 +217,25 @@ def test_mixture_sample_data_path_shuffle_free(spark):
 
 
 def test_winsorize_data_path_shuffle_free(spark):
-    # the only real exchange is the tiny per-key percentile aggregate;
-    # bounds come back via BroadcastExchange so the event stream itself
-    # never shuffles
+    # the bounds join carries NO broadcast hint (per-key frames are
+    # unbounded in key cardinality); AQE must convert it to broadcast
+    # at runtime when the frame is actually small, so in the FINAL
+    # adaptive plan the event stream itself never shuffles
     df = Q.all_queries()["winsorize_events"](spark, SF_ORACLE)
+    assert P.final_tree_count(df, "BroadcastHashJoin") == 1
+
+
+def test_linear_trend_single_key_shuffle(spark):
+    # one hash exchange on the keys feeds BOTH the window-min (per-key
+    # first epoch) and the moment aggregation — no join, no broadcast of
+    # a per-key frame (the earlier formulation broadcast the min frame,
+    # which OOMs at millions of keys)
+    df = Q.all_queries()["linear_trend"](spark, SF_ORACLE)
     assert P.tree_count(df, "Exchange") - P.tree_count(df, "BroadcastExchange") <= 1
-    assert P.tree_count(df, "BroadcastHashJoin") == 1
+    assert P.tree_count(df, "BroadcastExchange") == 0
+    assert P.tree_count(df, "Window") == 1
+    tree = P.plan_tree(df)
+    assert "Join" not in tree
 
 
 def test_cdc_apply_two_shuffles_max(spark):
