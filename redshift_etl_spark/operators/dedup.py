@@ -437,6 +437,12 @@ def jaccard_pairs_prefix(
     explode quadratically in `jaccard_pairs` are the ones this skips.
     Three shuffles: the df count, the per-doc rank window, and the
     candidate verify; prefix buckets are rare-by-construction keys.
+    The exploded-shingle frame is persisted (it feeds the size agg, the
+    doc-freq agg, and both sides of the verify join — without pinning
+    Catalyst re-explodes the corpus for each consumer); as with
+    `rollup_cascade`, unpersist happens at the usual cache lifecycle
+    (clearCache or GC), since the returned frame is lazy and still
+    references the cache.
     """
     from pyspark.sql import Window
 
@@ -449,8 +455,16 @@ def jaccard_pairs_prefix(
         .withColumn("__rk", F.row_number().over(w))
         .join(sizes, id_col)
     )
+    # ⌈t·n⌉ must be the exact rational ceiling: binary doubles can land
+    # a hair ABOVE the true product (t=0.55, n=20 → 11.000000000000002,
+    # ceil 12 instead of 11), shrinking the prefix by one element and
+    # silently breaking the lossless guarantee. A small downward nudge
+    # before ceil restores exactness for any realistic (t, n): the true
+    # product is ≥ 1e-9 away from the next-lower integer unless it IS
+    # that integer, in which case the nudge keeps ceil unchanged.
     prefix = ranked.filter(
-        F.col("__rk") <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1
+        F.col("__rk")
+        <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold - 1e-9) + 1
     ).select(id_col, "shingle")
     pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
     pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle")

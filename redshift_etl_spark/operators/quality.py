@@ -114,7 +114,10 @@ def validate_split(
     Pure projection + filter: no shuffle, predicates evaluate once via
     a staged select (the flags become attributes), and both outputs
     share the single scan. A NULL rule result counts as a violation
-    (SQL three-valued logic must not let unknowns through)."""
+    (SQL three-valued logic must not let unknowns through). With no
+    rules there is nothing to violate: every row is valid."""
+    if not rules:
+        return df, df.limit(0).withColumn("violations", F.lit(""))
     flags = df.select(
         "*",
         *[
@@ -161,17 +164,26 @@ def table_fingerprint(
     for a one-scan, shuffle-free-until-the-1-row-agg check.
 
     Canonical row string: '|'-joined string casts with a NULL sentinel.
-    Cast floats to DECIMAL first — raw float→string formatting is
-    engine-specific; int/string/date/timestamp/decimal casts are stable
-    across engines (verified vs DuckDB)."""
+    Raw float→string formatting is engine-specific, so Float/Double
+    columns are auto-cast to DECIMAL(30,6) before stringifying —
+    int/string/date/timestamp/decimal casts are stable across engines
+    (verified vs DuckDB). Callers wanting a different comparison
+    granularity pre-cast to their own decimal type (the auto-cast only
+    fires on columns still floating at the call)."""
     cols = cols or [c for c in df.columns if c not in (group_by or [])]
-    row = F.concat_ws(
-        "|",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
-            for c in cols
-        ],
-    )
+    float_cols = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("float", "double")
+    }
+
+    def canon(c: str) -> Column:
+        col = F.col(c)
+        if c in float_cols:
+            col = col.cast("decimal(30,6)")
+        return F.coalesce(col.cast("string"), F.lit("<NULL>"))
+
+    row = F.concat_ws("|", *[canon(c) for c in cols])
     h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
     aggs = [
         F.bit_xor(h).alias("checksum"),

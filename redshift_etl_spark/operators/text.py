@@ -381,13 +381,16 @@ def token_chunks(ws: Column | str, n: int) -> Column:
     """Fixed-``n``-token span strings from a token-array column — the
     span splitter for corpora without native paragraph separators (for
     separator-delimited text, `F.split(text, sep)` replaces this)."""
-    w = F.col(ws) if isinstance(ws, str) else ws
-    return F.expr(
-        f"transform(sequence(0, (size({ws}) - 1) div {n}), "
-        f"i -> array_join(slice({ws}, i * {n} + 1, {n}), ' '))"
-    ) if isinstance(ws, str) else F.transform(
-        F.sequence(F.lit(0), (F.size(w) - 1) / n),
-        lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
+    if isinstance(ws, str):
+        return F.expr(
+            f"transform(sequence(0, (size({ws}) - 1) div {n}), "
+            f"i -> array_join(slice({ws}, i * {n} + 1, {n}), ' '))"
+        )
+    # sequence() only accepts integral bounds; `/` yields DOUBLE, so the
+    # upper bound needs an explicit integer floor-division
+    return F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(ws) - 1) / n).cast("int")),
+        lambda i: F.array_join(F.slice(ws, i * n + 1, n), " "),
     )
 
 

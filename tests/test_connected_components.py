@@ -65,6 +65,63 @@ def test_prefix_jaccard_equals_direct(spark):
     assert (1, 5, 1.0) in prefix  # exact dups survive at J=1
 
 
+def test_prefix_ceiling_is_exact_for_inexact_thresholds(spark):
+    """⌈t·n⌉ inside the prefix bound must be the exact rational ceiling.
+    Binary doubles can land a hair above the true product (0.55·20 =
+    11.000000000000002 → ceil 12, shrinking the prefix and silently
+    dropping true pairs); the operator nudges down by 1e-9 before ceil.
+    Sweep every (n ≤ 200, common threshold) against exact Fractions."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    thresholds = [0.3, 0.5, 0.55, 0.6, 0.7, 0.75, 0.8, 0.85, 0.9]
+    n = spark.range(1, 201).withColumnRenamed("id", "n_sh")
+    got = n.select(
+        "n_sh",
+        *[
+            F.ceil(F.col("n_sh") * t - 1e-9).alias(f"c{i}")
+            for i, t in enumerate(thresholds)
+        ],
+    ).collect()
+    for r in got:
+        for i, t in enumerate(thresholds):
+            exact = math.ceil(Fraction(str(t)) * r["n_sh"])
+            assert r[f"c{i}"] == exact, (r["n_sh"], t, r[f"c{i}"], exact)
+
+
+def test_prefix_jaccard_equals_direct_at_inexact_threshold(spark):
+    """End-to-end losslessness at t=0.55 (the float-poisoned threshold):
+    prefix-filtered output must equal the all-shingle formulation on a
+    fixture with ~20-shingle documents."""
+    import random
+
+    from redshift_etl_spark.operators import dedup as D
+
+    rng = random.Random(55)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    base = [rng.choice(vocab) for _ in range(22)]
+    for d in range(12):
+        words = list(base)
+        for _ in range(rng.randrange(1, 3)):  # 1-2 word mutations: each
+            # touches up to 3 shingles, keeping J near the 0.55 boundary
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(fn):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in fn(docs, "doc_id", "text", threshold=0.55).collect()
+        }
+
+    direct = pairs(D.jaccard_pairs)
+    assert pairs(D.jaccard_pairs_prefix) == direct
+    assert direct  # fixture must actually produce qualifying pairs
+
+
 def test_prefix_actually_prunes_candidates(spark):
     """The prefix index must be smaller than the full shingle index —
     otherwise it's the same join with extra steps."""

@@ -157,3 +157,21 @@ def test_approx_distinct_within_hll_error_bound(spark):
     for r in rows:
         exact = r["exact_users"]
         assert abs(r["approx_users"] - exact) <= max(4 * 0.05 * exact, 2), r
+
+
+def test_token_chunks_column_overload_matches_string_overload(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    ws = df.withColumn("w", F.split("text", " "))
+    by_name = ws.select("doc_id", TX.token_chunks("w", 3).alias("c"))
+    by_col = ws.select("doc_id", TX.token_chunks(F.col("w"), 3).alias("c"))
+    got_name = {r["doc_id"]: r["c"] for r in by_name.collect()}
+    got_col = {r["doc_id"]: r["c"] for r in by_col.collect()}
+    assert got_name == got_col
+    assert got_name[1] == ["a b c", "d e f", "g"]
+    assert got_name[2] == ["x y"]
+    assert got_name[3] == ["solo"]

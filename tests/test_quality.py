@@ -112,3 +112,30 @@ def test_table_fingerprint_invariant_and_sensitive(spark):
     a = spark.createDataFrame([(1, None)], "id long, v string")
     b = spark.createDataFrame([(1, "<NULL>")], "id long, v string")
     assert fp(a) == fp(b)  # documented sentinel collision — by design
+
+
+def test_validate_split_empty_rules_everything_valid(spark):
+    from redshift_etl_spark.operators import quality as QL
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    valid, quarantined = QL.validate_split(df, {})
+    assert [r["id"] for r in valid.collect()] == [1, 2]
+    assert quarantined.count() == 0
+    assert "violations" in quarantined.columns
+
+
+def test_table_fingerprint_auto_casts_floats(spark):
+    """A raw double column must fingerprint identically to the same
+    data pre-cast to DECIMAL(30,6) — the documented cross-engine
+    canonicalization happens inside the operator, not only in callers."""
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.operators import quality as QL
+
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 1.0 / 3.0), (3, None)], "id long, x double"
+    )
+    pre = df.select("id", F.col("x").cast("decimal(30,6)").alias("x"))
+    raw_fp = QL.table_fingerprint(df).collect()[0]["checksum"]
+    pre_fp = QL.table_fingerprint(pre).collect()[0]["checksum"]
+    assert raw_fp == pre_fp
