@@ -157,11 +157,13 @@ def _plane_component(plane: int, dim: int) -> float:
 
 
 def hyperplane_signature(
-    vec: Column | str, dims: int, planes: int = 8
+    vec: Column | str, dims: int, planes: int = 8, plane_offset: int = 0
 ) -> Column:
     """Random-hyperplane LSH signature: bit p = sign(v · plane_p).
     Packed into a long. Planes are literal constants folded by Catalyst —
-    zero per-row Python.
+    zero per-row Python. ``plane_offset`` shifts into a disjoint slice
+    of the deterministic plane family — banded LSH derives band b's
+    signature from planes [b·r, (b+1)·r).
 
     Two shape decisions, both measured on the bench:
     - ONE nested higher-order expression (transform over an
@@ -179,7 +181,8 @@ def hyperplane_signature(
         plane_rows = ", ".join(
             "array("
             + ", ".join(
-                f"{_plane_component(p, d)!r}D" for d in range(dims)
+                f"{_plane_component(plane_offset + p, d)!r}D"
+                for d in range(dims)
             )
             + ")"
             for p in range(planes)
@@ -195,7 +198,10 @@ def hyperplane_signature(
         )
     v = _as_double(vec)
     planes_lit = F.array(*[
-        F.array(*[F.lit(_plane_component(p, d)) for d in range(dims)])
+        F.array(*[
+            F.lit(_plane_component(plane_offset + p, d))
+            for d in range(dims)
+        ])
         for p in range(planes)
     ])
     weights = F.array(*[F.lit(2 ** p).cast("long") for p in range(planes)])
@@ -438,10 +444,21 @@ def cosine_pairs_blocked(
     out_a: str = "vec_a",
     out_b: str = "vec_b",
     n_blocks: int = 4,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold — exact, but fully distributed: a
     block-partitioned numpy sweep under ``applyInPandas``. Nothing ever
     rides through the driver.
+
+    With ``bucket_col`` set, the sweep is scoped WITHIN each bucket:
+    only pairs sharing a bucket value are scored, block replication
+    happens per bucket (never across the full table), and groups key on
+    (bucket, block_i, block_j). This is the composition point for the
+    100 TB path — `lsh_bucketed_cosine_pairs` feeds banded LSH buckets
+    through here, so the quadratic sweep only ever runs over
+    bucket-sized tiles. Without it, the sweep is the exact-all-pairs
+    baseline: O(n²) compute by contract, oracle-checkable, and the
+    thing the bucketed path is measured against.
 
     Shape: each vector is hashed into one of ``n_blocks`` blocks, then
     replicated to every unordered block pair (i ≤ j) it belongs to —
@@ -482,30 +499,36 @@ def cosine_pairs_blocked(
 
     margin = threshold - 1e-6
 
+    bucket = [F.col(bucket_col).alias("__bkt")] if bucket_col else []
+    bucket_keys = ["__bkt"] if bucket_col else []
     src = df.select(
         F.col(id_col).cast("long").alias("__id"),
         _as_double(F.col(vec_col)).alias("__v"),
         F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_blocks))
         .cast("int")
         .alias("__blk"),
+        *bucket,
     )
     # replicate: block b participates in groups {(min(b,x), max(b,x))}
-    # for every x — one copy per partner block, no duplicates.
+    # for every x — one copy per partner block, no duplicates; with a
+    # bucket the fan-out stays inside the bucket.
     rep = src.select(
         "__id",
         "__v",
         "__blk",
+        *bucket_keys,
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__other"),
     ).select(
         "__id",
         "__v",
         "__blk",
+        *bucket_keys,
         F.least("__blk", "__other").alias("__gi"),
         F.greatest("__blk", "__other").alias("__gj"),
     )
 
     def sweep(key, part):
-        gi, gj = key
+        gi, gj = key[-2], key[-1]
         ids = part["__id"].to_numpy()
         blks = part["__blk"].to_numpy()
         M = np.array(part["__v"].tolist(), dtype=np.float64)
@@ -529,6 +552,79 @@ def cosine_pairs_blocked(
             {out_a: ids[ai], out_b: ids[bi], "cosine_raw": cos[ai, bi]}
         )
 
-    return rep.groupBy("__gi", "__gj").applyInPandas(
+    return rep.groupBy(*bucket_keys, "__gi", "__gj").applyInPandas(
         sweep, schema=f"{out_a} long, {out_b} long, cosine_raw double"
     )
+
+
+def lsh_bucketed_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 3,
+    threshold: float = 0.45,
+    n_blocks: int = 2,
+    out_a: str = "vec_a",
+    out_b: str = "vec_b",
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: banded hyperplane-LSH
+    candidate generation → EXACT blocked-numpy cosine rescoring within
+    each bucket. This is the default 100 TB embedding-dedup recipe; the
+    all-pairs `cosine_pairs_blocked` (no bucket) is the exact baseline
+    it trades against.
+
+    Semantics (deterministic, oracle-replicable): a pair is emitted iff
+    the two vectors share at least one of ``bands`` bucket signatures
+    (band b = sign bits against planes [b·r, (b+1)·r) of the md5-derived
+    family) AND their exact cosine ≥ ``threshold``. Every emitted score
+    is exact — LSH only gates WHICH pairs get scored. Banding is the
+    recall dial: P(candidate) = 1 − (1 − p^r)^bands for per-plane
+    agreement p = 1 − θ/π, so more/narrower bands raise recall, wider
+    bands cut candidates. Nothing is random: planes are md5-derived
+    constants, so recall is reproducible bit-for-bit across runs and
+    engines (the DuckDB oracle replicates the buckets literally).
+
+    Scale shape: one projection computes all band signatures (Catalyst
+    folds the plane literals), a ``bands``-way explode routes each
+    vector to its buckets, and the quadratic kernel runs per
+    (band, bucket[, block-pair]) tile — the shuffle is bands·B·|data|
+    and NO tile ever spans the full table (vs B·|data| shuffle but
+    full-table n² compute for the exact baseline). Hot buckets split
+    further via ``n_blocks`` exactly as in `cosine_pairs_blocked`.
+    Cross-band duplicate candidates collapse with a pair-key
+    dropDuplicates (scores are identical in every band by the kernel's
+    fold-order contract, so which copy survives is immaterial).
+    """
+    r = planes_per_band
+    sigs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            hyperplane_signature(
+                vec_col, dims, planes=r, plane_offset=b * r
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    banded = (
+        df.select(F.col(id_col), F.col(vec_col), F.explode(sigs).alias("__bb"))
+        .select(
+            id_col,
+            vec_col,
+            (
+                F.col("__bb.band") * (2 ** r) + F.col("__bb.bucket")
+            ).alias("__band_bucket"),
+        )
+    )
+    pairs = cosine_pairs_blocked(
+        banded,
+        id_col,
+        vec_col,
+        threshold=threshold,
+        out_a=out_a,
+        out_b=out_b,
+        n_blocks=n_blocks,
+        bucket_col="__band_bucket",
+    )
+    return pairs.dropDuplicates([out_a, out_b])

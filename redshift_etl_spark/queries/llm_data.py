@@ -229,6 +229,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # B·|data| replication math and the fold-order bit-parity contract);
     # rounding + the final threshold test stay Spark-side so ROUND
     # semantics match the oracle.
+    #
+    # This is the EXACT BASELINE, quadratic by contract — at 100× it
+    # does not finish, however distributed. The catalog's default
+    # embedding-dedup is `lsh_bucketed_cosine` below, which gates the
+    # same exact kernel behind banded LSH buckets so no quadratic tile
+    # ever spans the full table.
     emb = load(spark, sf_dir, "embeddings")
     pairs = S.cosine_pairs_blocked(
         emb, "vec_id", "embedding", threshold=0.45
@@ -421,6 +427,77 @@ def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_lsh(
         emb, queries, "vec_id", "embedding", dims=64, planes=8, k=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed embedding dedup — THE default scale path (banded LSH buckets
+# → exact blocked rescoring inside each bucket). `dedup_embedding_cosine`
+# above is the exact-all-pairs baseline this trades against; that one is
+# O(n²) compute by contract and does not finish at 100×, this one's
+# quadratic tiles never span the full table. The oracle replicates the
+# md5-derived band buckets literally (an OR-of-band-equalities join) and
+# the same exact cosine — a full value check of the approximate index.
+# ---------------------------------------------------------------------------
+
+def _lsh_bucketed_cosine_oracle(
+    dims: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 3,
+    threshold: float = 0.45,
+) -> str:
+    from ..operators.similarity import _plane_component
+
+    r = planes_per_band
+    bucket_cols = []
+    for b in range(bands):
+        terms = []
+        for j in range(r):
+            arr = "[" + ", ".join(
+                repr(_plane_component(b * r + j, d)) for d in range(dims)
+            ) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) > 0"
+                f" THEN {2 ** j} ELSE 0 END)"
+            )
+        bucket_cols.append(" + ".join(terms) + f" AS b{b}")
+    band_match = " OR ".join(f"a.b{b} = s.b{b}" for b in range(bands))
+    buckets = ",\n       ".join(bucket_cols)
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT vec_id, v,
+       {buckets}
+  FROM c
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, s.vec_id AS vec_b,
+         ROUND(
+           list_dot_product(a.v, s.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(s.v, s.v))),
+           6
+         ) AS cosine
+  FROM sig a JOIN sig s
+    ON a.vec_id < s.vec_id AND ({band_match})
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
+@_q("lsh_bucketed_cosine", _lsh_bucketed_cosine_oracle())
+def lsh_bucketed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 8 bands × 3 planes: per-plane agreement at cosine 0.45 is
+    # p ≈ 0.65, so candidate recall ≈ 1 − (1 − p³)⁸ ≈ 0.92 — and rises
+    # toward 1 for closer duplicates. Deterministic planes make that
+    # recall exactly reproducible (and oracle-checkable), not a
+    # probabilistic expectation.
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = S.lsh_bucketed_cosine_pairs(
+        emb, "vec_id", "embedding", dims=64, bands=8, planes_per_band=3,
+        threshold=0.45, n_blocks=2,
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.45)
 
 
 # ---------------------------------------------------------------------------

@@ -184,6 +184,7 @@ def test_no_cross_product_in_scale_path_entry_points(spark):
         "ann_topk_lsh",
         "ann_topk_ivf",
         "dedup_embedding_cosine",
+        "lsh_bucketed_cosine",
         "fuzzy_pairs_lev1",
         "span_dedup",
         "dedup_jaccard_prefix",
@@ -252,3 +253,19 @@ def test_table_fingerprint_single_scan(spark):
     tree = P.plan_tree(df)
     assert tree.count("Scan parquet") == 1
     assert P.tree_count(df, "Exchange") - P.tree_count(df, "BroadcastExchange") <= 1
+
+
+def test_lsh_bucketed_cosine_no_full_table_replication(spark):
+    """The bucketed embedding-dedup must tile per (band, bucket): a
+    constant-fan-out explode pair (bands, then blocks) feeding ONE
+    grouped-sweep shuffle plus the pair-dedup — and never a cross
+    product or a full-table block-pair replication (which would show as
+    a join of the table against itself outside the grouped kernel)."""
+    df = Q.all_queries()["lsh_bucketed_cosine"](spark, SF_ORACLE)
+    tree = P.plan_tree(df)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "Join" not in tree  # candidate routing is explode+groupBy
+    assert P.tree_count(df, "Generate") == 2
+    assert P.tree_count(df, "FlatMapGroupsInPandas") == 1
+    assert P.tree_count(df, "Exchange") == 2

@@ -169,3 +169,55 @@ def test_degenerate_sizes_do_not_crash(spark):
         .count()
         == 0
     )
+
+
+def test_lsh_bucketed_pairs_subset_of_exact_with_identical_scores(spark):
+    """The bucketed path may only MISS pairs (bucket gating), never
+    invent or mis-score one: output ⊆ exact all-pairs, scores equal on
+    the intersection, and recall is non-trivial on the testdata."""
+    df = load(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine_raw"]
+        for r in S.cosine_pairs_blocked(df, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r["vec_a"], r["vec_b"]): r["cosine_raw"]
+        for r in S.lsh_bucketed_cosine_pairs(df, threshold=0.4).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for pair, cos in bucketed.items():
+        assert cos == exact[pair]  # bit-identical: same kernel fold
+    assert len(bucketed) >= 0.5 * len(exact)
+
+
+def test_lsh_bucketed_full_recall_on_identical_vectors(spark):
+    """Identical vectors agree with every plane, so they collide in
+    every band — candidate generation can never drop an exact dup."""
+    base = load(spark, SF_SMOKE, "embeddings").limit(20)
+    from pyspark.sql import functions as F
+
+    dup = base.withColumn("vec_id", F.col("vec_id") + 1000)
+    both = base.unionByName(dup)
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.lsh_bucketed_cosine_pairs(
+            both, threshold=0.999999
+        ).collect()
+    }
+    for r in base.select("vec_id").collect():
+        assert (r["vec_id"], r["vec_id"] + 1000) in pairs
+
+
+def test_lsh_bucketed_block_count_invariant(spark):
+    """n_blocks only tiles the per-bucket sweep — the emitted pair set
+    must not depend on it."""
+    df = load(spark, SF_SMOKE, "embeddings")
+    one = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.lsh_bucketed_cosine_pairs(df, threshold=0.4, n_blocks=1).collect()
+    }
+    three = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.lsh_bucketed_cosine_pairs(df, threshold=0.4, n_blocks=3).collect()
+    }
+    assert one == three
