@@ -376,22 +376,30 @@ def ivf_topk(
     k: int = 3,
     dims: int | None = None,
     train_iters: int = 0,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: corpus bucketed by nearest centroid once (at scale:
     persisted/partitioned by `cluster`); each query probes only its own
     centroid's bucket, then exact cosine rescoring + top-k.
 
-    ``train_iters=0`` uses the first ``n_centroids`` corpus vectors by
-    id as the codebook — deterministic but degenerate on real data
-    (clusters of the n smallest ids). ``train_iters>0`` runs that many
-    deterministic Lloyd's iterations (`kmeans_codebook`) from those
-    seeds — still engine-replicable, real clusters. At very large K,
-    replace the broadcast-join assignment with a Pandas-UDF matrix
-    multiply against the codebook.
+    ``centroids`` (columns (id_col, vec_col)) supplies a pre-trained
+    codebook — the production posture: train once offline with
+    `kmeans_codebook`, persist the tiny frame, and every query is then
+    map-only assignment + bucket-local top-k with zero training
+    shuffles. Otherwise ``train_iters=0`` uses the first ``n_centroids``
+    corpus vectors by id as the codebook — deterministic but degenerate
+    on real data (clusters of the n smallest ids) — and
+    ``train_iters>0`` runs that many deterministic Lloyd's iterations
+    (`kmeans_codebook`) in-query from those seeds — still
+    engine-replicable, real clusters. At very large K, replace the
+    broadcast-join assignment with a Pandas-UDF matrix multiply against
+    the codebook.
     """
     from pyspark.sql import Window
 
-    if train_iters > 0:
+    if centroids is not None:
+        centroids = centroids.select(id_col, vec_col)
+    elif train_iters > 0:
         centroids = kmeans_codebook(
             corpus, id_col, vec_col, k=n_centroids, iters=train_iters,
             dims=dims,

@@ -221,3 +221,24 @@ def test_lsh_bucketed_block_count_invariant(spark):
         for r in S.lsh_bucketed_cosine_pairs(df, threshold=0.4, n_blocks=3).collect()
     }
     assert one == three
+
+
+def test_ivf_codebook_fixture_matches_retraining(spark):
+    """The committed train-once fixture must equal deterministic
+    retraining bit-for-bit (double parquet round-trips are exact); a
+    stale fixture also hash-mismatches the ann_topk_ivf oracle, but
+    this failure names the cause directly."""
+    from redshift_etl_spark.queries.llm_data import ivf_codebook
+
+    fixture = {
+        r["vec_id"]: r["embedding"]
+        for r in ivf_codebook(spark, SF_SMOKE).collect()
+    }
+    fresh = {
+        r["vec_id"]: r["embedding"]
+        for r in S.kmeans_codebook(
+            load(spark, SF_SMOKE, "embeddings"), "vec_id", "embedding",
+            k=8, iters=2,
+        ).collect()
+    }
+    assert fixture == fresh
