@@ -33,6 +33,8 @@ HEADLINE = (
     "shipping_priority",    # multi-join + agg + top-k (TPC-H Q3 shape)
     "window_frames",        # running/moving frame aggregates, one Window op
     "dedup_embedding_cosine",  # blocked-numpy all-pairs kernel (Arrow path)
+    "lsh_bucketed_cosine",  # banded LSH buckets → exact blocked rescoring
+                            # (the default embedding-dedup scale path)
     "corpus_prep",          # clean → filter → dedup → split composite
     "decontaminate",        # n-gram overlap vs broadcast benchmark set
     "sequence_packing",     # concat-then-chunk token packing (window cumsum)
@@ -43,6 +45,53 @@ HEADLINE = (
     "fuzzy_pairs_lev1",     # lev-1 fuzzy join (partition-lemma equi-joins)
     "rollup_cascade",       # hypertable minute→hour→day cascade
 )
+
+
+def bench_stream_ctr(
+    spark, rows_per_second: int = 400_000, window_sec: float = 30.0
+) -> dict:
+    """Streaming throughput of the full CTR path (synth payload →
+    base64/JSON parse → flatten → watermarked stateful dedup) against a
+    saturating rate source for a bounded wall window, noop sink.
+
+    The admission cap sits above single-node capacity so the engine
+    runs saturated and catch-up batches grow to its true throughput.
+    The first two completed batches are warm-up (state-store + codegen
+    init takes ~10 s and would understate steady state); throughput is
+    completed-rows / trigger-execution-time over the rest. This is the
+    one headline axis the batch queries can't gate: a regression in the
+    dedup-state path shows up here as rows/sec, not seconds."""
+    import shutil
+    import tempfile
+
+    from redshift_etl_spark.streaming.ctr import build_ctr_rate_stream
+
+    ckpt = tempfile.mkdtemp(prefix="bench_ctr_ckpt_")
+    stream = build_ctr_rate_stream(
+        spark, rows_per_second=rows_per_second, dup_every=10,
+        num_partitions=8,
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        time.sleep(window_sec)
+    finally:
+        q.stop()
+    prog = [p for p in q.recentProgress if p["numInputRows"] > 0][2:]
+    rows = sum(p["numInputRows"] for p in prog)
+    ms = sum(p["durationMs"]["triggerExecution"] for p in prog)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "stream_ctr_rate_rows_per_sec": (
+            round(rows / (ms / 1000.0), 1) if ms else 0.0
+        ),
+        "stream_ctr_rate_rows": rows,
+        "stream_ctr_rate_batches": len(prog),
+    }
 
 
 def main() -> None:
@@ -81,6 +130,15 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
 
+    stream = bench_stream_ctr(spark)
+    print(
+        f"# stream_ctr_rate: "
+        f"{stream['stream_ctr_rate_rows_per_sec']:.0f} rows/s "
+        f"({stream['stream_ctr_rate_rows']} rows, "
+        f"{stream['stream_ctr_rate_batches']} batches)",
+        flush=True,
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -89,6 +147,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stream": stream,
                 "sf": sf,
             }
         ),

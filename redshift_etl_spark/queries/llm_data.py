@@ -439,12 +439,14 @@ def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same exact cosine — a full value check of the approximate index.
 # ---------------------------------------------------------------------------
 
-def _lsh_bucketed_cosine_oracle(
+def _lsh_pairs_ctes(
     dims: int = 64,
     bands: int = 8,
     planes_per_band: int = 3,
     threshold: float = 0.45,
 ) -> str:
+    """Shared CTE body: banded-bucket candidate join + exact cosine,
+    ending in qualified(vec_a, vec_b, cosine)."""
     from ..operators.similarity import _plane_component
 
     r = planes_per_band
@@ -463,7 +465,7 @@ def _lsh_bucketed_cosine_oracle(
     band_match = " OR ".join(f"a.b{b} = s.b{b}" for b in range(bands))
     buckets = ",\n       ".join(bucket_cols)
     return f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 sig AS (
   SELECT vec_id, v,
        {buckets}
@@ -478,8 +480,14 @@ pairs AS (
          ) AS cosine
   FROM sig a JOIN sig s
     ON a.vec_id < s.vec_id AND ({band_match})
-)
-SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}
+),
+qualified AS (SELECT * FROM pairs WHERE cosine >= {threshold})"""
+
+
+def _lsh_bucketed_cosine_oracle() -> str:
+    return f"""
+WITH {_lsh_pairs_ctes()}
+SELECT vec_a, vec_b, cosine FROM qualified
 """
 
 
@@ -498,6 +506,53 @@ def lsh_bucketed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
     ).filter(F.col("cosine") >= 0.45)
+
+
+# ---------------------------------------------------------------------------
+# The full embedding-dedup recipe, end to end: banded-LSH candidate
+# pairs → exact rescoring → connected components → one keep decision
+# per cluster (min id survives, the rest are the drop set). This is the
+# query a 100 TB pipeline actually runs; the pair queries above are its
+# observable stages. Oracle: same bucketed pairs + recursive-CTE
+# transitive closure (exact at oracle scale).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "embedding_dedup_clusters",
+    f"""
+WITH RECURSIVE {_lsh_pairs_ctes()},
+sym AS (
+  SELECT vec_a AS a, vec_b AS b FROM qualified
+  UNION ALL SELECT vec_b, vec_a FROM qualified
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT component AS keep_id, COUNT(*) AS n_vecs,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+)
+GROUP BY component
+""",
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = S.lsh_bucketed_cosine_pairs(
+        emb, "vec_id", "embedding", dims=64, bands=8, planes_per_band=3,
+        threshold=0.45, n_blocks=2,
+    ).select(
+        "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
+    ).filter(F.col("cosine") >= 0.45)
+    cc = D.connected_components(pairs, "vec_a", "vec_b")
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+    ).select(
+        F.col("component").alias("keep_id"), "n_vecs", "n_dropped"
+    )
 
 
 # ---------------------------------------------------------------------------
