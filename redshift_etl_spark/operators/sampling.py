@@ -57,6 +57,43 @@ def deterministic_split(
     )
 
 
+def training_shuffle(
+    df: DataFrame,
+    key: str,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training order: every row gets
+    a reproducible position (``shuffle_bucket``, ``bucket_pos``) whose
+    lexicographic order is a uniform pseudo-random permutation of the
+    corpus — the global shuffle a training run performs before writing
+    shards, without RAND() (re-runs and engines agree bit-for-bit) and
+    without a single-partition global sort.
+
+    Order key = md5(salt ‖ ':' ‖ key); bucket = its first byte (so the
+    bucket boundary agrees with the sort key's own order — bucket-major
+    traversal IS md5 order), position = rank within the bucket. One
+    hash shuffle on the bucket + per-bucket sorts; at 100 TB each
+    bucket is |data|/256 and buckets are written as independent shards.
+    Different ``salt`` values give independent permutations (epoch
+    reshuffles) while the key's split/sample assignment stays untouched
+    (those hash the bare key; this hashes the salted key).
+    """
+    h = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(key).cast("string"))
+    )
+    nib = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
+    bucket = (nib(1) * 16 + nib(2)).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shuffle_bucket").orderBy("__h", key)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shuffle_bucket", bucket)
+        .withColumn("bucket_pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
 def oracle_bucket_sql(key_sql: str) -> str:
     """The DuckDB-side twin of `hash_bucket` for oracle queries."""
     h = f"md5(CAST({key_sql} AS VARCHAR))"

@@ -442,6 +442,69 @@ def ivf_topk(
     )
 
 
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-label mean vector via the same scaled-integer sums as
+    `kmeans_codebook` (BIGINT sums are associative-exact, so the
+    centroid is identical under any partitioning/engine). One
+    (label, pos) aggregate over a dims-wide explode; the result is one
+    row per label."""
+    comp = (
+        vectors.select(
+            label_col,
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+        )
+        .groupBy(label_col, "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("val") * scale, 0).cast("long"))
+                .cast("double")
+                / (F.lit(float(scale)) * F.count(F.lit(1)))
+            ).alias("cval")
+        )
+    )
+    return comp.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.getField("cval"),
+        ).alias("centroid")
+    )
+
+
+def label_centroid_quality(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Label-noise screening for a labeled embedding set: per label,
+    how tight is the cluster around its own centroid? Reports n_vecs,
+    the mean and minimum cosine of members to their label centroid —
+    a low min flags probable mislabels, a low mean a non-cohesive
+    label. The per-label centroid join carries no broadcast hint
+    (labels are caller-cardinality; AQE broadcasts when actually
+    small); the mean is a scaled-integer sum of rounded cosines, so
+    every reported number is engine- and partitioning-exact."""
+    cent = label_centroids(vectors, label_col, vec_col, scale)
+    scored = vectors.join(cent, label_col).select(
+        label_col,
+        F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias("__cos"),
+    )
+    return scored.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(F.round(F.col("__cos") * scale, 0).cast("long"))
+            .cast("double")
+            / (F.lit(float(scale)) * F.count(F.lit(1)))
+        ).alias("mean_cos"),
+        F.min("__cos").alias("min_cos"),
+    )
+
+
 # --- Blocked numpy all-pairs kernel (Arrow batch path) ---------------------
 
 def cosine_pairs_blocked(

@@ -1438,3 +1438,166 @@ def mixture_concentration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return SA.mixture_concentration(docs, "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle (operators/sampling.
+# training_shuffle): (bucket, pos) is a reproducible uniform permutation
+# — the pre-shard global shuffle without RAND() or a single-partition
+# sort. Oracle spells the identical salted-md5 bucket + window rank.
+# ---------------------------------------------------------------------------
+
+_SHUF_BUCKET = SP.oracle_bucket_sql("'shuffle:' || CAST(doc_id AS VARCHAR)")
+# oracle_bucket_sql hashes CAST(key AS VARCHAR); feeding it the salted
+# string directly reproduces md5('shuffle:' || key)
+
+
+@_q(
+    "training_shuffle_order",
+    f"""
+SELECT doc_id,
+       CAST({_SHUF_BUCKET} AS BIGINT) AS shuffle_bucket,
+       CAST(row_number() OVER (
+         PARTITION BY {_SHUF_BUCKET}
+         ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS bucket_pos
+FROM documents
+""",
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return SP.training_shuffle(docs, "doc_id").select(
+        "doc_id", "shuffle_bucket", "bucket_pos"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide boilerplate n-grams: top doc-frequency word 3-grams — the
+# diagnostic behind span_dedup's frequency cut (which shared spans are
+# polluting the corpus, and how widely). Aggregate on the shingle, then
+# a bounded top-k (TakeOrderedAndProject — never a global sort of the
+# full n-gram table); (doc_freq DESC, shingle ASC) is a total order, so
+# the cut is deterministic on both engines.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "boilerplate_ngrams",
+    f"""
+WITH sh AS ({_DUCK_SHINGLES})
+SELECT shingle, COUNT(*) AS doc_freq
+FROM sh GROUP BY 1
+ORDER BY doc_freq DESC, shingle ASC
+LIMIT 20
+""",
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = D.exploded_shingles(docs, "doc_id", "text", 3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source data audit: the report a mixture owner reads before
+# weighting sources — volume, token budget, quality rate, exact-dup
+# rate, language spread. One scan + one hash aggregate; ratios are
+# exact-int divisions.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "source_quality_report",
+    f"""
+WITH d AS (
+  SELECT source, lang,
+         len(str_split(text, ' ')) AS n_tok,
+         CASE WHEN len(str_split(text, ' ')) >= 20
+               AND len(str_split(text, ' ')) <= 95
+               AND CAST(len(list_filter(str_split(text, ' '),
+                     w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+                     / len(str_split(text, ' ')) < 0.5
+               AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(str_split(text, ' ')) >= 2.0
+              THEN 1 ELSE 0 END AS is_q,
+         md5(text) AS fp
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                          AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT)                        AS total_tokens,
+       CAST(SUM(is_q) AS DOUBLE) / COUNT(*)              AS quality_rate,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT)     AS n_exact_dups,
+       CAST(COUNT(DISTINCT lang) AS BIGINT)              AS n_langs
+FROM d GROUP BY 1
+""",
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        TX.token_count("text").alias("n_tok"),
+        TX.quality_score("text").alias("is_q"),
+        F.md5("text").alias("fp"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        (
+            F.sum("is_q").cast("double") / F.count(F.lit(1))
+        ).alias("quality_rate"),
+        (F.count(F.lit(1)) - F.count_distinct("fp")).cast("long").alias(
+            "n_exact_dups"
+        ),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid quality over the labeled embedding set (operators/
+# similarity.label_centroid_quality): per-label cohesion screening for
+# label noise. Centroids use the kmeans-style scaled-integer means, so
+# the oracle replicates them exactly.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "label_centroid_quality",
+    """
+WITH c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT label, list(cval ORDER BY pos) AS cv FROM (
+    SELECT label, pos,
+           CAST(SUM(CAST(ROUND(val * 1000000) AS BIGINT)) AS DOUBLE)
+             / (1000000.0 * COUNT(*)) AS cval
+    FROM (SELECT label, unnest(range(1, len(v) + 1)) AS pos,
+                 unnest(v) AS val
+          FROM c)
+    GROUP BY label, pos
+  ) GROUP BY label
+),
+scored AS (
+  SELECT c.label,
+         ROUND(
+           list_dot_product(c.v, cent.cv)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(cent.cv, cent.cv))),
+           6
+         ) AS cos
+  FROM c JOIN cent ON c.label = cent.label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(ROUND(cos * 1000000) AS BIGINT)) AS DOUBLE)
+         / (1000000.0 * COUNT(*)) AS mean_cos,
+       MIN(cos) AS min_cos
+FROM scored GROUP BY 1
+""",
+)
+def label_centroid_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.label_centroid_quality(emb, "label", "embedding")

@@ -122,3 +122,42 @@ def test_mixture_concentration_metrics(spark):
     assert s1["top_share"] == 0.8
     s2 = got["s2"]  # pure group
     assert s2["hhi"] == 1.0 and s2["gini_impurity"] == 0.0
+
+
+def test_training_shuffle_is_a_stable_permutation(spark):
+    from redshift_etl_spark.operators import sampling as SP2
+
+    df = _docs(spark, 300)
+    out = SP2.training_shuffle(df, "doc_id")
+    rows = out.collect()
+    assert len(rows) == 300
+    # positions are contiguous 1..n within each bucket
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["shuffle_bucket"], []).append(r["bucket_pos"])
+    for bucket, ps in by_bucket.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), bucket
+    # stable under repartitioning
+    again = {
+        r["doc_id"]: (r["shuffle_bucket"], r["bucket_pos"])
+        for r in SP2.training_shuffle(df.repartition(13), "doc_id").collect()
+    }
+    assert again == {
+        r["doc_id"]: (r["shuffle_bucket"], r["bucket_pos"]) for r in rows
+    }
+
+
+def test_training_shuffle_salt_gives_independent_permutation(spark):
+    from redshift_etl_spark.operators import sampling as SP2
+
+    df = _docs(spark, 200)
+    a = {
+        r["doc_id"]: (r["shuffle_bucket"], r["bucket_pos"])
+        for r in SP2.training_shuffle(df, "doc_id", salt="epoch0").collect()
+    }
+    b = {
+        r["doc_id"]: (r["shuffle_bucket"], r["bucket_pos"])
+        for r in SP2.training_shuffle(df, "doc_id", salt="epoch1").collect()
+    }
+    assert a != b                       # different epoch, different order
+    assert set(a) == set(b)             # same membership

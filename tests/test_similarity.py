@@ -242,3 +242,34 @@ def test_ivf_codebook_fixture_matches_retraining(spark):
         ).collect()
     }
     assert fixture == fresh
+
+
+def test_label_centroid_quality_flags_planted_outlier(spark):
+    """A vector pointing away from its label's tight cluster must drag
+    that label's min_cos far below the clean label's."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(7)
+    base0 = rng.normal(0, 1, 8)
+    base1 = rng.normal(0, 1, 8)
+    rows = []
+    vid = 0
+    for base, label in ((base0, 0), (base1, 1)):
+        for _ in range(10):
+            v = base + rng.normal(0, 0.05, 8)
+            rows.append(Row(vec_id=vid, label=label, embedding=[float(x) for x in v]))
+            vid += 1
+    rows.append(Row(vec_id=vid, label=1, embedding=[float(x) for x in -base1]))
+    df = spark.createDataFrame(rows)
+    got = {r["label"]: r for r in S.label_centroid_quality(df).collect()}
+    assert got[0]["n_vecs"] == 10 and got[1]["n_vecs"] == 11
+    assert got[0]["min_cos"] > 0.9          # clean label: tight
+    assert got[1]["min_cos"] < 0.0          # planted anti-vector caught
+    # partition invariance of the scaled-int means
+    again = {
+        r["label"]: r for r in S.label_centroid_quality(df.repartition(7)).collect()
+    }
+    for lbl in (0, 1):
+        assert again[lbl]["mean_cos"] == got[lbl]["mean_cos"]
+        assert again[lbl]["min_cos"] == got[lbl]["min_cos"]
