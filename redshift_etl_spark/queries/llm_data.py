@@ -1535,6 +1535,12 @@ FROM d GROUP BY 1
 """,
 )
 def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-level aggregation: reduce to (source, lang, fp) grain first —
+    # map-side partials shrink the corpus to near-distinct size before
+    # any distinct accounting, so the two COUNT(DISTINCT)s (fp, lang)
+    # and their Expand run over the reduced frame, never over every
+    # document (at 100 TB a direct dual-distinct Expand triples the
+    # full scan's shuffle volume). Same relation, same results.
     docs = load(spark, sf_dir, "documents")
     per_doc = docs.select(
         "source",
@@ -1543,13 +1549,16 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score("text").alias("is_q"),
         F.md5("text").alias("fp"),
     )
-    return per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").cast("long").alias("total_tokens"),
-        (
-            F.sum("is_q").cast("double") / F.count(F.lit(1))
-        ).alias("quality_rate"),
-        (F.count(F.lit(1)) - F.count_distinct("fp")).cast("long").alias(
+    grain = per_doc.groupBy("source", "lang", "fp").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("n_tok").alias("__tok"),
+        F.sum("is_q").alias("__q"),
+    )
+    return grain.groupBy("source").agg(
+        F.sum("__n").cast("long").alias("n_docs"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
+        (F.sum("__q").cast("double") / F.sum("__n")).alias("quality_rate"),
+        (F.sum("__n") - F.count_distinct("fp")).cast("long").alias(
             "n_exact_dups"
         ),
         F.count_distinct("lang").cast("long").alias("n_langs"),

@@ -269,3 +269,43 @@ def test_lsh_bucketed_cosine_no_full_table_replication(spark):
     assert P.tree_count(df, "Generate") == 2
     assert P.tree_count(df, "FlatMapGroupsInPandas") == 1
     assert P.tree_count(df, "Exchange") == 2
+
+
+def test_boilerplate_ngrams_bounded_topk(spark):
+    # corpus-wide top-k must plan as TakeOrderedAndProject over the
+    # aggregated n-gram frame — never a global sort materialization
+    df = Q.all_queries()["boilerplate_ngrams"](spark, SF_ORACLE)
+    tree = P.plan_tree(df)
+    assert "TakeOrderedAndProject" in tree
+    assert "rangepartitioning" not in tree.lower()
+
+
+def test_training_shuffle_single_bucket_shuffle(spark):
+    # one hash exchange on the shuffle bucket feeds the per-bucket rank
+    # window; no global sort, no join
+    df = Q.all_queries()["training_shuffle_order"](spark, SF_ORACLE)
+    assert P.tree_count(df, "Exchange") == 1
+    assert P.tree_count(df, "Window") == 1
+    assert "rangepartitioning" not in P.plan_tree(df).lower()
+
+
+def test_source_quality_report_expands_only_reduced_frame(spark):
+    # the dual COUNT(DISTINCT) Expand must sit ABOVE the grain
+    # reduction: plan order is scan → (source,lang,fp) hash agg →
+    # Expand → per-source agg. An Expand directly over the scan would
+    # triple the full corpus shuffle at scale.
+    df = Q.all_queries()["source_quality_report"](spark, SF_ORACLE)
+    tree = P.plan_tree(df)
+    assert "Expand" in tree
+    scan_line = max(
+        i for i, ln in enumerate(tree.splitlines()) if "Scan parquet" in ln
+    )
+    expand_line = max(
+        i for i, ln in enumerate(tree.splitlines()) if "Expand" in ln
+    )
+    agg_lines = [
+        i for i, ln in enumerate(tree.splitlines()) if "HashAggregate" in ln
+    ]
+    # formatted tree prints top-down: at least one HashAggregate lies
+    # BETWEEN the Expand and the scan (the grain reduction)
+    assert any(expand_line < a < scan_line for a in agg_lines)
