@@ -35,6 +35,11 @@ HEADLINE = (
     "dedup_embedding_cosine",  # blocked-numpy all-pairs kernel (Arrow path)
     "lsh_bucketed_cosine",  # banded LSH buckets → exact blocked rescoring
                             # (the default embedding-dedup scale path)
+    "embedding_dedup_clusters",  # the full recipe: bucketed pairs →
+                            # connected components → keep set
+    "source_quality_report",  # per-source audit (two-level agg, reduced
+                            # Expand)
+    "label_centroid_quality",  # label-noise screening over embeddings
     "corpus_prep",          # clean → filter → dedup → split composite
     "decontaminate",        # n-gram overlap vs broadcast benchmark set
     "sequence_packing",     # concat-then-chunk token packing (window cumsum)
