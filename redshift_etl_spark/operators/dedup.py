@@ -330,9 +330,17 @@ def connected_components(
     blows up). Early-exits when a round changes nothing (one count()
     action per round — the driver holds no graph data).
     """
+    # Pin the edge list BEFORE iterating: `edges` is typically the
+    # output of an expensive candidate pipeline (LSH sweep, shingle
+    # joins), and every fixed-point round joins against `sym` — without
+    # the checkpoint each round re-executes that whole upstream
+    # pipeline (measured: the banded-cosine sweep re-ran per round,
+    # ~5× the query's cost at 4 rounds).
     sym = edges.select(
         F.col(src).alias("node"), F.col(dst).alias("nbr")
-    ).unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+    ).unionByName(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    ).localCheckpoint()
     labels = (
         sym.select("node").distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
