@@ -305,6 +305,71 @@ def assign_clusters(
     )
 
 
+def assign_clusters_arrow(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """`assign_clusters` for LARGE codebooks: the K-way scoring runs as
+    a vectorized numpy kernel under ``mapInPandas`` instead of a
+    broadcast join + |vectors|·K scalar-expression rows. The codebook
+    (small by definition) is collected once driver-side into a dense
+    matrix and ships to executors inside the closure — the per-row work
+    is K dot products over an Arrow batch, not K joined rows.
+
+    Bit-compatible with `assign_clusters` BY CONSTRUCTION: the dot
+    products accumulate dimension-by-dimension with element-wise `+=`
+    (the same left-to-right float64 add order as the fold / the SQL
+    chain — never np.dot, whose pairwise/SIMD order differs), the
+    cosine is rounded to 6 dp the same way, and ties break to the
+    lowest centroid id via lexicographic argmax on (cosine, −id).
+    `test_assign_clusters_arrow_matches_exact` asserts equality on the
+    testdata; use whichever the codebook size dictates.
+    """
+    import numpy as np
+
+    cent_rows = sorted(
+        (r[0], r[1])
+        for r in centroids.select(id_col, vec_col).collect()
+    )
+    cent_ids = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
+    C = np.array([v for _, v in cent_rows], dtype=np.float64)
+    cnorm = np.zeros(len(cent_ids))
+    for d in range(C.shape[1]):
+        cnorm += C[:, d] * C[:, d]
+    cnorm = np.sqrt(cnorm)
+    out_fields = vectors.schema.fieldNames()
+    schema_str = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in vectors.schema.fields
+    ) + ", cluster long"
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf[out_fields].copy()
+                out["cluster"] = pd.Series([], dtype="int64")
+                yield out
+                continue
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            acc = np.zeros((len(pdf), len(cent_ids)))
+            nrm = np.zeros(len(pdf))
+            for d in range(M.shape[1]):
+                acc += M[:, d][:, None] * C[:, d][None, :]
+                nrm += M[:, d] * M[:, d]
+            cos = np.round(acc / (np.sqrt(nrm)[:, None] * cnorm[None, :]), 6)
+            # argmax on (cosine, -centroid_id): stable lowest-id winner
+            order = np.lexsort((cent_ids[None, :].repeat(len(pdf), 0), -cos))
+            best = cent_ids[order[:, 0]]
+            out = pdf[out_fields].copy()
+            out["cluster"] = best
+            yield out
+
+    return vectors.mapInPandas(assign, schema=schema_str)
+
+
 def kmeans_codebook(
     corpus: DataFrame,
     id_col: str = "vec_id",

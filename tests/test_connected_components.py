@@ -149,3 +149,45 @@ def test_prefix_actually_prunes_candidates(spark):
         .count()
     )
     assert pref < 0.65 * full  # at t=0.5 the prefix is ~half + 1
+
+
+# --- property: prefix filtering is lossless at ANY threshold ----------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10**6),
+    threshold=st.sampled_from([0.35, 0.45, 0.55, 0.6, 0.7, 0.85]),
+)
+def test_prefix_jaccard_lossless_property(spark, seed, threshold):
+    """For random near-dup corpora and any threshold, the prefix-
+    filtered join must return exactly the all-shingle formulation's
+    pairs — the AllPairs/PPJoin guarantee, including thresholds whose
+    t·n product is float-inexact."""
+    import random
+
+    from redshift_etl_spark.operators import dedup as D
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(10):
+        n_words = rng.randrange(8, 25)
+        base = [rng.choice(vocab) for _ in range(n_words)]
+        rows.append((2 * d, " ".join(base)))
+        mutated = list(base)
+        for _ in range(rng.randrange(0, 3)):
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+        rows.append((2 * d + 1, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(fn):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in fn(docs, "doc_id", "text", threshold=threshold).collect()
+        }
+
+    assert pairs(D.jaccard_pairs_prefix) == pairs(D.jaccard_pairs)

@@ -273,3 +273,20 @@ def test_label_centroid_quality_flags_planted_outlier(spark):
     for lbl in (0, 1):
         assert again[lbl]["mean_cos"] == got[lbl]["mean_cos"]
         assert again[lbl]["min_cos"] == got[lbl]["min_cos"]
+
+
+def test_assign_clusters_arrow_matches_exact(spark):
+    """The Arrow matrix kernel must assign every vector to the SAME
+    cluster as the expression-based broadcast join (same fold order,
+    same rounding, same lowest-id tiebreak)."""
+    corpus = load(spark, SF_SMOKE, "embeddings")
+    cent = S.kmeans_codebook(corpus, "vec_id", "embedding", k=8, iters=1)
+    a = {
+        r["vec_id"]: r["cluster"]
+        for r in S.assign_clusters(corpus, cent, "vec_id", "embedding").collect()
+    }
+    b = {
+        r["vec_id"]: r["cluster"]
+        for r in S.assign_clusters_arrow(corpus, cent, "vec_id", "embedding").collect()
+    }
+    assert a == b
