@@ -127,6 +127,29 @@ def stratified_cap_sample(
     )
 
 
+def exact_cap_sample(
+    df: DataFrame, key: str, group: str, cap: int
+) -> DataFrame:
+    """Exact per-group quota sampling: keep exactly min(cap, |group|)
+    rows per group, chosen deterministically — rank rows within each
+    group by (md5(key), key) and keep the first ``cap``. Unlike
+    `stratified_cap_sample` (bucket-filter, ±1/256 resolution, no
+    shuffle) this guarantees the quota exactly, at the cost of one
+    hash shuffle on the group for the rank window. The md5 order makes
+    the selection a uniform draw that is stable across runs, engines,
+    and partitionings — and adding NEW rows to a group can displace
+    only the md5-largest survivors, never reshuffle the whole draw."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(group).orderBy(h, key)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     key: str,

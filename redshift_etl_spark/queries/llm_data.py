@@ -1610,3 +1610,27 @@ FROM scored GROUP BY 1
 def label_centroid_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.label_centroid_quality(emb, "label", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Exact per-source quota sampling (operators/sampling.exact_cap_sample):
+# keep exactly min(cap, n) docs per source under a deterministic md5
+# draw — the exact-quota counterpart of the bucket-filter cap.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "exact_cap_sample",
+    """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 10
+""",
+)
+def exact_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    return SP.exact_cap_sample(docs, "doc_id", "source", 10)

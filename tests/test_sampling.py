@@ -161,3 +161,29 @@ def test_training_shuffle_salt_gives_independent_permutation(spark):
     }
     assert a != b                       # different epoch, different order
     assert set(a) == set(b)             # same membership
+
+
+def test_exact_cap_sample_quota_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.operators import sampling as SP2
+
+    df = _docs(spark, 300).withColumn(
+        "grp", (F.col("doc_id") % 4).cast("string")
+    )
+    out = SP2.exact_cap_sample(df, "doc_id", "grp", 20)
+    sizes = {
+        r["grp"]: r["n"]
+        for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n == 20 for n in sizes.values())  # 75/group, capped to 20
+    # stable under repartitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in SP2.exact_cap_sample(df.repartition(17), "doc_id", "grp", 20).collect()
+    }
+    assert a == b
+    # small groups survive whole
+    tiny = df.filter(F.col("doc_id") < 8)
+    assert SP2.exact_cap_sample(tiny, "doc_id", "grp", 20).count() == 8
