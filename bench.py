@@ -53,7 +53,7 @@ HEADLINE = (
 
 
 def bench_stream_ctr(
-    spark, rows_per_second: int = 400_000, window_sec: float = 30.0
+    spark, rows_per_second: int = 400_000, window_sec: float = 45.0
 ) -> dict:
     """Streaming throughput of the full CTR path (synth payload →
     base64/JSON parse → flatten → watermarked stateful dedup) against a
@@ -86,7 +86,11 @@ def bench_stream_ctr(
         time.sleep(window_sec)
     finally:
         q.stop()
-    prog = [p for p in q.recentProgress if p["numInputRows"] > 0][2:]
+    done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    # drop the two warm-up batches when we can afford to; on a loaded
+    # machine with few completed batches, measure what finished rather
+    # than reporting zero
+    prog = done[2:] if len(done) > 2 else done
     rows = sum(p["numInputRows"] for p in prog)
     ms = sum(p["durationMs"]["triggerExecution"] for p in prog)
     shutil.rmtree(ckpt, ignore_errors=True)
