@@ -92,10 +92,21 @@ def dedup_stream(
 ) -> DataFrame:
     """ST2 — exactly-once-per-ContactId within the watermark horizon
     (replaces the DynamoDB conditional put, `:9-28`; horizon bounds the
-    state the reference leaves unbounded)."""
-    return flat.withWatermark(event_time_col, watermark).dropDuplicates(
-        ["contact_id"]
-    )
+    state the reference leaves unbounded).
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), NOT
+    ``dropDuplicates``: with a plain dropDuplicates the watermark only
+    evicts dedup state when the event-time column is part of the key
+    subset — keyed on contact_id alone the state store grows without
+    bound, the exact failure the horizon exists to prevent. The
+    WithinWatermark variant keys on contact_id and still expires each
+    entry once the watermark passes its event time, so state is
+    O(contacts per horizon) at any input scale. In batch mode (static
+    frames in tests) it degrades to plain key-dedup semantics."""
+    wm = flat.withWatermark(event_time_col, watermark)
+    if flat.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(["contact_id"])
+    return wm.dropDuplicates(["contact_id"])
 
 
 def build_ctr_stream(

@@ -383,3 +383,57 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
     assert len(rows) == 9
     assert {r["name"] for r in rows} == {"zero", "one", "two"}
     spark.catalog.dropTempView("enrich")
+
+
+def test_stream_dedup_state_expires_past_watermark(spark, tmp_path):
+    """ST2 state is BOUNDED: dropDuplicatesWithinWatermark expires a
+    key's entry once the watermark passes its event time, so (a) a
+    duplicate arriving after the horizon is re-emitted — the documented
+    semantic trade for state that stays O(contacts per horizon) at
+    100 TB — while (b) duplicates inside the horizon still drop. With a
+    plain dropDuplicates(contact_id) the late duplicate would be
+    suppressed forever and the state store would never shrink."""
+    import os
+    import time as _time
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    # horizon = 1h. C1@10:00 seen; b2 advances the watermark to 12:00
+    # via C2@13:00 (and checks an in-horizon duplicate); b3 runs WITH
+    # that watermark, so C1's entry (expires 11:00) is evicted at its
+    # end (eviction is end-of-batch); b4 re-sends C1 — state gone →
+    # re-emitted.
+    _write_batch(indir, "b1.json", [_rec("C1", init="2024-01-15T10:00:00Z")])
+    _write_batch(indir, "b2.json", [_rec("C2", init="2024-01-15T13:00:00Z"),
+                                    _rec("C2", init="2024-01-15T13:00:00Z")])
+    _write_batch(indir, "b3.json", [_rec("C3", init="2024-01-15T13:10:00Z")])
+    _write_batch(indir, "b4.json", [_rec("C1", init="2024-01-15T13:30:00Z")])
+    # the file source orders by modification time; same-second mtimes
+    # tie-break arbitrarily, so pin strictly increasing mtimes
+    now = _time.time()
+    for i, name in enumerate(("b1.json", "b2.json", "b3.json", "b4.json")):
+        os.utime(indir / name, (now - 400 + i * 100, now - 400 + i * 100))
+
+    stream = ctr.build_ctr_stream(
+        spark, str(indir), watermark="1 hour", max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ctr_expiry")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = {
+        r["contact_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT contact_id, count(*) AS n FROM ctr_expiry GROUP BY 1"
+        ).collect()
+    }
+    spark.catalog.dropTempView("ctr_expiry")
+    assert counts["C2"] == 1          # in-horizon duplicate dropped
+    assert counts["C1"] == 2          # post-horizon duplicate re-emitted
