@@ -395,7 +395,10 @@ def kmeans_codebook(
       are associative-exact, so the mean does not depend on row order
       or partition boundaries; a double SUM would differ run-to-run at
       scale and between engines. The 10⁻⁶ quantization is far below
-      any clustering-relevant signal.
+      any clustering-relevant signal. Overflow headroom: components
+      bounded by |v|≤10 keep the per-(cluster,pos) sum under 10⁷·n —
+      safe to n ≈ 10¹¹ rows per cluster; beyond that, raise the sum to
+      DECIMAL(38,0) (same exactness, wider headroom).
 
     Empty clusters drop out of the codebook (both engines compute
     identical assignments, so they drop identically). One shuffle per
@@ -515,7 +518,8 @@ def label_centroids(
 ) -> DataFrame:
     """Per-label mean vector via the same scaled-integer sums as
     `kmeans_codebook` (BIGINT sums are associative-exact, so the
-    centroid is identical under any partitioning/engine). One
+    centroid is identical under any partitioning/engine; same 10¹¹-
+    rows-per-label overflow headroom — see kmeans_codebook). One
     (label, pos) aggregate over a dims-wide explode; the result is one
     row per label."""
     comp = (

@@ -9,10 +9,12 @@ Agent/Queue/CustomerEndpoint + parse 8 UTC timestamps → re-encode → Ok.
 Spark-first mapping:
 - decode/parse/flatten  → one `select` over `from_json` (PERMISSIVE:
   malformed → NULL struct → filtered, the Dropped path)
-- DynamoDB dedup        → `withWatermark(...).dropDuplicates` — state
-  store replaces the external table; the watermark BOUNDS the state the
-  reference leaves unbounded (documented semantic delta: duplicates
-  older than the horizon pass; configurable)
+- DynamoDB dedup        → `withWatermark(...).dropDuplicatesWithinWatermark`
+  — state store replaces the external table; the watermark BOUNDS the
+  state the reference leaves unbounded (documented semantic delta:
+  duplicates older than the horizon pass; configurable). The plain
+  `dropDuplicates` would NOT bound state keyed on contact_id alone —
+  see `dedup_stream`.
 - Firehose buffering    → micro-batch trigger
 - Redshift COPY         → `foreachBatch` → JDBC/parquet append (the
   append itself can also re-guard with operators.merge.append_new)
