@@ -585,6 +585,7 @@ def cosine_pairs_blocked(
     out_b: str = "vec_b",
     n_blocks: int = 4,
     bucket_col: str | None = None,
+    target_block_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold — exact, but fully distributed: a
     block-partitioned numpy sweep under ``applyInPandas``. Nothing ever
@@ -599,6 +600,13 @@ def cosine_pairs_blocked(
     bucket-sized tiles. Without it, the sweep is the exact-all-pairs
     baseline: O(n²) compute by contract, oracle-checkable, and the
     thing the bucketed path is measured against.
+
+    ``target_block_rows`` (bucketed mode only) makes the blocking
+    SKEW-ADAPTIVE: each bucket gets B = ceil(size/target) blocks, so a
+    hot LSH bucket splits until its tiles fit an executor while small
+    buckets replicate nothing — the grouped-kernel analog of an AQE
+    skew-join split, which AQE itself cannot do for an applyInPandas
+    group. A static ``n_blocks`` applies to every bucket otherwise.
 
     Shape: each vector is hashed into one of ``n_blocks`` blocks, then
     replicated to every unordered block pair (i ≤ j) it belongs to —
@@ -644,10 +652,26 @@ def cosine_pairs_blocked(
     src = df.select(
         F.col(id_col).cast("long").alias("__id"),
         _as_double(F.col(vec_col)).alias("__v"),
-        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_blocks))
-        .cast("int")
-        .alias("__blk"),
+        F.crc32(F.col(id_col).cast("string")).alias("__h"),
         *bucket,
+    )
+    if target_block_rows is not None and bucket_col:
+        # SKEW-ADAPTIVE blocking: per-bucket B = ceil(size/target), so a
+        # hot bucket splits into more blocks (its tile stays bounded)
+        # while the long tail of small buckets pays no replication at
+        # all (B=1). The size frame is one row per bucket — no
+        # broadcast hint, AQE decides. Determinism: B depends only on
+        # bucket sizes, never on partitioning, and the block-count
+        # invariance contract means B cannot affect the emitted pairs.
+        sizes = src.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__bn"))
+        src = src.join(sizes, "__bkt").withColumn(
+            "__nb",
+            F.ceil(F.col("__bn") / F.lit(target_block_rows)).cast("int"),
+        )
+    else:
+        src = src.withColumn("__nb", F.lit(n_blocks))
+    src = src.withColumn(
+        "__blk", F.pmod(F.col("__h"), F.col("__nb")).cast("int")
     )
     # replicate: block b participates in groups {(min(b,x), max(b,x))}
     # for every x — one copy per partner block, no duplicates; with a
@@ -657,7 +681,7 @@ def cosine_pairs_blocked(
         "__v",
         "__blk",
         *bucket_keys,
-        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__other"),
+        F.explode(F.sequence(F.lit(0), F.col("__nb") - 1)).alias("__other"),
     ).select(
         "__id",
         "__v",
@@ -708,6 +732,7 @@ def lsh_bucketed_cosine_pairs(
     n_blocks: int = 2,
     out_a: str = "vec_a",
     out_b: str = "vec_b",
+    target_block_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: banded hyperplane-LSH
     candidate generation → EXACT blocked-numpy cosine rescoring within
@@ -732,7 +757,9 @@ def lsh_bucketed_cosine_pairs(
     (band, bucket[, block-pair]) tile — the shuffle is bands·B·|data|
     and NO tile ever spans the full table (vs B·|data| shuffle but
     full-table n² compute for the exact baseline). Hot buckets split
-    further via ``n_blocks`` exactly as in `cosine_pairs_blocked`.
+    further via ``n_blocks``, or adaptively via ``target_block_rows``
+    (per-bucket B = ceil(size/target) — the skew answer at scale; see
+    `cosine_pairs_blocked`).
     Cross-band duplicate candidates collapse with a pair-key
     dropDuplicates (scores are identical in every band by the kernel's
     fold-order contract, so which copy survives is immaterial).
@@ -766,5 +793,6 @@ def lsh_bucketed_cosine_pairs(
         out_b=out_b,
         n_blocks=n_blocks,
         bucket_col="__band_bucket",
+        target_block_rows=target_block_rows,
     )
     return pairs.dropDuplicates([out_a, out_b])

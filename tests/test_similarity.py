@@ -290,3 +290,34 @@ def test_assign_clusters_arrow_matches_exact(spark):
         for r in S.assign_clusters_arrow(corpus, cent, "vec_id", "embedding").collect()
     }
     assert a == b
+
+
+def test_lsh_bucketed_adaptive_blocking_invariant(spark):
+    """Skew-adaptive blocking (per-bucket B = ceil(size/target)) must
+    emit exactly the pairs of the static-block formulation — blocking
+    routes pairs to groups, it can never change the result."""
+    df = load(spark, SF_SMOKE, "embeddings")
+    static = {
+        (r["vec_a"], r["vec_b"], r["cosine_raw"])
+        for r in S.lsh_bucketed_cosine_pairs(df, threshold=0.4, n_blocks=2).collect()
+    }
+    adaptive = {
+        (r["vec_a"], r["vec_b"], r["cosine_raw"])
+        for r in S.lsh_bucketed_cosine_pairs(
+            df, threshold=0.4, target_block_rows=7
+        ).collect()
+    }
+    assert adaptive == static
+    # exact baseline too: adaptive sizing with no bucket is ignored
+    # (falls back to static n_blocks) — API safety
+    base = {
+        (r["vec_a"], r["vec_b"], r["cosine_raw"])
+        for r in S.cosine_pairs_blocked(
+            df, threshold=0.4, n_blocks=3, target_block_rows=7
+        ).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"], r["cosine_raw"])
+        for r in S.cosine_pairs_blocked(df, threshold=0.4, n_blocks=3).collect()
+    }
+    assert base == exact
