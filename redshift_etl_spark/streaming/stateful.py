@@ -18,6 +18,10 @@ the grouping key — state scales horizontally with executors).
 State size: one long (epoch µs) per key. An optional processing-time
 TTL evicts idle keys — the same bounded-state delta vs the reference's
 unbounded DynamoDB table that ST2 documents for `dropDuplicates`.
+
+Operational note: with a TTL armed the engine schedules extra batches
+to evaluate processing-time timeouts, so callers must not wait on
+``processAllAvailable()`` (it never settles) — poll the sink instead.
 """
 
 from __future__ import annotations
