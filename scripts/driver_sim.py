@@ -1,7 +1,9 @@
 """Simulate the driver harness against __spark_entry__.py: a PLAIN
 SparkSession (none of our engine confs), entry() smoke at sf0.001, then
 every queries() entry vs its oracle_sql() twin via DuckDB at sf0.01.
-Usage: python scripts/driver_sim.py [--quick]
+Usage: python scripts/driver_sim.py [--quick] [--only name1,name2,...]
+  --quick  first 4 registry entries only (~2 min)
+  --only   comma-separated query names (targeted re-verification)
 """
 
 from __future__ import annotations
@@ -47,7 +49,12 @@ def main() -> None:
     # registration order, not sorted — mirrors the driver harness, so a
     # per-query time budget plays out here the same way it will there
     names = list(queries)
-    if quick:
+    if "--only" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in wanted if n not in queries]
+        assert not unknown, f"unknown queries: {unknown}"
+        names = wanted
+    elif quick:
         names = names[:4]
     failed = []
     times: dict[str, float] = {}
