@@ -1634,3 +1634,39 @@ SELECT source, doc_id FROM (
 def exact_cap_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("source", "doc_id")
     return SP.exact_cap_sample(docs, "doc_id", "source", 10)
+
+
+# ---------------------------------------------------------------------------
+# Video frame-sample plumbing (operators/multimodal.sample_frames): one
+# media row fans out to n_frames frame rows via a mapInPandas generator
+# — the shape a real ffmpeg sampler needs. The deterministic fake
+# extractor (frame i = md5(content || str(i·every_n))) lets the oracle
+# predict every frame byte-for-byte, so the full Arrow fan-out path is
+# value-checked, not just row-counted. Frames surface as lowercase hex
+# md5 (binary column representations differ between engines' fetch
+# paths; the hex projection is the stable cross-engine identity).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "video_frame_sample",
+    """
+SELECT doc_id AS media_id,
+       i AS frame_index,
+       md5(text || CAST(i * 10 AS VARCHAR)) AS frame_md5
+FROM documents, (SELECT unnest(range(0, 3)) AS i)
+""",
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    frames = MM.sample_frames(media, every_n=10, n_frames=3)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.lower(F.hex("frame")).alias("frame_md5"),
+    )
