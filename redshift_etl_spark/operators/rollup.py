@@ -383,3 +383,54 @@ def linear_trend(
             (varx > 0) & (vary > 0), (cov * cov) / (varx * vary)
         ).alias("r2"),
     )
+
+
+def sketch_distinct_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    distinct_col: str,
+    level: str = "day",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count rollup: per (key, time-bucket) an
+    Apache DataSketches HLL sketch of ``distinct_col`` plus its
+    estimate. The sketch column is the point — unlike an exact
+    COUNT(DISTINCT), stored sketches UNION losslessly, so coarser
+    windows, late-data refreshes, and cross-partition totals come from
+    `merge_distinct_sketches` over the stored rollup without ever
+    rescanning raw data. This is the only practical distinct-counting
+    shape at 100 TB (exact distinct at the day level cannot be
+    re-aggregated to months: distinct doesn't sum).
+
+    One hash aggregate; estimates carry the usual HLL error
+    (~1.04/√2^lg_k ≈ 1.6% at the default lg_k=12, bounded in tests).
+    No SQL oracle twin by design — no external engine reproduces the
+    sketch bytes; value coverage is the error-bound and
+    sketch-of-union ≡ union-of-sketches pytests."""
+    keys = list(key_cols)
+    bucket = F.date_trunc(level, F.col(ts_col)).alias("bucket")
+    return df.groupBy(*keys, bucket).agg(
+        F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k)).alias("sketch"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k))
+        ).alias("approx_distinct"),
+    )
+
+
+def merge_distinct_sketches(
+    rollup: DataFrame,
+    key_cols: Sequence[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Re-aggregate a stored sketch rollup to coarser keys: HLL union
+    is associative/commutative/idempotent, so the merged estimate is
+    EXACTLY what sketching the raw union would produce — the property
+    that makes the rollup incrementally maintainable (tested)."""
+    keys = list(key_cols)
+    return rollup.groupBy(*keys).agg(
+        F.hll_union_agg(F.col(sketch_col)).alias("sketch"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(sketch_col))
+        ).alias("approx_distinct"),
+    )

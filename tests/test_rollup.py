@@ -164,3 +164,45 @@ def test_linear_trend_recovers_known_slope(spark):
     assert flat["slope_per_min"] == 0.0 and flat["r2"] is None
     deg = got["deg"]  # all in one minute → varx == 0 → NULLs
     assert deg["slope_per_min"] is None and deg["r2"] is None
+
+
+def test_sketch_distinct_rollup_error_bound_and_mergeability(spark):
+    """HLL sketch rollup: (a) per-bucket estimates within the
+    theoretical error bound of exact distinct counts; (b) union of
+    stored daily sketches ≡ sketching the union — the property that
+    makes stored rollups re-aggregable without rescanning raw."""
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.queries.tables import load
+
+    from .conftest import SF_ORACLE
+
+    ev = load(spark, SF_ORACLE, "events")
+    daily = RU.sketch_distinct_rollup(
+        ev, "ts", ["event_type"], "user_id", level="day"
+    )
+    exact = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("bucket"))
+        .agg(F.count_distinct("user_id").alias("exact"))
+    )
+    joined = daily.join(exact, ["event_type", "bucket"]).collect()
+    assert joined
+    for r in joined:
+        err = abs(r["approx_distinct"] - r["exact"]) / max(r["exact"], 1)
+        assert err < 0.05, (r["event_type"], r["bucket"], err)
+
+    # mergeability: union-of-daily-sketches == sketch-of-all (exact
+    # same registers -> exact same estimate, not merely close)
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in RU.merge_distinct_sketches(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in ev.groupBy("event_type").agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+            ).alias("approx_distinct")
+        ).collect()
+    }
+    assert merged == direct
