@@ -55,10 +55,33 @@ for _n in """dedup_exact dedup_jaccard dedup_minhash_lsh dedup_simhash
     _LAST_GREEN[_n] = 2
 
 
+# Must-run head for round 3 (judge-tracked): the 19 queries no driver
+# round has ever verified plus the 3 whose r2 rows were hash-red on the
+# HUGEINT artifact. They outrank even brand-new queries inside the
+# never-green tier — if the driver caps below the full backlog, these
+# land first. Retire once CORRECTNESS_r03 shows them green.
+_MUST_RUN = frozenset(
+    """deterministic_split corpus_prep priority_shipping_mix
+    dq_audit cohort_set_ops listagg_names gap_fill_daily rollup_cascade
+    fuzzy_pairs_lev1 scd2_asof_snapshot rollup_delta_refresh cdc_apply
+    quarantine_orders table_fingerprint funnel_depth retention_cohorts
+    time_weighted_avg event_transitions fuzzy_name_clusters
+    peak_concurrency interval_coverage linear_trend""".split()
+)
+
+
 def _prioritized(merged: dict) -> dict:
-    # stable sort: staleness tier first, module insertion order within.
+    # stable sort: must-run head, then staleness tier, then module
+    # insertion order within.
     order = {n: i for i, n in enumerate(merged)}
-    names = sorted(merged, key=lambda n: (_LAST_GREEN.get(n, 0), order[n]))
+    names = sorted(
+        merged,
+        key=lambda n: (
+            0 if n in _MUST_RUN else 1,
+            _LAST_GREEN.get(n, 0),
+            order[n],
+        ),
+    )
     return {n: merged[n] for n in names}
 
 
