@@ -926,6 +926,61 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The actionable output of text dedup: the KEEP SET. Every document
+# survives except non-representative members of a near-dup cluster
+# (min id keeps) — one anti-join of the corpus against the drop set,
+# which is the exact frame a pipeline feeds to the next stage. Mirrors
+# `embedding_dedup_clusters` for the text path.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "text_dedup_keep_set",
+    f"""
+WITH RECURSIVE
+sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+drops AS (
+  SELECT node FROM (
+    SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+  ) WHERE node <> component
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT node FROM drops)
+""",
+)
+def text_dedup_keep_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+    cc = D.connected_components(pairs, "doc_a", "doc_b")
+    drops = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic train/val/test split + hash sampling — stable-in-the-key
 # md5 bucketing (operators/sampling.py): identical assignment in any
 # engine, no RAND(), no shuffle, filter pushes down to the scan.
