@@ -48,8 +48,10 @@ SELECT
   l_linestatus,
   ROUND(SUM(l_quantity), 2)                              AS sum_qty,
   ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+  CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount)
+       AS DECIMAL(27,6))) * 10000 + 0.5) AS DOUBLE) / 10000 AS sum_disc_price,
+  CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+       AS DECIMAL(27,6))) * 10000 + 0.5) AS DOUBLE) / 10000 AS sum_charge,
   ROUND(SUM(l_quantity), 2) / COUNT(*)                   AS avg_qty,
   ROUND(SUM(l_extendedprice), 2) / COUNT(*)              AS avg_price,
   ROUND(SUM(l_discount), 2) / COUNT(*)                   AS avg_disc,
@@ -62,18 +64,38 @@ ORDER BY l_returnflag, l_linestatus
 """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rounding policy nuance (learned from a cross-SF parity sweep):
+    # ROUND(double SUM, native granularity) is ulp-safe — the true sum
+    # is ON the rounding grid, so any sub-half-grid float error recovers
+    # it on every engine (sum_qty/base_price: 2-decimal data, round 2).
+    # But rounding BELOW native granularity is NOT: disc_price/charge
+    # carry 4/6 native decimals, so their true sums can land exactly ON
+    # a 4-decimal rounding midpoint, where each engine's order-dependent
+    # float error picks a different side (observed at sf0.001:
+    # ...886050 → .8860 vs .8861). Those two instead sum EXACT decimals
+    # (order-independent, overflow-proof to 1e21) and apply a pinned
+    # HALF_UP — floor(x·10⁴ + ½) in decimal space — so both engines
+    # round the same exact number with the same tie rule.
     li = load(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    half = F.lit(0.5).cast("decimal(2,1)")
+
+    def exact4(col: F.Column) -> F.Column:
+        dec_sum = F.sum(col.cast("decimal(27,6)"))
+        return (
+            F.floor(dec_sum * 10000 + half).cast("double") / F.lit(10000.0)
+        )
+
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge), 4).alias("sum_charge"),
+            exact4(disc_price).alias("sum_disc_price"),
+            exact4(charge).alias("sum_charge"),
             (F.round(F.sum("l_quantity"), 2) / n).alias("avg_qty"),
             (F.round(F.sum("l_extendedprice"), 2) / n).alias("avg_price"),
             (F.round(F.sum("l_discount"), 2) / n).alias("avg_disc"),

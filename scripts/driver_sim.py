@@ -2,8 +2,12 @@
 SparkSession (none of our engine confs), entry() smoke at sf0.001, then
 every queries() entry vs its oracle_sql() twin via DuckDB at sf0.01.
 Usage: python scripts/driver_sim.py [--quick] [--only name1,name2,...]
+                                    [--sf DIR]
   --quick  first 4 registry entries only (~2 min)
   --only   comma-separated query names (targeted re-verification)
+  --sf     testdata dir (default /root/testdata/sf0.01); running the
+           full catalog at a second SF guards against queries that only
+           pass on one data distribution
 """
 
 from __future__ import annotations
@@ -23,6 +27,9 @@ SF = "/root/testdata/sf0.01"
 
 
 def main() -> None:
+    global SF
+    if "--sf" in sys.argv:
+        SF = sys.argv[sys.argv.index("--sf") + 1]
     quick = "--quick" in sys.argv
     # deliberately plain session — the driver owns the session config
     spark = (
