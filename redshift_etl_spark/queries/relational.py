@@ -48,10 +48,11 @@ SELECT
   l_linestatus,
   ROUND(SUM(l_quantity), 2)                              AS sum_qty,
   ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
-  CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount)
-       AS DECIMAL(27,6))) * 10000 + 0.5) AS DOUBLE) / 10000 AS sum_disc_price,
-  CAST(FLOOR(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-       AS DECIMAL(27,6))) * 10000 + 0.5) AS DOUBLE) / 10000 AS sum_charge,
+  CAST(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+       AS BIGINT)) AS BIGINT) AS DOUBLE) / 10000 AS sum_disc_price,
+  CAST((CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+       * 1000000) AS BIGINT)) AS BIGINT) + 50) // 100 AS DOUBLE) / 10000
+                                                         AS sum_charge,
   ROUND(SUM(l_quantity), 2) / COUNT(*)                   AS avg_qty,
   ROUND(SUM(l_extendedprice), 2) / COUNT(*)              AS avg_price,
   ROUND(SUM(l_discount), 2) / COUNT(*)                   AS avg_disc,
@@ -68,42 +69,64 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ROUND(double SUM, native granularity) is ulp-safe — the true sum
     # is ON the rounding grid, so any sub-half-grid float error recovers
     # it on every engine (sum_qty/base_price: 2-decimal data, round 2).
-    # But rounding BELOW native granularity is NOT: disc_price/charge
-    # carry 4/6 native decimals, so their true sums can land exactly ON
-    # a 4-decimal rounding midpoint, where each engine's order-dependent
-    # float error picks a different side (observed at sf0.001:
-    # ...886050 → .8860 vs .8861). Those two instead sum EXACT decimals
-    # (order-independent, overflow-proof to 1e21) and apply a pinned
-    # HALF_UP — floor(x·10⁴ + ½) in decimal space — so both engines
-    # round the same exact number with the same tie rule.
+    # But rounding BELOW native granularity is NOT: charge carries 6
+    # native decimals, so its true sum can land exactly ON a 4-decimal
+    # rounding midpoint, where each engine's order-dependent float error
+    # picks a different side (observed at sf0.001: ...886050 → .8860 vs
+    # .8861). disc_price (4 native decimals) and charge therefore sum
+    # as SCALED LONGS at native granularity (per-row quantization is
+    # exact: the true value is an on-grid integer and the double sits
+    # ~1e-4 off it; both engines compute identical doubles anyway), and
+    # charge's half-up to 4 decimals happens in integer space —
+    # (s+50) div 100 — so both engines round the same exact integer
+    # with the same tie rule. Codegen-fast (long sums, no decimal ops);
+    # headroom 2⁶³/1.2e11 ≈ 7.7e7 rows per GROUP — beyond that, cast
+    # the quantized values to DECIMAL(27,6) before summing (identical
+    # semantics, ~2× agg cost).
     li = load(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    half = F.lit(0.5).cast("decimal(2,1)")
 
-    def exact4(col: F.Column) -> F.Column:
-        dec_sum = F.sum(col.cast("decimal(27,6)"))
-        return (
-            F.floor(dec_sum * 10000 + half).cast("double") / F.lit(10000.0)
-        )
+    disc4 = F.sum(F.round(disc_price * 10000, 0).cast("long"))
+    charge6 = F.sum(F.round(charge * 1000000, 0).cast("long"))
 
-    return (
+    agged = (
         li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            exact4(disc_price).alias("sum_disc_price"),
-            exact4(charge).alias("sum_charge"),
+            disc4.alias("__disc4"),
+            charge6.alias("__charge6"),
             (F.round(F.sum("l_quantity"), 2) / n).alias("avg_qty"),
             (F.round(F.sum("l_extendedprice"), 2) / n).alias("avg_price"),
             (F.round(F.sum("l_discount"), 2) / n).alias("avg_disc"),
             n.alias("count_order"),
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    return agged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        (F.col("__disc4").cast("double") / F.lit(10000.0)).alias(
+            "sum_disc_price"
+        ),
+        # half-up in LONG space (`div` is integral division, so the
+        # quotient stays exact however large the sum), double only at
+        # the final 1e-4 descale
+        (
+            F.expr("CAST((__charge6 + 50) div 100 AS DOUBLE)")
+            / F.lit(10000.0)
+        ).alias("sum_charge"),
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+        "count_order",
+        "n_orders",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 # ---------------------------------------------------------------------------
