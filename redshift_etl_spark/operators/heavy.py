@@ -1,0 +1,106 @@
+"""Exact distributed heavy hitters — Misra-Gries candidates + recount.
+
+The reference's only frequency tooling is exact GROUP BY counting
+(`view_agent_metrics.sql` conditional counts, SURVEY A1/A5); at 100 TB
+a full-cardinality groupBy over a token/domain/key stream shuffles the
+entire stream. This operator finds every item with frequency strictly
+greater than n/d WITHOUT ever shuffling the stream, in two map-heavy
+passes:
+
+1. **Candidate pass** — each partition runs a Misra-Gries summary with
+   ``d - 1`` counters over its local items (`mapInPandas`, Arrow
+   batches pre-aggregated with ``value_counts`` so the Python loop is
+   per-distinct, not per-row). MG's guarantee: an item with local
+   frequency > n_p/d survives the partition's summary. Pigeonhole over
+   partitions lifts it globally: if Σ f_ip > (Σ n_p)/d then some
+   partition has f_ip > n_p/d, so EVERY global heavy hitter is in the
+   candidate union. At most ``(d-1) × numPartitions`` candidate rows
+   ever reach a shuffle.
+2. **Recount pass** — broadcast the candidate set, semi-join the items
+   against it (map-side filter), exact groupBy count of the survivors,
+   keep ``freq * d > n``. Partial aggregation bounds the shuffle at
+   ``candidates × partitions`` rows.
+
+The output is therefore EXACT and partitioning-independent — the
+candidate set varies with the data layout, but it always contains the
+true heavy hitters, and the recount filter discards everything else.
+That is what makes the operator oracle-checkable (a plain
+GROUP BY … HAVING in DuckDB) even though the sketch pass is
+approximate.
+
+MG batch-decrement correctness: after merging a batch the summary may
+hold m > d-1 counters; subtracting the d-th largest value from all and
+dropping non-positives restores the bound. Each unit of decrement hits
+≥ d counters-plus-discarded-mass simultaneously, so any single item
+loses at most n_p/d total — the per-partition guarantee above.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["mg_candidates", "heavy_hitters"]
+
+
+def _mg_kernel(d: int):
+    cap = d - 1
+
+    def fn(batches: Iterator) -> Iterator:
+        import heapq
+
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            # per-distinct merge: the Python-side loop is over the
+            # batch's value_counts, not its rows
+            for item, c in pdf["item"].dropna().value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > cap:
+                # generalized decrement: subtract the d-th largest
+                # count, drop the non-positive
+                cut = heapq.nlargest(d, counts.values())[-1]
+                counts = {i: c - cut for i, c in counts.items() if c > cut}
+        if counts:
+            yield pd.DataFrame({"item": list(counts.keys())})
+
+    return fn
+
+
+def mg_candidates(df: DataFrame, item: Column | str, d: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate items (column ``item``):
+    a superset of every item with global frequency > n/d, at most
+    ``(d-1) × numPartitions`` rows. NULL items are ignored."""
+    if d < 2:
+        raise ValueError("d must be >= 2 (threshold n/d needs d >= 2)")
+    c = F.col(item) if isinstance(item, str) else item
+    items = df.select(c.alias("item"))
+    dtype = items.schema[0].dataType.simpleString()
+    return items.mapInPandas(_mg_kernel(d), f"item {dtype}").distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item: Column | str,
+    d: int,
+    out_item: str = "item",
+    out_freq: str = "freq",
+) -> DataFrame:
+    """All items with exact frequency strictly greater than n/d, with
+    their exact counts (n = number of non-NULL items). Two scans of
+    ``df``, no full-cardinality shuffle — see module docstring."""
+    c = F.col(item) if isinstance(item, str) else item
+    items = df.select(c.alias("item"))
+    cands = mg_candidates(df, item, d)
+    total = items.agg(F.count("item").alias("__n"))
+    return (
+        items.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias(out_freq))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col(out_freq) * d > F.col("__n"))
+        .select(F.col("item").alias(out_item), out_freq)
+    )

@@ -1557,6 +1557,42 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact corpus heavy hitters without a full-stream shuffle: every token
+# whose frequency strictly exceeds n/200, found by per-partition
+# Misra-Gries candidates (mapInPandas, ≤199 candidate rows per
+# partition ever shuffle) + a broadcast-semi-join exact recount. The
+# candidate pass is approximate but provably complete, so the filtered
+# recount is EXACT and partitioning-independent — hence the plain
+# GROUP BY … HAVING oracle. The 100 TB shape for hot-token / hot-domain
+# / hot-key diagnosis where groupBy-the-stream is the bottleneck
+# (operators/heavy.py module docstring has the two-pass cost model).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "heavy_hitter_tokens",
+    """
+WITH toks AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+     tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT token, COUNT(*) AS freq
+FROM toks, tot
+GROUP BY token, n
+HAVING COUNT(*) * 200 > n
+ORDER BY freq DESC, token ASC
+""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import heavy as H
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(D.tokens_col("text")).alias("token")
+    )
+    return H.heavy_hitters(toks, "token", 200, out_item="token").orderBy(
+        F.desc("freq"), F.asc("token")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-source data audit: the report a mixture owner reads before
 # weighting sources — volume, token budget, quality rate, exact-dup
 # rate, language spread. One scan + one hash aggregate; ratios are

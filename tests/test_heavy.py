@@ -1,0 +1,77 @@
+"""Exact heavy hitters (operators/heavy.py): MG candidate completeness,
+partitioning independence, candidate-volume bound, and the broadcast
+plan shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from redshift_etl_spark.operators import heavy as H
+
+
+def _skewed(spark, n_parts):
+    # zipf-ish: item i appears ~ 3000/i times; plenty of light tail
+    rows = []
+    for i in range(1, 40):
+        rows += [(f"hot{i}",)] * (3000 // i)
+    rows += [(f"tail{j}",) for j in range(5000)]
+    return spark.createDataFrame(rows, "item string").repartition(n_parts)
+
+
+def _exact(df, d):
+    n = df.count()
+    return {
+        (r["item"], r["freq"])
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * d > F.lit(n))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("d", [10, 50, 200])
+def test_heavy_hitters_exact(spark, d):
+    df = _skewed(spark, 8)
+    got = {
+        (r["item"], r["freq"])
+        for r in H.heavy_hitters(df, "item", d).collect()
+    }
+    assert got == _exact(df, d)
+
+
+def test_partitioning_independent(spark):
+    a = _skewed(spark, 2)
+    b = _skewed(spark, 17)
+    ra = {tuple(r) for r in H.heavy_hitters(a, "item", 40).collect()}
+    rb = {tuple(r) for r in H.heavy_hitters(b, "item", 40).collect()}
+    assert ra == rb and ra
+
+
+def test_candidate_bound_and_completeness(spark):
+    df = _skewed(spark, 6)
+    d = 25
+    cands = H.mg_candidates(df, "item", d)
+    n_parts = df.rdd.getNumPartitions()
+    assert cands.count() <= (d - 1) * n_parts
+    heavy_items = {i for i, _ in _exact(df, d)}
+    got = {r["item"] for r in cands.collect()}
+    assert heavy_items <= got  # provable superset
+
+
+def test_nulls_ignored_and_small_d(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), (None,), ("b",)], "item string"
+    )
+    out = H.heavy_hitters(df, "item", 2).collect()  # n=4, need freq>2
+    assert [(r["item"], r["freq"]) for r in out] == [("a", 3)]
+    with pytest.raises(ValueError):
+        H.mg_candidates(df, "item", 1)
+
+
+def test_plan_broadcasts_candidates_only(spark):
+    df = _skewed(spark, 4)
+    plan = H.heavy_hitters(df, "item", 30)._jdf.queryExecution().toString()
+    # recount filters via a broadcast semi join; the stream itself is
+    # never exchanged before that filter
+    assert "LeftSemi" in plan and "Broadcast" in plan
