@@ -1,0 +1,145 @@
+"""Iterative graph algorithms — PageRank with engine-exact arithmetic.
+
+PageRank over a link graph is a canonical training-data quality signal
+(CommonCrawl-style source weighting) and the canonical *iterative*
+dataflow: rank(v) ← (1−d)/N + d·Σ_{u→v} rank(u)/outdeg(u), iterated.
+The reference has no iterative operator at all (its closest shape is
+the recursive plpgsql loop in SURVEY §2.6 territory); Spark expresses
+each iteration as join + aggregate and the loop as plan composition.
+
+Determinism contract (same discipline as `dedup.connected_components`
+and the k-means codebook): ranks are scaled integers (``scale`` = 1e12
+by default) and every step is integer arithmetic — ``rank div outdeg``
+per edge, exact integer SUM per target, ``(num·Σ) div den`` damping.
+Integer addition is associative/commutative, so the result is
+bit-identical across engines, partitionings, and retries — which is
+what lets a DuckDB oracle (same recurrence unrolled as CTEs, built by
+`pagerank_oracle_sql` from the SAME constants) hash-match exactly.
+Float PageRank cannot make that promise: double summation order
+differs per shuffle.
+
+Dangling mass: nodes with no out-edges leak their rank (no
+redistribution), the common simplification when the graph is built
+symmetric (every node then has outdegree ≥ 1, so nothing actually
+leaks). Callers wanting classic dangling redistribution should add
+reverse edges or a sink node explicitly.
+
+Scale posture: per iteration one shuffle to aggregate contributions on
+``dst`` plus a join of the (|V|-sized) rank frame against edges on
+``src`` — AQE broadcasts the rank frame automatically when |V| is
+small relative to |E|. The loop `localCheckpoint`s each round so the
+plan stays O(1) deep instead of O(iterations); at a 100 TB edge list
+you'd pre-partition edges by ``src`` once and reuse that layout every
+round (the join key never changes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["symmetric_edges", "pagerank", "pagerank_oracle_sql"]
+
+_SCALE = 10**12
+_NUM, _DEN = 85, 100  # damping d = 0.85 as an exact rational
+
+
+def symmetric_edges(
+    df: DataFrame, src: Column | str, dst: Column | str
+) -> DataFrame:
+    """Distinct undirected edge set as two directed rows (u→v, v→u);
+    guarantees outdeg ≥ 1 for every node so no rank mass dangles."""
+    s = F.col(src) if isinstance(src, str) else src
+    d = F.col(dst) if isinstance(dst, str) else dst
+    fwd = df.select(s.alias("src"), d.alias("dst"))
+    return fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = _SCALE,
+    damping: tuple[int, int] = (_NUM, _DEN),
+) -> DataFrame:
+    """Exact-integer PageRank over a directed edge list (columns
+    ``src``, ``dst``). Returns (node, rank) with rank in units of
+    1/``scale``; Σ ranks ≈ scale (minus integer-division remainders,
+    which are themselves deterministic)."""
+    num, den = damping
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one scalar job; the graph's node count
+    init = scale // n
+    base = ((den - num) * init) // den
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    edeg = edges.join(deg, "src")  # outdeg is loop-invariant
+    edeg = edeg.localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(edeg, ranks.node == edeg.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({num} * coalesce(inflow, 0)) div {den}")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 3,
+    scale: int = _SCALE,
+    damping: tuple[int, int] = (_NUM, _DEN),
+) -> str:
+    """The identical recurrence as unrolled ANSI CTEs (DuckDB oracle):
+    ``edges_sql`` must yield columns (src, dst). Built from the same
+    constants as `pagerank`, so the integers match bit-for-bit."""
+    num, den = damping
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM edges UNION "
+        "SELECT dst FROM edges)",
+        "n AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS rank "
+        "FROM nodes CROSS JOIN n)",
+    ]
+    base = f"(({den - num}) * ({scale} // n)) // {den}"
+    for i in range(iterations):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"{cur} AS (SELECT nodes.node, CAST({base} + "
+            f"({num} * COALESCE(c.inflow, 0)) // {den} AS BIGINT) AS rank "
+            "FROM nodes CROSS JOIN n LEFT JOIN ("
+            "SELECT e.dst AS node, SUM(pr.rank // d.outdeg) AS inflow "
+            f"FROM edges e JOIN {prev} pr ON pr.node = e.src "
+            "JOIN deg d ON d.src = e.src GROUP BY e.dst"
+            ") c ON c.node = nodes.node)"
+        )
+    body = ",\n".join(parts)
+    return (
+        body
+        + f"\nSELECT node, rank FROM r{iterations} "
+        "ORDER BY rank DESC, node ASC"
+    )

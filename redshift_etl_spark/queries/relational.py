@@ -2918,3 +2918,48 @@ def linear_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return RU.linear_trend(ev, ["event_type"], "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# Iterative dataflow — exact-integer PageRank over the customer↔supplier
+# trade graph (who-bought-from-whom, symmetrized so no rank dangles).
+# Each iteration is join + integer aggregate; scaled-integer arithmetic
+# makes the result bit-identical across engines and partitionings, so a
+# 3-iteration unrolled-CTE DuckDB twin hash-matches exactly — the same
+# determinism discipline as connected_components and the k-means
+# codebook. operators/graph.py documents the per-iteration shuffle
+# model and the 100 TB layout (pre-partition edges by src once).
+# ---------------------------------------------------------------------------
+
+_PAGERANK_EDGES_SQL = """
+WITH fwd AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)
+SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+"""
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iterations=3)
+
+
+@_q("trade_pagerank", _pagerank_oracle())
+def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph as G
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+    )
+    edges = G.symmetric_edges(fwd, "src", "dst")
+    return G.pagerank(edges, iterations=3).orderBy(
+        F.desc("rank"), F.asc("node")
+    )

@@ -1,0 +1,88 @@
+"""PageRank (operators/graph.py): recurrence correctness vs a local
+reference implementation, partitioning invariance, mass accounting,
+and the symmetric-edge guarantee."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from redshift_etl_spark.operators import graph as G
+
+SCALE = 10**12
+
+
+def _edges(spark, n_parts=4):
+    # two triangles bridged by one edge + a pendant node
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (6, 7)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    return G.symmetric_edges(df, "src", "dst").repartition(n_parts)
+
+
+def _reference(edges_rows, iterations):
+    """The same integer recurrence, plain Python."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    nodes = set()
+    for s, d in edges_rows:
+        out[s].append(d)
+        nodes.update((s, d))
+    n = len(nodes)
+    init = SCALE // n
+    base = (15 * init) // 100
+    rank = {v: init for v in nodes}
+    for _ in range(iterations):
+        inflow = defaultdict(int)
+        for s, targets in out.items():
+            c = rank[s] // len(targets)
+            for d in targets:
+                inflow[d] += c
+        rank = {v: base + (85 * inflow[v]) // 100 for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference(spark):
+    e = _edges(spark)
+    rows = [(r["src"], r["dst"]) for r in e.collect()]
+    want = _reference(rows, 3)
+    got = {r["node"]: r["rank"] for r in G.pagerank(e, 3).collect()}
+    assert got == want
+
+
+def test_partitioning_invariant(spark):
+    a = {tuple(r) for r in G.pagerank(_edges(spark, 1), 2).collect()}
+    b = {tuple(r) for r in G.pagerank(_edges(spark, 13), 2).collect()}
+    assert a == b
+
+
+def test_mass_conserved_up_to_rounding(spark):
+    e = _edges(spark)
+    n = 7
+    total = (
+        G.pagerank(e, 3).agg(F.sum("rank").alias("t")).collect()[0]["t"]
+    )
+    # integer floors only ever LOSE mass, and at most a few units per
+    # node per iteration term
+    assert total <= SCALE
+    assert total >= SCALE - 3 * (n * (n + 100))
+
+
+def test_symmetric_edges_no_dangling(spark):
+    e = _edges(spark)
+    srcs = {r["src"] for r in e.select("src").distinct().collect()}
+    dsts = {r["dst"] for r in e.select("dst").distinct().collect()}
+    assert srcs == dsts  # every node has outdegree >= 1
+
+
+def test_oracle_sql_agrees_with_engine(spark, duck):
+    # the generated CTE recurrence IS the operator's contract: run it
+    # on the same edge list ad-hoc in DuckDB and compare exactly
+    e = _edges(spark)
+    rows = [(r["src"], r["dst"]) for r in e.collect()]
+    vals = ", ".join(f"({s}, {d})" for s, d in rows)
+    sql = G.pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=3
+    )
+    want = {(r[0], r[1]) for r in duck.execute(sql).fetchall()}
+    got = {tuple(r) for r in G.pagerank(e, 3).collect()}
+    assert got == want
