@@ -434,3 +434,95 @@ def merge_distinct_sketches(
             F.hll_union_agg(F.col(sketch_col))
         ).alias("approx_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile rollup — fixed-bin histograms
+# ---------------------------------------------------------------------------
+
+def binned_histogram(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    width: float,
+    bins: int,
+) -> DataFrame:
+    """Mergeable quantile sketch as a fixed-bin histogram: per key the
+    count of values in each of ``bins`` equal-width bins starting at
+    ``lo`` (out-of-range values clamp into the edge bins, NULLs drop).
+
+    This is the quantile analog of `sketch_distinct_rollup`: exact
+    percentiles don't re-aggregate (a p99-of-p99s is meaningless), but
+    bin counts SUM — so stored histograms roll up to coarser keys /
+    windows losslessly and late data is an increment, never a rescan.
+    Unlike HLL (or t-digest/KLL) the sketch is DETERMINISTIC: binning
+    is a per-row expression, counts are integers, so the whole pipeline
+    is engine- and partitioning-exact and a plain SQL twin can
+    oracle-check it. Accuracy is a hard guarantee, not probabilistic:
+    any quantile estimate is within one bin width of the true value.
+
+    One hash aggregate; output is long-form (keys…, bin, cnt) — the
+    shuffle carries at most ``bins`` rows per key."""
+    keys = list(key_cols)
+    bin_c = (
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast(
+                    "long"
+                ),
+            ),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, bin_c)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_binned(hist: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Re-aggregate stored histograms to coarser keys — integer count
+    sums, so merge-of-histograms ≡ histogram-of-union exactly."""
+    keys = list(key_cols)
+    return hist.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def binned_quantiles(
+    hist: DataFrame,
+    key_cols: Sequence[str],
+    qs: Sequence[tuple[int, int]],
+    lo: float,
+    width: float,
+) -> DataFrame:
+    """Quantile estimates (bin midpoints) from a long-form histogram.
+    For q = num/den the estimate is the midpoint of the first bin whose
+    cumulative count reaches ⌈q·n⌉ — integer threshold compare
+    (cum·den ≥ n·num), so bin selection is exact; only the final
+    midpoint expression touches doubles (per-row, deterministic).
+
+    One window pass over ≤ bins rows per key + one aggregate."""
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy("bin")
+    wall = Window.partitionBy(*keys)
+    c = hist.select(
+        *keys,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_rows")]
+    for num, den in qs:
+        sel = F.min(
+            F.when(F.col("cum") * den >= F.col("n") * num, F.col("bin"))
+        )
+        aggs.append(
+            (F.lit(lo) + (sel + F.lit(0.5)) * F.lit(width)).alias(
+                f"p{100 * num // den}"
+            )
+        )
+    return c.groupBy(*keys).agg(*aggs)

@@ -2963,3 +2963,61 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank(edges, iterations=3).orderBy(
         F.desc("rank"), F.asc("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile rollup — daily fixed-bin histograms of event value
+# merged to per-type, then p50/p90/p99 read off the merged bins. The
+# Spark side goes through the day level and re-aggregates (the thing
+# exact percentiles cannot do); the oracle bins directly per type —
+# hash-equality IS the proof that merge-of-histograms ≡
+# histogram-of-union. Bin selection is integer-exact; only the final
+# midpoint doubles are floating (per-row, engine-identical formula).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "value_quantile_rollup",
+    """
+WITH b AS (
+  SELECT event_type,
+         LEAST(249, GREATEST(0,
+           CAST(FLOOR((value - 0.0) / 2.0) AS BIGINT))) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+h AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       0.0 + (CAST(MIN(CASE WHEN cum * 2 >= n THEN bin END) AS DOUBLE)
+              + 0.5) * 2.0 AS p50,
+       0.0 + (CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS DOUBLE)
+              + 0.5) * 2.0 AS p90,
+       0.0 + (CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS DOUBLE)
+              + 0.5) * 2.0 AS p99
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollup as RU
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = RU.binned_histogram(
+        ev, ["event_type", "day"], "value", lo=0.0, width=2.0, bins=250
+    )
+    merged = RU.merge_binned(daily, ["event_type"])
+    return RU.binned_quantiles(
+        merged,
+        ["event_type"],
+        [(1, 2), (9, 10), (99, 100)],
+        lo=0.0,
+        width=2.0,
+    ).orderBy("event_type")

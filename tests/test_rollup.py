@@ -206,3 +206,63 @@ def test_sketch_distinct_rollup_error_bound_and_mergeability(spark):
         ).collect()
     }
     assert merged == direct
+
+
+# --- binned quantile rollup ------------------------------------------------
+
+def test_binned_merge_exactness(spark):
+    """merge-of-histograms == histogram-of-union, bit-exact."""
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators import rollup as RU
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") % 13).alias("sub"),
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("v"),
+    )
+    fine = RU.binned_histogram(df, ["k", "sub"], "v", 0.0, 2.0, 50)
+    merged = RU.merge_binned(fine, ["k"])
+    direct = RU.binned_histogram(df, ["k"], "v", 0.0, 2.0, 50)
+    a = {tuple(r) for r in merged.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b
+
+
+def test_binned_quantile_error_bound(spark):
+    """Every estimate within one bin width of the exact percentile."""
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators import rollup as RU
+
+    df = spark.range(20000).select(
+        F.lit("g").alias("k"),
+        (F.pmod(F.xxhash64("id"), F.lit(10000)) / 20.0).alias("v"),
+    )
+    width = 5.0
+    hist = RU.binned_histogram(df, ["k"], "v", 0.0, width, 100)
+    est = RU.binned_quantiles(
+        hist, ["k"], [(1, 2), (9, 10), (99, 100)], 0.0, width
+    ).collect()[0]
+    exact = df.agg(
+        F.expr("percentile(v, 0.5)").alias("p50"),
+        F.expr("percentile(v, 0.9)").alias("p90"),
+        F.expr("percentile(v, 0.99)").alias("p99"),
+    ).collect()[0]
+    for p in ("p50", "p90", "p99"):
+        assert abs(est[p] - exact[p]) <= width, p
+    assert est["n_rows"] == 20000
+
+
+def test_binned_clamps_and_drops_nulls(spark):
+    from redshift_etl_spark.operators import rollup as RU
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 99.9), ("a", 1e9), ("a", None)],
+        "k string, v double",
+    )
+    rows = {
+        (r["bin"], r["cnt"])
+        for r in RU.binned_histogram(df, ["k"], "v", 0.0, 10.0, 10).collect()
+    }
+    assert rows == {(0, 2), (9, 2)}
