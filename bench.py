@@ -49,6 +49,9 @@ HEADLINE = (
     "span_dedup",           # sub-document boilerplate span removal
     "fuzzy_pairs_lev1",     # lev-1 fuzzy join (partition-lemma equi-joins)
     "rollup_cascade",       # hypertable minute→hour→day cascade
+    "heavy_hitter_tokens",  # MG candidates + recount, no full-stream shuffle
+    "trade_pagerank",       # iterative join+agg, exact-integer ranks
+    "value_quantile_rollup",  # mergeable fixed-bin quantile rollup
 )
 
 
