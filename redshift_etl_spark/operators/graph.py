@@ -62,6 +62,7 @@ def pagerank(
     iterations: int = 3,
     scale: int = _SCALE,
     damping: tuple[int, int] = (_NUM, _DEN),
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Exact-integer PageRank over a directed edge list (columns
     ``src``, ``dst``). Returns (node, rank) with rank in units of
@@ -69,18 +70,21 @@ def pagerank(
     which are themselves deterministic)."""
     num, den = damping
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # nodes and (edges ⋈ outdeg) are loop-invariant and re-read every
+    # iteration — materialize once (eager: the count() below needs
+    # nodes anyway) instead of recomputing the distinct-union per round
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n = nodes.count()  # one scalar job; the graph's node count
     init = scale // n
     base = ((den - num) * init) // den
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
-    edeg = edges.join(deg, "src")  # outdeg is loop-invariant
-    edeg = edeg.localCheckpoint(eager=False)
-    for _ in range(iterations):
+    edeg = edges.join(deg, "src").localCheckpoint(eager=False)
+    for i in range(iterations):
         contrib = (
             ranks.join(edeg, ranks.node == edeg.src)
             .select(
@@ -90,19 +94,21 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({num} * coalesce(inflow, 0)) div {den}")
-                )
-                .cast("long")
-                .alias("rank"),
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({num} * coalesce(inflow, 0)) div {den}")
             )
-            .localCheckpoint(eager=False)
+            .cast("long")
+            .alias("rank"),
         )
+        # checkpoint periodically, not per round: materializing |V|
+        # rows every iteration costs more than a few extra plan levels;
+        # every `checkpoint_every` rounds still bounds plan depth and
+        # lineage for long runs
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
