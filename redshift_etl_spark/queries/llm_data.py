@@ -1761,3 +1761,55 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_index").cast("long").alias("frame_index"),
         F.lower(F.hex("frame")).alias("frame_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus ingest — the daily-run composition at 100 TB: an
+# incoming batch dedupes WITHIN itself (exact fingerprint, min-id
+# representative) and AGAINST the already-ingested corpus (anti-join on
+# the stored fingerprint frame — never on raw text, and never
+# rescanning corpus text). Split is simulated by doc_id parity so the
+# oracle can reproduce it. Shuffle cost: one md5 groupBy over the BATCH
+# only + one anti-join against the fingerprint store.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "incremental_ingest",
+    """
+WITH ex AS (
+  SELECT DISTINCT md5(text) AS fingerprint
+  FROM documents WHERE doc_id % 2 = 0
+),
+batch AS (
+  SELECT doc_id, md5(text) AS fingerprint
+  FROM documents WHERE doc_id % 2 = 1
+),
+keep AS (
+  SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_batch_dups
+  FROM batch GROUP BY fingerprint
+)
+SELECT k.doc_id, k.fingerprint, CAST(k.n_batch_dups AS BIGINT) AS n_batch_dups
+FROM keep k
+WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.fingerprint = k.fingerprint)
+ORDER BY k.doc_id
+""",
+)
+def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus_fp = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("fingerprint"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    groups = D.exact_dedup_groups(batch, "doc_id", "text")
+    return (
+        groups.select(
+            F.col("keep_id").alias("doc_id"),
+            "fingerprint",
+            F.col("n_dups").alias("n_batch_dups"),
+        )
+        .join(corpus_fp, "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint", "n_batch_dups")
+        .orderBy("doc_id")
+    )

@@ -75,3 +75,33 @@ def test_plan_broadcasts_candidates_only(spark):
     # recount filters via a broadcast semi join; the stream itself is
     # never exchanged before that filter
     assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+# --- property: exactness on arbitrary multisets ----------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    items=st.lists(
+        st.integers(min_value=0, max_value=20), min_size=1, max_size=300
+    ),
+    d=st.integers(min_value=2, max_value=12),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_heavy_hitters_property(spark, items, d, parts):
+    df = spark.createDataFrame(
+        [(str(i),) for i in items], "item string"
+    ).repartition(parts)
+    got = {
+        (r["item"], r["freq"])
+        for r in H.heavy_hitters(df, "item", d).collect()
+    }
+    n = len(items)
+    from collections import Counter
+
+    want = {(k, c) for k, c in Counter(str(i) for i in items).items()
+            if c * d > n}
+    assert got == want
