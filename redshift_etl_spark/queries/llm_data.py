@@ -1813,3 +1813,75 @@ def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint", "n_batch_dups")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard-export manifest — the contract a trainer verifies before
+# streaming shards: per deterministic shard (48-bit md5 of doc_id mod
+# 16) the row count, byte volume, and an order-independent BIT_XOR
+# content checksum any reader can recompute shard-locally. One hash
+# aggregate; `operators/export.export_shards` writes the matching
+# shard=N/ directory layout (pytest round-trips it).
+# ---------------------------------------------------------------------------
+
+def _shard_manifest_oracle() -> str:
+    from ..operators.export import hash48_sql
+
+    return f"""
+WITH s AS (
+  SELECT {hash48_sql("doc_id")} % 16 AS shard,
+         strlen(text) AS nb,
+         {hash48_sql("text")} AS h
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(nb) AS BIGINT) AS total_bytes,
+       CAST(bit_xor(h) AS BIGINT) AS checksum
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
+@_q("shard_manifest", _shard_manifest_oracle())
+def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import export as EX
+
+    docs = load(spark, sf_dir, "documents")
+    return EX.shard_manifest(docs, "doc_id", "text", 16).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table profile — per column its nulls / exact distincts
+# / min / max, computed in ONE scan (side-by-side aggregate + stack
+# unpivot; the oracle necessarily reads the table once per column).
+# The profile that drives partition sizing and skew diagnosis before a
+# big run. Note n_distinct over k columns Expands k-fold — at 100 TB
+# run it on a hash_sample or swap in the HLL rollup (docstring).
+# ---------------------------------------------------------------------------
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM documents"""
+
+
+@_q(
+    "table_profile",
+    " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    )
+    + " ORDER BY column_name",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import analyze_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return analyze_stats(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).orderBy("column_name")

@@ -139,3 +139,25 @@ def test_table_fingerprint_auto_casts_floats(spark):
     raw_fp = QL.table_fingerprint(df).collect()[0]["checksum"]
     pre_fp = QL.table_fingerprint(pre).collect()[0]["checksum"]
     assert raw_fp == pre_fp
+
+
+# --- analyze_stats ---------------------------------------------------------
+
+def test_analyze_stats_one_scan_and_values(spark):
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators.quality import analyze_stats
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.0), (3, "b", None)],
+        "k long, s string, v double",
+    )
+    out = {r["column_name"]: r for r in analyze_stats(df).collect()}
+    assert out["k"]["n_nulls"] == 0 and out["k"]["n_distinct"] == 3
+    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "3"
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["v"]["n_nulls"] == 2 and out["v"]["n_distinct"] == 2
+    assert all(r["n_rows"] == 4 for r in out.values())
+    # single scan: exactly one parquet/LocalTableScan feeds the agg
+    plan = analyze_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
