@@ -67,3 +67,40 @@ def jdbc_staged_merge_sql(
 def parquet_table_sink(df: DataFrame, path: str, mode: str = "append") -> None:
     """Lake-table sink used by tests and local pipelines."""
     df.write.mode(mode).parquet(path)
+
+
+def jdbc_partitioned_read(
+    spark,
+    url: str,
+    table: str,
+    partition_col: str,
+    lower: int,
+    upper: int,
+    num_partitions: int,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parallel warehouse EXTRACT — the read-side mirror of
+    `jdbc_append`: ``num_partitions`` executors each issue a bounded
+    range query on ``partition_col`` (Spark generates the WHERE
+    clauses), so a 100 TB-adjacent warehouse table streams out in
+    parallel instead of through one connection. Filters and column
+    pruning applied to the returned DataFrame push down into the
+    generated SQL (PushedFilters on the JDBC scan — asserted in
+    tests/test_jdbc.py).
+
+    The reference only ever reads its warehouse via stored procedures
+    inside Redshift; an engine that replaces those needs the bulk
+    extract path too (initial lake hydration, warehouse→lake CDC
+    seeds). ``table`` may be a subquery alias — ``"(SELECT ...) t"`` —
+    to push arbitrary projections server-side."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_col)
+        .option("lowerBound", str(lower))
+        .option("upperBound", str(upper))
+        .option("numPartitions", str(num_partitions))
+        .options(**(properties or {}))
+        .load()
+    )

@@ -112,3 +112,23 @@ def test_jdbc_merge_agrees_with_lake_merge(spark, frames):
     }
     _exec_sql(spark, "DROP TABLE ag_target")
     _exec_sql(spark, "DROP TABLE ag_staging")
+
+
+def test_jdbc_partitioned_parallel_read(spark):
+    """Read-side mirror: bounded range partitions, real parallelism,
+    and filter pushdown into the generated SQL."""
+    src = spark.range(0, 200).selectExpr(
+        "id", "CAST(id % 7 AS DOUBLE) AS v"
+    )
+    sinks.jdbc_append(src, URL, "bulk_src", PROPS)
+    back = sinks.jdbc_partitioned_read(
+        spark, URL, "bulk_src", "id", 0, 200, 4,
+        {"driver": PROPS["driver"]},
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 200
+    assert {r["id"] for r in back.collect()} == set(range(200))
+    filtered = back.filter("id >= 150").select("id")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(id,150" in plan
+    assert filtered.count() == 50
