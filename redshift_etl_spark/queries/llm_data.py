@@ -1885,3 +1885,67 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_stats(
         docs, ["doc_id", "text", "lang", "source", "n_chars"]
     ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — compressed embedding codes + ADC search over
+# codes only. Training/encode/search are integer-deterministic
+# (scaled-dot argmax, scaled-int centroid means, integer ADC sums), so
+# the oracle replicates the full recurrence relationally from shared
+# constants (operators/pq.py generators). The 100 TB embedding-store
+# recipe: ~m bytes per vector, search never touches raw vectors.
+# ---------------------------------------------------------------------------
+
+def _pq_oracles():
+    from ..operators import pq as PQ
+
+    return PQ.pq_codes_oracle_sql(), PQ.pq_adc_oracle_sql()
+
+
+_PQ_CODES_SQL, _PQ_ADC_SQL = _pq_oracles()
+
+
+def pq_codebook_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once PQ codebooks (same posture as `ivf_codebook`): a
+    committed parquet fixture per SF, trained on the fly when absent —
+    double parquet round-trips are bit-exact, so loading ≡ retraining
+    (guarded end-to-end by both PQ oracles, whose SQL retrains from
+    scratch)."""
+    import os
+    from pathlib import Path
+
+    from ..operators import pq as PQ
+
+    fix_dir = Path(__file__).resolve().parents[2] / "fixtures" / "pq_codebook"
+    path = fix_dir / f"{os.path.basename(os.path.normpath(sf_dir))}.parquet"
+    if not path.exists():
+        cb = PQ.pq_codebooks(load(spark, sf_dir, "embeddings"))
+        try:
+            cb.coalesce(1).write.mode("overwrite").parquet(str(path))
+        except Exception:  # read-only checkout: train-only fallback
+            return cb
+    return spark.read.parquet(str(path))
+
+
+@_q("pq_codes", _PQ_CODES_SQL)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_codebook_fixture(spark, sf_dir)
+    return (
+        PQ.pq_encode(emb, cb)
+        .select(F.col("vid").alias("vec_id"), "code")
+        .orderBy("vec_id")
+    )
+
+
+@_q("pq_adc_topk", _PQ_ADC_SQL)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pq as PQ
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_codebook_fixture(spark, sf_dir)
+    codes = PQ.pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return PQ.pq_adc_topk(queries, codes, cb).orderBy("query_id", "rank")

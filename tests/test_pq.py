@@ -1,0 +1,80 @@
+"""Product quantization (operators/pq.py): code shape/compression,
+partitioning invariance, and ADC ranking quality vs exact dot."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from redshift_etl_spark.operators import pq as PQ
+from redshift_etl_spark.queries.tables import load
+
+SF = "/root/testdata/sf0.01"
+
+
+def _emb(spark, parts=None):
+    e = load(spark, SF, "embeddings")
+    return e.repartition(parts) if parts else e
+
+
+def test_codes_shape_and_range(spark):
+    emb = _emb(spark)
+    cb = PQ.pq_codebooks(emb)
+    codes = PQ.pq_encode(emb, cb)
+    assert codes.count() == emb.count()
+    parts = codes.select(F.split("code", "-").alias("p")).select(
+        F.size("p").alias("n"),
+        F.array_max(F.transform(F.col("p"), lambda x: x.cast("int"))).alias(
+            "mx"
+        ),
+    )
+    row = parts.agg(F.min("n"), F.max("n"), F.max("mx")).collect()[0]
+    assert row[0] == 8 and row[1] == 8  # m codes per vector
+    assert row[2] < 16  # k=16 centroid ids
+    # compression: 8 small ints vs 64 doubles per vector
+    avg_len = codes.agg(F.avg(F.length("code"))).collect()[0][0]
+    assert avg_len < 64 * 8 / 4
+
+
+def test_codes_partitioning_invariant(spark):
+    a = PQ.pq_encode(_emb(spark, 2), PQ.pq_codebooks(_emb(spark, 2)))
+    b = PQ.pq_encode(_emb(spark, 17), PQ.pq_codebooks(_emb(spark, 17)))
+    assert {tuple(r) for r in a.collect()} == {
+        tuple(r) for r in b.collect()
+    }
+
+
+def test_adc_ranking_quality(spark):
+    """ADC top-3 should substantially overlap exact-dot top-10 — the
+    compressed index finds genuinely close vectors, not noise."""
+    emb = _emb(spark)
+    cb = PQ.pq_codebooks(emb)
+    codes = PQ.pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 5)
+    adc = PQ.pq_adc_topk(queries, codes, cb, topk=3).collect()
+    from redshift_etl_spark.operators.similarity import dot
+
+    q = queries.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            dot("embedding", "qv").alias("s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    top10 = {
+        (r["qid"], r["vec_id"])
+        for r in exact.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 10")
+        .collect()
+    }
+    hits = sum(
+        1 for r in adc if (r["query_id"], r["neighbor_id"]) in top10
+    )
+    assert hits >= len(adc) * 0.5, f"ADC recall too low: {hits}/{len(adc)}"
