@@ -52,6 +52,7 @@ HEADLINE = (
     "heavy_hitter_tokens",  # MG candidates + recount, no full-stream shuffle
     "trade_pagerank",       # iterative join+agg, exact-integer ranks
     "value_quantile_rollup",  # mergeable fixed-bin quantile rollup
+    "pq_adc_topk",          # PQ-compressed ADC search (codes only)
 )
 
 
