@@ -1,0 +1,63 @@
+"""Versioned parquet tables (sources/versioned.py): snapshot commit,
+time travel, rollback, vacuum retention, and the versioned SCD1 merge."""
+
+from __future__ import annotations
+
+import pytest
+
+from redshift_etl_spark.sources import versioned as V
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, val string, ts timestamp")
+
+
+def test_commit_time_travel_rollback(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    n0 = V.write_version(_df(spark, [(1, "a", None)]), root)
+    n1 = V.write_version(_df(spark, [(1, "a", None), (2, "b", None)]), root)
+    assert (n0, n1) == (0, 1)
+    assert V.current_version(root) == 1
+    assert V.read_current(spark, root).count() == 2
+    assert V.read_version(spark, root, 0).count() == 1  # time travel
+    V.rollback(root, 0)
+    assert V.read_current(spark, root).count() == 1
+    # rollback is reversible until vacuum
+    V.rollback(root, 1)
+    assert V.read_current(spark, root).count() == 2
+    with pytest.raises(ValueError):
+        V.rollback(root, 99)
+
+
+def test_vacuum_keeps_current(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    for i in range(5):
+        V.write_version(_df(spark, [(j, "x", None) for j in range(i + 1)]), root)
+    V.rollback(root, 1)  # current is OLD; vacuum must not drop it
+    dropped = V.vacuum(root, keep=2)
+    assert 1 not in dropped and set(dropped) <= {0, 2}
+    assert V.read_current(spark, root).count() == 2
+    assert set(V.versions(root)) >= {1, 3, 4}
+
+
+def test_merge_scd1_version(spark, tmp_path):
+    import datetime as dt
+
+    root = str(tmp_path / "tbl")
+    t = dt.datetime(2024, 1, 1)
+    V.write_version(_df(spark, [(1, "old", t), (2, "keep", t)]), root)
+    n = V.merge_scd1_version(
+        spark,
+        root,
+        _df(spark, [(1, "new", dt.datetime(2024, 2, 1)), (3, "ins", t)]),
+        "id",
+        "ts",
+    )
+    assert n == 1
+    got = {
+        (r["id"], r["val"]) for r in V.read_current(spark, root).collect()
+    }
+    assert got == {(1, "new"), (2, "keep"), (3, "ins")}
+    # the pre-merge snapshot is still readable (audit/backout)
+    old = {(r["id"], r["val"]) for r in V.read_version(spark, root, 0).collect()}
+    assert old == {(1, "old"), (2, "keep")}
