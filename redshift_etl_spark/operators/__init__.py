@@ -1,1 +1,1 @@
-from . import asof, dedup, export, graph, heavy, merge, multimodal, rangejoin, sampling, similarity, text  # noqa: F401
+from . import asof, dedup, export, graph, heavy, merge, multimodal, pq, rangejoin, sampling, similarity, text  # noqa: F401

@@ -126,3 +126,29 @@ def merge_scd1_version(
     target = read_current(spark, root)
     merged = merge_scd1(target, source, key, recency_col)
     return write_version(merged, root)
+
+
+def version_diff(
+    spark: SparkSession,
+    root: str,
+    key: str,
+    compare_cols,
+    old_version: int,
+    new_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two snapshots: (key, change_type ∈
+    added/removed/changed), NULL-safe — `quality.snapshot_diff` over
+    the stored versions. Answers "what did load N change?" without any
+    bookkeeping at write time; one full-outer key shuffle."""
+    from ..operators.quality import snapshot_diff
+
+    if new_version is None:
+        new_version = current_version(root)
+        if new_version is None:
+            raise FileNotFoundError(f"no committed version under {root}")
+    return snapshot_diff(
+        read_version(spark, root, old_version),
+        read_version(spark, root, new_version),
+        key,
+        list(compare_cols),
+    )

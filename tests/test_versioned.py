@@ -61,3 +61,23 @@ def test_merge_scd1_version(spark, tmp_path):
     # the pre-merge snapshot is still readable (audit/backout)
     old = {(r["id"], r["val"]) for r in V.read_version(spark, root, 0).collect()}
     assert old == {(1, "old"), (2, "keep")}
+
+
+def test_version_diff_is_the_change_feed(spark, tmp_path):
+    import datetime as dt
+
+    root = str(tmp_path / "tbl")
+    t = dt.datetime(2024, 1, 1)
+    V.write_version(_df(spark, [(1, "old", t), (2, "keep", t)]), root)
+    V.merge_scd1_version(
+        spark,
+        root,
+        _df(spark, [(1, "new", dt.datetime(2024, 2, 1)), (3, "ins", t)]),
+        "id",
+        "ts",
+    )
+    diff = {
+        (r["id"], r["change_type"])
+        for r in V.version_diff(spark, root, "id", ["val"], 0).collect()
+    }
+    assert diff == {(1, "changed"), (3, "added")}
