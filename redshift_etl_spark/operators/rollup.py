@@ -526,3 +526,36 @@ def binned_quantiles(
             )
         )
     return c.groupBy(*keys).agg(*aggs)
+
+
+def rolling_binned_histogram(
+    hist: DataFrame,
+    key_cols: Sequence[str],
+    day_col: str,
+    window_days: int,
+) -> DataFrame:
+    """Trailing-window histograms from stored daily histograms: the
+    histogram for day D = Σ of days (D−w+1 … D) — computed by
+    REPLICATION, not a sort: each daily (key, bin, cnt) row contributes
+    to the ``window_days`` target days it falls inside (explode of w
+    offsets + one hash aggregate). No per-window re-sort, no
+    range-window over raw rows — the moving-percentile shape that stays
+    cheap when windows are long and days are wide. Emits every target
+    day (callers semi-join their observed-day frame to drop days with
+    no data, keeping partial leading windows — deterministic on both
+    engines)."""
+    keys = list(key_cols)
+    offsets = F.explode(
+        F.array(*[F.lit(i) for i in range(window_days)])
+    ).alias("__o")
+    return (
+        hist.select(*keys, day_col, "bin", "cnt", offsets)
+        .select(
+            *keys,
+            F.date_add(F.col(day_col), F.col("__o")).alias(day_col),
+            "bin",
+            "cnt",
+        )
+        .groupBy(*keys, day_col, "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

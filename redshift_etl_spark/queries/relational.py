@@ -3021,3 +3021,70 @@ def value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=0.0,
         width=2.0,
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Moving percentiles from stored daily histograms: the trailing-3-day
+# p50/p90 of event value per type, per day — daily bin counts replicate
+# to the windows they belong to (explode of 3 offsets + one hash agg),
+# then the quantile reads off the merged bins. No per-window sort, no
+# range-window over raw rows; windows lengthen for free because
+# histograms SUM. Bin selection integer-exact as in
+# value_quantile_rollup.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "rolling_value_quantiles",
+    """
+WITH b AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         LEAST(249, GREATEST(0,
+           CAST(FLOOR((value - 0.0) / 2.0) AS BIGINT))) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+h AS (SELECT event_type, day, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3),
+r AS (
+  SELECT event_type, day + CAST(o.o AS INT) AS day, bin, cnt
+  FROM h CROSS JOIN (SELECT unnest(range(0, 3)) AS o) o
+),
+rh AS (SELECT event_type, day, bin, SUM(cnt) AS cnt FROM r GROUP BY 1, 2, 3),
+days AS (SELECT DISTINCT event_type, day FROM b),
+h3 AS (
+  SELECT rh.event_type, rh.day, rh.bin, rh.cnt
+  FROM rh JOIN days ON rh.event_type = days.event_type
+                   AND rh.day = days.day
+),
+c AS (
+  SELECT event_type, day, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type, day ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type, day) AS n
+  FROM h3
+)
+SELECT event_type, day,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       0.0 + (CAST(MIN(CASE WHEN cum * 2 >= n THEN bin END) AS DOUBLE)
+              + 0.5) * 2.0 AS p50,
+       0.0 + (CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS DOUBLE)
+              + 0.5) * 2.0 AS p90
+FROM c
+GROUP BY event_type, day
+ORDER BY event_type, day
+""",
+)
+def rolling_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollup as RU
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("day", F.to_date("ts"))
+    )
+    daily = RU.binned_histogram(
+        ev, ["event_type", "day"], "value", lo=0.0, width=2.0, bins=250
+    )
+    rolled = RU.rolling_binned_histogram(daily, ["event_type"], "day", 3)
+    days = ev.select("event_type", "day").distinct()
+    h3 = rolled.join(days, ["event_type", "day"], "left_semi")
+    return RU.binned_quantiles(
+        h3, ["event_type", "day"], [(1, 2), (9, 10)], lo=0.0, width=2.0
+    ).orderBy("event_type", "day")

@@ -266,3 +266,41 @@ def test_binned_clamps_and_drops_nulls(spark):
         for r in RU.binned_histogram(df, ["k"], "v", 0.0, 10.0, 10).collect()
     }
     assert rows == {(0, 2), (9, 2)}
+
+
+def test_rolling_binned_histogram_equals_direct_window(spark):
+    """Rolling histogram by replication == recomputing each window's
+    histogram from raw rows."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators import rollup as RU
+
+    rows = []
+    base = dt.date(2024, 1, 1)
+    for day_off in range(6):
+        for i in range(20):
+            rows.append(
+                ("k", base + dt.timedelta(days=day_off),
+                 float((i * 7 + day_off * 3) % 50))
+            )
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    daily = RU.binned_histogram(df, ["k", "day"], "v", 0.0, 5.0, 10)
+    rolled = RU.rolling_binned_histogram(daily, ["k"], "day", 3)
+    days = df.select("k", "day").distinct()
+    got = {
+        tuple(r)
+        for r in rolled.join(days, ["k", "day"], "left_semi").collect()
+    }
+    # direct: for each day, histogram of rows in [day-2, day]
+    want = set()
+    for day_off in range(6):
+        d = base + dt.timedelta(days=day_off)
+        sub = df.filter(
+            (F.col("day") <= F.lit(d))
+            & (F.col("day") >= F.lit(d - dt.timedelta(days=2)))
+        )
+        for r in RU.binned_histogram(sub, ["k"], "v", 0.0, 5.0, 10).collect():
+            want.add((r["k"], d, r["bin"], r["cnt"]))
+    assert got == want
