@@ -81,3 +81,81 @@ def test_version_diff_is_the_change_feed(spark, tmp_path):
         for r in V.version_diff(spark, root, "id", ["val"], 0).collect()
     }
     assert diff == {(1, "changed"), (3, "added")}
+
+
+def test_streaming_versioned_sink_exactly_once(spark, tmp_path):
+    """Two micro-batches land as two snapshots; a simulated redelivery
+    (same epoch id) is a no-op for both state and version history."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("val", StringType()),
+        ]
+    )
+
+    def write(name, rows):
+        with open(indir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip(("id", "ts", "val"), r))) + "\n")
+
+    write("b1.json", [("K1", "2024-01-01 10:00:00", "v1")])
+    write("b2.json", [("K1", "2024-01-02 10:00:00", "v2"),
+                      ("K2", "2024-01-01 09:00:00", "u1")])
+    now = time.time()
+    for i, n in enumerate(("b1.json", "b2.json")):
+        t = now - 100 * (2 - i)
+        os.utime(indir / n, (t, t))
+
+    root = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q = V.start_versioned_merge_sink(
+        stream, root, str(tmp_path / "ckpt"), "id", "ts"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["id"], r["val"]) for r in V.read_current(spark, root).collect()}
+    assert got == {("K1", "v2"), ("K2", "u1")}
+    vs = V.versions(root)
+    n_versions = len(vs)
+    assert n_versions == 3  # empty seed + one per batch
+    assert V.last_applied_batch(root) == 1
+
+    # real redelivery: a FRESH checkpoint replays every file as epochs
+    # 0..1 again; the _LAST_BATCH marker must skip them all — no new
+    # snapshots, no state change
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q2 = V.start_versioned_merge_sink(
+        stream2, root, str(tmp_path / "ckpt2"), "id", "ts"
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert len(V.versions(root)) == n_versions
+    assert {
+        (r["id"], r["val"]) for r in V.read_current(spark, root).collect()
+    } == got
