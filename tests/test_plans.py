@@ -309,3 +309,45 @@ def test_source_quality_report_expands_only_reduced_frame(spark):
     # formatted tree prints top-down: at least one HashAggregate lies
     # BETWEEN the Expand and the scan (the grain reduction)
     assert any(expand_line < a < scan_line for a in agg_lines)
+
+
+def test_pq_adc_no_cartesian_and_broadcasts(spark):
+    """ADC search: query lookup table broadcast, never a cross product;
+    the corpus side carries codes, not raw vectors."""
+    df = Q.all_queries()["pq_adc_topk"](spark, SF_ORACLE)
+    assert not P.has_cross_product(df)
+    assert P.has_broadcast_join(df)
+
+
+def test_heavy_hitters_stream_never_shuffles_items(spark):
+    """The MG candidate pass is mapInPandas (no Exchange below it); the
+    only exchanges serve the tiny candidate recount. The single BNLJ is
+    the deliberate 1-row broadcast scalar-total cross join (the
+    dormant_customers pattern), not an all-pairs join."""
+    df = Q.all_queries()["heavy_hitter_tokens"](spark, SF_ORACLE)
+    plan = P.plan_tree(df)
+    assert P.tree_count(df, "BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # candidate recount is a semi-join
+    assert "MapInPandas" in plan
+    # the candidate stage reads straight off the scan: no Exchange in
+    # the segment between the scan and MapInPandas
+    below = plan[plan.index("MapInPandas"):]
+    first_scan = below.index("Scan parquet")
+    assert "Exchange" not in below[:first_scan]
+
+
+def test_pagerank_no_cartesian_bounded_exchanges(spark):
+    df = Q.all_queries()["trade_pagerank"](spark, SF_ORACLE)
+    assert not P.has_cross_product(df)
+
+
+def test_rolling_quantiles_single_agg_chain(spark):
+    """Replication windowing: no range-window over raw rows — the only
+    window operates over <= bins rows per (key, day)."""
+    df = Q.all_queries()["rolling_value_quantiles"](spark, SF_ORACLE)
+    assert not P.has_cross_product(df)
+    # raw events reduce to (type, day, bin) BEFORE any window: the
+    # first aggregate's grouping happens below the Window node
+    plan = P.plan_tree(df)
+    assert plan.index("HashAggregate") < plan.index("Window")
