@@ -559,3 +559,66 @@ def rolling_binned_histogram(
         .groupBy(*keys, day_col, "bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def change_point(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Single change-point detection per key: the split position (by
+    ``order_col``) maximizing the absolute difference of means before
+    vs after, i.e. the argmax of |prefix_mean − suffix_mean| over all
+    proper prefixes. The step-shift detector a pipeline owner runs over
+    daily metrics before trusting a trend.
+
+    Engine-exact by the usual discipline: values quantize to
+    ``scale``-ed longs, prefix sums are integer window sums, and the
+    comparison avoids division entirely —
+    |pre_sum·(n−i) − post_sum·i| compares objectives on a common
+    denominator i·(n−i) as pure integers (overflow headroom: |v|≤10⁷ ·
+    scale 100 · n² ≤ 9·10¹⁸ holds to n ≈ 3·10⁴ rows/key at that
+    magnitude; reduce to daily aggregates first — which is the intended
+    use — and n is tiny). Ties break on the earlier split. One window
+    pass over each key's ordered rows + one argmax aggregate; returns
+    (keys…, split_pos, n, shift_scaled) where shift_scaled =
+    pre_sum·(n−i) − post_sum·i at the argmax (sign = direction)."""
+    keys = list(key_cols)
+    q = df.select(
+        *keys,
+        F.col(order_col).alias("__ord"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__ord")
+    wall = Window.partitionBy(*keys)
+    c = q.select(
+        *keys,
+        "__ord",
+        F.row_number().over(w).alias("__i"),
+        F.sum("__v").over(w).alias("__pre"),
+        F.sum("__v").over(wall).alias("__tot"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    ).filter(F.col("__i") < F.col("__n"))
+    obj = (
+        F.col("__pre") * (F.col("__n") - F.col("__i"))
+        - (F.col("__tot") - F.col("__pre")) * F.col("__i")
+    )
+    scored = c.select(
+        *keys,
+        "__i",
+        "__n",
+        obj.alias("__obj"),
+        F.abs(obj).alias("__absobj"),
+    )
+    return scored.groupBy(*keys).agg(
+        F.max_by(
+            F.col("__i"), F.struct(F.col("__absobj"), (-F.col("__i")).alias("n"))
+        ).cast("long").alias("split_pos"),
+        F.max("__n").cast("long").alias("n"),
+        F.max_by(
+            F.col("__obj"),
+            F.struct(F.col("__absobj"), (-F.col("__i")).alias("n")),
+        ).cast("long").alias("shift_scaled"),
+    )

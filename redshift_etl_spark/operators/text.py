@@ -483,3 +483,56 @@ def compression_signals(
         schema="doc_id long, raw_bytes long, compressed_bytes long, "
         "deflate_ratio double",
     )
+
+
+# --- inverted index --------------------------------------------------------
+
+def build_inverted_index(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Posting lists: (token, df_count, postings) where postings is the
+    sorted list of (doc_id, tf) structs — the classic search-index
+    build as one explode + two hash aggregates. The shuffle carries
+    (token, doc) pairs once; collect_list is bounded per token by the
+    token's document frequency (for web-scale stopwords, cap or drop
+    the head via `heavy.heavy_hitters` first — the index's own df_count
+    is the signal).
+
+    Deterministic: postings sort by doc id, token order is the caller's
+    concern (ORDER BY in the query)."""
+    pairs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens_col(text_col)).alias("token"),
+        )
+        .groupBy("token", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return pairs.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df_count"),
+        F.array_sort(F.collect_list(F.struct("doc", "tf"))).alias(
+            "postings"
+        ),
+    )
+
+
+def search_and(
+    index: DataFrame, term_a: str, term_b: str
+) -> DataFrame:
+    """Conjunctive query over the index: docs containing BOTH terms,
+    scored by summed tf — posting-list intersection as an explode +
+    self-equi-join on doc (never touches raw text)."""
+    def _postings(term: str, suffix: str) -> DataFrame:
+        return (
+            index.filter(F.col("token") == term)
+            .select(F.explode("postings").alias("p"))
+            .select(
+                F.col("p.doc").alias("doc"),
+                F.col("p.tf").alias(f"tf_{suffix}"),
+            )
+        )
+
+    a, b = _postings(term_a, "a"), _postings(term_b, "b")
+    return a.join(b, "doc").select(
+        "doc", (F.col("tf_a") + F.col("tf_b")).cast("long").alias("score")
+    )

@@ -1949,3 +1949,72 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = PQ.pq_encode(emb, cb)
     queries = emb.filter(F.col("vec_id") < 5)
     return PQ.pq_adc_topk(queries, codes, cb).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Inverted text index — posting lists (token → sorted (doc, tf)) as one
+# explode + two hash aggregates, and conjunctive search as posting-list
+# intersection (raw text never touched at query time). Postings
+# serialize "doc:tf,…" for the cross-engine hash compare; df_count ≥ 5
+# trims the long singleton tail out of the declared result (the build
+# itself is full-vocabulary).
+# ---------------------------------------------------------------------------
+
+_IDX_PAIRS_SQL = """
+  SELECT token, doc_id AS doc, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY token, doc_id
+"""
+
+
+@_q(
+    "inverted_index",
+    f"""
+WITH pairs AS ({_IDX_PAIRS_SQL})
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df_count,
+       string_agg(doc || ':' || tf, ',' ORDER BY doc) AS postings
+FROM pairs GROUP BY token HAVING COUNT(*) >= 5 ORDER BY token
+""",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    idx = TX.build_inverted_index(docs, "doc_id", "text")
+    return (
+        idx.filter(F.col("df_count") >= 5)
+        .select(
+            "token",
+            "df_count",
+            F.array_join(
+                F.transform(
+                    F.col("postings"),
+                    lambda p: F.concat_ws(
+                        ":",
+                        p.getField("doc").cast("string"),
+                        p.getField("tf").cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy("token")
+    )
+
+
+@_q(
+    "search_and_terms",
+    f"""
+WITH pairs AS ({_IDX_PAIRS_SQL}),
+a AS (SELECT doc, tf FROM pairs WHERE token = 'hash'),
+b AS (SELECT doc, tf FROM pairs WHERE token = 'join')
+SELECT a.doc, CAST(a.tf + b.tf AS BIGINT) AS score
+FROM a JOIN b ON a.doc = b.doc
+ORDER BY score DESC, a.doc
+""",
+)
+def search_and_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    idx = TX.build_inverted_index(docs, "doc_id", "text")
+    return TX.search_and(idx, "hash", "join").orderBy(
+        F.desc("score"), F.asc("doc")
+    )

@@ -3088,3 +3088,63 @@ def rolling_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RU.binned_quantiles(
         h3, ["event_type", "day"], [(1, 2), (9, 10)], lo=0.0, width=2.0
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Change-point detection — per event type the day-index splitting the
+# daily-volume series with the maximal mean shift (|prefix mean −
+# suffix mean|), compared WITHOUT division on the common denominator
+# i·(n−i): pure integer window sums over integer-cent daily totals, so
+# split choice and shift sign are engine-exact. The step-detector run
+# over a metric before trusting its trend (operators/rollup.change_point
+# documents the overflow headroom).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "volume_change_point",
+    """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS dv
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, day,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         SUM(dv) OVER (PARTITION BY event_type ORDER BY day) AS pre,
+         SUM(dv) OVER (PARTITION BY event_type) AS tot,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+s AS (
+  SELECT event_type, i, n,
+         pre * (n - i) - (tot - pre) * i AS obj,
+         ABS(pre * (n - i) - (tot - pre) * i) AS a
+  FROM c WHERE i < n
+),
+r AS (
+  SELECT event_type, i, n, obj,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY a DESC, i ASC
+         ) AS rn
+  FROM s
+)
+SELECT event_type, CAST(i AS BIGINT) AS split_pos,
+       CAST(n AS BIGINT) AS n, CAST(obj AS BIGINT) AS shift_scaled
+FROM r WHERE rn = 1 ORDER BY event_type
+""",
+)
+def volume_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollup as RU
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("dv")
+        )
+    )
+    return RU.change_point(
+        daily, ["event_type"], "day", "dv", scale=1
+    ).orderBy("event_type")

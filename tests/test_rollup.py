@@ -304,3 +304,42 @@ def test_rolling_binned_histogram_equals_direct_window(spark):
         for r in RU.binned_histogram(sub, ["k"], "v", 0.0, 5.0, 10).collect():
             want.add((r["k"], d, r["bin"], r["cnt"]))
     assert got == want
+
+
+def test_change_point_finds_planted_shift(spark):
+    import datetime as dt
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from redshift_etl_spark.operators import rollup as RU
+
+    base = dt.date(2024, 1, 1)
+    rows = []
+    # key "step": level 10 for 8 days, then 50 for 6 days -> split at 8
+    for i in range(14):
+        rows.append(("step", base + dt.timedelta(days=i),
+                     10.0 if i < 8 else 50.0))
+    # key "flat": constant -> objective 0 everywhere, earliest split wins
+    for i in range(10):
+        rows.append(("flat", base + dt.timedelta(days=i), 7.0))
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {r["k"]: r for r in
+           RU.change_point(df, ["k"], "day", "v", scale=100).collect()}
+    assert out["step"]["split_pos"] == 8 and out["step"]["n"] == 14
+    assert out["step"]["shift_scaled"] < 0  # mean rises after the split
+    assert out["flat"]["split_pos"] == 1  # tie -> earliest
+    assert out["flat"]["shift_scaled"] == 0
+
+
+def test_change_point_partitioning_invariant(spark):
+    import datetime as dt
+
+    from redshift_etl_spark.operators import rollup as RU
+
+    base = dt.date(2024, 1, 1)
+    rows = [("k", base + dt.timedelta(days=i), float((i * 13) % 29))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    a = RU.change_point(df.repartition(1), ["k"], "day", "v").collect()
+    b = RU.change_point(df.repartition(16), ["k"], "day", "v").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
