@@ -622,3 +622,67 @@ def change_point(
             F.struct(F.col("__absobj"), (-F.col("__i")).alias("n")),
         ).cast("long").alias("shift_scaled"),
     )
+
+
+def topk_rollup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str,
+    value_col: str,
+    k: int,
+) -> DataFrame:
+    """Mergeable top-k summary per key: the k largest (value, id) pairs
+    as sorted arrays — (value DESC, id ASC) total order, so contents
+    are deterministic. Like the histogram/HLL rollups, top-k MERGES:
+    topk(union) ≡ topk(merge of stored top-ks), because any entry of
+    the union's top-k is in its own group's top-k. One window pass per
+    build; stored rollups re-aggregate with `merge_topk` without
+    rescanning raw data."""
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(value_col), F.asc(id_col)
+    )
+    return (
+        df.select(*keys, id_col, value_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .groupBy(*keys)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__rk", id_col, value_col))
+                ),
+                lambda s: F.struct(
+                    s.getField(id_col).alias("id"),
+                    s.getField(value_col).alias("value"),
+                ),
+            ).alias("topk")
+        )
+    )
+
+
+def merge_topk(
+    rollup: DataFrame, key_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Re-aggregate stored top-k summaries to coarser keys: explode,
+    re-rank, cut — touches only k rows per stored group, never raw
+    data."""
+    keys = list(key_cols)
+    flat = rollup.select(
+        *keys, F.explode("topk").alias("e")
+    ).select(*keys, F.col("e.id").alias("id"), F.col("e.value").alias("value"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("value"), F.asc("id"))
+    return (
+        flat.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .groupBy(*keys)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__rk", "id", "value"))),
+                lambda s: F.struct(
+                    s.getField("id").alias("id"),
+                    s.getField("value").alias("value"),
+                ),
+            ).alias("topk")
+        )
+    )

@@ -3148,3 +3148,51 @@ def volume_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RU.change_point(
         daily, ["event_type"], "day", "dv", scale=1
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable top-k rollup — daily top-3 orders by price per priority,
+# merged to priority level; the Spark side goes THROUGH the stored
+# daily summaries (merge touches only k rows per group) while the
+# oracle ranks directly over raw orders — hash equality proves
+# topk(merge of stored top-ks) ≡ topk(union), the property that makes
+# leaderboards incrementally maintainable. (value DESC, id ASC) total
+# order fixes ties identically on both engines.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "topk_rollup_orders",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rank
+  FROM orders
+) WHERE rank <= 3
+ORDER BY o_orderpriority, rank
+""",
+)
+def topk_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollup as RU
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "day", F.to_date("o_orderdate")
+    )
+    daily = RU.topk_rollup(
+        o, ["o_orderpriority", "day"], "o_orderkey", "o_totalprice", 3
+    )
+    merged = RU.merge_topk(daily, ["o_orderpriority"], 3)
+    return (
+        merged.select(
+            "o_orderpriority", F.posexplode("topk").alias("pos", "e")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("e.id").alias("o_orderkey"),
+            F.col("e.value").alias("o_totalprice"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
+        .orderBy("o_orderpriority", "rank")
+    )

@@ -343,3 +343,24 @@ def test_change_point_partitioning_invariant(spark):
     a = RU.change_point(df.repartition(1), ["k"], "day", "v").collect()
     b = RU.change_point(df.repartition(16), ["k"], "day", "v").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_topk_rollup_merge_equals_direct(spark):
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators import rollup as RU
+
+    df = spark.range(2000).select(
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 11).alias("sub"),
+        F.col("id").alias("k"),
+        (F.pmod(F.xxhash64("id"), F.lit(997)).cast("double")).alias("v"),
+    )
+    fine = RU.topk_rollup(df, ["g", "sub"], "k", "v", 4)
+    merged = RU.merge_topk(fine, ["g"], 4)
+    direct = RU.topk_rollup(df, ["g"], "k", "v", 4)
+    a = {(r["g"], tuple((e["id"], e["value"]) for e in r["topk"]))
+         for r in merged.collect()}
+    b = {(r["g"], tuple((e["id"], e["value"]) for e in r["topk"]))
+         for r in direct.collect()}
+    assert a == b
