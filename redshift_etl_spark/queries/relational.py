@@ -3196,3 +3196,66 @@ def topk_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal (day-of-week) anomaly detection: daily volumes compare
+# against their weekday's own baseline, catching "quiet Tuesday" /
+# "hot Sunday" deviations a global z-score smears over. Same
+# rounded-moments discipline as zscore_anomalies (never stddev_samp);
+# weekday parity: Spark weekday()+1 ≡ DuckDB isodow (Monday=1).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dow_seasonal_anomalies",
+    """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         isodow(CAST(ts AS DATE)) AS dow,
+         ROUND(SUM(value), 2) AS dv
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT event_type, dow, COUNT(*) AS n,
+         ROUND(SUM(dv), 2) AS sum_v,
+         ROUND(SUM(dv * dv), 4) AS sum_sq
+  FROM d GROUP BY 1, 2
+),
+z AS (
+  SELECT d.event_type, d.day, d.dv,
+         (d.dv - sum_v / n)
+           / sqrt((sum_sq - n * (sum_v / n) * (sum_v / n)) / (n - 1)) AS z
+  FROM d JOIN stats s ON d.event_type = s.event_type AND d.dow = s.dow
+  WHERE n > 1
+    AND (sum_sq - n * (sum_v / n) * (sum_v / n)) / (n - 1) > 0
+)
+SELECT event_type, day, dv, z FROM z WHERE ABS(z) > 1.3
+ORDER BY event_type, day
+""",
+)
+def dow_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            (F.weekday(F.to_date("ts")) + 1).alias("dow"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("dv"))
+    )
+    stats = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("dv"), 2).alias("sum_v"),
+        F.round(F.sum(F.col("dv") * F.col("dv")), 4).alias("sum_sq"),
+    )
+    mean = F.col("sum_v") / F.col("n")
+    var = (F.col("sum_sq") - F.col("n") * mean * mean) / (F.col("n") - 1)
+    z = (F.col("dv") - mean) / F.sqrt(var)
+    return (
+        d.join(stats, ["event_type", "dow"])
+        .filter((F.col("n") > 1) & (var > 0))
+        .select("event_type", "day", "dv", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 1.3)
+        .orderBy("event_type", "day")
+    )
