@@ -437,3 +437,79 @@ def test_stream_dedup_state_expires_past_watermark(spark, tmp_path):
     spark.catalog.dropTempView("ctr_expiry")
     assert counts["C2"] == 1          # in-horizon duplicate dropped
     assert counts["C1"] == 2          # post-horizon duplicate re-emitted
+
+
+@pytest.mark.slow
+def test_streaming_binned_histogram_quantiles(spark, tmp_path):
+    """The mergeable fixed-bin histogram works as a STREAMING aggregate:
+    bin counts accumulate across micro-batches in update mode (integer
+    adds — the mergeability that exact percentiles lack), and the final
+    sink state yields the same quantile as a batch recompute."""
+    import json
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    schema = StructType(
+        [StructField("k", StringType()), StructField("v", DoubleType())]
+    )
+    b1 = [("g", float(x % 40)) for x in range(200)]
+    b2 = [("g", float((x * 7) % 90)) for x in range(300)]
+    for name, rows in (("b1.json", b1), ("b2.json", b2)):
+        with open(indir / name, "w") as f:
+            for k, v in rows:
+                f.write(json.dumps({"k": k, "v": v}) + "\n")
+    now = time.time()
+    for i, n in enumerate(("b1.json", "b2.json")):
+        t = now - 100 * (2 - i)
+        os.utime(indir / n, (t, t))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    width, bins = 10.0, 10
+    bin_c = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor(F.col("v") / width).cast("long")),
+    ).alias("bin")
+    agg = stream.select("k", bin_c).groupBy("k", "bin").count()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hist_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    hist = spark.sql(
+        "SELECT k, bin, count AS cnt FROM hist_stream"
+    )
+    from redshift_etl_spark.operators import rollup as RU
+
+    est = RU.binned_quantiles(
+        hist, ["k"], [(1, 2)], 0.0, width
+    ).collect()[0]
+    batch = spark.createDataFrame(b1 + b2, schema)
+    direct = RU.binned_quantiles(
+        RU.binned_histogram(batch, ["k"], "v", 0.0, width, bins),
+        ["k"],
+        [(1, 2)],
+        0.0,
+        width,
+    ).collect()[0]
+    assert est["p50"] == direct["p50"]
+    assert est["n_rows"] == direct["n_rows"] == 500
