@@ -536,3 +536,60 @@ def search_and(
     return a.join(b, "doc").select(
         "doc", (F.col("tf_a") + F.col("tf_b")).cast("long").alias("score")
     )
+
+
+# --- vocabulary + id encoding ---------------------------------------------
+
+def build_vocab(
+    df: DataFrame, text_col: str, size: int
+) -> DataFrame:
+    """(token, token_id, freq): the ``size`` most frequent tokens with
+    1-based ids in (freq DESC, token ASC) order — deterministic on
+    ties, so the id assignment is reproducible across engines and runs
+    (a trained model's embedding table depends on it). One explode +
+    hash agg + bounded TakeOrdered; id 0 is reserved for OOV."""
+    freq = (
+        df.select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(size)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return freq.select(
+        "token",
+        F.row_number().over(w).cast("long").alias("token_id"),
+        "freq",
+    )
+
+
+def encode_ids(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """(id_col, ids): each document as its token-id sequence (OOV → 0),
+    order-preserving — posexplode keeps token position through the
+    broadcast vocab join, and the re-assembly sorts by position inside
+    each document's aggregate. The numericalization step feeding a
+    trainer; raw text leaves the pipeline here."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(text_col)).alias("pos", "token"),
+    )
+    joined = toks.join(F.broadcast(vocab.select("token", "token_id")),
+                       "token", "left")
+    return (
+        joined.select(
+            id_col,
+            "pos",
+            F.coalesce("token_id", F.lit(0)).cast("long").alias("tid"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s.getField("tid"),
+            ).alias("ids")
+        )
+    )

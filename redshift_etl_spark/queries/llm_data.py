@@ -2018,3 +2018,50 @@ def search_and_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.search_and(idx, "hash", "join").orderBy(
         F.desc("score"), F.asc("doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary + token-id encoding — the numericalization step feeding a
+# trainer: top-100 vocab with deterministic (freq DESC, token ASC) id
+# assignment, then each document as its id sequence (OOV → 0),
+# position-preserving. Ids serialize space-joined for the cross-engine
+# hash; raw text leaves the pipeline at this step.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "token_id_encoding",
+    """
+WITH freq AS (
+  SELECT token, COUNT(*) AS freq
+  FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+  GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100
+),
+vocab AS (
+  SELECT token,
+         row_number() OVER (ORDER BY freq DESC, token ASC) AS tid
+  FROM freq
+),
+toks AS (
+  SELECT doc_id, t.pos, str_split(text, ' ')[t.pos] AS token
+  FROM documents,
+       unnest(range(1, len(str_split(text, ' ')) + 1)) AS t(pos)
+),
+enc AS (
+  SELECT tk.doc_id, tk.pos, COALESCE(v.tid, 0) AS tid
+  FROM toks tk LEFT JOIN vocab v ON tk.token = v.token
+)
+SELECT doc_id,
+       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids
+FROM enc GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def token_id_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    vocab = TX.build_vocab(docs, "text", 100)
+    enc = TX.encode_ids(docs, "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("ids"), lambda i: i.cast("string")), " "
+        ).alias("ids"),
+    ).orderBy("doc_id")

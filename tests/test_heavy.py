@@ -105,3 +105,25 @@ def test_heavy_hitters_property(spark, items, d, parts):
     want = {(k, c) for k, c in Counter(str(i) for i in items).items()
             if c * d > n}
     assert got == want
+
+
+# --- vocab/encode (operators/text.py additions) ----------------------------
+
+def test_vocab_and_encode_roundtrip(spark):
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b zz a"), (3, "c a b")],
+        "doc_id long, text string",
+    )
+    vocab = TX.build_vocab(df, "text", 3)
+    v = {r["token"]: (r["token_id"], r["freq"]) for r in vocab.collect()}
+    # freq: a=4, b=4, c=2, zz=1 -> top3: a(1), b(2), c(3) (tie a<b)
+    assert v == {"a": (1, 4), "b": (2, 4), "c": (3, 2)}
+    enc = {
+        r["doc_id"]: list(r["ids"])
+        for r in TX.encode_ids(df, "doc_id", "text", vocab).collect()
+    }
+    assert enc == {1: [1, 2, 1, 3], 2: [2, 2, 0, 1], 3: [3, 1, 2]}
