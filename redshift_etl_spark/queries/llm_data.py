@@ -2065,3 +2065,27 @@ def token_id_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("ids"), lambda i: i.cast("string")), " "
         ).alias("ids"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule training — the tokenizer-build step as relational
+# algebra: weighted pair counts via lead() windows over the (tiny)
+# distinct-word frame, deterministic (cnt DESC, lhs, rhs) pair choice,
+# and the greedy left-to-right merge expressed statelessly as
+# gaps-and-islands (odd-ranked positions within runs of consecutive
+# matches). The oracle unrolls the identical recurrence
+# (operators/bpe.py), so the trained artifact hash-compares.
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle():
+    from ..operators.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(iterations=4)
+
+
+@_q("bpe_merge_rules", _bpe_oracle())
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_merges
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_merges(docs, "text", iterations=4).orderBy("step")

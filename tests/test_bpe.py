@@ -1,0 +1,60 @@
+"""BPE merge training (operators/bpe.py) vs a plain-Python reference
+implementation of classic greedy BPE."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from redshift_etl_spark.operators.bpe import bpe_merges
+
+
+def _reference_bpe(words: Counter, iterations: int):
+    """Classic imperative BPE with (cnt DESC, lhs, rhs) tie-break."""
+    vocab = {w: list(w) for w in words}
+    rules = []
+    for step in range(1, iterations + 1):
+        pairs: Counter = Counter()
+        for w, freq in words.items():
+            t = vocab[w]
+            for a, b in zip(t, t[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        rules.append((step, l, r, l + r, cnt))
+        for w in vocab:
+            t, out, i = vocab[w], [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == l and t[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            vocab[w] = out
+    return rules
+
+
+def test_bpe_matches_reference(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest lower",
+        "aaaa aa aaa abab ab",
+    ]
+    words = Counter(w for t in texts for w in t.split(" "))
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [tuple(r) for r in bpe_merges(df, "text", 6).orderBy("step").collect()]
+    want = _reference_bpe(words, 6)
+    assert got == want
+
+
+def test_bpe_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [("banana bandana ban " * 3,), ("ananas banana bans " * 2,)],
+        "text string",
+    )
+    a = [tuple(r) for r in bpe_merges(df.repartition(1), "text", 4).collect()]
+    b = [tuple(r) for r in bpe_merges(df.repartition(9), "text", 4).collect()]
+    assert sorted(a) == sorted(b)
