@@ -240,3 +240,53 @@ def analyze_stats(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
         "min_value",
         "max_value",
     )
+
+
+def changed_buckets(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    n_buckets: int = 256,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Merkle-style table sync: which deterministic key-buckets differ
+    between two snapshots — (bucket, old_rows, new_rows). Compare cost
+    is one fingerprint scan per side and n_buckets comparison rows;
+    re-transfer/re-verify cost is then proportional to the CHANGED
+    buckets only, not the table (the replication shape for a 100 TB
+    copy where almost everything already matches). A single changed row
+    flips exactly its bucket's checksum (`table_fingerprint` XOR
+    property)."""
+    from ..operators.export import content_hash48
+
+    def fp(df: DataFrame) -> DataFrame:
+        b = df.withColumn(
+            "__bucket",
+            F.pmod(content_hash48(key), F.lit(n_buckets)).cast("long"),
+        )
+        return table_fingerprint(
+            b, cols or [c for c in df.columns], ["__bucket"]
+        )
+    o = fp(old).select(
+        F.col("__bucket").alias("bucket"),
+        F.col("checksum").alias("__o_ck"),
+        F.col("n_rows").alias("old_rows"),
+    )
+    n = fp(new).select(
+        F.col("__bucket").alias("bucket"),
+        F.col("checksum").alias("__n_ck"),
+        F.col("n_rows").alias("new_rows"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        o.join(n, "bucket", "full_outer")
+        .filter(
+            ~F.col("__o_ck").eqNullSafe(F.col("__n_ck"))
+            | ~F.col("old_rows").eqNullSafe(F.col("new_rows"))
+        )
+        .select(
+            "bucket",
+            F.coalesce("old_rows", z).alias("old_rows"),
+            F.coalesce("new_rows", z).alias("new_rows"),
+        )
+    )

@@ -161,3 +161,26 @@ def test_analyze_stats_one_scan_and_values(spark):
     # single scan: exactly one parquet/LocalTableScan feeds the agg
     plan = analyze_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1
+
+
+def test_changed_buckets_localizes_single_row_change(spark):
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators.export import content_hash48
+    from redshift_etl_spark.operators.quality import changed_buckets
+
+    old = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    new = old.withColumn(
+        "v", F.when(F.col("id") == 437, F.lit(-1)).otherwise(F.col("v"))
+    )
+    diff = changed_buckets(old, new, "id", 64).collect()
+    assert len(diff) == 1
+    want_bucket = (
+        spark.range(1).select(
+            F.pmod(content_hash48(F.lit(437)), F.lit(64)).alias("b")
+        ).collect()[0]["b"]
+    )
+    assert diff[0]["bucket"] == want_bucket
+    assert diff[0]["old_rows"] == diff[0]["new_rows"]  # same count, diff content
+    # identical snapshots: zero changed buckets
+    assert changed_buckets(old, old, "id", 64).count() == 0
