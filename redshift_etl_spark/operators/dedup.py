@@ -505,3 +505,56 @@ def jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup: directed pairs where the SMALLER document's
+    shingles are mostly contained in the other's —
+    containment(A→B) = |A∩B| / |A| ≥ num/den. Catches what symmetric
+    Jaccard misses by construction: a short document embedded verbatim
+    in a much longer one has high containment but low Jaccard (the
+    union is dominated by the host), and web corpora are full of
+    exactly that (quoted articles, boilerplate-wrapped reposts).
+
+    Same shuffle pattern as `jaccard_pairs` (the shingle index feeds an
+    equi-join + pair aggregate); the threshold compares as pure
+    integers (n_inter·den ≥ n_a·num) so the cut is engine-exact.
+    Emits (doc_a → doc_b) meaning "doc_a is contained in doc_b";
+    both directions are checked, self/duplicate pairs excluded by
+    the doc_a ≠ doc_b guard on the directed frame."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_inter") * threshold_den >= F.col("n_a") * threshold_num
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            (F.col("n_inter").cast("double") / F.col("n_a")).alias(
+                "containment"
+            ),
+        )
+    )

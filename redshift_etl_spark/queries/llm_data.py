@@ -2089,3 +2089,40 @@ def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bpe_merges(docs, "text", iterations=4).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dup — directed pairs where the smaller
+# document's shingle set is ≥ 4/5 contained in the other's: the
+# embedded-document case (quoted article inside a host page) that
+# symmetric Jaccard misses because the union is host-dominated. Integer
+# threshold compare (n_inter·5 ≥ n_a·4) — engine-exact cut.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_containment",
+    f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n_sh AS BIGINT) AS n_a,
+       CAST(sb.n_sh AS BIGINT) AS n_b,
+       CAST(n_inter AS DOUBLE) / sa.n_sh AS containment
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_inter * 5 >= sa.n_sh * 4
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        docs, "doc_id", "text", threshold_num=4, threshold_den=5
+    ).orderBy("doc_a", "doc_b")
