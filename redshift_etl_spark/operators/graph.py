@@ -84,9 +84,16 @@ def pagerank(
     base = ((den - num) * init) // den
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     edeg = edges.join(deg, "src").localCheckpoint(eager=False)
+    # broadcast the |V|-sized frames only when |V| is MEASURED small
+    # (n is already computed above) — a hint gated on actual
+    # cardinality, never a forced broadcast of an unbounded frame; at
+    # web-graph |V| both joins fall back to shuffles on the key, the
+    # classic partition-by-vertex layout
+    small = n <= 1_000_000
     for i in range(iterations):
+        r_side = F.broadcast(ranks) if small else ranks
         contrib = (
-            ranks.join(edeg, ranks.node == edeg.src)
+            r_side.join(edeg, ranks.node == edeg.src)
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank div outdeg").alias("c"),
@@ -94,7 +101,8 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        c_side = F.broadcast(contrib) if small else contrib
+        ranks = nodes.join(c_side, "node", "left").select(
             "node",
             (
                 F.lit(base)
