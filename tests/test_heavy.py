@@ -127,3 +127,38 @@ def test_vocab_and_encode_roundtrip(spark):
         for r in TX.encode_ids(df, "doc_id", "text", vocab).collect()
     }
     assert enc == {1: [1, 2, 1, 3], 2: [2, 2, 0, 1], 3: [3, 1, 2]}
+
+
+@pytest.mark.slow
+def test_heavy_hitters_10m_rows_headroom(spark):
+    """Scale headroom: 10M synthetic rows with a zipf-ish head; the MG
+    candidate pass streams partition-locally and the recount shuffles
+    only candidates — wall-bounded sanity plus exactness vs groupBy."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(10_000_000).select(
+        F.concat(
+            F.lit("k"),
+            F.when(F.col("id") % 100 < 60, F.col("id") % 7)  # hot head
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(1_000_000))),
+        ).alias("item")
+    )
+    d = 20
+    t0 = time.time()
+    got = {
+        (r["item"], r["freq"])
+        for r in H.heavy_hitters(df, "item", d).collect()
+    }
+    wall = time.time() - t0
+    n = 10_000_000
+    want = {
+        (r["item"], r["freq"])
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * d > F.lit(n))
+        .collect()
+    }
+    assert got == want and len(got) == 7
+    assert wall < 120, f"10M-row heavy hitters took {wall:.0f}s"

@@ -159,3 +159,31 @@ def test_streaming_versioned_sink_exactly_once(spark, tmp_path):
     assert {
         (r["id"], r["val"]) for r in V.read_current(spark, root).collect()
     } == got
+
+
+def test_crash_before_commit_leaves_table_consistent(spark, tmp_path):
+    """A writer that dies after landing its v=N directory but BEFORE
+    the pointer swap must be invisible to readers, and the next writer
+    must not collide with the orphaned directory."""
+    root = str(tmp_path / "tbl")
+    V.write_version(_df(spark, [(1, "a", None)]), root)
+    # simulate the crash: land a directory, never commit the pointer
+    _df(spark, [(9, "orphan", None)]).write.parquet(root + "/v=1")
+    assert V.current_version(root) == 0
+    assert {r["id"] for r in V.read_current(spark, root).collect()} == {1}
+    # next committed write lands ABOVE the orphan and commits cleanly
+    n = V.write_version(_df(spark, [(2, "b", None)]), root)
+    assert n == 2 and V.current_version(root) == 2
+    assert {r["id"] for r in V.read_current(spark, root).collect()} == {2}
+
+
+def test_reader_snapshot_stable_across_commit(spark, tmp_path):
+    """A DataFrame resolved against the current pointer keeps reading
+    its snapshot even after a newer version commits (pointer semantics:
+    the version directory is immutable)."""
+    root = str(tmp_path / "tbl")
+    V.write_version(_df(spark, [(1, "a", None), (2, "b", None)]), root)
+    held = V.read_current(spark, root)  # resolves to v=0's path now
+    V.write_version(_df(spark, [(3, "c", None)]), root)
+    assert {r["id"] for r in held.collect()} == {1, 2}
+    assert {r["id"] for r in V.read_current(spark, root).collect()} == {3}
