@@ -27,10 +27,12 @@ reverse edges or a sink node explicitly.
 Scale posture: per iteration one shuffle to aggregate contributions on
 ``dst`` plus a join of the (|V|-sized) rank frame against edges on
 ``src`` — AQE broadcasts the rank frame automatically when |V| is
-small relative to |E|. The loop `localCheckpoint`s each round so the
-plan stays O(1) deep instead of O(iterations); at a 100 TB edge list
-you'd pre-partition edges by ``src`` once and reuse that layout every
-round (the join key never changes).
+small relative to |E|. The loop `localCheckpoint`s every
+``checkpoint_every`` rounds (materializing |V| rows each round costs
+more than a few extra plan levels), so plan depth is bounded at
+``checkpoint_every`` for long runs; at a 100 TB edge list you'd
+pre-partition edges by ``src`` once and reuse that layout every round
+(the join key never changes).
 """
 
 from __future__ import annotations

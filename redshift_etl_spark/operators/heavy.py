@@ -45,25 +45,33 @@ from pyspark.sql import functions as F
 __all__ = ["mg_candidates", "heavy_hitters"]
 
 
+def mg_merge(counts: dict, series, d: int) -> tuple[dict, int]:
+    """Merge one pandas Series of items into a Misra-Gries summary
+    bounded at d−1 counters; returns (summary, non-null items seen).
+    Shared by the batch kernel and `streaming.heavy` — the
+    correctness-critical decrement (subtract the d-th largest, drop the
+    non-positive; each unit of decrement hits ≥ d counters at once, so
+    any item loses ≤ n/d total) lives in exactly one place."""
+    import heapq
+
+    vc = series.dropna().value_counts()
+    # per-distinct merge: the Python-side loop is over the batch's
+    # value_counts, not its rows
+    for item, c in vc.items():
+        counts[item] = counts.get(item, 0) + int(c)
+    if len(counts) > d - 1:
+        cut = heapq.nlargest(d, counts.values())[-1]
+        counts = {i: c - cut for i, c in counts.items() if c > cut}
+    return counts, int(vc.sum())
+
+
 def _mg_kernel(d: int):
-    cap = d - 1
-
     def fn(batches: Iterator) -> Iterator:
-        import heapq
-
         import pandas as pd
 
         counts: dict = {}
         for pdf in batches:
-            # per-distinct merge: the Python-side loop is over the
-            # batch's value_counts, not its rows
-            for item, c in pdf["item"].dropna().value_counts().items():
-                counts[item] = counts.get(item, 0) + int(c)
-            if len(counts) > cap:
-                # generalized decrement: subtract the d-th largest
-                # count, drop the non-positive
-                cut = heapq.nlargest(d, counts.values())[-1]
-                counts = {i: c - cut for i, c in counts.items() if c > cut}
+            counts, _ = mg_merge(counts, pdf["item"], d)
         if counts:
             yield pd.DataFrame({"item": list(counts.keys())})
 

@@ -45,15 +45,32 @@ def _dot_scaled(a, b):
 def _subspaces(
     df: DataFrame, id_col: str, vec_col: str, m: int, d: int
 ) -> DataFrame:
-    """(vid, s, sv): each vector exploded into its m subvectors."""
+    """(vid, s, sv): each vector exploded into its m subvectors.
+
+    Guarded: a vector whose length ≠ m·d raises at execution instead of
+    silently yielding empty subvectors (which would tie every argmax
+    and corrupt codes). The guard rides the first slice expression —
+    per-row comparison, no extra job."""
+    v = _as_double(F.col(vec_col))
+
+    def _slice(s: int):
+        sl = F.slice(v, s * d + 1, d)
+        if s == 0:
+            return F.when(F.size(v) == m * d, sl).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"pq: vector length must be m*d = {m * d}, got "
+                        ),
+                        F.size(v).cast("string"),
+                    )
+                )
+            )
+        return sl
+
     slices = F.array(
         *[
-            F.struct(
-                F.lit(s).alias("s"),
-                F.slice(_as_double(F.col(vec_col)), s * d + 1, d).alias(
-                    "sv"
-                ),
-            )
+            F.struct(F.lit(s).alias("s"), _slice(s).alias("sv"))
             for s in range(m)
         ]
     )

@@ -568,23 +568,29 @@ def change_point(
     value_col: str,
     scale: int = 100,
 ) -> DataFrame:
-    """Single change-point detection per key: the split position (by
-    ``order_col``) maximizing the absolute difference of means before
-    vs after, i.e. the argmax of |prefix_mean − suffix_mean| over all
-    proper prefixes. The step-shift detector a pipeline owner runs over
-    daily metrics before trusting a trend.
+    """Single change-point detection per key by the classic CUSUM
+    statistic: the split position (by ``order_col``) maximizing
+    |pre_sum·(n−i) − post_sum·i|, which equals n·|Σ_{j≤i}(x_j − x̄)| —
+    the cumulative-sum deviation from the global mean, i.e. the
+    i·(n−i)-weighted mean shift. The weighting favors central splits
+    over noisy edge splits (a two-point prefix with an extreme mean
+    difference does NOT beat a sustained level change — by design;
+    callers wanting the unweighted |prefix_mean − suffix_mean| argmax
+    divide the objective by i·(n−i) and accept float comparison). The
+    step-shift detector a pipeline owner runs over daily metrics before
+    trusting a trend.
 
     Engine-exact by the usual discipline: values quantize to
     ``scale``-ed longs, prefix sums are integer window sums, and the
-    comparison avoids division entirely —
-    |pre_sum·(n−i) − post_sum·i| compares objectives on a common
-    denominator i·(n−i) as pure integers (overflow headroom: |v|≤10⁷ ·
-    scale 100 · n² ≤ 9·10¹⁸ holds to n ≈ 3·10⁴ rows/key at that
-    magnitude; reduce to daily aggregates first — which is the intended
-    use — and n is tiny). Ties break on the earlier split. One window
-    pass over each key's ordered rows + one argmax aggregate; returns
-    (keys…, split_pos, n, shift_scaled) where shift_scaled =
-    pre_sum·(n−i) − post_sum·i at the argmax (sign = direction)."""
+    objective is pure integer arithmetic — no division, no floats
+    (overflow headroom: |v|≤10⁷ · scale 100 · n² ≤ 9·10¹⁸ holds to
+    n ≈ 3·10⁴ rows/key at that magnitude; reduce to daily aggregates
+    first — which is the intended use — and n is tiny). Ties break on
+    the earlier split. One window pass over each key's ordered rows +
+    one argmax aggregate; returns (keys…, split_pos, n, shift_scaled)
+    where shift_scaled = pre_sum·(n−i) − post_sum·i at the argmax
+    (sign = direction: negative means the level RISES after the
+    split)."""
     keys = list(key_cols)
     q = df.select(
         *keys,

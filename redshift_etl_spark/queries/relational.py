@@ -3091,13 +3091,14 @@ def rolling_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Change-point detection — per event type the day-index splitting the
-# daily-volume series with the maximal mean shift (|prefix mean −
-# suffix mean|), compared WITHOUT division on the common denominator
-# i·(n−i): pure integer window sums over integer-cent daily totals, so
-# split choice and shift sign are engine-exact. The step-detector run
-# over a metric before trusting its trend (operators/rollup.change_point
-# documents the overflow headroom).
+# Change-point detection — per event type the day-index maximizing the
+# classic CUSUM statistic |pre·(n−i) − post·i| = n·|Σ_{j≤i}(x_j − x̄)|
+# (the i·(n−i)-weighted mean shift — central sustained level changes
+# beat noisy edge splits by design): pure integer window sums over
+# integer-cent daily totals, no division, so split choice and shift
+# sign are engine-exact. The step-detector run over a metric before
+# trusting its trend (operators/rollup.change_point documents the
+# weighting and overflow headroom).
 # ---------------------------------------------------------------------------
 
 @_q(

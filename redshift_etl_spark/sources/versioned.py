@@ -159,10 +159,16 @@ def version_diff(
 _BATCH_MARK = "_LAST_BATCH"
 
 
-def last_applied_batch(root: str) -> int | None:
+def last_applied_batch(root: str) -> tuple[str, int] | None:
+    """(stream_id, epoch) of the last applied micro-batch, or None.
+    The stream id scopes the epoch counter: Spark epoch ids restart at
+    0 for every new checkpoint, so a bare epoch high-water mark would
+    silently drop the first batches of a NEW stream over new data
+    (same shape as Delta's (txnAppId, txnVersion) idempotence keys)."""
     try:
         with open(os.path.join(root, _BATCH_MARK)) as f:
-            return int(f.read().strip())
+            sid, _, epoch = f.read().strip().rpartition(":")
+            return sid, int(epoch)
     except (FileNotFoundError, ValueError):
         return None
 
@@ -180,16 +186,26 @@ def start_versioned_merge_sink(
     ``_LAST_BATCH`` marker (committed by the same atomic-replace
     pattern as the version pointer) makes redelivery a NO-OP — a batch
     replayed after a crash between sink-commit and checkpoint-commit is
-    skipped instead of re-applied. Merge idempotence already makes
-    re-application harmless for SCD1 semantics; the marker additionally
-    keeps the VERSION HISTORY clean (no duplicate snapshots), which is
+    skipped instead of re-applied. The marker records (stream id,
+    epoch), with the stream id derived from the checkpoint location —
+    epochs only dedupe within the SAME checkpoint's lifetime, because
+    a fresh checkpoint restarts epoch ids at 0 over possibly brand-new
+    data (Delta's (txnAppId, txnVersion) discipline). A deliberately
+    rebuilt checkpoint replaying old files therefore re-applies them —
+    merge idempotence keeps the STATE correct either way; the marker's
+    job is keeping the VERSION HISTORY clean on crash-replay, which is
     what rollback/audit consumers read. Downstream always sees a
     consistent snapshot mid-merge (pointer semantics)."""
+    import hashlib
+
+    stream_id = hashlib.md5(
+        os.path.abspath(checkpoint_path).encode()
+    ).hexdigest()[:16]
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         last = last_applied_batch(root)
-        if last is not None and epoch_id <= last:
-            return  # redelivered batch: already in some snapshot
+        if last is not None and last[0] == stream_id and epoch_id <= last[1]:
+            return  # crash-replayed batch of THIS stream: already landed
         spark = batch_df.sparkSession
         if current_version(root) is None:
             os.makedirs(root, exist_ok=True)
@@ -199,7 +215,7 @@ def start_versioned_merge_sink(
         merge_scd1_version(spark, root, batch_df, key, recency_col)
         tmp = os.path.join(root, _BATCH_MARK + ".tmp")
         with open(tmp, "w") as f:
-            f.write(str(epoch_id))
+            f.write(f"{stream_id}:{epoch_id}")
         os.replace(tmp, os.path.join(root, _BATCH_MARK))
 
     writer = stream.writeStream.foreachBatch(apply).option(

@@ -24,7 +24,6 @@ batch operator, with the candidate pass running forever.
 
 from __future__ import annotations
 
-import heapq
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -45,10 +44,11 @@ def heavy_hitters_stream(
     (bucket, item, min_count, bucket_seen) in update mode."""
     if d < 2:
         raise ValueError("d must be >= 2")
-    cap = d - 1
 
     def fn(key, pdf_iter: Iterator, state) -> Iterator:
         import pandas as pd
+
+        from ..operators.heavy import mg_merge
 
         if state.exists:
             items, counts, seen = state.get
@@ -56,13 +56,8 @@ def heavy_hitters_stream(
         else:
             mg, seen = {}, 0
         for pdf in pdf_iter:
-            vc = pdf["item"].dropna().value_counts()
-            seen += int(vc.sum())
-            for item, c in vc.items():
-                mg[item] = mg.get(item, 0) + int(c)
-            if len(mg) > cap:
-                cut = heapq.nlargest(d, mg.values())[-1]
-                mg = {i: c - cut for i, c in mg.items() if c > cut}
+            mg, n = mg_merge(mg, pdf["item"], d)
+            seen += n
         state.update((list(mg.keys()), list(mg.values()), seen))
         if mg:
             yield pd.DataFrame(

@@ -51,7 +51,11 @@ def test_shard_read_prunes_partitions(spark, tmp_path):
     EX.export_shards(docs, path, "doc_id", "text", 8)
     one = spark.read.parquet(path).filter(F.col("shard") == 3)
     plan = one._jdf.queryExecution().executedPlan().toString()
-    # partition filter prunes directories: no shard!=3 data is read
+    # the shard predicate must land in PartitionFilters (directory
+    # pruning), NOT as a post-scan data filter
+    pf = next(
+        (ln for ln in plan.splitlines() if "PartitionFilters:" in ln), ""
+    )
+    assert "shard" in pf.split("PartitionFilters:")[-1]
     total = spark.read.parquet(path).count()
     assert one.count() < total
-    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan

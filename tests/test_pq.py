@@ -78,3 +78,13 @@ def test_adc_ranking_quality(spark):
         1 for r in adc if (r["query_id"], r["neighbor_id"]) in top10
     )
     assert hits >= len(adc) * 0.5, f"ADC recall too low: {hits}/{len(adc)}"
+
+
+def test_dimension_mismatch_raises(spark):
+    import pytest as _pt
+
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 32)], "vec_id long, embedding array<double>"
+    )
+    with _pt.raises(Exception, match="vector length must be m\\*d"):
+        PQ.pq_codebooks(bad).collect()

