@@ -63,7 +63,17 @@ def _merge_once(frame: DataFrame):
             F.col("cnt").cast("long").alias("cnt"),
         )
     )
-    m = x.crossJoin(F.broadcast(best)).withColumn(
+    return best, _apply_rule(x, best)
+
+
+def _apply_rule(x: DataFrame, rule: DataFrame) -> DataFrame:
+    """Apply one merge rule (1-row frame with lhs/rhs) to the exploded
+    symbol frame ``x`` (w, freq, pos, tok, nxt) — the gaps-and-islands
+    greedy left-to-right merge; returns the rebuilt word frame."""
+    wp = Window.partitionBy("w").orderBy("pos")
+    m = x.crossJoin(
+        F.broadcast(rule.select("lhs", "rhs"))
+    ).withColumn(
         "m", (F.col("tok") == F.col("lhs")) & (F.col("nxt") == F.col("rhs"))
     )
     c = m.withColumn(
@@ -87,7 +97,7 @@ def _merge_once(frame: DataFrame):
         .when(F.coalesce(F.col("prev_sel"), F.lit(False)), F.lit(None))
         .otherwise(F.col("tok"))
     )
-    nxt_frame = (
+    return (
         n.withColumn("nt", nt)
         .filter(F.col("nt").isNotNull())
         .groupBy("w", "freq")
@@ -98,7 +108,52 @@ def _merge_once(frame: DataFrame):
             ).alias("toks")
         )
     )
-    return best, nxt_frame
+
+
+def _explode_symbols(frame: DataFrame) -> DataFrame:
+    wp = Window.partitionBy("w").orderBy("pos")
+    return frame.select(
+        "w", "freq", F.posexplode("toks").alias("pos", "tok")
+    ).withColumn("nxt", F.lead("tok").over(wp))
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply trained merge rules in order to tokenize the corpus:
+    (id_col, tokens array<string>). The rules replay over the DISTINCT
+    word frame only (|vocabulary| rows — each rule is windows over that
+    tiny frame, the corpus itself is never rescanned per rule); the
+    word→symbols mapping then broadcasts onto the documents' word
+    positions and flattens in order. ``rules`` is the collected
+    (lhs, rhs) list from `bpe_merges` — a tiny driver-side artifact,
+    like a codebook fixture."""
+    frame = _word_frame(df, text_col)
+    spark = df.sparkSession
+    for i, (lhs, rhs) in enumerate(rules):
+        rule = spark.createDataFrame([(lhs, rhs)], "lhs string, rhs string")
+        frame = _apply_rule(_explode_symbols(frame), rule)
+        if (i + 1) % 5 == 0:
+            frame = frame.localCheckpoint(eager=False)
+    mapping = frame.select("w", "toks")
+    words = df.select(
+        F.col(id_col), F.posexplode(tokens_col(text_col)).alias("wpos", "w")
+    )
+    return (
+        words.join(F.broadcast(mapping), "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "toks"))),
+                    lambda e: e.getField("toks"),
+                )
+            ).alias("tokens")
+        )
+    )
 
 
 def bpe_merges(

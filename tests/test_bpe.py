@@ -58,3 +58,44 @@ def test_bpe_partitioning_invariant(spark):
     a = [tuple(r) for r in bpe_merges(df.repartition(1), "text", 4).collect()]
     b = [tuple(r) for r in bpe_merges(df.repartition(9), "text", 4).collect()]
     assert sorted(a) == sorted(b)
+
+
+def test_bpe_encode_matches_reference(spark):
+    from redshift_etl_spark.operators.bpe import bpe_encode, bpe_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest lower",
+    ]
+    words = Counter(w for t in texts for w in t.split(" "))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    k = 6
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(df, "text", k).orderBy("step").collect()
+    ]
+    # reference: replay the same rules over each word
+    vocab = {w: list(w) for w in words}
+    for l, r in rules:
+        for w in vocab:
+            t, out, i = vocab[w], [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == l and t[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            vocab[w] = out
+    want = {
+        i: [tok for w in t.split(" ") for tok in vocab[w]]
+        for i, t in enumerate(texts)
+    }
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(df, "doc_id", "text", rules).collect()
+    }
+    assert got == want
