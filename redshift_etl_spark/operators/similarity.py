@@ -435,6 +435,40 @@ def kmeans_codebook(
     return cent
 
 
+def assign_clusters_multi(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probes: int,
+    dims: int | None = None,
+) -> DataFrame:
+    """Top-``probes`` nearest centroids per vector (rounded cosine,
+    centroid-id tiebreak — same determinism as `assign_clusters`, which
+    is the probes=1 special case). The multi-probe side of IVF: probing
+    P buckets instead of 1 recovers the neighbors that fell just across
+    a Voronoi boundary, trading a P× probe fan-out (still bucket-local)
+    for recall."""
+    cent = centroids.select(
+        F.col(id_col).alias("__cent_id"), F.col(vec_col).alias("__cent_vec")
+    )
+    from pyspark.sql import Window
+
+    scored = vectors.join(F.broadcast(cent)).select(
+        *vectors.columns,
+        "__cent_id",
+        F.round(cosine(vec_col, "__cent_vec", dims), 6).alias("__cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cos").desc(), F.col("__cent_id").asc()
+    )
+    return (
+        scored.withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= probes)
+        .select(*vectors.columns, F.col("__cent_id").alias("cluster"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -445,6 +479,7 @@ def ivf_topk(
     dims: int | None = None,
     train_iters: int = 0,
     centroids: DataFrame | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """IVF ANN: corpus bucketed by nearest centroid once (at scale:
     persisted/partitioned by `cluster`); each query probes only its own
@@ -477,7 +512,16 @@ def ivf_topk(
             corpus.orderBy(F.col(id_col).asc()).limit(n_centroids)
         )
     c_assigned = assign_clusters(corpus, centroids, id_col, vec_col, dims)
-    q_assigned = assign_clusters(queries, centroids, id_col, vec_col, dims)
+    # corpus buckets are always argmax-1 (each vector lives in one
+    # bucket); multi-probe widens only the QUERY side, so each
+    # (query, neighbor) pair still appears at most once
+    q_assigned = (
+        assign_clusters_multi(
+            queries, centroids, id_col, vec_col, probes, dims
+        )
+        if probes > 1
+        else assign_clusters(queries, centroids, id_col, vec_col, dims)
+    )
 
     c = c_assigned.select(
         F.col(id_col).alias("neighbor_id"),

@@ -321,3 +321,37 @@ def test_lsh_bucketed_adaptive_blocking_invariant(spark):
         for r in S.cosine_pairs_blocked(df, threshold=0.4, n_blocks=3).collect()
     }
     assert base == exact
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark, emb):
+    """probes=2 recall vs brute force is >= probes=1 recall (and the
+    probes=1 path is unchanged: identical result to the default)."""
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators import similarity as S
+
+    corpus, _, _ = emb
+    queries = corpus.filter(F.col("vec_id") < 8)
+    cb = S.kmeans_codebook(corpus, "vec_id", "embedding", k=8, iters=1)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(
+            corpus, queries, "vec_id", "embedding", k=5
+        ).collect()
+    }
+
+    def recall(probes):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_topk(
+                corpus, queries, k=5, centroids=cb, probes=probes
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    # default path regression guard: probes=1 == unspecified
+    a = S.ivf_topk(corpus, queries, k=5, centroids=cb).collect()
+    b = S.ivf_topk(corpus, queries, k=5, centroids=cb, probes=1).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
