@@ -40,7 +40,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["symmetric_edges", "pagerank", "pagerank_oracle_sql"]
+__all__ = [
+    "symmetric_edges",
+    "pagerank",
+    "personalized_pagerank",
+    "pagerank_oracle_sql",
+]
 
 _SCALE = 10**12
 _NUM, _DEN = 85, 100  # damping d = 0.85 as an exact rational
@@ -159,3 +164,67 @@ def pagerank_oracle_sql(
         + f"\nSELECT node, rank FROM r{iterations} "
         "ORDER BY rank DESC, node ASC"
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list,
+    iterations: int = 3,
+    scale: int = _SCALE,
+    damping: tuple[int, int] = (_NUM, _DEN),
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns only to ``sources``
+    instead of uniformly — rank becomes proximity to the source set
+    (the similar-nodes / recommendation primitive). Same exact-integer
+    recurrence as `pagerank` (scaled-long ranks, div-based
+    contributions, integer damping), so the result is bit-identical
+    across engines and partitionings; only the restart vector differs:
+    init = scale/|S| on sources (0 elsewhere) and the per-iteration
+    base term likewise lands on sources only."""
+    num, den = damping
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    s = len(sources)
+    init = scale // s
+    base = ((den - num) * init) // den
+    is_src = F.col("node").isin(list(sources))
+    ranks = nodes.select(
+        "node",
+        F.when(is_src, F.lit(init)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    edeg = edges.join(deg, "src").localCheckpoint(eager=False)
+    small = n <= 1_000_000
+    for i in range(iterations):
+        r_side = F.broadcast(ranks) if small else ranks
+        contrib = (
+            r_side.join(edeg, ranks.node == edeg.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        c_side = F.broadcast(contrib) if small else contrib
+        ranks = nodes.join(c_side, "node", "left").select(
+            "node",
+            (
+                F.when(is_src, F.lit(base)).otherwise(F.lit(0))
+                + F.expr(f"({num} * coalesce(inflow, 0)) div {den}")
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+        if (i + 1) % 5 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

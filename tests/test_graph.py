@@ -86,3 +86,40 @@ def test_oracle_sql_agrees_with_engine(spark, duck):
     want = {(r[0], r[1]) for r in duck.execute(sql).fetchall()}
     got = {tuple(r) for r in G.pagerank(e, 3).collect()}
     assert got == want
+
+
+def test_personalized_pagerank_matches_reference_and_localizes(spark):
+    e = _edges(spark)
+    rows = [(r["src"], r["dst"]) for r in e.collect()]
+    from collections import defaultdict
+
+    from redshift_etl_spark.operators.graph import personalized_pagerank
+
+    out = defaultdict(list)
+    nodes = set()
+    for s, d in rows:
+        out[s].append(d)
+        nodes.update((s, d))
+    srcs = [1]
+    init = SCALE // len(srcs)
+    base = (15 * init) // 100
+    rank = {v: (init if v in srcs else 0) for v in nodes}
+    for _ in range(3):
+        inflow = defaultdict(int)
+        for s, ts in out.items():
+            c = rank[s] // len(ts)
+            for d in ts:
+                inflow[d] += c
+        rank = {
+            v: (base if v in srcs else 0) + (85 * inflow[v]) // 100
+            for v in nodes
+        }
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, srcs, 3).collect()
+    }
+    assert got == rank
+    # proximity: nodes in source's triangle outrank the far triangle
+    near = got[2] + got[3]
+    far = got[5] + got[6]
+    assert near > far
