@@ -228,3 +228,34 @@ def personalized_pagerank(
         if (i + 1) % 5 == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global and per-node triangle counts over an undirected edge set
+    (directed duplicates/self-loops tolerated — canonicalized first).
+    Triangles are enumerated once each via the ordered two-join form:
+    wedges a<b<c from (a,b),(b,c) close against (a,c). The join
+    fan-out is Σ deg² on the ORDERED graph — orienting edges low→high
+    id caps each node's effective out-degree, the standard trick that
+    makes the self-join survivable on skewed (power-law) graphs.
+    Returns (node, triangles); the global count is Σ/3."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").filter(F.col("x") < F.col("z"))
+    tri = wedges.join(
+        canon,
+        (wedges.x == canon.a) & (wedges.z == canon.b),
+    ).select("x", "y", "z")
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return per_node

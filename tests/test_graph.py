@@ -123,3 +123,26 @@ def test_personalized_pagerank_matches_reference_and_localizes(spark):
     near = got[2] + got[3]
     far = got[5] + got[6]
     assert near > far
+
+
+def test_triangle_count_matches_brute_force(spark):
+    from itertools import combinations
+
+    from redshift_etl_spark.operators.graph import triangle_count
+
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (2, 1), (6, 6),
+           (5, 4)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    und = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    nodes = {v for e in und for v in e}
+    want = {v: 0 for v in nodes}
+    n_tri = 0
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (b, c), (a, c)} <= und:
+            n_tri += 1
+            for v in (a, b, c):
+                want[v] += 1
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == {v: c for v, c in want.items() if c > 0}
+    total = sum(got.values())
+    assert total == 3 * n_tri and n_tri == 2  # (1,2,3) and (3,4,5)
