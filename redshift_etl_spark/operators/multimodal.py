@@ -340,3 +340,122 @@ def attach_media(
             uri.alias("source_uri"),
         ),
     ).withColumnRenamed(content_col, "content")
+
+
+# --- perceptual hashing + near-dup -----------------------------------------
+
+def ahash64_real(buf: bytes) -> int:
+    """Real 64-bit average-hash (aHash): 8×8 grayscale downsample,
+    bit i = pixel_i > mean. PIL-guarded like `pil_image_decode`."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - container has no PIL
+        raise ImportError("ahash64_real needs Pillow") from e
+    px = list(Image.open(io.BytesIO(buf)).convert("L").resize((8, 8)).getdata())
+    mean = sum(px) / 64.0
+    out = 0
+    for i, p in enumerate(px):
+        if p > mean:
+            out |= 1 << i
+    return out
+
+
+def ahash64_fake(buf: bytes) -> int:
+    """Deterministic stand-in where no codec exists: 64 bits straight
+    from md5 of the content — identical bytes collide (distance 0),
+    everything else is far apart, which is exactly the property the
+    pipeline-shape tests need."""
+    return int(hashlib.md5(buf).hexdigest()[:16], 16) - (1 << 63)
+
+
+def perceptual_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    hash_fn: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """(id, phash): Arrow-batched perceptual hashing of a binary media
+    column — real aHash when Pillow exists, md5-derived fake otherwise
+    (decided once, driver-side, like `default_image_decode`)."""
+    if hash_fn is None:
+        try:
+            import PIL  # noqa: F401  type: ignore[import-not-found]
+
+            hash_fn = ahash64_real
+        except ImportError:
+            hash_fn = ahash64_fake
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "phash": [hash_fn(bytes(b)) for b in pdf[content_col]],
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        kernel, "media_id long, phash long"
+    )
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generic banded-Hamming near-pair join over any integer signature
+    column (pHash here; SimHash elsewhere): split into ``bands`` equal
+    bit-bands, candidates = per-band equi-joins (bucketed, never
+    all-pairs), exact popcount rescoring. Pigeonhole: distance ≤
+    bands−1 is guaranteed complete, so the default (4 bands, ≤3) is
+    lossless. Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if max_hamming > bands - 1:
+        raise ValueError("need bands >= max_hamming + 1 for completeness")
+    w = bits // bands
+    mask = (1 << w) - 1
+    s = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        *[
+            (
+                F.shiftrightunsigned(F.col(sig_col), i * w)
+                .bitwiseAND(F.lit(mask))
+            ).alias(f"b{i}")
+            for i in range(bands)
+        ],
+    )
+    pairs = None
+    for i in range(bands):
+        a = s.select(
+            F.col("id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
+            F.col(f"b{i}").alias("band"),
+        )
+        b = s.select(
+            F.col("id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+            F.col(f"b{i}").alias("band"),
+        )
+        p = a.join(b, "band").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "sig_a", "sig_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
