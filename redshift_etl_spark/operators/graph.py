@@ -259,3 +259,47 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
     return per_node
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree ≥ k
+    (undirected; input direction/duplicates canonicalized away). The
+    classic link-graph curation signal — spam farms and orphan pages
+    fall out of low cores, dense genuine neighborhoods survive.
+
+    Iterative peel: drop all nodes with degree < k, recompute, repeat
+    to fixpoint. Each round is one degree aggregate + two semi-joins —
+    no global sort, no driver-side data; only the per-round convergence
+    COUNT rides the driver (same control-flow shape as
+    `dedup.connected_components`). Rounds are bounded by the graph's
+    degeneracy ordering depth, in practice a handful; ``max_rounds``
+    is a runaway backstop. Returns the surviving canonical edge set
+    (a, b) with a < b."""
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .union(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        before, after = cur.count(), nxt.count()
+        cur = nxt
+        if after == before or after == 0:
+            break
+    return cur

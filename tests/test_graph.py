@@ -146,3 +146,31 @@ def test_triangle_count_matches_brute_force(spark):
     assert got == {v: c for v, c in want.items() if c > 0}
     total = sum(got.values())
     assert total == 3 * n_tri and n_tri == 2  # (1,2,3) and (3,4,5)
+
+
+def test_k_core_matches_reference_peel(spark):
+    from collections import defaultdict
+
+    from redshift_etl_spark.operators.graph import k_core
+
+    # two triangles sharing node 3 + a path tail: 2-core = the triangles
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3),
+           (5, 6), (6, 7), (7, 8)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+
+    und = {tuple(sorted(e)) for e in raw}
+    while True:
+        deg = defaultdict(int)
+        for a, b in und:
+            deg[a] += 1
+            deg[b] += 1
+        drop = {v for v, d in deg.items() if d < 2}
+        nxt = {e for e in und if drop.isdisjoint(e)}
+        if nxt == und:
+            break
+        und = nxt
+    got = {tuple(r) for r in k_core(df, 2).collect()}
+    assert got == und
+    assert got == {(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)}
+    # 3-core of this graph is empty
+    assert k_core(df, 3).count() == 0
