@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
@@ -318,4 +318,41 @@ def mixture_concentration(
         (
             F.max("__n").cast("double") / F.sum("__n").cast("double")
         ).alias("top_share"),
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group: str,
+    key: str,
+    token_count: Column | str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """Token-budgeted mixture: per ``group`` keep documents (in the
+    deterministic md5-of-key order — reruns, engines, partitionings all
+    agree) until the group's cumulative token count reaches its budget.
+    Real pretraining mixes are specified in TOKENS, not documents;
+    row-quota sampling (`mixture_sample`, `exact_cap_sample`) over- or
+    under-shoots when document lengths differ across sources.
+
+    The budget boundary document is INCLUDED (first doc whose prefix
+    sum crosses the line), so every group with data and a positive
+    budget contributes ≥ 1 document and the overshoot is < one
+    document. One window cumsum per group partition; groups absent
+    from ``budgets`` drop."""
+    tc = F.col(token_count) if isinstance(token_count, str) else token_count
+    b = df.sparkSession.createDataFrame(
+        sorted((g, int(n)) for g, n in budgets.items()),
+        f"{group} string, __budget long",
+    )
+    w = (
+        Window.partitionBy(group)
+        .orderBy(F.md5(F.col(key).cast("string")), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(b), group)
+        .withColumn("__cum", F.sum(tc).over(w))
+        .filter(F.col("__cum") - tc < F.col("__budget"))
+        .drop("__cum", "__budget")
     )

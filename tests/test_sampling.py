@@ -187,3 +187,38 @@ def test_exact_cap_sample_quota_and_stability(spark):
     # small groups survive whole
     tiny = df.filter(F.col("doc_id") < 8)
     assert SP2.exact_cap_sample(tiny, "doc_id", "grp", 20).count() == 8
+
+
+def test_token_budget_sample_budgets_and_determinism(spark):
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "web" if i % 2 else "code", 100 + (i * 37) % 400)
+         for i in range(200)],
+        "doc_id string, source string, n_tokens long",
+    )
+    budgets = {"web": 3000, "code": 1500}
+    out = token_budget_sample(df, "source", "doc_id", "n_tokens", budgets)
+    sums = {
+        r["source"]: r["t"]
+        for r in out.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    max_doc = 499
+    for g, budget in budgets.items():
+        assert budget <= sums[g] < budget + max_doc  # crosses once, <1 doc over
+    # deterministic under repartitioning
+    a = {tuple(r) for r in out.collect()}
+    b = {
+        tuple(r)
+        for r in token_budget_sample(
+            df.repartition(13), "source", "doc_id", "n_tokens", budgets
+        ).collect()
+    }
+    assert a == b
+    # unknown groups drop; tiny budget still yields >= 1 doc
+    one = token_budget_sample(df, "source", "doc_id", "n_tokens", {"web": 1})
+    assert one.count() == 1
