@@ -558,3 +558,70 @@ def containment_pairs(
             ),
         )
     )
+
+
+def kmv_sketches(
+    df: DataFrame, group_col: str, item: Column | str, k: int = 256
+) -> DataFrame:
+    """K-minimum-values set sketch per group: the k smallest md5 values
+    of the group's DISTINCT items, as a sorted array — the
+    set-SIMILARITY companion to the HLL cardinality rollup. Stored
+    sketches answer "how much do corpus A and B overlap?" WITHOUT ever
+    joining the corpora (`kmv_overlap`), and they merge exactly: the
+    k-min of a union is the k-min of the concatenated sketches
+    (order-independent, engine-exact — md5 strings compare
+    lexicographically the same everywhere).
+
+    Build cost: one distinct + per-group top-k (window row_number over
+    the hash order — bounded output, never a full collect of the
+    group's items)."""
+    c = F.col(item) if isinstance(item, str) else item
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(group_col).alias("grp"), F.md5(c.cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("grp")
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def merge_kmv(a: Column, b: Column, k: int) -> Column:
+    """k smallest of the union of two sketches ≡ the union's sketch."""
+    return F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+
+
+def kmv_overlap(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Pairwise Jaccard estimates between all groups from their stored
+    sketches alone: for groups (x, y), take the k smallest of the
+    merged sketch and count how many appear in BOTH — count/k estimates
+    J(x, y) with ~1/√k standard error. The sketch frame is one row per
+    group, so the pair join is trivially small however big the
+    corpora."""
+    a = sketches.select(
+        F.col("grp").alias("grp_a"), F.col("kmv").alias("kmv_a")
+    )
+    b = sketches.select(
+        F.col("grp").alias("grp_b"), F.col("kmv").alias("kmv_b")
+    )
+    merged = F.slice(
+        F.array_sort(F.array_union(F.col("kmv_a"), F.col("kmv_b"))), 1, k
+    )
+    both = F.array_intersect(
+        merged, F.array_intersect(F.col("kmv_a"), F.col("kmv_b"))
+    )
+    return (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .select(
+            "grp_a",
+            "grp_b",
+            (
+                F.size(both).cast("double")
+                / F.least(F.lit(k), F.size(merged))
+            ).alias("jaccard_est"),
+        )
+    )

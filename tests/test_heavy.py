@@ -162,3 +162,39 @@ def test_heavy_hitters_10m_rows_headroom(spark):
     }
     assert got == want and len(got) == 7
     assert wall < 120, f"10M-row heavy hitters took {wall:.0f}s"
+
+
+# --- KMV set sketches (operators/dedup.py) ---------------------------------
+
+def test_kmv_estimate_and_exact_merge(spark):
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators import dedup as D
+
+    # three sources with controlled overlaps
+    rows = []
+    for i in range(3000):
+        rows.append(("A", f"t{i}"))
+    for i in range(1500, 4500):            # J(A,B) = 1500/4500 = 1/3
+        rows.append(("B", f"t{i}"))
+    for i in range(9000, 12000):           # disjoint from both
+        rows.append(("C", f"t{i}"))
+    df = spark.createDataFrame(rows, "src string, item string")
+    k = 256
+    sk = D.kmv_sketches(df, "src", "item", k)
+    est = {
+        (r["grp_a"], r["grp_b"]): r["jaccard_est"]
+        for r in D.kmv_overlap(sk, k).collect()
+    }
+    assert abs(est[("A", "B")] - 1 / 3) < 0.12
+    assert est[("A", "C")] < 0.05 and est[("B", "C")] < 0.05
+    # exact mergeability: merge of sketches == sketch of union
+    kmv = {r["grp"]: list(r["kmv"]) for r in sk.collect()}
+    union_df = df.filter(F.col("src").isin("A", "B")).withColumn(
+        "src", F.lit("AB")
+    )
+    direct = D.kmv_sketches(union_df, "src", "item", k).collect()[0]["kmv"]
+    import pyspark.sql.functions as FF  # noqa: F401
+
+    merged = sorted(set(kmv["A"]) | set(kmv["B"]))[:k]
+    assert list(direct) == merged
