@@ -593,3 +593,36 @@ def encode_ids(
             ).alias("ids")
         )
     )
+
+
+def novelty_scores(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct word
+    n-grams appearing NOWHERE else in the corpus — the informativeness
+    complement of `dedup_spans`' boilerplate frequency cut (novelty→0
+    flags templated/duplicated content even below near-dup thresholds;
+    novelty→1 marks unique material worth keeping). One shingle
+    doc-freq aggregate + a join back on the shingle — same cost centre
+    as every shingle op. Docs shorter than n words yield no shingles
+    and drop (callers length-filter first, as corpus_prep does)."""
+    from .dedup import exploded_shingles
+
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+            (
+                F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )

@@ -198,3 +198,24 @@ def test_kmv_estimate_and_exact_merge(spark):
 
     merged = sorted(set(kmv["A"]) | set(kmv["B"]))[:k]
     assert list(direct) == merged
+
+
+def test_novelty_scores_flag_duplicated_content(spark):
+    from redshift_etl_spark.operators.text import novelty_scores
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, shared),                                # exact clone
+            (3, "completely different words forming unique trigrams here"),
+            (4, shared + " with an extra unique ending clause appended"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           novelty_scores(docs, "doc_id", "text").collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert 0.0 < out[4]["novelty"] < 1.0
+    assert out[3]["n_unique"] == out[3]["n_shingles"]
