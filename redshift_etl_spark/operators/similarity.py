@@ -840,3 +840,56 @@ def lsh_bucketed_cosine_pairs(
         target_block_rows=target_block_rows,
     )
     return pairs.dropDuplicates([out_a, out_b])
+
+
+def farthest_point_sample(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dims: int | None = None,
+) -> DataFrame:
+    """Greedy farthest-point (k-center) selection: start from the
+    lowest-id vector, then repeatedly add the vector farthest (minimum
+    cosine to ANY selected) from the current set — the classic diverse-
+    subset recipe for eval/few-shot/coreset picks, where random
+    sampling over-represents dense clusters.
+
+    Each round scores the corpus against the SELECTED set only
+    (broadcast k rows, map-side min-cosine, one argmin aggregate) — the
+    corpus shuffles nothing and the driver holds only the k chosen ids.
+    Deterministic: rounded cosine + lowest-id tiebreak, so the selected
+    set is engine- and partitioning-exact. k driver-side rounds by
+    construction (each pick depends on the last — inherently
+    sequential); k is small by use-case."""
+    sel_ids = [
+        corpus.orderBy(F.col(id_col).asc()).select(id_col).first()[0]
+    ]
+    for _ in range(k - 1):
+        sel = corpus.filter(F.col(id_col).isin(sel_ids)).select(
+            F.col(id_col).alias("__sid"), F.col(vec_col).alias("__svec")
+        )
+        cand = (
+            corpus.filter(~F.col(id_col).isin(sel_ids))
+            .join(F.broadcast(sel))
+            .select(
+                id_col,
+                F.round(cosine(vec_col, "__svec", dims), 6).alias("__cos"),
+            )
+            .groupBy(id_col)
+            .agg(F.max("__cos").alias("__closest"))
+        )
+        pick = cand.orderBy(
+            F.asc("__closest"), F.asc(id_col)
+        ).first()
+        if pick is None:
+            break
+        sel_ids.append(pick[0])
+    order = {v: i for i, v in enumerate(sel_ids)}
+    picked = corpus.filter(F.col(id_col).isin(sel_ids)).select(
+        id_col, vec_col
+    )
+    m = F.create_map(
+        *[x for v, i in order.items() for x in (F.lit(v), F.lit(i))]
+    )
+    return picked.withColumn("pick_order", m[F.col(id_col)].cast("long"))

@@ -355,3 +355,59 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark, emb):
     a = S.ivf_topk(corpus, queries, k=5, centroids=cb).collect()
     b = S.ivf_topk(corpus, queries, k=5, centroids=cb, probes=1).collect()
     assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_farthest_point_sample_matches_reference(spark, emb):
+    """Greedy selection ≡ numpy reference replay; diversity dominates
+    a same-size prefix pick (mean pairwise cosine strictly lower)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators import similarity as S
+
+    df, ids, mat = emb
+    k = 6
+    got = {
+        r["vec_id"]: r["pick_order"]
+        for r in S.farthest_point_sample(df, k=k).collect()
+    }
+    # reference replay with the same rounded-cosine + lowest-id rules
+    norms = np.linalg.norm(mat.astype(np.float64), axis=1)
+    order = np.argsort(ids)
+    sel = [int(ids[order[0]])]
+    for _ in range(k - 1):
+        best = None
+        for j in np.argsort(ids):
+            vid = int(ids[j])
+            if vid in sel:
+                continue
+            closest = max(
+                round(
+                    float(
+                        mat[j].astype(np.float64)
+                        @ mat[ids == s][0].astype(np.float64)
+                    )
+                    / (norms[j] * norms[ids == s][0]),
+                    6,
+                )
+                for s in sel
+            )
+            if best is None or (closest, vid) < best:
+                best = (closest, vid)
+        sel.append(best[1])
+    assert got == {v: i for i, v in enumerate(sel)}
+
+    def mean_pairwise(vids):
+        idx = [np.where(ids == v)[0][0] for v in vids]
+        tot, cnt = 0.0, 0
+        for a in range(len(idx)):
+            for b in range(a + 1, len(idx)):
+                va, vb = mat[idx[a]].astype(float), mat[idx[b]].astype(float)
+                tot += (va @ vb) / (
+                    np.linalg.norm(va) * np.linalg.norm(vb)
+                )
+                cnt += 1
+        return tot / cnt
+
+    prefix = sorted(ids)[:k]
+    assert mean_pairwise(list(got)) < mean_pairwise(prefix)
