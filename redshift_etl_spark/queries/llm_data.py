@@ -2126,3 +2126,52 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         docs, "doc_id", "text", threshold_num=4, threshold_den=5
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap matrix from KMV sketches — pairwise Jaccard estimates
+# between sources computed from k-minimum-values sketches of their
+# token sets, never joining the corpora. KMV is DETERMINISTIC (k
+# smallest md5s of the distinct tokens), so unlike HLL this sketch has
+# an exact SQL twin: the driver hash-compares a sketch-based estimator
+# cross-engine. Estimates carry ~1/√k error by design — the value
+# verified is the estimator's output, which both engines must agree on
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "source_overlap_kmv",
+    """
+WITH toks AS (
+  SELECT DISTINCT source AS grp, md5(token) AS h FROM (
+    SELECT source, unnest(str_split(text, ' ')) AS token FROM documents
+  )
+),
+ranked AS (
+  SELECT grp, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM toks
+),
+sk AS (
+  SELECT grp, list(h ORDER BY h) AS kmv FROM ranked
+  WHERE rn <= 128 GROUP BY grp
+)
+SELECT a.grp AS grp_a, b.grp AS grp_b,
+       CAST(len(list_filter(
+              list_slice(list_sort(list_distinct(a.kmv || b.kmv)), 1, 128),
+              x -> list_contains(a.kmv, x) AND list_contains(b.kmv, x)))
+            AS DOUBLE)
+         / LEAST(128, len(list_slice(
+              list_sort(list_distinct(a.kmv || b.kmv)), 1, 128)))
+         AS jaccard_est
+FROM sk a JOIN sk b ON a.grp < b.grp
+ORDER BY grp_a, grp_b
+""",
+)
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(D.tokens_col("text")).alias("token")
+    )
+    sk = D.kmv_sketches(toks, "source", "token", k=128)
+    return D.kmv_overlap(sk, k=128).orderBy("grp_a", "grp_b")
