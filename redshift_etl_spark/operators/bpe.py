@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from .dedup import tokens_col
 
-__all__ = ["bpe_merges", "bpe_oracle_sql"]
+__all__ = ["bpe_merges", "bpe_encode", "bpe_oracle_sql"]
 
 
 def _word_frame(df: DataFrame, text_col: str) -> DataFrame:
@@ -45,10 +45,7 @@ def _word_frame(df: DataFrame, text_col: str) -> DataFrame:
 
 def _merge_once(frame: DataFrame):
     """One BPE iteration: returns (rule_df(lhs, rhs, cnt), next_frame)."""
-    wp = Window.partitionBy("w").orderBy("pos")
-    x = frame.select(
-        "w", "freq", F.posexplode("toks").alias("pos", "tok")
-    ).withColumn("nxt", F.lead("tok").over(wp))
+    x = _explode_symbols(frame)
     pc = (
         x.filter(F.col("nxt").isNotNull())
         .groupBy("tok", "nxt")

@@ -45,6 +45,8 @@ __all__ = [
     "pagerank",
     "personalized_pagerank",
     "pagerank_oracle_sql",
+    "triangle_count",
+    "k_core",
 ]
 
 _SCALE = 10**12
@@ -64,17 +66,19 @@ def symmetric_edges(
     ).distinct()
 
 
-def pagerank(
+def _pagerank_loop(
     edges: DataFrame,
-    iterations: int = 3,
-    scale: int = _SCALE,
-    damping: tuple[int, int] = (_NUM, _DEN),
-    checkpoint_every: int = 5,
-) -> DataFrame:
-    """Exact-integer PageRank over a directed edge list (columns
-    ``src``, ``dst``). Returns (node, rank) with rank in units of
-    1/``scale``; Σ ranks ≈ scale (minus integer-division remainders,
-    which are themselves deterministic)."""
+    init_col,
+    base_col,
+    iterations: int,
+    damping: tuple[int, int],
+    checkpoint_every: int,
+):
+    """Shared exact-integer PageRank iteration: callers supply the
+    restart vector as two column builders over ``node`` (uniform for
+    `pagerank`, source-masked for `personalized_pagerank`); everything
+    else — loop-invariant caching, cardinality-gated broadcasts,
+    periodic checkpoints — lives once, here."""
     num, den = damping
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # nodes and (edges ⋈ outdeg) are loop-invariant and re-read every
@@ -87,9 +91,7 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()  # one scalar job; the graph's node count
-    init = scale // n
-    base = ((den - num) * init) // den
-    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    ranks = nodes.select("node", init_col(n).cast("long").alias("rank"))
     edeg = edges.join(deg, "src").localCheckpoint(eager=False)
     # broadcast the |V|-sized frames only when |V| is MEASURED small
     # (n is already computed above) — a hint gated on actual
@@ -112,7 +114,7 @@ def pagerank(
         ranks = nodes.join(c_side, "node", "left").select(
             "node",
             (
-                F.lit(base)
+                base_col(n)
                 + F.expr(f"({num} * coalesce(inflow, 0)) div {den}")
             )
             .cast("long")
@@ -125,6 +127,28 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = _SCALE,
+    damping: tuple[int, int] = (_NUM, _DEN),
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Exact-integer PageRank over a directed edge list (columns
+    ``src``, ``dst``). Returns (node, rank) with rank in units of
+    1/``scale``; Σ ranks ≈ scale (minus integer-division remainders,
+    which are themselves deterministic)."""
+    num, den = damping
+    return _pagerank_loop(
+        edges,
+        init_col=lambda n: F.lit(scale // n),
+        base_col=lambda n: F.lit(((den - num) * (scale // n)) // den),
+        iterations=iterations,
+        damping=damping,
+        checkpoint_every=checkpoint_every,
+    )
 
 
 def pagerank_oracle_sql(
@@ -172,93 +196,107 @@ def personalized_pagerank(
     iterations: int = 3,
     scale: int = _SCALE,
     damping: tuple[int, int] = (_NUM, _DEN),
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Personalized PageRank: teleport mass returns only to ``sources``
     instead of uniformly — rank becomes proximity to the source set
     (the similar-nodes / recommendation primitive). Same exact-integer
-    recurrence as `pagerank` (scaled-long ranks, div-based
-    contributions, integer damping), so the result is bit-identical
-    across engines and partitionings; only the restart vector differs:
-    init = scale/|S| on sources (0 elsewhere) and the per-iteration
-    base term likewise lands on sources only."""
+    recurrence as `pagerank` (shared `_pagerank_loop`); only the
+    restart vector differs: init = scale/|S| on sources (0 elsewhere)
+    and the per-iteration base term likewise lands on sources only.
+    ``sources`` deduplicates, and ids absent from the graph raise —
+    silently accepting them would shrink (or zero) the teleport mass."""
     num, den = damping
-    if not sources:
+    srcs = sorted(set(sources))
+    if not srcs:
         raise ValueError("sources must be non-empty")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = (
+    present = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
+        .filter(F.col("node").isin(srcs))
         .distinct()
-        .localCheckpoint()
+        .count()
     )
-    n = nodes.count()
-    s = len(sources)
-    init = scale // s
+    if present != len(srcs):
+        raise ValueError(
+            f"{len(srcs) - present} source id(s) not present in the graph"
+        )
+    s_count = len(srcs)
+    init = scale // s_count
     base = ((den - num) * init) // den
-    is_src = F.col("node").isin(list(sources))
-    ranks = nodes.select(
-        "node",
-        F.when(is_src, F.lit(init)).otherwise(F.lit(0))
-        .cast("long")
-        .alias("rank"),
+    is_src = F.col("node").isin(srcs)
+    return _pagerank_loop(
+        edges,
+        init_col=lambda n: F.when(is_src, F.lit(init)).otherwise(F.lit(0)),
+        base_col=lambda n: F.when(is_src, F.lit(base)).otherwise(F.lit(0)),
+        iterations=iterations,
+        damping=damping,
+        checkpoint_every=checkpoint_every,
     )
-    edeg = edges.join(deg, "src").localCheckpoint(eager=False)
-    small = n <= 1_000_000
-    for i in range(iterations):
-        r_side = F.broadcast(ranks) if small else ranks
-        contrib = (
-            r_side.join(edeg, ranks.node == edeg.src)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div outdeg").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        c_side = F.broadcast(contrib) if small else contrib
-        ranks = nodes.join(c_side, "node", "left").select(
-            "node",
-            (
-                F.when(is_src, F.lit(base)).otherwise(F.lit(0))
-                + F.expr(f"({num} * coalesce(inflow, 0)) div {den}")
-            )
-            .cast("long")
-            .alias("rank"),
-        )
-        if (i + 1) % 5 == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global and per-node triangle counts over an undirected edge set
     (directed duplicates/self-loops tolerated — canonicalized first).
-    Triangles are enumerated once each via the ordered two-join form:
-    wedges a<b<c from (a,b),(b,c) close against (a,c). The join
-    fan-out is Σ deg² on the ORDERED graph — orienting edges low→high
-    id caps each node's effective out-degree, the standard trick that
-    makes the self-join survivable on skewed (power-law) graphs.
-    Returns (node, triangles); the global count is Σ/3."""
+
+    Edges orient LOW-DEGREE → HIGH-DEGREE endpoint (id tiebreak) — the
+    actual standard skew trick: every node's out-degree is then at most
+    O(√m), so the wedge self-join fan-out is O(m^1.5) even on power-law
+    graphs (orienting by raw id gives no such bound: a low-id hub keeps
+    its full degree). Wedges (v ← u → w) with v ordered before w close
+    against the oriented edge (v → w); each triangle is enumerated
+    exactly once because all three of its edges are consistently
+    oriented by the same total order. Returns (node, triangles); the
+    global count is Σ/3."""
     canon = (
         edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
-    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = canon.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedges = e1.join(e2, "y").filter(F.col("x") < F.col("z"))
-    tri = wedges.join(
-        canon,
-        (wedges.x == canon.a) & (wedges.z == canon.b),
-    ).select("x", "y", "z")
-    per_node = (
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .union(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    keyed = canon.join(da, "a").join(db, "b")
+    # total order key (degree, id) per endpoint; orient from lower key
+    lo_first = F.struct(F.col("da"), F.col("a")) < F.struct(
+        F.col("db"), F.col("b")
+    )
+    oriented = keyed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1 = oriented.select(
+        F.col("u").alias("x"),
+        F.col("v").alias("y"),
+        F.col("dv").alias("dy"),
+    )
+    e2 = oriented.select(
+        F.col("u").alias("x"),
+        F.col("v").alias("z"),
+        F.col("dv").alias("dz"),
+    )
+    wedges = e1.join(e2, "x").filter(
+        F.struct(F.col("dy"), F.col("y")) < F.struct(F.col("dz"), F.col("z"))
+    )
+    closure = oriented.select(
+        F.col("u").alias("y"), F.col("v").alias("z")
+    )
+    tri = wedges.join(closure, ["y", "z"]).select("x", "y", "z")
+    return (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
-    return per_node
 
 
 def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
@@ -284,6 +322,7 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    before = cur.count()
     for _ in range(max_rounds):
         deg = (
             cur.select(F.col("a").alias("node"))
@@ -298,8 +337,9 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             .select("a", "b")
             .localCheckpoint()
         )
-        before, after = cur.count(), nxt.count()
+        after = nxt.count()
         cur = nxt
         if after == before or after == 0:
             break
+        before = after
     return cur

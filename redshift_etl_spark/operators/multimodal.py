@@ -359,7 +359,10 @@ def ahash64_real(buf: bytes) -> int:
     for i, p in enumerate(px):
         if p > mean:
             out |= 1 << i
-    return out
+    # map unsigned 64-bit into signed int64 (bit 63 set would overflow
+    # the `phash long` Arrow schema otherwise) — same convention as
+    # ahash64_fake; Hamming distances are XOR-based so unaffected
+    return out - (1 << 63)
 
 
 def ahash64_fake(buf: bytes) -> int:

@@ -855,33 +855,47 @@ def farthest_point_sample(
     subset recipe for eval/few-shot/coreset picks, where random
     sampling over-represents dense clusters.
 
-    Each round scores the corpus against the SELECTED set only
-    (broadcast k rows, map-side min-cosine, one argmin aggregate) — the
-    corpus shuffles nothing and the driver holds only the k chosen ids.
-    Deterministic: rounded cosine + lowest-id tiebreak, so the selected
-    set is engine- and partitioning-exact. k driver-side rounds by
-    construction (each pick depends on the last — inherently
-    sequential); k is small by use-case."""
-    sel_ids = [
-        corpus.orderBy(F.col(id_col).asc()).select(id_col).first()[0]
-    ]
+    Incremental scoring: a persisted (id, closest) frame carries each
+    candidate's max cosine to the selected set, and every round scores
+    the corpus against ONLY the newest pick (one broadcast row,
+    map-side `greatest`, one argmin) — O(n·k) cosine work total, not
+    the O(n·k²) of rescoring the whole selected set per round. The
+    corpus shuffles nothing and the driver holds only the k chosen
+    ids. Deterministic: rounded cosine + lowest-id tiebreak, so the
+    selected set is engine- and partitioning-exact. k driver-side
+    rounds by construction (each pick depends on the last)."""
+    if k <= 0:
+        return corpus.select(
+            id_col, vec_col, F.lit(0).cast("long").alias("pick_order")
+        ).limit(0)
+    first = corpus.orderBy(F.col(id_col).asc()).select(id_col).first()
+    if first is None:
+        return corpus.select(
+            id_col, vec_col, F.lit(0).cast("long").alias("pick_order")
+        ).limit(0)
+    sel_ids = [first[0]]
+    closest = None  # (id, vec, closest-cosine-to-selected)
     for _ in range(k - 1):
-        sel = corpus.filter(F.col(id_col).isin(sel_ids)).select(
-            F.col(id_col).alias("__sid"), F.col(vec_col).alias("__svec")
+        newest = corpus.filter(F.col(id_col) == sel_ids[-1]).select(
+            F.col(vec_col).alias("__svec")
         )
-        cand = (
-            corpus.filter(~F.col(id_col).isin(sel_ids))
-            .join(F.broadcast(sel))
+        base = closest if closest is not None else corpus.select(
+            id_col, vec_col, F.lit(-2.0).alias("__closest")
+        )
+        closest = (
+            base.filter(~F.col(id_col).isin(sel_ids))
+            .join(F.broadcast(newest))
             .select(
                 id_col,
-                F.round(cosine(vec_col, "__svec", dims), 6).alias("__cos"),
+                vec_col,
+                F.greatest(
+                    F.col("__closest"),
+                    F.round(cosine(vec_col, "__svec", dims), 6),
+                ).alias("__closest"),
             )
-            .groupBy(id_col)
-            .agg(F.max("__cos").alias("__closest"))
+            .localCheckpoint(eager=False)
         )
-        pick = cand.orderBy(
-            F.asc("__closest"), F.asc(id_col)
-        ).first()
+        pick = closest.orderBy(F.asc("__closest"), F.asc(id_col)).first()
         if pick is None:
             break
         sel_ids.append(pick[0])

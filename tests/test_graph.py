@@ -174,3 +174,16 @@ def test_k_core_matches_reference_peel(spark):
     assert got == {(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)}
     # 3-core of this graph is empty
     assert k_core(df, 3).count() == 0
+
+
+def test_triangle_count_star_graph_skew_shape(spark):
+    """Low-id hub star: zero triangles, and with degree orientation all
+    edges point INTO the hub, so the hub's out-degree — the wedge
+    fan-out driver — is 0 (orienting by id would give it n−1)."""
+    from redshift_etl_spark.operators.graph import triangle_count
+
+    n = 500
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, n + 1)], "src long, dst long"
+    )
+    assert triangle_count(df).count() == 0

@@ -411,3 +411,16 @@ def test_farthest_point_sample_matches_reference(spark, emb):
 
     prefix = sorted(ids)[:k]
     assert mean_pairwise(list(got)) < mean_pairwise(prefix)
+
+
+def test_farthest_point_sample_edges(spark, emb):
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators import similarity as S
+
+    df, _, _ = emb
+    assert S.farthest_point_sample(df, k=0).count() == 0
+    empty = df.filter(F.col("vec_id") < 0)
+    assert S.farthest_point_sample(empty, k=3).count() == 0
+    one = S.farthest_point_sample(df.limit(1), k=5)
+    assert one.count() == 1 and one.first()["pick_order"] == 0
