@@ -99,3 +99,40 @@ def test_bpe_encode_matches_reference(spark):
         for r in bpe_encode(df, "doc_id", "text", rules).collect()
     }
     assert got == want
+
+
+def test_bpe_encode_on_real_corpus_shrinks_symbols(spark):
+    """Applying trained rules to the sf0.001 documents corpus: every
+    merge rule strictly reduces the total symbol count (each
+    application replaces two symbols with one somewhere), and no
+    document's token sequence reconstructs to different text."""
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators.bpe import bpe_encode, bpe_merges
+    from redshift_etl_spark.queries.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    rules = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(docs, "text", 3).orderBy("step").collect()
+    ]
+    enc0 = bpe_encode(docs, "doc_id", "text", [])
+    enc3 = bpe_encode(docs, "doc_id", "text", rules)
+    n0 = enc0.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    n3 = enc3.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    assert n3 < n0
+    # lossless: concatenating a doc's symbols reproduces its text
+    # modulo the word boundaries (symbols of each word concatenate to
+    # the word)
+    joined = enc3.select(
+        "doc_id", F.concat_ws("", F.col("tokens")).alias("glued")
+    )
+    orig = docs.select(
+        "doc_id", F.regexp_replace("text", " ", "").alias("glued")
+    )
+    assert (
+        joined.join(orig, "doc_id")
+        .filter(joined.glued != orig.glued)
+        .count()
+        == 0
+    )
