@@ -343,3 +343,60 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             break
         before = after
     return cur
+
+
+def graph_stats(edges: DataFrame) -> DataFrame:
+    """One-row graph profile — the ANALYZE of the graph toolkit:
+    (n_nodes, n_edges, max_degree, avg_degree, n_triangles,
+    n_components). Degree stats from one aggregate over the canonical
+    undirected edge set; triangles via `triangle_count` (degree-
+    oriented wedges); components via `dedup.connected_components`
+    (hash-min propagation). The pre-flight a pipeline owner reads
+    before pointing PageRank/k-core at an unfamiliar edge dump."""
+    from .dedup import connected_components
+
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .union(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("deg").alias("max_degree"),
+        F.avg("deg").alias("avg_degree"),
+    ).collect()[0]
+    n_edges = canon.count()
+    tri = triangle_count(canon.select(F.col("a").alias("src"),
+                                      F.col("b").alias("dst")))
+    n_tri = (tri.agg(F.sum("triangles")).collect()[0][0] or 0) // 3
+    comp = connected_components(
+        canon.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        "src",
+        "dst",
+    )
+    n_comp = comp.select("component").distinct().count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(d["n_nodes"]),
+                int(n_edges),
+                int(d["max_degree"]),
+                float(d["avg_degree"]),
+                int(n_tri),
+                int(n_comp),
+            )
+        ],
+        "n_nodes long, n_edges long, max_degree long, avg_degree double, "
+        "n_triangles long, n_components long",
+    )

@@ -187,3 +187,17 @@ def test_triangle_count_star_graph_skew_shape(spark):
         [(0, i) for i in range(1, n + 1)], "src long, dst long"
     )
     assert triangle_count(df).count() == 0
+
+
+def test_graph_stats_profile(spark):
+    from redshift_etl_spark.operators.graph import graph_stats
+
+    # two triangles bridged (one component) + one disjoint edge
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (8, 9), (2, 1)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    r = graph_stats(df).collect()[0]
+    assert r["n_nodes"] == 7 and r["n_edges"] == 7
+    assert r["max_degree"] == 4  # node 3
+    assert abs(r["avg_degree"] - 2 * 7 / 7) < 1e-9
+    assert r["n_triangles"] == 2
+    assert r["n_components"] == 2
