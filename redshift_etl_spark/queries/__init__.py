@@ -59,8 +59,9 @@ for _n in """dedup_exact dedup_jaccard dedup_minhash_lsh dedup_simhash
 # round has ever verified plus the 3 whose r2 rows were hash-red on the
 # HUGEINT artifact. They outrank even brand-new queries inside the
 # never-green tier — if the driver caps below the full backlog, these
-# land first. Retire once CORRECTNESS_r03 shows them green.
-_MUST_RUN = frozenset(
+# land first. Retired automatically once a CORRECTNESS_r{N}.json shows
+# them green (see the dynamic sweep below).
+_MUST_RUN_STATIC = frozenset(
     """deterministic_split corpus_prep priority_shipping_mix
     dq_audit cohort_set_ops listagg_names gap_fill_daily rollup_cascade
     fuzzy_pairs_lev1 scd2_asof_snapshot rollup_delta_refresh cdc_apply
@@ -68,6 +69,53 @@ _MUST_RUN = frozenset(
     time_weighted_avg event_transitions fuzzy_name_clusters
     peak_concurrency interval_coverage linear_trend""".split()
 )
+
+
+def _sweep_driver_rounds() -> frozenset:
+    """Fold every CORRECTNESS_r{N}.json the driver has written (repo
+    root, two levels above this package) into _LAST_GREEN, so the
+    staleness ordering self-maintains: a query's tier is the newest
+    round whose row was fully green (rows+schema+hash, or rows+schema
+    for the documented rows-only entries). Hash-red rows keep their
+    previous tier and therefore re-run at the head of the next window.
+    Returns the names still owed a green row from the static must-run
+    head."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    rows_only = {"approx_distinct", "compression_signals"}
+    seen_green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and (row.get("hash_match") or name in rows_only)
+                and not row.get("err")
+            )
+            if ok:
+                _LAST_GREEN[name] = max(_LAST_GREEN.get(name, 0), rnd)
+                seen_green.add(name)
+    return frozenset(_MUST_RUN_STATIC - seen_green)
+
+
+_MUST_RUN = _sweep_driver_rounds()
 
 
 def _prioritized(merged: dict) -> dict:
