@@ -356,3 +356,29 @@ def token_budget_sample(
         .filter(F.col("__cum") - tc < F.col("__budget"))
         .drop("__cum", "__budget")
     )
+
+
+def hash_bucket16(key: Column | str, salt: str = "") -> Column:
+    """Uniform bucket 0..65535 from md5(salt:key) — four hex nibbles by
+    the same engine-portable instr/substr spelling as `hash_bucket`
+    (finer resolution so modular fold assignment stays near-uniform)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string")))
+    nib = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
+    return (
+        ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    ).cast("long")
+
+
+def kfold_assign(
+    df: DataFrame, key: str, k: int, salt: str = "", fold_col: str = "fold"
+) -> DataFrame:
+    """Adds `fold` ∈ 0..k−1 for k-fold cross-validation: fold =
+    md5-bucket(key) mod k. Stable in the key (rows never migrate when
+    data grows — no eval-set leakage across reruns), shuffle-free (a
+    projection), and near-uniform (bucket resolution 1/65536, so the
+    worst-case fold-size bias from the modulus is ≤ k/65536). A `salt`
+    yields independent fold systems for repeated CV."""
+    return df.withColumn(
+        fold_col, hash_bucket16(key, salt) % F.lit(k)
+    )

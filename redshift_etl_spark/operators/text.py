@@ -626,3 +626,105 @@ def novelty_scores(
             ).alias("novelty"),
         )
     )
+
+
+# --- BM25 ranked retrieval --------------------------------------------------
+
+# Okapi defaults k1 = 1.2, b = 0.75 as exact rationals (6/5, 3/4): the
+# scoring formula below is BM25 with numerator and denominator
+# multiplied through by 10·S (S = total corpus tokens), so every factor
+# is a product of integers evaluated in double with a FIXED
+# left-to-right association — one final IEEE division per (doc, term),
+# bit-identical on any engine. The idf is the ratio form
+# (2(N−df)+1)/(2df+1) (the argument of the classic log-idf): log is
+# monotone, so per-term ranking is preserved, and dropping it keeps the
+# score libm-free — the engine's documented deviation from Okapi.
+BM25_SCALE = 1_000_000
+
+
+def bm25_scores(
+    df: DataFrame, id_col: str, text_col: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """Per-document BM25-style relevance for an OR-semantics term set:
+    (id, n_terms_matched, score). Disjunctive retrieval — any document
+    containing ≥1 query term is scored; the per-term scores are rounded
+    at BM25_SCALE and summed as BIGINT (order-independent, so the
+    cross-term sum is partitioning- and engine-exact).
+
+    Shuffle shape: one token explode feeding (a) the per-doc length
+    agg and (b) the term-hit tf agg (the explode is filtered to the
+    query terms BEFORE it shuffles — at 100 TB only matching postings
+    move); corpus stats (N, ΣS) and per-term document frequencies are
+    1-row / |terms|-row broadcasts. With a prebuilt inverted index
+    (`build_inverted_index`) the explode is replaced by |terms| posting
+    lookups; this operator is the index-free form."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_col(text_col)).alias("token"),
+    )
+    dl = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("s_tokens"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*terms))
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    )
+    j = (
+        tf.join(dl, "doc")
+        .join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(stats))
+    )
+    # BM25·10S = 22·tf·S·idf_num / ((10·tf·S + 3·S + 9·dl·N)·idf_den)
+    score = (
+        F.lit(22.0)
+        * F.col("tf")
+        * F.col("s_tokens")
+        * (F.lit(2) * (F.col("n_docs") - F.col("df_t")) + F.lit(1))
+    ) / (
+        (
+            F.lit(10.0) * F.col("tf") * F.col("s_tokens")
+            + F.lit(3.0) * F.col("s_tokens")
+            + F.lit(9.0) * F.col("dl") * F.col("n_docs")
+        )
+        * (F.lit(2) * F.col("df_t") + F.lit(1))
+    )
+    return j.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        (
+            F.sum(
+                F.round(score * BM25_SCALE, 0).cast("long")
+            ).cast("double")
+            / F.lit(float(BM25_SCALE))
+        ).alias("score"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k: int = 20,
+) -> DataFrame:
+    """Global top-k documents for the term set, ranked (score DESC,
+    id ASC) — rounded-score tiebreak by id makes the cut deterministic.
+    Compiles to TakeOrderedAndProject: no full sort ever materializes."""
+    from pyspark.sql import Window
+
+    scored = bm25_scores(df, id_col, text_col, terms)
+    top = scored.orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc").asc())
+    return top.select(
+        F.col("doc").alias(id_col),
+        "n_terms_matched",
+        "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -1,6 +1,13 @@
-from . import agent_metrics, llm_data, relational, tables, tpch_shapes  # noqa: F401
+from . import (  # noqa: F401
+    agent_metrics,
+    curation,
+    llm_data,
+    relational,
+    tables,
+    tpch_shapes,
+)
 
-_MODULES = (llm_data, tpch_shapes, agent_metrics, relational)
+_MODULES = (llm_data, tpch_shapes, agent_metrics, relational, curation)
 
 # Registration order IS the driver's execution order (dicts preserve
 # insertion order), and the driver caps its run at ~50 entries per

@@ -1,0 +1,389 @@
+"""Web-corpus curation + retrieval queries: URL canonicalization,
+domain accounting, blocklist filtering, per-domain caps, k-fold CV
+assignment, BM25 ranked retrieval, and reciprocal-rank-fusion hybrid
+search. Each with a DuckDB oracle twin generated from the SAME regex /
+arithmetic constants as the Spark operators (the repo's established
+no-drift discipline).
+
+The testdata has no URL column, so the URL queries derive a
+deterministic messy URL per document from (doc_id, source, lang) via a
+SQL expression that parses identically on Spark and DuckDB — the
+operators under test are the REAL parsing/normalization expressions in
+`operators/web.py`, exercised on inputs with uppercase hosts, default
+and explicit ports, trailing slashes, tracking parameters, and
+fragments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sampling as SA
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..operators import web as W
+from ..operators.text import BM25_SCALE
+from .tables import load
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Deterministic messy URL per document — valid Spark SQL *and* DuckDB
+# SQL, so both engines synthesize bit-identical inputs. Shapes covered:
+# http/https, WWW. subdomains, uppercase hosts, default port 443 (to be
+# stripped), explicit port 8080 (to be kept), trailing slash, utm_* /
+# gclid tracking params mixed with real params, fragments.
+URL_SQL = (
+    "'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END || '://' || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END || "
+    "upper(substr(source, 1, 1)) || substr(source, 2) || '-' || lang || '.COM' || "
+    "CASE WHEN doc_id % 2 = 0 THEN ':443' "
+    "     WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END || "
+    "'/Docs/' || lang || '/page-' || doc_id || "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "  '?utm_source=crawler&id=' || doc_id || '&utm_medium=rss' "
+    "WHEN doc_id % 7 = 0 THEN '?gclid=x' || doc_id || '&ref=' || lang "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN '#sec-2' ELSE '' END"
+)
+
+# DuckDB twin of operators/web.py parsing — generated from the same
+# SCHEME_RE / TRACKING_PARAM_RE constants; parity pinned by
+# tests/test_web.py on adversarial edge cases.
+_DUCK_URL_PARSE = f"""
+  with_url AS (SELECT doc_id, source, lang, {URL_SQL} AS url FROM documents),
+  s AS (
+    SELECT *, regexp_replace(url, '#.*', '') AS no_frag,
+      regexp_replace(regexp_replace(url, '#.*', ''), '{W.SCHEME_RE}', '') AS rest
+    FROM with_url
+  ),
+  p AS (
+    SELECT *, lower(regexp_extract(no_frag, '{W.SCHEME_RE}', 1)) AS scheme,
+      lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport,
+      regexp_extract(rest, '^[^/?]+(/[^?]*)?', 1) AS path,
+      regexp_extract(rest, '\\?(.*)$', 1) AS query
+    FROM s
+  ),
+  q AS (
+    SELECT *, regexp_replace(hostport, ':[0-9]+$', '') AS host,
+      regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      array_to_string(list_filter(str_split(query, '&'),
+          kv -> kv <> '' AND NOT regexp_matches(kv, '{W.TRACKING_PARAM_RE}')),
+        '&') AS clean_qs
+    FROM p
+  ),
+  parsed AS (
+    SELECT *, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS registrable_domain,
+      CAST(len(list_filter(str_split(path, '/'), x -> x <> '')) AS BIGINT)
+        AS path_depth,
+      scheme || '://' || host ||
+      CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443'))
+           THEN ':' || port ELSE '' END ||
+      regexp_replace(path, '/+$', '') ||
+      CASE WHEN clean_qs <> '' THEN '?' || clean_qs ELSE '' END
+        AS canonical_url
+    FROM q
+  )
+"""
+
+
+def _with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", "source", "lang").withColumn(
+        "url", F.expr(URL_SQL)
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL parse + canonicalization
+# ---------------------------------------------------------------------------
+
+@_q(
+    "url_normalize",
+    f"""
+WITH {_DUCK_URL_PARSE}
+SELECT doc_id, url, scheme, host, registrable_domain, path_depth,
+       canonical_url
+FROM parsed
+""",
+)
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition + canonical dedup key for every document —
+    pure projections (operators/web.py), fuses into the scan."""
+    urls = _with_urls(spark, sf_dir)
+    parsed = W.parse_urls(urls, "url")
+    return W.normalize_urls(parsed, "url").select(
+        "doc_id", "url", "scheme", "host", "registrable_domain",
+        "path_depth", "canonical_url",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-dominance report: docs + share per registrable domain
+# ---------------------------------------------------------------------------
+
+@_q(
+    "domain_stats",
+    f"""
+WITH {_DUCK_URL_PARSE},
+counts AS (
+  SELECT registrable_domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM parsed GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM parsed)
+SELECT registrable_domain, n_docs,
+       CAST(n_docs AS DOUBLE) / t AS share
+FROM counts CROSS JOIN total
+""",
+)
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus share — the report that motivates caps. One
+    hash agg + 1-row broadcast total."""
+    parsed = W.parse_urls(_with_urls(spark, sf_dir), "url")
+    return W.domain_share(parsed, "registrable_domain")
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filter
+# ---------------------------------------------------------------------------
+
+_BLOCKED = ("src0-en.com", "src1-de.com", "src2-es.com", "src3-fr.com")
+_BLOCKED_SQL = ", ".join(f"'{d}'" for d in _BLOCKED)
+
+
+@_q(
+    "domain_blocklist",
+    f"""
+WITH {_DUCK_URL_PARSE}
+SELECT doc_id, host, registrable_domain
+FROM parsed
+WHERE registrable_domain NOT IN ({_BLOCKED_SQL})
+""",
+)
+def domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving a domain blocklist — an in-scan NOT IN
+    predicate (literal list compiles into the scan; a DataFrame list
+    becomes a broadcast anti-join, corpus never shuffles)."""
+    parsed = W.parse_urls(_with_urls(spark, sf_dir), "url")
+    return W.blocklist_filter(
+        parsed, "registrable_domain", list(_BLOCKED)
+    ).select("doc_id", "host", "registrable_domain")
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap (anti-dominance quota)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "domain_capped_sample",
+    f"""
+WITH {_DUCK_URL_PARSE},
+ranked AS (
+  SELECT doc_id, registrable_domain,
+         row_number() OVER (
+           PARTITION BY registrable_domain
+           ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+         ) AS rk
+  FROM parsed
+)
+SELECT doc_id, registrable_domain FROM ranked WHERE rk <= 5
+""",
+)
+def domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 5 documents per registrable domain, deterministic
+    md5-ordered draw (`exact_cap_sample` keyed by domain) — the
+    RefinedWeb-style anti-dominance quota."""
+    parsed = W.parse_urls(_with_urls(spark, sf_dir), "url").select(
+        "doc_id", "registrable_domain"
+    )
+    return SA.exact_cap_sample(parsed, "doc_id", "registrable_domain", 5)
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation assignment
+# ---------------------------------------------------------------------------
+
+_KFOLD_BUCKET_SQL = (
+    "(((instr('0123456789abcdef', substr(md5(':' || doc_id), 1, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(':' || doc_id), 2, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(':' || doc_id), 3, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(':' || doc_id), 4, 1)) - 1"
+)
+
+
+@_q(
+    "kfold_split",
+    f"""
+WITH folds AS (
+  SELECT CAST(({_KFOLD_BUCKET_SQL}) % 5 AS BIGINT) AS fold,
+         doc_id, source, n_chars
+  FROM documents
+)
+SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM folds GROUP BY fold
+""",
+)
+def kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold CV assignment + per-fold accounting — md5-bucket mod k is
+    stable in the key (rows never migrate as data grows), shuffle-free
+    on the data path; only the accounting aggregates."""
+    docs = load(spark, sf_dir, "documents")
+    folds = SA.kfold_assign(docs, "doc_id", 5)
+    return folds.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+_TERMS = ("spark", "merge", "window")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _TERMS)
+
+# The scoring recurrence, verbatim from operators/text.bm25_scores —
+# identical factor association so every IEEE double matches.
+_BM25_CTES = f"""
+  toks AS (
+    SELECT doc_id AS doc, unnest(str_split(text, ' ')) AS token
+    FROM documents
+  ),
+  dl AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+  stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS s_tokens
+    FROM dl
+  ),
+  tf AS (
+    SELECT doc, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks WHERE token IN ({_TERMS_SQL}) GROUP BY 1, 2
+  ),
+  dft AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+  scored AS (
+    SELECT tf.doc,
+      (22.0 * tf * s_tokens * (2 * (n_docs - df_t) + 1))
+      / ((10.0 * tf * s_tokens + 3.0 * s_tokens + 9.0 * dl * n_docs)
+         * (2 * df_t + 1)) AS sc
+    FROM tf JOIN dl USING (doc) JOIN dft USING (token) CROSS JOIN stats
+  ),
+  bm25 AS (
+    SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+      CAST(SUM(CAST(ROUND(sc * {BM25_SCALE}) AS BIGINT)) AS DOUBLE)
+        / {BM25_SCALE}.0 AS score
+    FROM scored GROUP BY 1
+  ),
+  kw_ranked AS (
+    SELECT doc AS doc_id, n_terms_matched, score,
+      CAST(row_number() OVER (ORDER BY score DESC, doc ASC) AS BIGINT)
+        AS rank
+    FROM bm25
+  )
+"""
+
+
+@_q(
+    "bm25_search",
+    f"""
+WITH {_BM25_CTES}
+SELECT doc_id, n_terms_matched, score, rank
+FROM kw_ranked WHERE rank <= 20
+""",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for an OR term set under BM25 (k1=1.2, b=0.75,
+    ratio idf — see operators/text.py for the libm-free contract).
+    Explode filtered to query terms before any shuffle; stats and df
+    broadcast; top-k is TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.bm25_topk(docs, "doc_id", "text", _TERMS, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: BM25 keyword ranks ⊕ cosine vector ranks via RRF
+# ---------------------------------------------------------------------------
+
+@_q(
+    "hybrid_search_rrf",
+    f"""
+WITH {_BM25_CTES},
+kw AS (SELECT * FROM kw_ranked WHERE rank <= 50),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM c WHERE vec_id = 0),
+vec_scored AS (
+  SELECT c.vec_id AS neighbor_id,
+    ROUND(list_dot_product(q.v, c.v)
+      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+      6) AS cosine
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+),
+vec AS (
+  SELECT neighbor_id, CAST(row_number() OVER (
+    ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM vec_scored
+  QUALIFY rank <= 50
+),
+fused AS (
+  SELECT COALESCE(kw.doc_id, vec.neighbor_id) AS doc_id,
+    kw.rank AS kw_rank, vec.rank AS vec_rank,
+    COALESCE(1.0 / (60 + kw.rank), 0.0)
+      + COALESCE(1.0 / (60 + vec.rank), 0.0) AS rrf
+  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.neighbor_id
+)
+SELECT doc_id, kw_rank, vec_rank, rrf FROM fused
+ORDER BY rrf DESC, doc_id ASC LIMIT 20
+""",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of keyword (BM25 top-50) and vector
+    (cosine top-50 for query vector 0) retrieval — the standard hybrid
+    search combiner (rrf = Σ 1/(60+rank)). Both rank lists are tiny
+    (≤50 rows) regardless of corpus size, so the fusion join is a
+    driver-free broadcast no matter the scale; sum of two IEEE doubles
+    from integer ranks is engine-exact."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    kw = TX.bm25_topk(docs, "doc_id", "text", _TERMS, k=50).select(
+        "doc_id", F.col("rank").alias("kw_rank")
+    )
+    vec = (
+        S.cosine_topk(
+            emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding",
+            k=50,
+        )
+        .select(
+            F.col("neighbor_id").alias("vec_doc"),
+            F.col("rank").cast("long").alias("vec_rank"),
+        )
+    )
+    fused = kw.join(
+        vec, kw["doc_id"] == vec["vec_doc"], "full_outer"
+    ).select(
+        F.coalesce("doc_id", "vec_doc").alias("doc_id"),
+        "kw_rank",
+        "vec_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)

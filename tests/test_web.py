@@ -1,0 +1,180 @@
+"""Web-curation operators: URL parse/canonicalization parity with the
+oracle expressions on adversarial inputs, blocklist variants, k-fold
+assignment properties, and BM25 against a local reference scorer."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from redshift_etl_spark.operators import sampling as SA
+from redshift_etl_spark.operators import text as TX
+from redshift_etl_spark.operators import web as W
+
+ADVERSARIAL_URLS = [
+    # uppercase scheme/host, default http port, trailing slash,
+    # tracking+real params mixed, fragment
+    "HTTP://WWW.Src0-EN.Example.COM:80/Docs/en/p-1/?utm_source=c&id=1&utm_medium=r#f",
+    "https://src1-de.com:443/a/b/c?gclid=xyz",   # default https port
+    "http://host.com:8080/path",                  # non-default port kept
+    "https://BARE.com",                           # no path at all
+    "http://h.co/?fbclid=1",                      # root path, all-tracking qs
+    "http://h.co/p?a=1&utm_x=2&b=3",              # params survive in order
+    "ftp://files.example.org:21/pub/",            # non-http scheme
+    "http://one",                                 # single-label host
+    "http://h.co/p///",                           # repeated trailing slashes
+]
+
+
+def test_parse_and_canonicalize_edge_cases(spark):
+    df = spark.createDataFrame([(u,) for u in ADVERSARIAL_URLS], ["url"])
+    rows = {
+        r["url"]: r
+        for r in W.normalize_urls(W.parse_urls(df, "url"), "url").collect()
+    }
+
+    r = rows[ADVERSARIAL_URLS[0]]
+    assert r["scheme"] == "http"
+    assert r["host"] == "www.src0-en.example.com"
+    assert r["port"] == "80"
+    assert r["registrable_domain"] == "example.com"
+    assert r["path_depth"] == 3
+    assert (
+        r["canonical_url"]
+        == "http://www.src0-en.example.com/Docs/en/p-1?id=1"
+    )
+
+    assert rows["https://src1-de.com:443/a/b/c?gclid=xyz"][
+        "canonical_url"
+    ] == "https://src1-de.com/a/b/c"
+    # non-default port survives
+    assert rows["http://host.com:8080/path"]["canonical_url"].endswith(
+        ":8080/path"
+    )
+    # all-tracking query collapses, root slash trimmed
+    assert rows["http://h.co/?fbclid=1"]["canonical_url"] == "http://h.co"
+    # surviving params keep original order
+    assert rows["http://h.co/p?a=1&utm_x=2&b=3"]["canonical_url"].endswith(
+        "?a=1&b=3"
+    )
+    # non-http scheme keeps its port
+    assert rows["ftp://files.example.org:21/pub/"][
+        "canonical_url"
+    ] == "ftp://files.example.org:21/pub"
+    # single-label host has no registrable 2-label domain
+    assert rows["http://one"]["registrable_domain"] == ""
+    assert rows["http://one"]["path"] == ""
+    assert rows["http://h.co/p///"]["canonical_url"] == "http://h.co/p"
+
+
+def test_parse_urls_is_pure_projection(spark):
+    df = spark.createDataFrame([(u,) for u in ADVERSARIAL_URLS], ["url"])
+    plan = W.normalize_urls(W.parse_urls(df, "url"), "url")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_blocklist_dataframe_variant_matches_literal(spark):
+    df = spark.createDataFrame(
+        [("a.com", 1), ("b.com", 2), ("c.com", 3), ("b.com", 4)],
+        ["host", "v"],
+    )
+    blocked = ["b.com", "z.com"]
+    lit = W.blocklist_filter(df, "host", blocked)
+    frame = W.blocklist_filter(
+        df, "host", spark.createDataFrame([(b,) for b in blocked], ["host"])
+    )
+    assert sorted(r["v"] for r in lit.collect()) == [1, 3]
+    assert sorted(r["v"] for r in frame.collect()) == [1, 3]
+
+
+def test_kfold_assignment_properties(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    folds = SA.kfold_assign(df, "k", 5)
+    got = {r["k"]: r["fold"] for r in folds.collect()}
+    assert set(got.values()) <= set(range(5))
+    # near-uniform: each fold within ±20% of 400
+    sizes = [list(got.values()).count(f) for f in range(5)]
+    assert all(320 <= s <= 480 for s in sizes), sizes
+    # stable under repartitioning
+    got2 = {
+        r["k"]: r["fold"]
+        for r in SA.kfold_assign(df.repartition(7), "k", 5).collect()
+    }
+    assert got == got2
+    # matches the local md5 recurrence (the oracle's spelling)
+    for key in (0, 1, 999):
+        h = hashlib.md5(f":{key}".encode()).hexdigest()
+        assert got[key] == int(h[:4], 16) % 5
+    # a salt yields a different (independent) fold system
+    salted = {
+        r["k"]: r["fold"]
+        for r in SA.kfold_assign(df, "k", 5, salt="s1").collect()
+    }
+    assert salted != got
+
+
+def _bm25_reference(docs: dict[int, str], terms: tuple[str, ...]):
+    """Plain-Python replay of the documented scoring contract."""
+    tokens = {d: t.split(" ") for d, t in docs.items()}
+    n = len(docs)
+    s = sum(len(t) for t in tokens.values())
+    df_t = {
+        term: sum(1 for t in tokens.values() if term in t) for term in terms
+    }
+    out = {}
+    for d, toks in tokens.items():
+        dl = len(toks)
+        total, matched = 0, 0
+        for term in terms:
+            tf = toks.count(term)
+            if tf == 0 or df_t[term] == 0:
+                continue
+            matched += 1
+            sc = (22.0 * tf * s * (2 * (n - df_t[term]) + 1)) / (
+                (10.0 * tf * s + 3.0 * s + 9.0 * dl * n)
+                * (2 * df_t[term] + 1)
+            )
+            total += int(
+                math.floor(sc * TX.BM25_SCALE + 0.5)
+            )  # HALF_UP like F.round
+        if matched:
+            out[d] = (matched, total / TX.BM25_SCALE)
+    return out
+
+
+def test_bm25_matches_reference(spark):
+    docs = {
+        0: "spark merge window spark spark",
+        1: "merge merge table scan",
+        2: "window value row",
+        3: "nothing relevant here",
+        4: "spark",
+    }
+    terms = ("spark", "merge", "window")
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {
+        r["doc"]: (r["n_terms_matched"], r["score"])
+        for r in TX.bm25_scores(df, "doc_id", "text", terms).collect()
+    }
+    ref = _bm25_reference(docs, terms)
+    assert set(got) == set(ref)
+    for d in ref:
+        assert got[d][0] == ref[d][0]
+        assert abs(got[d][1] - ref[d][1]) < 1e-9, (d, got[d], ref[d])
+    # top-k ordering: rank strictly by (score desc, id asc)
+    top = TX.bm25_topk(df, "doc_id", "text", terms, k=3).collect()
+    scores = [(r["score"], r["doc_id"], r["rank"]) for r in top]
+    assert [r[2] for r in scores] == [1, 2, 3]
+    assert scores == sorted(scores, key=lambda x: (-x[0], x[1]))
+
+
+def test_bm25_relevance_ordering(spark):
+    # a doc stuffed with a rare term outranks one with a common term
+    rows = [(i, "filler words only") for i in range(20)]
+    rows += [(100, "rare rare rare"), (101, "filler rare")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    top = TX.bm25_topk(df, "doc_id", "text", ("rare", "filler"), k=2).collect()
+    assert top[0]["doc_id"] == 100
