@@ -907,3 +907,134 @@ def farthest_point_sample(
         *[x for v, i in order.items() for x in (F.lit(v), F.lit(i))]
     )
     return picked.withColumn("pick_order", m[F.col(id_col)].cast("long"))
+
+
+# --- int8 scalar quantization (compressed vector store) ---------------------
+
+def dim_minmax(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension (dim, lo, hi) over the corpus — the scalar
+    quantizer's training statistics. One posexplode + hash agg on the
+    dimension index (at most `dims` groups, so the shuffle is tiny
+    regardless of corpus size)."""
+    return (
+        df.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("lo"),
+            F.max(F.col("v").cast("double")).alias("hi"),
+        )
+    )
+
+
+def scalar_quantize(
+    df: DataFrame,
+    params: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """int8 codes from per-dimension min-max quantization: code_i =
+    round((v_i − lo_i)·(levels−1)/(hi_i − lo_i)) ∈ 0..levels−1 (degenerate
+    dims where hi = lo code to 0). 4-byte float → 1-byte code per dim —
+    the FAISS SQ8 layout; `params` is the `dim_minmax` frame, broadcast
+    as a dims-length array literal into a zip_with projection, so the
+    encode is map-only at any corpus size.
+
+    The arithmetic is (v − lo) · 254 / span — two exact double ops and
+    one division, then HALF_UP round: bit-identical on every engine
+    (the oracle replays it verbatim)."""
+    rows = sorted(params.collect(), key=lambda r: r["dim"])
+    lo = F.array(*[F.lit(float(r["lo"])) for r in rows])
+    span = F.array(
+        *[F.lit(float(r["hi"]) - float(r["lo"])) for r in rows]
+    )
+    codes = F.zip_with(
+        F.zip_with(
+            F.col(vec_col), lo, lambda v, l: v.cast("double") - l
+        ),
+        span,
+        lambda d, s: F.when(
+            s > 0.0, F.round(d * (levels - 1) / s, 0).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def global_max_abs(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """1-row (max_abs) over every component — the symmetric int8
+    quantizer's single training statistic."""
+    return df.select(
+        F.posexplode(vec_col).alias("dim", "v")
+    ).agg(F.max(F.abs(F.col("v").cast("double"))).alias("max_abs"))
+
+
+def symmetric_quantize(
+    df: DataFrame,
+    max_abs: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """int8 codes for SEARCH: code_i = round(v_i·127/max_abs) ∈
+    −127..127 with one GLOBAL scale. Unlike the per-dimension
+    `scalar_quantize` (the storage quantizer, whose per-dim offsets
+    distort inner products), a single symmetric scale makes the integer
+    dot a consistently scaled estimate of the true dot —
+    dot(codes) ≈ dot(v)·(127/max_abs)² — so ranking survives
+    quantization. This is the standard int8-GEMM embedding-search
+    layout. Map-only projection; the scale is one broadcast scalar."""
+    codes = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(
+            v.cast("double") * 127 / max_abs, 0
+        ).cast("int"),
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def int8_topk(
+    corpus_codes: DataFrame,
+    query_codes: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k by integer dot product over quantized codes — the
+    compressed-domain search companion to `scalar_quantize`. Scores are
+    Σ q_i·c_i of small ints (≤ 254²·dims ≈ 4·10⁶ per pair): EXACT in
+    64-bit, so ranking needs no rounding policy at all — the strongest
+    cross-engine determinism class in the module. Query side broadcast,
+    corpus scanned once, per-query top-k via one window (same plan
+    shape as `cosine_topk`); raw float vectors are never read at search
+    time (codes are ~4× smaller, the scan is proportionally faster)."""
+    from pyspark.sql import Window
+
+    q = query_codes.select(
+        F.col(id_col).alias("query_id"), F.col("codes").alias("__qc")
+    )
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col("codes").alias("__cc")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(
+                "__qc", "__cc", lambda a, b: a.cast("long") * b
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "qdot", F.col("rank").cast("long")
+        )
+    )

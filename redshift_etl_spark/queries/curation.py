@@ -387,3 +387,182 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization: per-dim stats + reconstruction error
+# ---------------------------------------------------------------------------
+
+# Row-form twin of similarity.dim_minmax + scalar_quantize (levels=255):
+# code = ROUND((val − lo)·254/(hi − lo)), identical factor association.
+_INT8_CTES = """
+  c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  rows_ AS (
+    SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val
+    FROM c
+  ),
+  dims AS (
+    SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM rows_ GROUP BY 1
+  ),
+  codes AS (
+    SELECT vec_id, rows_.dim, val, lo, hi,
+      CASE WHEN hi - lo > 0
+           THEN CAST(ROUND((val - lo) * 254 / (hi - lo)) AS BIGINT)
+           ELSE 0 END AS code
+    FROM rows_ JOIN dims USING (dim)
+  )
+"""
+
+
+@_q(
+    "int8_quantize_stats",
+    f"""
+WITH {_INT8_CTES}
+SELECT dim, lo, hi,
+  CAST(SUM(CAST(ROUND(abs(val - (lo + code * (hi - lo) / 254)) * 1000000000)
+      AS BIGINT)) AS DOUBLE) / (1000000000.0 * COUNT(*)) AS mean_abs_err,
+  MAX(ROUND(abs(val - (lo + code * (hi - lo) / 254)), 9)) AS max_abs_err
+FROM codes
+GROUP BY dim, lo, hi
+""",
+)
+def int8_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantizer training stats + reconstruction error per
+    dimension — the accuracy report for the 4×-compressed vector
+    store. The quantizer params (≤dims rows) broadcast into a map-only
+    encode; the error agg shuffles only (dim) groups. Exact-integer
+    mean via the scaled-sum pattern; max rounded at 9."""
+    emb = load(spark, sf_dir, "embeddings")
+    params = S.dim_minmax(emb, "embedding")
+    rows = params.select("dim", "lo", "hi")
+    e = (
+        emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "val"
+            ),
+        )
+        .join(F.broadcast(rows), "dim")
+        .withColumn(
+            "code",
+            F.when(
+                F.col("hi") - F.col("lo") > 0,
+                F.round(
+                    (F.col("val") - F.col("lo"))
+                    * 254
+                    / (F.col("hi") - F.col("lo")),
+                    0,
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "err",
+            F.abs(
+                F.col("val")
+                - (
+                    F.col("lo")
+                    + F.col("code") * (F.col("hi") - F.col("lo")) / 254
+                )
+            ),
+        )
+    )
+    return e.groupBy("dim", "lo", "hi").agg(
+        (
+            F.sum(F.round(F.col("err") * 1000000000, 0).cast("long")).cast(
+                "double"
+            )
+            / (F.lit(1000000000.0) * F.count(F.lit(1)))
+        ).alias("mean_abs_err"),
+        F.max(F.round(F.col("err"), 9)).alias("max_abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compressed-domain ANN: integer-dot top-k over int8 codes
+# ---------------------------------------------------------------------------
+
+@_q(
+    "ann_topk_int8",
+    f"""
+WITH {_INT8_CTES},
+m AS (SELECT MAX(abs(val)) AS ma FROM rows_),
+sym AS (
+  SELECT vec_id, dim, CAST(ROUND(val * 127 / ma) AS BIGINT) AS code
+  FROM rows_ CROSS JOIN m
+),
+q AS (SELECT vec_id, dim, code FROM sym WHERE vec_id < 5),
+pairs AS (
+  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         CAST(SUM(q.code * c2.code) AS BIGINT) AS qdot
+  FROM q JOIN sym c2 ON q.dim = c2.dim AND q.vec_id <> c2.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, qdot, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC
+  ) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= 3
+""",
+)
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors per query by INTEGER dot product over symmetric
+    int8 codes — compressed-domain search: the scan reads 1-byte codes
+    instead of 4-byte floats, and the score is exact 64-bit integer
+    arithmetic (no rounding policy needed at all). Query side
+    broadcast; same plan shape as the float `ann_cosine_topk`."""
+    emb = load(spark, sf_dir, "embeddings")
+    ma = float(S.global_max_abs(emb, "embedding").collect()[0]["max_abs"])
+    codes = S.symmetric_quantize(emb, ma, "vec_id", "embedding")
+    queries = codes.filter(F.col("vec_id") < 5)
+    return S.int8_topk(codes, queries, "vec_id", k=3)
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip
+# ---------------------------------------------------------------------------
+
+# Deterministic HTML wrapping of each document (both engines build the
+# identical markup): nav/script/style boilerplate + entities around the
+# real text.
+_HTML_WRAP_SQL = (
+    "'<html><head><title>D-' || doc_id || '</title>"
+    "<style>p { color: red }</style></head><body>' || "
+    "CASE WHEN doc_id % 3 = 0 THEN '<script>var x = 1;</script>' ELSE '' END || "
+    "'<nav><a href=\"/home\">Home &amp; more</a></nav><p>' || text || '</p>' || "
+    "CASE WHEN doc_id % 2 = 0 THEN '<p>1 &lt; 2 &nbsp;ok</p>' ELSE '' END || "
+    "'</body></html>'"
+)
+
+_DUCK_STRIP = """regexp_replace(regexp_replace(regexp_replace(
+      html, '<script[^>]*>.*?</script>', ' ', 'g'),
+      '<style[^>]*>.*?</style>', ' ', 'g'),
+      '<[^>]*>', ' ', 'g')"""
+for _ent, _ch in (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+):
+    _DUCK_STRIP = f"replace({_DUCK_STRIP}, '{_ent}', '{_ch}')"
+_DUCK_STRIP = f"nullif(trim(regexp_replace({_DUCK_STRIP}, ' +', ' ', 'g')), '')"
+
+
+@_q(
+    "html_strip",
+    f"""
+WITH h AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents)
+SELECT doc_id, html, {_DUCK_STRIP} AS text_clean
+FROM h
+""",
+)
+def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text extraction from HTML — drop script/style blocks with
+    contents, strip tags, decode core entities (&amp; last, per the
+    spec's single-pass order), collapse whitespace. Pure projection
+    (operators/text.strip_html); the oracle replays the same regex
+    chain with DuckDB's 'g' flag (Spark's regexp_replace is global by
+    default)."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.expr(_HTML_WRAP_SQL).alias("html"))
+    return h.select(
+        "doc_id", "html", TX.strip_html("html").alias("text_clean")
+    )
