@@ -625,3 +625,117 @@ def kmv_overlap(sketches: DataFrame, k: int = 256) -> DataFrame:
             ).alias("jaccard_est"),
         )
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring deduplication (the ExactSubstr pass of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    any ``window``-token span occurring ≥ ``min_count`` times in the
+    corpus — across documents OR repeated within one — is removed from
+    EVERY document at EVERY alignment, and each document is reassembled
+    from its surviving tokens in original order. Sliding windows (vs
+    `text.dedup_spans`' fixed chunks) catch repeats at any offset,
+    which is what makes memorized boilerplate actually disappear.
+
+    The reference implementation builds a monolithic suffix array —
+    single-machine by construction. The distributed shape here:
+
+      1. slide: posexplode tokens → md5 of each w-gram with its start
+         position (only 16-hex-char hashes shuffle, never raw text;
+         corpus cost ×w rows but each row is ~30 bytes),
+      2. count: one hash agg on gram hash → total occurrence count,
+      3. flag: inner-join counts ≥ min_count back to (doc, start) —
+         Spark's runtime bloom/semi-join prunes the probe side,
+      4. cover: explode each flagged start into its w covered token
+         indices (blowup ×w of FLAGGED regions only), distinct,
+      5. rebuild: left-anti join token positions against covers, then
+         per-doc ordered reassembly via sort_array(collect_list).
+
+    Five stages, each a bucketed equi-join or hash agg on uniform md5
+    keys — no stage needs global order, so it scales like minhash-LSH.
+    Window starts are per-document positions; md5 collisions (~2⁻⁶⁴)
+    are the accepted trade, as everywhere else in this module.
+
+    Returns (id, text_clean, n_tokens, n_removed): text_clean = ''
+    when everything was boilerplate."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(text_col)).alias("tpos", "token"),
+    )
+    grams = (
+        df.filter(F.size(tokens_col(text_col)) >= window)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.size(tokens_col(text_col)) - window,
+                    ),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(
+                                    tokens_col(text_col), i + 1, window
+                                ),
+                                " ",
+                            )
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(
+            id_col,
+            F.col("g.start").alias("start"),
+            F.col("g.gh").alias("gh"),
+        )
+    )
+    hot = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("gh")
+    )
+    flagged = grams.join(hot, "gh").select(id_col, "start")
+    covers = flagged.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + (window - 1))
+        ).alias("tpos"),
+    ).distinct()
+    kept = (
+        toks.join(covers, [id_col, "tpos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    # fully-covered documents have no surviving token rows: restore
+    # them with empty text so the output keys match the input exactly
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    return base.join(kept, id_col, "left").select(
+        id_col,
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+    )

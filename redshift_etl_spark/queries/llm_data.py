@@ -2175,3 +2175,64 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = D.kmv_sketches(toks, "source", "token", k=128)
     return D.kmv_overlap(sk, k=128).orderBy("grp_a", "grp_b")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (ExactSubstr, sliding-window form)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_W = 10
+
+_SUBSTR_ORACLE = f"""
+WITH sp_docs AS (SELECT doc_id, str_split(text, ' ') AS sp FROM documents),
+toks AS (
+  SELECT doc_id, generate_subscripts(sp, 1) - 1 AS tpos, unnest(sp) AS token
+  FROM sp_docs
+),
+g0 AS (
+  SELECT doc_id, sp, unnest(range(0, len(sp) - {_SUBSTR_W} + 1)) AS start
+  FROM sp_docs WHERE len(sp) >= {_SUBSTR_W}
+),
+grams AS (
+  SELECT doc_id, start,
+         md5(array_to_string(sp[start + 1 : start + {_SUBSTR_W}], ' ')) AS gh
+  FROM g0
+),
+hot AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+flagged AS (SELECT doc_id, start FROM grams JOIN hot USING (gh)),
+covers AS (
+  SELECT DISTINCT doc_id, unnest(range(start, start + {_SUBSTR_W})) AS tpos
+  FROM flagged
+),
+kept AS (
+  SELECT t.doc_id,
+         array_to_string(list(t.token ORDER BY t.tpos), ' ') AS text_clean,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covers c
+    WHERE c.doc_id = t.doc_id AND c.tpos = t.tpos
+  )
+  GROUP BY t.doc_id
+),
+base AS (
+  SELECT doc_id, CAST(len(sp) AS BIGINT) AS n_tokens FROM sp_docs
+)
+SELECT base.doc_id, COALESCE(text_clean, '') AS text_clean, n_tokens,
+       n_tokens - COALESCE(n_kept, 0) AS n_removed
+FROM base LEFT JOIN kept USING (doc_id)
+"""
+
+
+@_q("substring_dedup", _SUBSTR_ORACLE)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. ExactSubstr): every 10-token
+    span occurring ≥2 times in the corpus removed from every document
+    at every alignment. The reference algorithm is a single-machine
+    suffix array; `operators/dedup.exact_substring_dedup` re-expresses
+    it as five bucketed hash-agg/equi-join stages on md5 gram keys —
+    see its docstring for the 100 TB posture."""
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_substring_dedup(
+        docs, "doc_id", "text", window=_SUBSTR_W, min_count=2
+    )

@@ -178,3 +178,69 @@ def test_bm25_relevance_ordering(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     top = TX.bm25_topk(df, "doc_id", "text", ("rare", "filler"), k=2).collect()
     assert top[0]["doc_id"] == 100
+
+
+def _substr_reference(docs: dict[int, str], w: int, min_count: int):
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    from collections import Counter
+
+    counts = Counter()
+    for t in toks.values():
+        for i in range(len(t) - w + 1):
+            counts[" ".join(t[i : i + w])] += 1
+    out = {}
+    for d, t in toks.items():
+        covered = set()
+        for i in range(len(t) - w + 1):
+            if counts[" ".join(t[i : i + w])] >= min_count:
+                covered.update(range(i, i + w))
+        kept = [tok for i, tok in enumerate(t) if i not in covered]
+        out[d] = (" ".join(kept), len(t), len(t) - len(kept))
+    return out
+
+
+def test_exact_substring_dedup_matches_reference(spark):
+    from redshift_etl_spark.operators import dedup as D
+
+    boiler = "x1 x2 x3 x4 x5"  # 5-token span, window 4 catches all alignments
+    docs = {
+        0: f"a b c {boiler} d e f",             # cross-doc repeat
+        1: f"p q {boiler} r s t u v",           # shifted alignment
+        2: "m1 m2 m3 m4 m1 m2 m3 m4",           # within-doc repeat only
+        3: "u1 u2 u3 u4 u5 u6 u7 u8",           # unique — untouched
+        4: boiler,                              # fully covered → ''
+        5: "s1 s2",                             # shorter than window
+    }
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+        for r in D.exact_substring_dedup(
+            df, "doc_id", "text", window=4, min_count=2
+        ).collect()
+    }
+    ref = _substr_reference(docs, 4, 2)
+    assert got == ref, {k: (got.get(k), ref.get(k)) for k in docs}
+    # sanity of the fixture itself: the planted span really vanished,
+    # the unique doc really survived intact
+    assert "x1" not in got[0][0] and "x1" not in got[1][0]
+    assert got[3][0] == docs[3]
+    assert got[4][0] == ""
+    assert got[5] == (docs[5], 2, 0)
+
+
+def test_exact_substring_dedup_partition_invariant(spark):
+    from redshift_etl_spark.operators import dedup as D
+
+    rows = [(i, f"w{i} common span tokens here w{i+1} tail{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(
+        tuple(r)
+        for r in D.exact_substring_dedup(df, "doc_id", "text", 4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in D.exact_substring_dedup(
+            df.repartition(11), "doc_id", "text", 4
+        ).collect()
+    )
+    assert a == b
