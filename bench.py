@@ -53,6 +53,11 @@ HEADLINE = (
     "trade_pagerank",       # iterative join+agg, exact-integer ranks
     "value_quantile_rollup",  # mergeable fixed-bin quantile rollup
     "pq_adc_topk",          # PQ-compressed ADC search (codes only)
+    "url_normalize",        # URL parse + canonicalization (pure projection)
+    "bm25_search",          # BM25 ranked retrieval (filtered explode)
+    "hybrid_search_rrf",    # keyword ⊕ vector RRF fusion
+    "ann_topk_int8",        # compressed-domain integer-dot ANN
+    "substring_dedup",      # ExactSubstr sliding-window dedup (5 stages)
 )
 
 
