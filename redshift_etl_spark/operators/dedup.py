@@ -646,28 +646,30 @@ def exact_substring_dedup(
     The reference implementation builds a monolithic suffix array —
     single-machine by construction. The distributed shape here:
 
-      1. slide: posexplode tokens → md5 of each w-gram with its start
-         position (only 16-hex-char hashes shuffle, never raw text;
-         corpus cost ×w rows but each row is ~30 bytes),
+      1. slide: explode md5 of each w-gram with its start position
+         (only 16-hex-char hashes shuffle, never raw text; corpus cost
+         ×w rows but each row is ~30 bytes),
       2. count: one hash agg on gram hash → total occurrence count,
       3. flag: inner-join counts ≥ min_count back to (doc, start) —
          Spark's runtime bloom/semi-join prunes the probe side,
-      4. cover: explode each flagged start into its w covered token
-         indices (blowup ×w of FLAGGED regions only), distinct,
-      5. rebuild: left-anti join token positions against covers, then
-         per-doc ordered reassembly via sort_array(collect_list).
+      4. gather: per-doc collect_set of flagged starts (doc-grain —
+         bounded by the doc's own length),
+      5. rebuild: IN-ROW projection — each token survives iff no
+         flagged start covers its index (`F.exists` over the starts
+         array). No token-grain shuffle exists anywhere: only gram
+         hashes and per-doc start arrays ever move.
 
-    Five stages, each a bucketed equi-join or hash agg on uniform md5
-    keys — no stage needs global order, so it scales like minhash-LSH.
-    Window starts are per-document positions; md5 collisions (~2⁻⁶⁴)
-    are the accepted trade, as everywhere else in this module.
+    Per-row rebuild cost is O(tokens × flagged starts); for documents
+    where both are ~10⁵ (book-length AND wall-to-wall duplicated) a
+    sorted-starts binary probe would be the next step — not needed at
+    sane document lengths.
+
+    Gram keys are uniform md5s, so every stage buckets evenly — this
+    scales like minhash-LSH. md5 collisions (~2⁻⁶⁴) are the accepted
+    trade, as everywhere else in this module.
 
     Returns (id, text_clean, n_tokens, n_removed): text_clean = ''
     when everything was boilerplate."""
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(tokens_col(text_col)).alias("tpos", "token"),
-    )
     grams = (
         df.filter(F.size(tokens_col(text_col)) >= window)
         .select(
@@ -705,37 +707,27 @@ def exact_substring_dedup(
         .select("gh")
     )
     flagged = grams.join(hot, "gh").select(id_col, "start")
-    covers = flagged.select(
-        id_col,
-        F.explode(
-            F.sequence(F.col("start"), F.col("start") + (window - 1))
-        ).alias("tpos"),
-    ).distinct()
-    kept = (
-        toks.join(covers, [id_col, "tpos"], "left_anti")
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("tpos", "token"))),
-                    lambda s: s["token"],
-                ),
-                " ",
-            ).alias("text_clean"),
-            F.count(F.lit(1)).cast("long").alias("n_kept"),
-        )
+    starts = flagged.groupBy(id_col).agg(
+        F.collect_set("start").alias("__starts")
     )
-    # fully-covered documents have no surviving token rows: restore
-    # them with empty text so the output keys match the input exactly
-    base = df.select(
-        F.col(id_col),
-        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+    joined = df.join(starts, id_col, "left").withColumn(
+        "__starts", F.coalesce("__starts", F.array().cast("array<int>"))
     )
-    return base.join(kept, id_col, "left").select(
-        id_col,
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
-            "n_removed"
+    toks = tokens_col(text_col)
+    kept_arr = F.filter(
+        F.transform(
+            toks, lambda tok, i: F.struct(tok.alias("t"), i.alias("i"))
         ),
+        lambda s: ~F.exists(
+            F.col("__starts"),
+            lambda st: (st <= s["i"]) & (s["i"] < st + window),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept_arr, lambda s: s["t"]), " "
+        ).alias("text_clean"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept_arr)).cast("long").alias("n_removed"),
     )
