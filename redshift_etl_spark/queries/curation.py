@@ -566,3 +566,74 @@ def html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "doc_id", "html", TX.strip_html("html").alias("text_clean")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (chars per token)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "tokenizer_fertility",
+    """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(CAST(SUM(len(text)) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(len(str_split(text, ' '))) AS BIGINT)
+         AS chars_per_token
+FROM documents GROUP BY lang
+""",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chars-per-token by language — the fertility report that sizes a
+    tokenizer's cost per language (high fertility = more tokens per
+    character of content). One agg; the ratio divides two exact
+    BIGINTs (single IEEE division)."""
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import tokens_col
+
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.sum(F.size(tokens_col("text"))).cast("long").alias("sum_tokens"),
+        (
+            F.sum(F.length("text")).cast("long").cast("double")
+            / F.sum(F.size(tokens_col("text"))).cast("long")
+        ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus length trim: drop docs outside the exact [p05, p95] band
+# ---------------------------------------------------------------------------
+
+@_q(
+    "length_trim",
+    """
+WITH bounds AS (
+  SELECT quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars FROM documents CROSS JOIN bounds
+WHERE n_chars >= lo AND n_chars <= hi
+""",
+)
+def length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents within the exact interpolated [p05, p95] length band —
+    the outlier TRIM companion to `winsorize` (which CLIPS): too-short
+    docs are noise, too-long ones are concatenation artifacts. Bounds
+    are a 1-row broadcast; the data path is a pushed filter."""
+    docs = load(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("n_chars") >= F.col("lo"))
+            & (F.col("n_chars") <= F.col("hi"))
+        )
+        .select("doc_id", "n_chars")
+    )

@@ -2236,3 +2236,80 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_substring_dedup(
         docs, "doc_id", "text", window=_SUBSTR_W, min_count=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-ranked cluster representative: near-dup clusters keep the
+# BEST member (longest doc, deterministic tie) instead of min-id —
+# the policy real pipelines want (drop the truncated copies, keep the
+# complete one). Same pair/closure machinery as dedup_clusters; the
+# representative is one window over the (node, component) frame.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_keep_best",
+    f"""
+WITH RECURSIVE
+sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+members AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+ranked AS (
+  SELECT m.component, m.node,
+         row_number() OVER (
+           PARTITION BY m.component
+           ORDER BY d.n_chars DESC, m.node ASC
+         ) AS rk
+  FROM members m JOIN documents d ON m.node = d.doc_id
+),
+counts AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM members GROUP BY 1
+)
+SELECT r.component, r.node AS keep_id, c.n_members
+FROM ranked r JOIN counts c USING (component)
+WHERE rk = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+    cc = D.connected_components(pairs, "doc_a", "doc_b")
+    quality = docs.select(F.col("doc_id").alias("node"), "n_chars")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("node")
+    )
+    ranked = cc.join(quality, "node").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    counts = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .join(counts, "component")
+        .select("component", F.col("node").alias("keep_id"), "n_members")
+    )
