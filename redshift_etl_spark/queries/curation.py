@@ -637,3 +637,86 @@ def length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the full web-corpus curation pipeline
+# ---------------------------------------------------------------------------
+
+from ..operators.sampling import oracle_bucket_sql as _bucket_sql  # noqa: E402
+
+_WCP_BUCKET = _bucket_sql("doc_id")
+
+
+@_q(
+    "web_corpus_prep",
+    f"""
+WITH {_DUCK_URL_PARSE},
+with_len AS (
+  SELECT p.*, d.n_chars FROM parsed p JOIN documents d USING (doc_id)
+),
+survived AS (
+  SELECT * FROM with_len
+  WHERE registrable_domain NOT IN ({_BLOCKED_SQL}) AND n_chars >= 40
+),
+canon_dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY canonical_url ORDER BY doc_id
+    ) AS __rk FROM survived
+  ) WHERE __rk = 1
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY registrable_domain
+      ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+    ) AS __ck FROM canon_dedup
+  ) WHERE __ck <= 5
+),
+split AS (
+  SELECT *, CASE WHEN {_WCP_BUCKET} < 205 THEN 'train'
+                 WHEN {_WCP_BUCKET} < 231 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM capped
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT registrable_domain) AS BIGINT) AS n_domains
+FROM split GROUP BY split
+""",
+)
+def web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web-curation pipeline as ONE plan: URL synthesis →
+    parse → domain blocklist → length floor → canonical-URL dedup →
+    per-domain cap → deterministic split → accounting. Composition of
+    the pack's operators, nothing bespoke: the projections fuse into
+    the scan, then exactly three window shuffles (canonical_url,
+    domain, none for the split — it's a projection) and one final agg.
+    The per-stage operators are each oracled alone; this query pins
+    their composition."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", "source", "lang", "n_chars").withColumn(
+        "url", F.expr(URL_SQL)
+    )
+    parsed = W.normalize_urls(W.parse_urls(urls, "url"), "url")
+    survived = W.blocklist_filter(
+        parsed, "registrable_domain", list(_BLOCKED)
+    ).filter(F.col("n_chars") >= 40)
+    w = Window.partitionBy("canonical_url").orderBy("doc_id")
+    canon = (
+        survived.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    capped = SA.exact_cap_sample(canon, "doc_id", "registrable_domain", 5)
+    split = SA.deterministic_split(capped, "doc_id")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("registrable_domain").cast("long").alias(
+            "n_domains"
+        ),
+    )
