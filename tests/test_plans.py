@@ -351,3 +351,48 @@ def test_rolling_quantiles_single_agg_chain(spark):
     # first aggregate's grouping happens below the Window node
     plan = P.plan_tree(df)
     assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_substring_dedup_no_token_grain_shuffle(spark):
+    # gram-hash agg + hot-flag join + per-doc start collect are the
+    # ONLY exchanges; the rebuild is an in-row projection. No cross
+    # product, exactly two gram Generates (hot side + probe side — the
+    # deliberate recompute-over-cache trade), bounded shuffle count.
+    df = Q.all_queries()["substring_dedup"](spark, SF_ORACLE)
+    assert not P.has_cross_product(df)
+    assert P.count_shuffles(df) <= 4, P.physical_plan(df)
+    assert P.tree_count(df, "Generate") == 2
+
+
+def test_bm25_never_cartesian_and_topk_bounded(spark):
+    # never a CartesianProduct: the only nested-loop joins are the
+    # deliberate 1-row corpus-stats broadcast cross joins (same shape
+    # as dormant_customers' scalar subquery); the final top-k is a
+    # bounded TakeOrdered/limit, not a global sort
+    df = Q.all_queries()["bm25_search"](spark, SF_ORACLE)
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    assert P.count_broadcasts(df) >= 2  # corpus stats + per-term df
+
+
+def test_ann_topk_int8_broadcast_brute_force_shape(spark):
+    # the compressed-domain search IS the brute-force baseline: query
+    # codes broadcast against the corpus scan with a != predicate —
+    # that plans as BroadcastNestedLoopJoin by construction (identical
+    # to ann_cosine_topk's float shape); corpus side must never shuffle
+    # before the per-query top-k window
+    df = Q.all_queries()["ann_topk_int8"](spark, SF_ORACLE)
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert P.count_broadcasts(df) >= 1
+    assert P.count_shuffles(df) <= 2, plan  # top-k window + encode agg
+
+
+def test_web_corpus_prep_bounded_shuffles(spark):
+    # scan-fused projections; canonical_url rank window + domain-cap
+    # rank window + final agg (count-distinct adds its two-phase pair)
+    df = Q.all_queries()["web_corpus_prep"](spark, SF_ORACLE)
+    assert not P.has_cross_product(df)
+    assert P.count_shuffles(df) <= 6, P.physical_plan(df)
