@@ -3260,3 +3260,157 @@ def dow_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 1.3)
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical suite: Pearson correlation + chi-square independence.
+# Both from EXACT integer moment sums (quantity is integral, discount
+# is 2-decimal → ×100 cents), combined in one shared formula string so
+# Spark and DuckDB evaluate byte-identical arithmetic; the only libm
+# call (sqrt) is rounded at 6 like the cosine queries. The integer
+# moments stay below 2^53 through sf0.1 (n≤6·10⁵, x≤50, y≤10), so the
+# double combination is EXACT — at larger corpora switch the moment
+# sums to DECIMAL(38,0) before combining.
+# ---------------------------------------------------------------------------
+
+# each inner moment product fits int64 through sf0.1, but the PRODUCT
+# of the two variance terms does not — cast each factor to double
+# before the final multiply (exact: both factors < 2^53)
+_CORR_EXPR = (
+    "ROUND((CAST(n * sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE)) / "
+    "sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+)
+
+_CORR_GUARD = (
+    "CAST(n * sxx - sx * sx AS DOUBLE)"
+    " * CAST(n * syy - sy * sy AS DOUBLE) > 0"
+)
+
+
+@_q(
+    "qty_discount_correlation",
+    f"""
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+      AS BIGINT) AS sxx,
+    CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+           * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy,
+    CAST(SUM(CAST(l_quantity AS BIGINT)
+           * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, {_CORR_EXPR} AS corr_qty_discount
+FROM m WHERE {_CORR_GUARD}
+""",
+)
+def qty_discount_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs discount per return flag —
+    one hash agg of five exact-BIGINT moment sums, then the closed form
+    in double (exact below 2^53) with the sqrt rounded at 6. Never
+    `F.corr` (its internal accumulation is engine/partitioning-
+    dependent)."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_discount") * 100, 0).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+    )
+    return m.filter(F.expr(_CORR_GUARD)).select(
+        "l_returnflag",
+        "n",
+        F.expr(_CORR_EXPR).alias("corr_qty_discount"),
+    )
+
+
+_CHI_CONTRIB = (
+    "CAST(obs * n_tot - row_tot * col_tot AS DOUBLE)"
+    " * CAST(obs * n_tot - row_tot * col_tot AS DOUBLE)"
+    " / (CAST(n_tot AS DOUBLE) * row_tot * col_tot)"
+)
+
+_VALUE_BUCKET = (
+    "CASE WHEN value < 150 THEN 'low' "
+    "WHEN value < 300 THEN 'mid' ELSE 'high' END"
+)
+
+
+@_q(
+    "event_type_independence",
+    f"""
+WITH cells AS (
+  SELECT event_type, {_VALUE_BUCKET} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM events GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_tot
+  FROM cells GROUP BY 1
+),
+cols_ AS (
+  SELECT bucket, CAST(SUM(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_tot FROM cells),
+contrib AS (
+  SELECT {_CHI_CONTRIB} AS c
+  FROM cells JOIN rows_ USING (event_type) JOIN cols_ USING (bucket)
+  CROSS JOIN tot
+)
+SELECT
+  CAST(SUM(CAST(ROUND(c * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+    AS chi_square,
+  (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM rows_)
+    * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM cols_) AS dof
+FROM contrib
+""",
+)
+def event_type_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and a fixed
+    value bucketing — the contingency machinery every analytics engine
+    owes its users. Observed/marginal counts are one agg + two
+    re-aggregations of the tiny cells frame (broadcast back); each
+    cell's (obs·N − row·col)²/(N·row·col) is deterministic double
+    arithmetic over exact BIGINTs, and the cross-cell sum uses the
+    scaled-int pattern so cell order can't matter."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.expr(_VALUE_BUCKET).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    rows_ = cells.groupBy("event_type").agg(
+        F.sum("obs").cast("long").alias("row_tot")
+    )
+    cols_ = cells.groupBy("bucket").agg(
+        F.sum("obs").cast("long").alias("col_tot")
+    )
+    tot = cells.agg(F.sum("obs").cast("long").alias("n_tot"))
+    dof = (
+        rows_.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(cols_.agg(F.count(F.lit(1)).alias("nc")))
+        .select(
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof")
+        )
+    )
+    contrib = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(F.expr(_CHI_CONTRIB).alias("c"))
+    )
+    chi = contrib.agg(
+        (
+            F.sum(F.round(F.col("c") * 1000000, 0).cast("long")).cast(
+                "double"
+            )
+            / 1000000.0
+        ).alias("chi_square")
+    )
+    return chi.crossJoin(F.broadcast(dof))
