@@ -25,6 +25,9 @@ PROBES = (
     "dedup_minhash_lsh",    # explode + signature agg + banded joins
     "lsh_bucketed_cosine",  # banded LSH + Arrow sweep
     "scd1_merge",           # key shuffle + window + anti-join
+    "substring_dedup",      # gram agg + flag join + in-row rebuild
+    "bm25_search",          # filtered explode + broadcast stats
+    "web_corpus_prep",      # scan-fused curation pipeline
 )
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
