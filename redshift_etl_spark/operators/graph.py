@@ -400,3 +400,82 @@ def graph_stats(edges: DataFrame) -> DataFrame:
         "n_nodes long, n_edges long, max_degree long, avg_degree double, "
         "n_triangles long, n_components long",
     )
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 3, checkpoint_every: int = 4
+) -> DataFrame:
+    """Synchronous label-propagation community detection over a
+    symmetric edge set (`symmetric_edges`): every node starts labeled
+    with its own id; each round it adopts the most frequent label among
+    its neighbors, ties broken by the SMALLEST label — so the update is
+    a pure function of the graph and the whole run is bit-identical
+    across engines, partitionings, and reruns (the same determinism
+    discipline as `pagerank`; classic LPA's random tie-break is exactly
+    what this replaces). Fixed iteration count, not convergence-polled:
+    synchronous LPA can oscillate on bipartite structure, and a bounded
+    unrolled recurrence is what an exact cross-engine oracle can
+    replay.
+
+    Per round: one join (edges ⋈ labels on src — at scale,
+    pre-partition both by the join key once and every round reuses the
+    layout) + one hash agg per (dst, label) + one min-struct agg per
+    dst. localCheckpoint bounds plan depth like the other iterative
+    operators.
+
+    Returns (node, label)."""
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for i in range(iterations):
+        counts = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # min of (-cnt, lbl) = the most frequent label, smallest on ties
+        labels = (
+            counts.groupBy(F.col("n2").alias("node"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg"), F.col("lbl")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.lbl").alias("lbl"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
+    """DuckDB twin: the same recurrence unrolled as CTEs (row_number
+    with (cnt DESC, lbl ASC) ≡ the min-struct pick)."""
+    ctes = [
+        f"e AS ({edges_sql})",
+        "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""c{i + 1} AS (
+  SELECT e.dst AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM e JOIN l{i} l ON e.src = l.node GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""l{i + 1} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rk
+    FROM c{i + 1}
+  ) WHERE rk = 1
+)"""
+        )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes\n"
+        f"FROM l{iterations} GROUP BY lbl"
+    )

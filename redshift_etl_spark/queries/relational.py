@@ -3414,3 +3414,37 @@ def event_type_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi_square")
     )
     return chi.crossJoin(F.broadcast(dof))
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the same trade graph as
+# trade_pagerank — deterministic LPA (most-frequent neighbor label,
+# smallest label on ties), 3 unrolled iterations so the DuckDB twin
+# replays the exact recurrence. operators/graph.py documents the
+# per-iteration shuffle model.
+# ---------------------------------------------------------------------------
+
+def _lpa_oracle() -> str:
+    from ..operators.graph import label_propagation_oracle_sql
+
+    return label_propagation_oracle_sql(_PAGERANK_EDGES_SQL, iterations=3)
+
+
+@_q("trade_communities", _lpa_oracle())
+def trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph as G
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+    )
+    edges = G.symmetric_edges(fwd, "src", "dst")
+    labels = G.label_propagation(edges, iterations=3)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

@@ -201,3 +201,30 @@ def test_graph_stats_profile(spark):
     assert abs(r["avg_degree"] - 2 * 7 / 7) < 1e-9
     assert r["n_triangles"] == 2
     assert r["n_components"] == 2
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    from redshift_etl_spark.operators import graph as G
+
+    # two dense cliques joined by one weak bridge
+    clique_a = [(a, b) for a in range(5) for b in range(5) if a < b]
+    clique_b = [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    bridge = [(4, 10)]
+    df = spark.createDataFrame(clique_a + clique_b + bridge, ["src", "dst"])
+    edges = G.symmetric_edges(df, "src", "dst")
+    labels = {
+        r["node"]: r["lbl"]
+        for r in G.label_propagation(edges, iterations=3).collect()
+    }
+    a_labels = {labels[n] for n in range(5)}
+    b_labels = {labels[n] for n in range(10, 15)}
+    assert a_labels == {0}          # clique A converges to min label 0
+    assert b_labels == {10}         # clique B keeps its own min label
+    # deterministic under repartitioning
+    labels2 = {
+        r["node"]: r["lbl"]
+        for r in G.label_propagation(
+            G.symmetric_edges(df.repartition(7), "src", "dst"), 3
+        ).collect()
+    }
+    assert labels == labels2
