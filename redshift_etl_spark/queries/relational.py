@@ -3448,3 +3448,60 @@ def trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval×interval overlap join — error windows vs purchase windows
+# (did a purchase run INSIDE an outage?). The point-in-interval
+# machinery can't express this; operators/rangejoin.interval_overlap_join
+# buckets BOTH sides and emits each overlapping pair exactly once in
+# the later-starting interval's first bucket (no dedup shuffle). The
+# oracle is the plain non-equi join.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "interval_overlap_pairs",
+    """
+WITH err AS (
+  SELECT event_id AS error_id, epoch(ts) AS ls,
+         epoch(ts + INTERVAL 5 MINUTE) AS le
+  FROM events WHERE event_type = 'error'
+),
+pur AS (
+  SELECT event_id AS purchase_id, epoch(ts) AS rs,
+         epoch(ts + INTERVAL 5 MINUTE) AS re
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT error_id, purchase_id,
+       ROUND(least(le, re) - greatest(ls, rs), 6) AS overlap_s
+FROM err JOIN pur ON ls < re AND rs < le
+""",
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rangejoin as RJ
+
+    ev = load(spark, sf_dir, "events")
+
+    def _epoch_s(c: F.Column) -> F.Column:
+        return c.cast("timestamp").cast("double")
+
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        _epoch_s(F.col("ts")).alias("ls"),
+        _epoch_s(F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("le"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        _epoch_s(F.col("ts")).alias("rs"),
+        _epoch_s(F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("re"),
+    )
+    joined = RJ.interval_overlap_join(
+        err, pur, "ls", "le", "rs", "re", bucket_width=300.0
+    )
+    return joined.select(
+        "error_id",
+        "purchase_id",
+        F.round(
+            F.least("le", "re") - F.greatest("ls", "rs"), 6
+        ).alias("overlap_s"),
+    )

@@ -63,3 +63,39 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     plan = P.physical_plan(got)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_matches_naive_and_no_cartesian(spark):
+    from redshift_etl_spark import plans as P
+    from redshift_etl_spark.operators import rangejoin as RJ
+
+    # crafted: touching endpoints (half-open → NOT overlapping),
+    # containment, partial overlap, disjoint, and bucket-boundary spans
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 20.0, 30.0), (3, 5.0, 105.0)],
+        ["lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [(10, 10.0, 20.0),   # touches 1 (excluded), overlaps 3
+         (11, 25.0, 26.0),   # inside 2
+         (12, 99.0, 200.0),  # tail of 3
+         (13, 300.0, 310.0)],  # disjoint
+        ["rid", "rs", "re"],
+    )
+    got = RJ.interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=7.0
+    )
+    pairs = sorted((r["lid"], r["rid"]) for r in got.collect())
+    # naive reference
+    lrows = [tuple(r) for r in left.collect()]
+    rrows = [tuple(r) for r in right.collect()]
+    want = sorted(
+        (lid, rid)
+        for lid, ls, le in lrows
+        for rid, rs, re in rrows
+        if ls < re and rs < le
+    )
+    assert pairs == want == [(2, 11), (3, 10), (3, 11), (3, 12)]
+    # each pair exactly once (no dedup shuffle needed), no cross product
+    assert len(pairs) == len(set(pairs))
+    assert not P.has_cross_product(got)
