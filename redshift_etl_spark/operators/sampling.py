@@ -382,3 +382,19 @@ def kfold_assign(
     return df.withColumn(
         fold_col, hash_bucket16(key, salt) % F.lit(k)
     )
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: Column, salt: str = ""
+) -> DataFrame:
+    """Per-row weighted Bernoulli sampling, deterministic in the key:
+    keep a row iff md5-bucket16(key) < floor(weight·65536), i.e. with
+    probability ≈ weight (clamped to [0, 1], resolution 1/65536). The
+    quality-weighted downsampling primitive (keep high-quality docs
+    with certainty, low-quality ones proportionally) — rows never flip
+    in or out across reruns/engines, and the weight can be any
+    deterministic expression of the row. Shuffle-free projection."""
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
+    return df.filter(
+        hash_bucket16(key, salt) < F.floor(w * 65536).cast("long")
+    )

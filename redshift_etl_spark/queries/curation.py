@@ -720,3 +720,37 @@ def web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_domains"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted downsampling (deterministic Bernoulli by weight)
+# ---------------------------------------------------------------------------
+
+_W16 = (
+    "(((instr('0123456789abcdef', substr(md5(':' || doc_id), 1, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(':' || doc_id), 2, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(':' || doc_id), 3, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(':' || doc_id), 4, 1)) - 1"
+)
+
+
+@_q(
+    "quality_weighted_sample",
+    f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE ({_W16}) < CAST(floor(
+  least(1.0, greatest(0.0, CAST(n_chars AS DOUBLE) / 300)) * 65536
+) AS BIGINT)
+""",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each document with probability ∝ its quality proxy
+    (n_chars/300, clamped) — long docs survive with certainty, short
+    ones proportionally. Deterministic in doc_id: reruns, engines, and
+    data growth never flip a decision. Pure filter projection."""
+    docs = load(spark, sf_dir, "documents")
+    kept = SA.weighted_sample(
+        docs, "doc_id", F.col("n_chars").cast("double") / 300
+    )
+    return kept.select("doc_id", "n_chars")
