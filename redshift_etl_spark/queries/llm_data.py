@@ -2313,3 +2313,149 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "component")
         .select("component", F.col("node").alias("keep_id"), "n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — strongest token bigrams by pointwise mutual
+# information in RATIO form: p(xy)/(p(x)p(y)) = c12·U²/(B·c1·c2) with
+# U = total unigrams, B = total bigrams. log is monotone, so ranking by
+# the ratio IS ranking by PMI — and the ratio is one division of exact
+# integer products (libm-free, the same dodge as tfidf/bm25).
+# ---------------------------------------------------------------------------
+
+_PMI_EXPR = (
+    "ROUND(CAST(c12 AS DOUBLE) * u_tot * u_tot"
+    " / (CAST(b_tot AS DOUBLE) * c1 * c2), 6)"
+)
+
+
+@_q(
+    "token_pmi_top",
+    f"""
+WITH sp_docs AS (SELECT str_split(text, ' ') AS sp FROM documents),
+uni AS (SELECT unnest(sp) AS w FROM sp_docs),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+ut AS (SELECT CAST(COUNT(*) AS BIGINT) AS u_tot FROM uni),
+bg AS (
+  SELECT sp[i] AS w1, sp[i + 1] AS w2
+  FROM (SELECT sp, unnest(range(1, len(sp))) AS i FROM sp_docs
+        WHERE len(sp) >= 2)
+),
+bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+),
+bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_tot FROM bg),
+scored AS (
+  SELECT w1, w2, c12, {_PMI_EXPR} AS pmi_ratio
+  FROM bc
+  JOIN uc u1 ON bc.w1 = u1.w
+  JOIN uc u2 ON bc.w2 = u2.w
+  CROSS JOIN ut CROSS JOIN bt,
+  LATERAL (SELECT u1.c AS c1, u2.c AS c2) AS _
+  WHERE c12 >= 5
+)
+SELECT w1, w2, c12, pmi_ratio FROM scored
+ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC LIMIT 20
+""",
+)
+def token_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by ratio-PMI with a count-≥5 floor. One
+    bigram explode + three hash aggs; unigram counts join back onto the
+    vocab-sized bigram frame (AQE broadcasts when small); the totals
+    are 1-row broadcasts. TakeOrdered bounds the result."""
+    docs = load(spark, sf_dir, "documents")
+    toks = TX.tokens_col("text")
+    uni = docs.select(F.explode(toks).alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ut = uni.agg(F.count(F.lit(1)).cast("long").alias("u_tot"))
+    bg = (
+        docs.filter(F.size(toks) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    bt = bg.agg(F.count(F.lit(1)).cast("long").alias("b_tot"))
+    scored = (
+        bc.filter(F.col("c12") >= 5)
+        .join(uc.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(bt))
+        .select("w1", "w2", "c12", F.expr(_PMI_EXPR).alias("pmi_ratio"))
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift — cosine between consecutive ingest periods'
+# centroids (the ML-ops signal that a source's distribution moved).
+# Periods are simulated as vec_id mod 4; centroids use the exact
+# scaled-integer means of `label_centroids`, so the only rounding is
+# the final cosine at 6.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "embedding_drift",
+    """
+WITH c AS (
+  SELECT vec_id % 4 AS period, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT period, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS val
+  FROM c
+),
+cent AS (
+  SELECT period, pos,
+    CAST(SUM(CAST(ROUND(val * 1000000) AS BIGINT)) AS DOUBLE)
+      / (1000000.0 * COUNT(*)) AS cval
+  FROM comp GROUP BY 1, 2
+),
+vecs AS (
+  SELECT period, list(cval ORDER BY pos) AS centroid FROM cent GROUP BY 1
+)
+SELECT a.period AS period_from, b.period AS period_to,
+  ROUND(list_dot_product(a.centroid, b.centroid)
+    / (sqrt(list_dot_product(a.centroid, a.centroid))
+       * sqrt(list_dot_product(b.centroid, b.centroid))), 6)
+    AS centroid_cosine
+FROM vecs a JOIN vecs b ON b.period = a.period + 1
+""",
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "period", F.col("vec_id") % 4
+    )
+    cents = S.label_centroids(emb, "period", "embedding")
+    a = cents.select(
+        F.col("period").alias("period_from"), F.col("centroid").alias("ca")
+    )
+    b = cents.select(
+        F.col("period").alias("period_to"), F.col("centroid").alias("cb")
+    )
+    joined = a.join(
+        F.broadcast(b), b["period_to"] == a["period_from"] + 1
+    )
+    return joined.select(
+        "period_from",
+        "period_to",
+        F.round(
+            S.dot("ca", "cb")
+            / (S.l2_norm("ca") * S.l2_norm("cb")),
+            6,
+        ).alias("centroid_cosine"),
+    )
