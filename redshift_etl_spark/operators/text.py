@@ -770,3 +770,56 @@ def strip_html(text: Column | str) -> Column:
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
     collapsed = F.regexp_replace(decoded, " +", " ")
     return F.nullif(F.trim(collapsed), F.lit(""))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping sliding-window chunks — the RAG/embedding prep step
+    (`token_chunks` is the non-overlapping special case stride=size):
+    chunk k covers tokens [k·stride, k·stride+size); the last window is
+    the final partial remainder, and every token belongs to ≥1 chunk.
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens) with chunk_id
+    dense from 0 in document order — (id, chunk_id) is the stable key
+    an embedding store indexes by.
+
+    One explode, no shuffle: ×⌈L/stride⌉ row fan-out happens map-side
+    and chunk text re-slices the in-row token array (never a join back
+    to the document)."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError(
+            f"need 0 < stride <= size, got size={size} stride={stride}"
+        )
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(0, L - size) / stride), spelled
+    # with integer arithmetic valid on any engine
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - size, F.lit(0)) + stride - 1) / stride
+        ).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.struct(
+                    k.cast("long").alias("chunk_id"),
+                    F.array_join(
+                        F.slice(toks, k * stride + 1, size), " "
+                    ).alias("chunk_text"),
+                    F.least(
+                        F.lit(size), n - k * stride
+                    ).cast("long").alias("n_chunk_tokens"),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        id_col, "c.chunk_id", "c.chunk_text", "c.n_chunk_tokens"
+    )

@@ -2459,3 +2459,30 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking — overlapping sliding windows (size 32, stride 24) with
+# stable (doc, chunk) keys. The oracle replays the window arithmetic.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "document_chunks",
+    """
+WITH sp_docs AS (SELECT doc_id, str_split(text, ' ') AS sp FROM documents),
+g AS (
+  SELECT doc_id, sp,
+    unnest(range(0,
+      1 + CAST(floor((greatest(len(sp) - 32, 0) + 24 - 1) / 24) AS INT)
+    )) AS k
+  FROM sp_docs
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       array_to_string(sp[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text,
+       CAST(least(32, len(sp) - k * 24) AS BIGINT) AS n_chunk_tokens
+FROM g
+""",
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, "doc_id", "text", size=32, stride=24)

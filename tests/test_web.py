@@ -244,3 +244,36 @@ def test_exact_substring_dedup_partition_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    import pytest as _pytest
+
+    docs = {
+        0: " ".join(f"t{i}" for i in range(10)),  # 10 tokens
+        1: "a b c",                                # shorter than size
+        2: " ".join(f"u{i}" for i in range(4)),    # exactly size
+    }
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {}
+    for r in TX.chunk_documents(df, "doc_id", "text", size=4, stride=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        )
+    for d in got:
+        got[d].sort()
+    # doc 0: windows at 0,3,6 cover 0..9; last is a partial remainder
+    assert [c[1] for c in got[0]] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    assert [c[2] for c in got[0]] == [4, 4, 4]
+    # every token appears in at least one chunk (full coverage)
+    covered = set(" ".join(c[1] for c in got[0]).split())
+    assert covered == set(docs[0].split())
+    # short doc: one partial chunk
+    assert got[1] == [(0, "a b c", 3)]
+    # exact-size doc: one full chunk, no empty trailing window
+    assert got[2] == [(0, docs[2], 4)]
+    # stride > size is rejected
+    with _pytest.raises(ValueError):
+        TX.chunk_documents(df, "doc_id", "text", size=4, stride=5)
