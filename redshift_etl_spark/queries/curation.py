@@ -754,3 +754,77 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", F.col("n_chars").cast("double") / 300
     )
     return kept.select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Index self-evaluation: recall@3 of the compressed int8 index against
+# exact float cosine — the report a vector store publishes about its
+# own approximation. Both sides are deterministic, so even the recall
+# numbers hash-match the oracle.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "ann_recall_report",
+    f"""
+WITH {_INT8_CTES},
+m AS (SELECT MAX(abs(val)) AS ma FROM rows_),
+sym AS (
+  SELECT vec_id, dim, CAST(ROUND(val * 127 / ma) AS BIGINT) AS code
+  FROM rows_ CROSS JOIN m
+),
+q8 AS (SELECT vec_id, dim, code FROM sym WHERE vec_id < 10),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q8.vec_id AS query_id, c2.vec_id AS neighbor_id,
+      CAST(SUM(q8.code * c2.code) AS BIGINT) AS qdot,
+      row_number() OVER (
+        PARTITION BY q8.vec_id
+        ORDER BY CAST(SUM(q8.code * c2.code) AS BIGINT) DESC, c2.vec_id ASC
+      ) AS rk
+    FROM q8 JOIN sym c2 ON q8.dim = c2.dim AND q8.vec_id <> c2.vec_id
+    GROUP BY q8.vec_id, c2.vec_id
+  ) WHERE rk <= 3
+),
+qf AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qf.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY qf.vec_id
+        ORDER BY ROUND(list_dot_product(qf.v, c.v)
+          / (sqrt(list_dot_product(qf.v, qf.v))
+             * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+          c.vec_id ASC
+      ) AS rk
+    FROM qf JOIN c ON qf.vec_id <> c.vec_id
+  ) WHERE rk <= 3
+)
+SELECT e.query_id,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+  CAST(COUNT(a.neighbor_id) AS DOUBLE) / 3 AS recall_at_3
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+""",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=3
+    ).select("query_id", "neighbor_id")
+    ma = float(S.global_max_abs(emb, "embedding").collect()[0]["max_abs"])
+    codes = S.symmetric_quantize(emb, ma, "vec_id", "embedding")
+    approx = S.int8_topk(
+        codes, codes.filter(F.col("vec_id") < 10), "vec_id", k=3
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["a_neighbor"]),
+        "left",
+    ).select(exact["query_id"], "a_neighbor")
+    return joined.groupBy("query_id").agg(
+        F.count("a_neighbor").cast("long").alias("n_hits"),
+        (F.count("a_neighbor").cast("double") / 3).alias("recall_at_3"),
+    )
