@@ -145,3 +145,60 @@ def transition_matrix(
         "n",
         (F.col("n").cast("double") / F.col("__tot")).alias("p"),
     )
+
+
+def windowed_funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col,
+    type_col: str,
+    steps: Sequence[str],
+    window_s: float,
+) -> DataFrame:
+    """Time-constrained funnel: step k counts only if it happens within
+    ``window_s`` seconds AFTER the user's step k−1 (the analytics-tool
+    "conversion window"). Semantics are the standard greedy
+    earliest-attempt funnel — each step binds to the EARLIEST
+    qualifying event after the previous greedy step — which makes the
+    result a pure function of the data (no ambiguity about which
+    attempt counts) and lets any SQL engine replay it as chained
+    min-within-window joins.
+
+    Shape: one (user, step) min-aggregate of the step-filtered events,
+    then |steps|−1 user-grain joins over frames that only shrink.
+    ``ts_col`` must be a NUMERIC expression (epoch seconds).
+
+    Returns (user, funnel_depth): depth k = completed steps 1..k."""
+    u, t = F.col(user_col), ts_col if not isinstance(ts_col, str) else F.col(ts_col)
+    ev = events.select(
+        u.alias("__u"), t.alias("__t"), F.col(type_col).alias("__ty")
+    )
+    cur = (
+        ev.filter(F.col("__ty") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__t").alias("__prev"))
+    )
+    depth = cur.select("__u", F.lit(1).cast("long").alias("funnel_depth"))
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("__ty") == step)
+            .join(cur, "__u")
+            .filter(
+                (F.col("__t") > F.col("__prev"))
+                & (F.col("__t") <= F.col("__prev") + window_s)
+            )
+            .groupBy("__u")
+            .agg(F.min("__t").alias("__prev"))
+        )
+        depth = depth.join(
+            nxt.select("__u", F.lit(k).cast("long").alias("__d")),
+            "__u",
+            "left",
+        ).select(
+            "__u",
+            F.coalesce("__d", "funnel_depth").alias("funnel_depth"),
+        )
+        cur = nxt
+    return depth.select(
+        F.col("__u").alias(user_col), "funnel_depth"
+    )

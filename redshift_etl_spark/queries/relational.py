@@ -3505,3 +3505,58 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("le", "re") - F.greatest("ls", "rs"), 6
         ).alias("overlap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed funnel — view → click → purchase where each step must land
+# within 30 minutes of the previous (the conversion-window variant of
+# funnel_depth). Greedy earliest-attempt semantics, so the DuckDB twin
+# is the same chained min-within-window joins.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "windowed_funnel_counts",
+    """
+WITH ev AS (
+  SELECT user_id AS u, epoch(ts) AS t, event_type AS ty FROM events
+),
+s1 AS (SELECT u, MIN(t) AS prev FROM ev WHERE ty = 'view' GROUP BY u),
+s2 AS (
+  SELECT ev.u, MIN(t) AS prev
+  FROM ev JOIN s1 ON ev.u = s1.u
+  WHERE ty = 'click' AND t > s1.prev AND t <= s1.prev + 86400
+  GROUP BY ev.u
+),
+s3 AS (
+  SELECT ev.u, MIN(t) AS prev
+  FROM ev JOIN s2 ON ev.u = s2.u
+  WHERE ty = 'purchase' AND t > s2.prev AND t <= s2.prev + 86400
+  GROUP BY ev.u
+),
+depth AS (
+  SELECT s1.u,
+    CASE WHEN s3.u IS NOT NULL THEN 3
+         WHEN s2.u IS NOT NULL THEN 2
+         ELSE 1 END AS funnel_depth
+  FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+)
+SELECT CAST(funnel_depth AS BIGINT) AS funnel_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM depth GROUP BY 1
+""",
+)
+def windowed_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import funnel as FU
+
+    ev = load(spark, sf_dir, "events")
+    depth = FU.windowed_funnel(
+        ev,
+        "user_id",
+        F.col("ts").cast("timestamp").cast("double"),
+        "event_type",
+        ("view", "click", "purchase"),
+        window_s=86400.0,
+    )
+    return depth.groupBy("funnel_depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -107,3 +107,30 @@ def test_transition_matrix_counts_and_rows(spark):
         ("b", "a"): (1, 1.0),
         ("a", "a"): (1, 0.5),
     }
+
+
+def test_windowed_funnel_binds_earliest_and_enforces_window(spark):
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.operators import funnel as FU
+
+    rows = [
+        # u1: full funnel inside windows
+        (1, 0.0, "view"), (1, 50.0, "click"), (1, 120.0, "purchase"),
+        # u2: click too late (window 100)
+        (2, 0.0, "view"), (2, 500.0, "click"),
+        # u3: greedy earliest — the EARLY click binds, so the purchase
+        # window starts there and the late purchase misses it
+        (3, 0.0, "view"), (3, 10.0, "click"), (3, 90.0, "click"),
+        (3, 150.0, "purchase"),
+        # u4: no view at all — absent from output
+        (4, 0.0, "click"), (4, 10.0, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "t", "ty"])
+    got = {
+        r["u"]: r["funnel_depth"]
+        for r in FU.windowed_funnel(
+            df, "u", F.col("t"), "ty", ("view", "click", "purchase"), 100.0
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 2}
