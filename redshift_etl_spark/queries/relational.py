@@ -3560,3 +3560,78 @@ def windowed_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return depth.groupBy("funnel_depth").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact MODE per group — most frequent value bucket per event type,
+# deterministic smallest-bucket tie (min-struct agg, no window — the
+# same argmax discipline as label_propagation's pick).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "modal_event_bucket",
+    """
+WITH b AS (
+  SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket AS modal_bucket, n AS n_in_mode FROM (
+  SELECT event_type, bucket, n,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY n DESC, bucket ASC
+         ) AS rk
+  FROM b
+) WHERE rk = 1
+""",
+)
+def modal_event_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    picked = b.groupBy("event_type").agg(
+        F.min(
+            F.struct((-F.col("n")).alias("neg"), F.col("bucket"), F.col("n"))
+        ).alias("m")
+    )
+    return picked.select(
+        "event_type",
+        F.col("m.bucket").alias("modal_bucket"),
+        F.col("m.n").alias("n_in_mode"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly active users + week-over-week delta — the growth dashboard
+# primitive: exact distinct users per ISO week, lag delta. One distinct
+# agg + one ordered window over the tiny weekly frame.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "weekly_active_users",
+    """
+WITH w AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM events GROUP BY 1
+)
+SELECT week_start, wau,
+       wau - lag(wau) OVER (ORDER BY week_start) AS wow_delta
+FROM w
+""",
+)
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start")
+    ).agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    win = Window.orderBy("week_start")
+    return w.select(
+        "week_start",
+        "wau",
+        (F.col("wau") - F.lag("wau").over(win)).alias("wow_delta"),
+    )
