@@ -828,3 +828,62 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("a_neighbor").cast("long").alias("n_hits"),
         (F.count("a_neighbor").cast("double") / 3).alias("recall_at_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve of crawl dominance — cumulative doc share by domain
+# rank, the Pareto view behind per-domain caps. Exact integer cumsums
+# divided by the BIGINT total (single IEEE division per row).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "domain_lorenz",
+    f"""
+WITH {_DUCK_URL_PARSE},
+counts AS (
+  SELECT registrable_domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM parsed GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM counts),
+ranked AS (
+  SELECT registrable_domain, n_docs,
+    CAST(row_number() OVER (
+      ORDER BY n_docs DESC, registrable_domain ASC) AS BIGINT) AS rank,
+    CAST(SUM(n_docs) OVER (
+      ORDER BY n_docs DESC, registrable_domain ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_docs
+  FROM counts
+)
+SELECT rank, registrable_domain, n_docs, cum_docs,
+       CAST(cum_docs AS DOUBLE) / t AS cum_share
+FROM ranked CROSS JOIN tot
+""",
+)
+def domain_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    parsed = W.parse_urls(_with_urls(spark, sf_dir), "url")
+    counts = parsed.groupBy("registrable_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("t"))
+    w = Window.orderBy(
+        F.desc("n_docs"), F.asc("registrable_domain")
+    )
+    ranked = counts.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "registrable_domain",
+        "n_docs",
+        F.sum("n_docs")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_docs"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "registrable_domain",
+        "n_docs",
+        "cum_docs",
+        (F.col("cum_docs").cast("double") / F.col("t")).alias("cum_share"),
+    )
