@@ -46,3 +46,41 @@ def salted_join(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(salts)]))
     )
     return p.join(b, [key, _SALT], how).drop(_SALT)
+
+
+def skew_report(
+    df: DataFrame,
+    key: str,
+    target_rows_per_task: int = 10_000_000,
+    top: int = 20,
+) -> DataFrame:
+    """Pre-flight skew diagnostics for a planned join/agg on ``key``:
+    the ``top`` heaviest keys with their row share and the salt factor
+    that would spread each hot key to ≈``target_rows_per_task`` rows
+    per task — the number `salted_join(salts=...)` wants. One hash agg
+    + a bounded TakeOrdered; run it on a sample for a quick look, on
+    the full table for the real plan decision (AQE's skew handling
+    fixes sort-merge joins at runtime, but broadcast-build replication
+    and stateful aggs still need the structural salt this recommends).
+
+    Returns (key_value, n_rows, share, recommended_salts ≥ 1)."""
+    counts = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    return (
+        counts.orderBy(F.desc("n_rows"), F.asc("key_value"))
+        .limit(top)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key_value",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__t")).alias("share"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.col("n_rows") / F.lit(float(target_rows_per_task))
+                ),
+            ).cast("long").alias("recommended_salts"),
+        )
+    )

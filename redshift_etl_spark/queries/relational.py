@@ -3635,3 +3635,36 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("wau") - F.lag("wau").over(win)).alias("wow_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew pre-flight report — the heaviest join keys with the salt factor
+# `operators/skew.salted_join` wants (here with a tiny per-task target
+# so the synthetic data actually recommends salts > 1).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "orderkey_skew_report",
+    """
+WITH counts AS (
+  SELECT CAST(l_suppkey AS STRING) AS key_value,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM lineitem),
+top AS (
+  SELECT key_value, n_rows FROM counts
+  ORDER BY n_rows DESC, key_value ASC LIMIT 20
+)
+SELECT key_value, n_rows,
+       CAST(n_rows AS DOUBLE) / t AS share,
+       CAST(greatest(1, CAST(ceil(n_rows / 50.0) AS BIGINT)) AS BIGINT)
+         AS recommended_salts
+FROM top CROSS JOIN tot
+""",
+)
+def orderkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew as SK
+
+    li = load(spark, sf_dir, "lineitem")
+    return SK.skew_report(li, "l_suppkey", target_rows_per_task=50)
