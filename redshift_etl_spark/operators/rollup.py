@@ -692,3 +692,35 @@ def merge_topk(
             ).alias("topk")
         )
     )
+
+
+def delta_join_refresh(
+    view: DataFrame,
+    left_old: DataFrame,
+    left_delta: DataFrame,
+    right_old: DataFrame,
+    right_delta: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Incremental INNER-join view maintenance for APPEND-ONLY inputs:
+    with A' = A ∪ ΔA and B' = B ∪ ΔB,
+
+        A'⋈B' = (A⋈B) ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB)
+
+    so the stored view is refreshed by three delta-sized joins and a
+    union — never by rescanning A'⋈B'. The classic IVM trade: the
+    old-side frames are touched once per refresh with the DELTA as the
+    other input (AQE broadcasts the delta when it is small, which is
+    the whole point of incremental refresh); cost scales with |Δ|, not
+    |A|·|B|. Insert-only by contract — updates/deletes need
+    multiplicity accounting (see `apply_delta` for the aggregate
+    analog); append-only fact streams are the case this serves.
+
+    Column layout of every input must match ``view`` (same join, same
+    projection)."""
+    dj = (
+        left_delta.join(right_old, on)
+        .unionByName(left_old.join(right_delta, on))
+        .unionByName(left_delta.join(right_delta, on))
+    )
+    return view.unionByName(dj.select(*view.columns))

@@ -3668,3 +3668,56 @@ def orderkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return SK.skew_report(li, "l_suppkey", target_rows_per_task=50)
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance — the orders⋈lineitem view is
+# refreshed from pre-1998 state with the 1998+ append deltas via the
+# three delta joins (operators/rollup.delta_join_refresh); the oracle
+# computes the full refreshed join from scratch, so a hash match IS the
+# IVM identity holding on real data.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "order_lineitem_delta_join",
+    """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def order_lineitem_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import rollup as RU
+
+    cut = "1998-01-01"
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_shipdate",
+    )
+    o_old = o.filter(F.col("o_orderdate") < cut)
+    o_new = o.filter(F.col("o_orderdate") >= cut)
+    li_old = li.filter(F.col("l_shipdate") < cut)
+    li_new = li.filter(F.col("l_shipdate") >= cut)
+    cols = ["o_orderkey", "o_orderpriority", "l_extendedprice"]
+    view = o_old.join(li_old, "o_orderkey").select(*cols)
+    refreshed = RU.delta_join_refresh(
+        view,
+        o_old.select("o_orderkey", "o_orderpriority"),
+        o_new.select("o_orderkey", "o_orderpriority"),
+        li_old.drop("l_shipdate"),
+        li_new.drop("l_shipdate"),
+        "o_orderkey",
+    )
+    return refreshed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).cast("long").alias("revenue_cents"),
+    )

@@ -364,3 +364,26 @@ def test_topk_rollup_merge_equals_direct(spark):
     b = {(r["g"], tuple((e["id"], e["value"]) for e in r["topk"]))
          for r in direct.collect()}
     assert a == b
+
+
+def test_delta_join_refresh_equals_full_recompute(spark):
+    from redshift_etl_spark.operators import rollup as RU
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "av"])
+    a_new = spark.createDataFrame([(2, "a3"), (3, "a4")], ["k", "av"])
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b2")], ["k", "bv"])
+    b_new = spark.createDataFrame([(2, "b3"), (1, "b4")], ["k", "bv"])
+    view = a_old.join(b_old, "k")
+    got = sorted(
+        tuple(r)
+        for r in RU.delta_join_refresh(
+            view, a_old, a_new, b_old, b_new, "k"
+        ).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in a_old.unionByName(a_new)
+        .join(b_old.unionByName(b_new), "k")
+        .collect()
+    )
+    assert got == full and len(got) > len(view.collect())
