@@ -312,3 +312,36 @@ def apply_cdc(
         changes.select(*keys).distinct(), keys, "left_anti"
     )
     return kept.unionByName(survivors.select(*target.columns))
+
+
+def scd2_from_cdc(
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Rebuild a full SCD2 history from a complete CDC feed (I/U/D) —
+    the lineage-reconstruction op a warehouse runs when onboarding a
+    table whose change log it has but whose history it never kept.
+
+    Every I/U change opens a version at its timestamp; ANY later change
+    on the key (including the delete) closes it — so ``valid_to`` is
+    one `lead` over the per-key change sequence, deletes contribute
+    only their closing timestamp, and ``is_current`` marks versions
+    nothing ever closed. One key shuffle for the window; timestamps
+    must be unique per key (CDC sequence numbers — append them to the
+    ordering if the feed has same-instant changes).
+
+    Returns the I/U rows + (valid_from, valid_to, is_current)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col)
+    closed = changes.withColumn(
+        "valid_to", F.lead(ts_col).over(w)
+    )
+    return (
+        closed.filter(F.col(op_col) != "D")
+        .withColumn("valid_from", F.col(ts_col))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(op_col)
+    )

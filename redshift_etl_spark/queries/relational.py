@@ -3721,3 +3721,68 @@ def order_lineitem_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * 100, 0).cast("long")
         ).cast("long").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history rebuilt from a CDC feed — every I/U opens a version,
+# any later change on the key (including the delete) closes it. The
+# feed is synthesized from orders: insert at o_orderdate, update two
+# days later for even keys, delete thirty days later for %5 keys.
+# ---------------------------------------------------------------------------
+
+_SCD2_CDC_FEED = """
+  feed AS (
+    SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price,
+           o_orderdate AS ts, 'I' AS op
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'U', ROUND(o_totalprice + 5.0, 2),
+           o_orderdate + INTERVAL 2 DAY, 'U'
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, NULL, NULL,
+           o_orderdate + INTERVAL 30 DAY, 'D'
+    FROM orders WHERE o_orderkey % 5 = 0
+  )
+"""
+
+
+@_q(
+    "scd2_history_from_cdc",
+    f"""
+WITH {_SCD2_CDC_FEED},
+closed AS (
+  SELECT *, lead(ts) OVER (PARTITION BY o_orderkey ORDER BY ts)
+    AS valid_to
+  FROM feed
+)
+SELECT o_orderkey, status, price, ts, valid_to,
+       ts AS valid_from, valid_to IS NULL AS is_current
+FROM closed WHERE op <> 'D'
+""",
+)
+def scd2_history_from_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    ins = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit("I").alias("op"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("status"),
+        F.round(F.col("o_totalprice") + 5.0, 2).alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")).alias("ts"),
+        F.lit("U").alias("op"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("ts"),
+        F.lit("D").alias("op"),
+    )
+    feed = ins.unionByName(upd).unionByName(dels)
+    return M.scd2_from_cdc(feed, "o_orderkey", "ts")

@@ -242,3 +242,31 @@ def test_apply_cdc_same_instant_tie_pins_update_over_delete(spark):
     )
     out = M.apply_cdc(target, changes, "id", "ts").collect()
     assert [(r["id"], r["v"]) for r in out] == [("x", 2.0)]
+
+
+def test_scd2_from_cdc_versions_and_delete_closure(spark):
+    from redshift_etl_spark.operators import merge as M
+
+    feed = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "I"),   # v1: closed by the update (ts 20)
+            (1, "b", 20.0, "U"),   # v2: closed by the delete (ts 30)
+            (1, None, 30.0, "D"),  # closes v2, opens nothing
+            (2, "x", 1.0, "I"),    # still current
+            (3, "y", 2.0, "I"),    # v1 closed by update; v2 current
+            (3, "z", 3.0, "U"),
+        ],
+        ["k", "v", "ts", "op"],
+    )
+    hist = {
+        (r["k"], r["v"]): (r["valid_to"], r["is_current"])
+        for r in M.scd2_from_cdc(feed, "k", "ts").collect()
+    }
+    assert hist[(1, "a")] == (20.0, False)
+    assert hist[(1, "b")] == (30.0, False)
+    assert hist[(2, "x")] == (None, True)
+    assert hist[(3, "y")] == (3.0, False)
+    assert hist[(3, "z")] == (None, True)
+    # exactly one current row per surviving key, none for deleted key 1
+    currents = [k for (k, _), (_, cur) in hist.items() if cur]
+    assert sorted(currents) == [2, 3]
