@@ -3786,3 +3786,62 @@ def scd2_history_from_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed = ins.unionByName(upd).unionByName(dels)
     return M.scd2_from_cdc(feed, "o_orderkey", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time temporal join — each lineitem meets its order's SCD2
+# version valid AT ship time (the canonical warehouse temporal join:
+# facts get the dimension attributes as they were, not as they are).
+# Keyed validity lookup = one equi-join on the key + the interval
+# predicate as a filter (no bucketing needed — the key already
+# co-locates), then revenue by HISTORICAL status.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "revenue_by_historical_status",
+    f"""
+WITH {_SCD2_CDC_FEED},
+closed AS (
+  SELECT *, lead(ts) OVER (PARTITION BY o_orderkey ORDER BY ts)
+    AS valid_to
+  FROM feed
+),
+hist AS (
+  SELECT o_orderkey, status, ts AS valid_from, valid_to
+  FROM closed WHERE op <> 'D'
+)
+SELECT h.status AS historical_status,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN hist h ON l.l_orderkey = h.o_orderkey
+  AND l.l_shipdate >= h.valid_from
+  AND (h.valid_to IS NULL OR l.l_shipdate < h.valid_to)
+GROUP BY h.status
+""",
+)
+def revenue_by_historical_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = scd2_history_from_cdc(spark, sf_dir).select(
+        "o_orderkey", "status", "valid_from", "valid_to"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_shipdate",
+        "l_extendedprice",
+    )
+    joined = li.join(hist, "o_orderkey").filter(
+        (F.col("l_shipdate") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("l_shipdate") < F.col("valid_to"))
+        )
+    )
+    return joined.groupBy(
+        F.col("status").alias("historical_status")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).cast("long").alias("revenue_cents"),
+    )
