@@ -2486,3 +2486,46 @@ FROM g
 def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return TX.chunk_documents(docs, "doc_id", "text", size=32, stride=24)
+
+
+# ---------------------------------------------------------------------------
+# One-row dataset card — the corpus summary a data release publishes:
+# volume, token budget, language spread, exact-duplicate rate. One
+# scan + one agg (the dup rate reuses the md5 fingerprint distinct).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "corpus_report",
+    """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+    AS exact_dup_rate
+FROM documents
+""",
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import tokens_col
+
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_exact_dups"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+    )
