@@ -887,3 +887,93 @@ def domain_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_docs",
         (F.col("cum_docs").cast("double") / F.col("t")).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fold balance audit — chi-square of fold × source over the k-fold
+# assignment: a fold system is usable only if every fold carries the
+# same source mix (a hot fold leaks distribution shift into CV). Same
+# contingency arithmetic as event_type_independence, composed over
+# kfold_assign.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "fold_source_balance",
+    f"""
+WITH folds AS (
+  SELECT CAST(({_KFOLD_BUCKET_SQL}) % 5 AS BIGINT) AS fold, source
+  FROM documents
+),
+cells AS (
+  SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM folds GROUP BY 1, 2
+),
+rows_ AS (SELECT fold, CAST(SUM(obs) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+cols_ AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_tot FROM cells),
+contrib AS (
+  SELECT CAST(obs * n_tot - row_tot * col_tot AS DOUBLE)
+       * CAST(obs * n_tot - row_tot * col_tot AS DOUBLE)
+       / (CAST(n_tot AS DOUBLE) * row_tot * col_tot) AS c
+  FROM cells JOIN rows_ USING (fold) JOIN cols_ USING (source)
+  CROSS JOIN tot
+)
+SELECT
+  CAST(SUM(CAST(ROUND(c * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+    AS chi_square,
+  (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM rows_)
+    * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM cols_) AS dof
+FROM contrib
+""",
+)
+def fold_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    folds = SA.kfold_assign(docs, "doc_id", 5).select("fold", "source")
+    cells = folds.groupBy("fold", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    rows_ = cells.groupBy("fold").agg(
+        F.sum("obs").cast("long").alias("row_tot")
+    )
+    cols_ = cells.groupBy("source").agg(
+        F.sum("obs").cast("long").alias("col_tot")
+    )
+    tot = cells.agg(F.sum("obs").cast("long").alias("n_tot"))
+    dof = (
+        rows_.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(cols_.agg(F.count(F.lit(1)).alias("nc")))
+        .select(
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof")
+        )
+    )
+    contrib = (
+        cells.join(F.broadcast(rows_), "fold")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (
+                    F.col("obs") * F.col("n_tot")
+                    - F.col("row_tot") * F.col("col_tot")
+                ).cast("double")
+                * (
+                    F.col("obs") * F.col("n_tot")
+                    - F.col("row_tot") * F.col("col_tot")
+                ).cast("double")
+                / (
+                    F.col("n_tot").cast("double")
+                    * F.col("row_tot")
+                    * F.col("col_tot")
+                )
+            ).alias("c")
+        )
+    )
+    chi = contrib.agg(
+        (
+            F.sum(F.round(F.col("c") * 1000000, 0).cast("long")).cast(
+                "double"
+            )
+            / 1000000.0
+        ).alias("chi_square")
+    )
+    return chi.crossJoin(F.broadcast(dof))
