@@ -313,3 +313,68 @@ CTR_JSON_SCHEMA = T.StructType(
         ),
     ]
 )
+
+
+def schema_drift(
+    incoming: T.StructType, expected: "ObjectSchema"
+) -> dict[str, list]:
+    """Data-contract check for an arriving batch: compare the batch's
+    observed schema against the registered contract BEFORE normalize
+    coerces anything. Returns a drift report with four lists:
+
+    - ``added``: columns the contract doesn't know (lowercased match —
+      the ingest convention). New upstream fields; safe to ignore, but
+      the contract owner should decide.
+    - ``missing``: contract columns absent from the batch. normalize
+      fills them with the class default, so this is data loss only if
+      unexpected — which is exactly why it's reported.
+    - ``type_changed``: (column, observed, expected_class) triples where
+      the arriving native type can no longer coerce losslessly into the
+      contract class (e.g. arriving string for an INT0 column is fine —
+      try_cast handles it — but arriving double for BOOL01 is a
+      contract break).
+    - ``key_missing``: merge-key columns absent — a hard failure for
+      any SCD pipeline, listed separately so callers can raise.
+
+    Pure metadata — no data is read. The judgment of lossless
+    coercibility is intentionally conservative: strings coerce into
+    anything (every reference feed arrives stringly), numerics widen
+    (int → long → double), everything else must match its class type.
+    """
+    exp_fields = {c.lower(): cls for c, cls in expected.fields.items()}
+    obs = {f.name.lower(): f.dataType for f in incoming.fields}
+
+    added = sorted(c for c in obs if c not in exp_fields)
+    missing = sorted(c for c in exp_fields if c not in obs)
+
+    _widens: dict[str, tuple] = {
+        INT0: (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        FLOAT0: (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType,
+        ),
+        BOOL01: (T.BooleanType, T.ByteType, T.ShortType, T.IntegerType,
+                 T.LongType),
+        TIMESTAMP: (T.TimestampType, T.TimestampNTZType, T.DateType),
+        DATE_DDMMYYYY: (T.DateType,),
+        STRING: (),  # any type casts to string
+    }
+    type_changed = []
+    for c, dt in obs.items():
+        if c not in exp_fields:
+            continue
+        cls = exp_fields[c]
+        if isinstance(dt, T.StringType) or cls == STRING:
+            continue
+        if not isinstance(dt, _widens.get(cls, ())):
+            type_changed.append((c, dt.simpleString(), cls))
+
+    key_missing = sorted(
+        k for k in expected.key if k.lower() not in obs
+    )
+    return {
+        "added": added,
+        "missing": missing,
+        "type_changed": sorted(type_changed),
+        "key_missing": key_missing,
+    }

@@ -205,3 +205,70 @@ def write_zordered_partitioned(
     if options:
         writer = writer.options(**options)
     writer.partitionBy("load_date").parquet(path)
+
+
+def existing_partitions(path: str) -> set[str]:
+    """The lake table's materialized load_date partition values, from
+    the directory layout alone — no data read, no Spark job. (On object
+    stores this is one LIST call per table; with a catalog/metastore,
+    swap in SHOW PARTITIONS.)"""
+    import os
+
+    if not os.path.isdir(path):
+        return set()
+    return {
+        d.split("=", 1)[1]
+        for d in os.listdir(path)
+        if d.startswith("load_date=")
+    }
+
+
+def missing_partitions(
+    path: str, start_date: str, end_date: str
+) -> list[str]:
+    """Backfill plan: the calendar dates in [start, end] with no
+    materialized partition — the gap list a scheduler turns into
+    backfill runs. Pure metadata (directory listing vs a generated
+    calendar)."""
+    from datetime import date, timedelta
+
+    y, m, d = map(int, start_date.split("-"))
+    y2, m2, d2 = map(int, end_date.split("-"))
+    cur, stop = date(y, m, d), date(y2, m2, d2)
+    have = existing_partitions(path)
+    out = []
+    while cur <= stop:
+        s = cur.isoformat()
+        if s not in have:
+            out.append(s)
+        cur += timedelta(days=1)
+    return out
+
+
+def backfill_partitions(
+    source: DataFrame,
+    path: str,
+    date_col: str,
+    dates: list[str],
+) -> None:
+    """Materialize exactly the given missing partitions from the source
+    frame: one pushed-down date filter (partition values prune at the
+    scan when the source is itself partitioned), one dynamic-partition
+    append. Idempotent per partition — re-running a backfill overwrites
+    only the partitions it writes (dynamic overwrite), never touching
+    the rest of the table."""
+    if not dates:
+        return
+    spark = source.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            source.withColumn("load_date", F.to_date(F.col(date_col)))
+            .filter(F.col("load_date").cast("string").isin(dates))
+            .write.mode("overwrite")
+            .partitionBy("load_date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

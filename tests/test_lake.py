@@ -212,3 +212,36 @@ def test_zorder_key_preserves_rows(spark):
         for r in lake.zorder_key(df.repartition(7), ["x", "y"], bits=8).collect()
     }
     assert k1 == k2
+
+
+def test_backfill_fills_only_the_gaps(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.sources import lake as L
+
+    path = str(tmp_path / "facts")
+    src = spark.createDataFrame(
+        [(i, f"2024-01-0{d}", i * 10) for i, d in enumerate(
+            [1, 1, 2, 3, 3, 4, 5], start=1)],
+        ["id", "day", "v"],
+    ).withColumn("day", F.to_date("day"))
+
+    # initial load: only days 1 and 3 materialized
+    L.write_partitioned(
+        src.filter(F.dayofmonth("day").isin(1, 3)), path, "day"
+    )
+    assert L.existing_partitions(path) == {"2024-01-01", "2024-01-03"}
+    gaps = L.missing_partitions(path, "2024-01-01", "2024-01-05")
+    assert gaps == ["2024-01-02", "2024-01-04", "2024-01-05"]
+
+    L.backfill_partitions(src, path, "day", gaps)
+    assert L.missing_partitions(path, "2024-01-01", "2024-01-05") == []
+    got = spark.read.parquet(path)
+    assert got.count() == src.count()
+    # re-running the same backfill is idempotent (dynamic overwrite)
+    L.backfill_partitions(src, path, "day", gaps)
+    assert spark.read.parquet(path).count() == src.count()
+    # pre-existing partitions were never rewritten
+    assert sorted(
+        r["id"] for r in got.filter(F.col("load_date") == "2024-01-01").collect()
+    ) == [1, 2]

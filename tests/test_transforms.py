@@ -112,3 +112,51 @@ def test_observed_metrics_ride_the_action(spark):
     out, obs = TR.observed(df, "ingest", null_cols=("v",))
     assert out.count() == 10          # the action that materializes metrics
     assert obs.get == {"n_rows": 10, "n_null_v": 4}
+
+
+def test_schema_drift_report(spark):
+    from pyspark.sql import types as T
+
+    from redshift_etl_spark import schemas as SC
+
+    contract = SC.ObjectSchema(
+        name="drift_demo",
+        key=("id",),
+        recency_col="modified",
+        fields={
+            "id": SC.STRING,
+            "amount": SC.FLOAT0,
+            "n_items": SC.INT0,
+            "active": SC.BOOL01,
+            "modified": SC.TIMESTAMP,
+        },
+    )
+    incoming = T.StructType(
+        [
+            T.StructField("ID", T.StringType()),          # key present (case-blind)
+            T.StructField("amount", T.IntegerType()),     # widens into FLOAT0 — fine
+            T.StructField("n_items", T.DoubleType()),     # double → INT0: break
+            T.StructField("active", T.BooleanType()),     # fine
+            T.StructField("new_upstream", T.StringType()),  # added
+            # "modified" missing
+        ]
+    )
+    rep = SC.schema_drift(incoming, contract)
+    assert rep["added"] == ["new_upstream"]
+    assert rep["missing"] == ["modified"]
+    assert rep["type_changed"] == [("n_items", "double", SC.INT0)]
+    assert rep["key_missing"] == []
+
+    # missing merge key is reported separately (hard failure for SCD)
+    no_key = T.StructType([T.StructField("amount", T.DoubleType())])
+    rep2 = SC.schema_drift(no_key, contract)
+    assert rep2["key_missing"] == ["id"]
+
+    # string arrivals coerce into anything: never a type break
+    stringly = T.StructType(
+        [T.StructField(c, T.StringType()) for c in contract.columns()]
+    )
+    rep3 = SC.schema_drift(stringly, contract)
+    assert rep3 == {
+        "added": [], "missing": [], "type_changed": [], "key_missing": []
+    }
