@@ -277,3 +277,28 @@ def test_chunk_documents_coverage_and_overlap(spark):
     # stride > size is rejected
     with _pytest.raises(ValueError):
         TX.chunk_documents(df, "doc_id", "text", size=4, stride=5)
+
+
+def test_canonicalization_is_idempotent_on_fuzzed_urls(spark):
+    # canonical output re-canonicalized must be a fixed point — the
+    # property that makes canonical_url a safe dedup KEY. Deterministic
+    # fuzz grid over the parser's feature space (schemes × case ×
+    # ports × paths × params × fragments), no randomness.
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["A.B.co", "x.com", "WWW.Site.ORG", "single"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/P/q", "/a//b///", "/x?"]
+    queries = ["", "?utm_source=1", "?a=1&fbclid=2&b=3", "?z=9&utm_a=0"]
+    frags = ["", "#f", "#a#b"]
+    urls = [
+        f"{s}://{h}{po}{pa}{q}{fr}"
+        for s in schemes for h in hosts for po in ports
+        for pa in paths for q in queries for fr in frags
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = W.normalize_urls(df, "url", "c1")
+    twice = W.normalize_urls(
+        once.select(F.col("c1").alias("url")), "url", "c2"
+    )
+    bad = twice.filter(F.col("url") != F.col("c2")).collect()
+    assert not bad, bad[:5]
