@@ -1,1 +1,1 @@
-from . import ctr, heavy, ingest, stateful, topk  # noqa: F401
+from . import ctr, heavy, ingest, stateful, topk, trending  # noqa: F401
