@@ -144,3 +144,33 @@ def interval_overlap_join(
         .filter(overlap & first_shared)
         .drop(_BUCKET, "__lsb", "__rsb")
     )
+
+
+def bucket_width_advisor(
+    intervals: DataFrame,
+    start_on: Column | str,
+    end_on: Column | str,
+) -> DataFrame:
+    """Pre-flight advisor for `range_join`/`interval_overlap_join`'s
+    one tuning knob: recommends ``bucket_width`` ≈ the MEDIAN interval
+    length (the docstrings' "near the typical interval length" rule,
+    measured instead of guessed). Too-small widths explode the interval
+    side into many buckets; too-large widths pack many false candidates
+    per bucket — the median balances the two for unimodal length
+    distributions; for heavy-tailed ones the p90 row here says so
+    (choose nearer p90 when p90 ≫ median and the long intervals
+    dominate the join's cost).
+
+    One aggregate over the intervals frame. Returns a 1-row frame:
+    (n_intervals, min_len, median_len, p90_len, recommended_width)."""
+    s, e = _c(start_on), _c(end_on)
+    length = (e - s).cast("double")
+    return intervals.agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.min(length).alias("min_len"),
+        F.percentile(length, F.lit(0.5)).alias("median_len"),
+        F.percentile(length, F.lit(0.9)).alias("p90_len"),
+        F.greatest(
+            F.lit(1.0), F.percentile(length, F.lit(0.5))
+        ).alias("recommended_width"),
+    )

@@ -99,3 +99,32 @@ def test_interval_overlap_join_matches_naive_and_no_cartesian(spark):
     # each pair exactly once (no dedup shuffle needed), no cross product
     assert len(pairs) == len(set(pairs))
     assert not P.has_cross_product(got)
+
+
+def test_bucket_width_advisor_recommends_median(spark):
+    from redshift_etl_spark.operators import rangejoin as RJ
+
+    iv = spark.createDataFrame(
+        [(0.0, 10.0), (0.0, 20.0), (5.0, 35.0), (1.0, 2.0), (0.0, 100.0)],
+        ["s", "e"],
+    )
+    row = RJ.bucket_width_advisor(iv, "s", "e").collect()[0]
+    assert row["n_intervals"] == 5
+    assert row["min_len"] == 1.0
+    assert row["median_len"] == 20.0          # lengths 1,10,20,30,100
+    assert row["recommended_width"] == 20.0
+    assert row["p90_len"] > row["median_len"]
+    # the recommendation actually works: joining with it matches naive
+    got = RJ.interval_overlap_join(
+        iv.toDF("ls", "le"), iv.toDF("rs", "re"),
+        "ls", "le", "rs", "re",
+        bucket_width=float(row["recommended_width"]),
+    ).count()
+    rows = [tuple(r) for r in iv.collect()]
+    want = sum(
+        1
+        for ls, le in rows
+        for rs, re in rows
+        if ls < re and rs < le
+    )
+    assert got == want
