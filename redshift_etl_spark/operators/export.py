@@ -102,3 +102,27 @@ def export_shards(
         .parquet(path)
     )
     return shard_manifest(df, key, content, n_shards)
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    key: Column | str,
+    n_shards: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write the frame as ``path/shard=N/*.json`` JSON-lines — the
+    interchange format LLM training stacks actually consume (one JSON
+    object per line, UTF-8). Same deterministic md5-mod shard
+    assignment as `export_shards`; one repartition on the shard id so
+    each shard is its own file set, readable shard-parallel with
+    partition pruning. Column types survive the JSON round-trip for
+    string/long/double/bool/array payloads (timestamps: cast to ISO
+    strings first — JSON has no timestamp type and readers differ)."""
+    sharded = assign_shards(df, key, n_shards)
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .json(path)
+    )

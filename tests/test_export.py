@@ -59,3 +59,47 @@ def test_shard_read_prunes_partitions(spark, tmp_path):
     assert "shard" in pf.split("PartitionFilters:")[-1]
     total = spark.read.parquet(path).count()
     assert one.count() < total
+
+
+def test_jsonl_shards_round_trip(spark, tmp_path):
+    import json as _json
+    import glob
+    import os
+
+    from redshift_etl_spark.operators import export as E
+
+    path = str(tmp_path / "jsonl")
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text", float(i) / 2) for i in range(40)],
+        ["doc_id", "text", "score"],
+    )
+    E.export_jsonl_shards(df, path, "doc_id", n_shards=4)
+
+    # layout: shard=N dirs, real JSON lines inside
+    dirs = sorted(os.listdir(path))
+    assert [d for d in dirs if d.startswith("shard=")] == [
+        f"shard={i}" for i in range(4)
+    ]
+    a_file = glob.glob(f"{path}/shard=0/*.json")[0]
+    with open(a_file) as f:
+        rec = _json.loads(f.readline())
+    assert set(rec) == {"doc_id", "text", "score"}
+
+    # full round trip: Spark reads the same rows back
+    back = spark.read.json(path)
+    assert back.count() == 40
+    got = sorted(
+        (r["doc_id"], r["text"], r["score"]) for r in back.collect()
+    )
+    want = sorted((i, f"doc {i} text", i / 2) for i in range(40))
+    assert got == want
+    # shard assignment is the same deterministic md5-mod as parquet
+    ids_in_0 = {
+        r["doc_id"]
+        for r in back.filter(F.col("shard") == 0).collect()
+    }
+    sharded = E.assign_shards(df, "doc_id", 4)
+    want_0 = {
+        r["doc_id"] for r in sharded.filter(F.col("shard") == 0).collect()
+    }
+    assert ids_in_0 == want_0
