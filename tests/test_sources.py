@@ -123,3 +123,41 @@ def test_orc_round_trip(spark, tmp_path):
     back = spark.read.orc(path).filter("v > 100")
     assert back.count() == 949
     assert any("v" in f for f in P.pushed_filters(back))
+
+
+def test_sql_surface_over_registered_views(spark):
+    """Users of the reference run raw SQL against Redshift views; the
+    engine's equivalent surface is spark.sql over register_views —
+    prove a join + agg + window statement round-trips against the
+    DataFrame-API result."""
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.queries.tables import load, register_views
+
+    from .conftest import SF_ORACLE
+
+    register_views(spark, SF_ORACLE)
+    got = spark.sql(
+        """
+        SELECT n.n_name,
+               COUNT(*) AS n_custs,
+               RANK() OVER (ORDER BY COUNT(*) DESC, n.n_name) AS rnk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+    want = (
+        load(spark, SF_ORACLE, "customer")
+        .join(
+            load(spark, SF_ORACLE, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+    )
+    g = {(r["n_name"], r["n_custs"]) for r in got.collect()}
+    w = {(r["n_name"], r["n_custs"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+    # rank column is dense over the same ordering
+    ranks = sorted(r["rnk"] for r in got.collect())
+    assert ranks[0] == 1 and len(ranks) == len(g)
