@@ -14,7 +14,10 @@ Architecture (SURVEY.md §7):
   REST adapters, JDBC sinks
 - ``queries``      — the analytics layer (agent-metrics views re-expressed
   over the testdata star schema) and every oracle-checked operator query
-- ``streaming``    — Structured Streaming CTR pipeline (watermark dedup)
+- ``streaming``    — Structured Streaming CTR pipeline (watermark dedup),
+  stateful CDC, continuous dedup ingest, trending terms, heavy hitters
+- ``views``        — materialized views over the versioned store
+- ``pipelines``    — the reference's nine pipelines as engine entry points
 
 Everything compiles to Catalyst plans; no RDDs, no row-at-a-time Python
 in hot paths.
