@@ -3845,3 +3845,35 @@ def revenue_by_historical_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * 100, 0).cast("long")
         ).cast("long").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed JSON extraction over the REAL events.props payload (the r1
+# json_extract query parses synthesized JSON; this one exercises the
+# stored column end-to-end): pull props.k, type it, aggregate per
+# event type. DuckDB twin uses json_extract on the same path.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "props_key_stats",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
