@@ -2529,3 +2529,27 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("exact_dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: labeled × predicted confusion matrix — the
+# classifier report card over the same deterministic marker-argmax as
+# `lang_id` (its oracle CTE re-aggregated).
+# ---------------------------------------------------------------------------
+
+def _lang_confusion_oracle() -> str:
+    inner = _lang_id_oracle()
+    return f"""
+WITH per_doc AS ({inner})
+SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY lang, predicted_lang
+"""
+
+
+@_q("lang_confusion", _lang_confusion_oracle())
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        lang_id(spark, sf_dir)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
