@@ -3877,3 +3877,73 @@ def props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).cast("long").alias("min_k"),
         F.max(k).cast("long").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recency-weighted revenue (exponential time decay) — each order's
+# contribution halves per week of age. The decay factor is the exact
+# dyadic 2^-⌊age_weeks⌋ (POWER/EXP are libm and diverge cross-engine;
+# halving is exact in binary floating point up to 2^-1022), the
+# weighted cents are rounded at 1e-6 per row and summed as BIGINT, so
+# the whole aggregate is engine- and partitioning-exact.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "time_decayed_revenue",
+    """
+WITH aged AS (
+  SELECT o_custkey,
+    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+    CAST(floor(date_diff('day', o_orderdate,
+                         TIMESTAMP '2001-08-01 00:00:00') / 7.0)
+      AS BIGINT) AS age_weeks
+  FROM orders
+),
+weighted AS (
+  SELECT o_custkey,
+    CAST(ROUND(cents * (0.5 ** age_weeks) * 1000000) AS BIGINT) AS wmicro
+  FROM aged
+)
+SELECT o_custkey,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(wmicro) AS DOUBLE) / 100000000.0 AS decayed_revenue
+FROM weighted GROUP BY o_custkey
+HAVING CAST(SUM(wmicro) AS DOUBLE) / 100000000.0 > 1.0
+""",
+)
+def time_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    age_weeks = F.floor(
+        F.datediff(
+            F.lit("2001-08-01").cast("timestamp"), F.col("o_orderdate")
+        )
+        / 7.0
+    ).cast("long")
+    # 2^-k via pow-free exact halving: 1/2 ** k computed as pow(2, -k)
+    # would be libm; 0.5 ** integer is exact dyadic in both engines'
+    # float pow for |k| < 1022, but to stay contractually libm-free we
+    # build it from bit arithmetic: 2^-k = 1 / CAST(1 << k AS DOUBLE)
+    # (exact for k ≤ 62; ages here span ~6 years ≈ 344 weeks → clamp:
+    # beyond 62 the contribution is < 2^-62 cents ≈ 0 at our rounding)
+    staged = o.select(
+        "o_custkey",
+        cents.alias("__cents"),
+        F.least(age_weeks, F.lit(62)).cast("int").alias("__k"),
+    )
+    decay = F.expr(
+        "1.0 / CAST(shiftleft(CAST(1 AS BIGINT), __k) AS DOUBLE)"
+    )
+    weighted = staged.select(
+        "o_custkey",
+        F.round(F.col("__cents") * decay * 1000000, 0)
+        .cast("long")
+        .alias("wmicro"),
+    )
+    out = weighted.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.sum("wmicro").cast("double") / 100000000.0).alias(
+            "decayed_revenue"
+        ),
+    )
+    return out.filter(F.col("decayed_revenue") > 1.0)
