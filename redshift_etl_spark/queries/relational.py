@@ -3947,3 +3947,85 @@ def time_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.filter(F.col("decayed_revenue") > 1.0)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency/frequency/monetary quintiles per customer
+# (deterministic NTILE with customer-key tiebreak, the ntile_quartiles
+# discipline), rolled up to segment sizes. The marketing-analytics
+# staple every warehouse ships.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "rfm_segments",
+    """
+WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(date_diff('day', MAX(o_orderdate),
+                   TIMESTAMP '2001-08-01 00:00:00') AS BIGINT) AS rec_days,
+    CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+    ntile(5) OVER (ORDER BY rec_days ASC, o_custkey) AS r_q,
+    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+    ntile(5) OVER (ORDER BY spend_cents DESC, o_custkey) AS m_q
+  FROM per_cust
+)
+SELECT r_q || '-' || f_q || '-' || m_q AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(spend_cents) AS BIGINT) AS segment_spend_cents
+FROM scored GROUP BY 1
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-08-01").cast("timestamp"), F.max("o_orderdate")
+        )
+        .cast("long")
+        .alias("rec_days"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("spend_cents"),
+    )
+    scored = (
+        per_cust.withColumn(
+            "r_q",
+            F.ntile(5).over(
+                Window.orderBy(F.asc("rec_days"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "f_q",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("freq"), F.asc("o_custkey"))
+            ),
+        )
+        .withColumn(
+            "m_q",
+            F.ntile(5).over(
+                Window.orderBy(F.desc("spend_cents"), F.asc("o_custkey"))
+            ),
+        )
+    )
+    return (
+        scored.select(
+            F.concat_ws(
+                "-", F.col("r_q"), F.col("f_q"), F.col("m_q")
+            ).alias("segment"),
+            "spend_cents",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("spend_cents").cast("long").alias("segment_spend_cents"),
+        )
+    )
