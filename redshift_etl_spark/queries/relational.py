@@ -4029,3 +4029,83 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("spend_cents").cast("long").alias("segment_spend_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules — part pairs co-ordered in the same
+# order, scored by support / confidence / lift (integer-product ratios,
+# single IEEE divisions). The pair join is orderkey-local (items per
+# order is bounded), so candidate generation never goes quadratic in
+# the catalog — the same locality argument as the funnel's in-row fold.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "basket_part_pairs",
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT part_a, part_b, c_ab,
+    CAST(c_ab AS DOUBLE) / n_orders AS support,
+    CAST(c_ab AS DOUBLE) / ca.c AS confidence,
+    CAST(c_ab * n_orders AS DOUBLE) / (CAST(ca.c AS DOUBLE) * cb.c) AS lift
+  FROM pairs
+  JOIN pc ca ON part_a = ca.pk
+  JOIN pc cb ON part_b = cb.pk
+  CROSS JOIN n
+  WHERE c_ab >= 3
+)
+SELECT part_a, part_b, c_ab, support, confidence, lift
+FROM scored
+ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 20
+""",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = items.agg(
+        F.countDistinct("ok").cast("long").alias("n_orders")
+    )
+    pc = items.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = items.toDF("ok", "part_a")
+    b = items.toDF("ok", "part_b")
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    scored = (
+        pairs.join(pc.toDF("part_a", "c_a"), "part_a")
+        .join(pc.toDF("part_b", "c_b"), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            (F.col("c_ab").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+            (F.col("c_ab").cast("double") / F.col("c_a")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("c_ab") * F.col("n_orders")).cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
