@@ -4109,3 +4109,60 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("lift"), F.asc("part_a"), F.asc("part_b")
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV matrix — spend by (first-order cohort month, months since
+# first order): the money companion to retention_cohorts. Month math is
+# spelled as exact integer year*12+month arithmetic on both engines
+# (months_between is fractional, date_diff('month') boundary rules
+# differ — integer calendar arithmetic has one semantics).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "cohort_ltv",
+    """
+WITH firsts AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_dt FROM orders GROUP BY 1
+),
+j AS (
+  SELECT o.o_custkey,
+    CAST(year(f.first_dt) * 12 + month(f.first_dt) AS BIGINT) AS cohort_m,
+    (CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+     - CAST(year(f.first_dt) * 12 + month(f.first_dt) AS BIGINT))
+      AS months_since,
+    CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT cohort_m, months_since,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+  CAST(SUM(cents) AS BIGINT) AS spend_cents
+FROM j
+WHERE months_since <= 6
+GROUP BY cohort_m, months_since
+""",
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    mnum = lambda c: (  # noqa: E731
+        F.year(c) * 12 + F.month(c)
+    ).cast("long")
+    j = o.join(firsts, "o_custkey").select(
+        "o_custkey",
+        mnum(F.col("first_dt")).alias("cohort_m"),
+        (mnum(F.col("o_orderdate")) - mnum(F.col("first_dt"))).alias(
+            "months_since"
+        ),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return (
+        j.filter(F.col("months_since") <= 6)
+        .groupBy("cohort_m", "months_since")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_active"),
+            F.sum("cents").cast("long").alias("spend_cents"),
+        )
+    )
