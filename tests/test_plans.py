@@ -396,3 +396,22 @@ def test_web_corpus_prep_bounded_shuffles(spark):
     df = Q.all_queries()["web_corpus_prep"](spark, SF_ORACLE)
     assert not P.has_cross_product(df)
     assert P.count_shuffles(df) <= 6, P.physical_plan(df)
+
+
+def test_basket_pairs_orderkey_local_no_cartesian(spark):
+    # pair generation must join on the order key (bounded per order),
+    # never as an all-pairs product over the part catalog; the only
+    # nested loop allowed is the deliberate 1-row n_orders broadcast
+    df = Q.all_queries()["basket_part_pairs"](spark, SF_ORACLE)
+    plan = P.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+
+def test_time_decayed_revenue_no_libm_pow(spark):
+    # the decay must compile to shiftleft, not POWER/EXP
+    df = Q.all_queries()["time_decayed_revenue"](spark, SF_ORACLE)
+    plan = P.physical_plan(df).lower()
+    assert "shiftleft" in plan
+    assert "power(" not in plan and "exp(" not in plan
