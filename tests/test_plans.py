@@ -405,7 +405,8 @@ def test_basket_pairs_orderkey_local_no_cartesian(spark):
     df = Q.all_queries()["basket_part_pairs"](spark, SF_ORACLE)
     plan = P.physical_plan(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # the plan string repeats the operator in AQE's initial+final trees
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
 
 
