@@ -4166,3 +4166,50 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("spend_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session statistics — sessions-per-user distribution and duration
+# moments over the sessionization frame (its oracle CTE re-aggregated):
+# the engagement dashboard one level above raw sessions. Durations sum
+# as exact integer seconds; the mean divides two BIGINTs.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "session_stats",
+    f"""
+WITH sess AS ({_SESSION_ORACLE})
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(SUM(CAST(floor(epoch(session_end) - epoch(session_start))
+    AS BIGINT)) AS BIGINT) AS total_duration_s,
+  CAST(SUM(CAST(floor(epoch(session_end) - epoch(session_start))
+    AS BIGINT)) AS DOUBLE) / COUNT(*) AS mean_duration_s,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_bounces,
+  CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM sess
+""",
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionization(spark, sf_dir)
+    # fractional-epoch difference floored AFTER subtracting — NOT
+    # unix_timestamp (which truncates each endpoint first and drifts by
+    # up to a second per session vs the oracle's epoch() arithmetic)
+    dur = F.floor(
+        F.col("session_end").cast("double")
+        - F.col("session_start").cast("double")
+    ).cast("long")
+    return sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(dur).cast("long").alias("total_duration_s"),
+        (F.sum(dur).cast("double") / F.count(F.lit(1))).alias(
+            "mean_duration_s"
+        ),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
