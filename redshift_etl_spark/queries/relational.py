@@ -4213,3 +4213,73 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bounces"),
         F.max("n_events").cast("long").alias("max_session_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sole-source risk + return rate by brand — two supply-chain audits in
+# one family: parts observed from exactly one supplier (the
+# procurement risk list), and per-brand return rates (exact integer
+# ratio of returned lineitems).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "sole_source_parts",
+    """
+WITH obs AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+         CAST(COUNT(*) AS BIGINT) AS n_lineitems
+  FROM lineitem GROUP BY 1
+)
+SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_sole_source_parts,
+       CAST(SUM(n_lineitems) AS BIGINT) AS exposure_lineitems
+FROM obs JOIN part p ON obs.l_partkey = p.p_partkey
+WHERE n_suppliers = 1
+GROUP BY p.p_brand
+""",
+)
+def sole_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    obs = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+    return (
+        obs.filter(F.col("n_suppliers") == 1)
+        .join(part, obs["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sole_source_parts"),
+            F.sum("n_lineitems").cast("long").alias("exposure_lineitems"),
+        )
+    )
+
+
+@_q(
+    "brand_return_rate",
+    """
+SELECT p.p_brand,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_returned,
+  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS return_rate
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    ret = F.sum(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    ).cast("long")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            ret.alias("n_returned"),
+            (ret.cast("double") / F.count(F.lit(1))).alias("return_rate"),
+        )
+    )
