@@ -4283,3 +4283,88 @@ def brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ret.cast("double") / F.count(F.lit(1))).alias("return_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-purchase gap distribution — days between a customer's
+# consecutive orders, summarized by exact interpolated percentiles
+# (the reorder-cadence metric behind churn models). One key window for
+# the lag, one global percentile agg.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "order_gap_percentiles",
+    """
+WITH gaps AS (
+  SELECT CAST(floor(epoch(o_orderdate)
+               - epoch(lag(o_orderdate) OVER w)) / 86400.0 AS DOUBLE)
+    AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       quantile_cont(gap_days, 0.5) AS p50_days,
+       quantile_cont(gap_days, 0.9) AS p90_days,
+       MAX(gap_days) AS max_days
+FROM gaps WHERE gap_days IS NOT NULL
+""",
+)
+def order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = (
+        F.floor(
+            F.col("o_orderdate").cast("double")
+            - F.lag("o_orderdate").over(w).cast("double")
+        )
+        / 86400.0
+    ).alias("gap_days")
+    gaps = o.select(gap).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.percentile("gap_days", F.lit(0.5)).alias("p50_days"),
+        F.percentile("gap_days", F.lit(0.9)).alias("p90_days"),
+        F.max("gap_days").alias("max_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonality — event volume by hour with each type's peak
+# hour (deterministic min-struct argmax, the modal_event_bucket pick).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "hourly_seasonality",
+    """
+WITH h AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hod AS peak_hour, n AS peak_n,
+       CAST((SELECT SUM(n) FROM h h2 WHERE h2.event_type = h.event_type)
+         AS BIGINT) AS total_n
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY n DESC, hod ASC) AS rk
+  FROM h
+) h WHERE rk = 1
+""",
+)
+def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    picked = h.groupBy("event_type").agg(
+        F.min(
+            F.struct((-F.col("n")).alias("neg"), F.col("hod"), F.col("n"))
+        ).alias("m"),
+        F.sum("n").cast("long").alias("total_n"),
+    )
+    return picked.select(
+        "event_type",
+        F.col("m.hod").alias("peak_hour"),
+        F.col("m.n").alias("peak_n"),
+        "total_n",
+    )
