@@ -302,3 +302,31 @@ def test_canonicalization_is_idempotent_on_fuzzed_urls(spark):
     )
     bad = twice.filter(F.col("url") != F.col("c2")).collect()
     assert not bad, bad[:5]
+
+
+def test_exact_substring_dedup_property(spark):
+    """Hypothesis sweep: operator ≡ the plain-Python reference on
+    random small-vocab corpora (small vocab makes window repeats
+    likely, exercising cross-doc, shifted, and within-doc cases)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from redshift_etl_spark.operators import dedup as D
+
+    token = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(token, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=6))
+    def run(texts):
+        docs = dict(enumerate(texts))
+        df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed"])
+            for r in D.exact_substring_dedup(
+                df, "doc_id", "text", window=3, min_count=2
+            ).collect()
+        }
+        assert got == _substr_reference(docs, 3, 2)
+
+    run()
