@@ -2553,3 +2553,54 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift chart — rank documents by a screening score (length
+# proxy) and measure how exact duplicates concentrate across deciles:
+# the gains-chart evaluation of any screening heuristic. Deterministic
+# NTILE(10) with doc-id tiebreak; dup flags from the fingerprint
+# min-id (every non-keeper is a duplicate).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "quality_decile_lift",
+    """
+WITH flagged AS (
+  SELECT doc_id, n_chars,
+    CAST(doc_id > MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT)
+      AS is_dup
+  FROM documents
+),
+scored AS (
+  SELECT *, ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
+  FROM flagged
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+  CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM scored GROUP BY decile
+""",
+)
+def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    wf = Window.partitionBy(F.md5("text"))
+    flagged = docs.select(
+        "doc_id",
+        "n_chars",
+        (F.col("doc_id") > F.min("doc_id").over(wf)).cast("int").alias(
+            "is_dup"
+        ),
+    )
+    wd = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    scored = flagged.withColumn("decile", F.ntile(10).over(wd))
+    return scored.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        (F.sum("is_dup").cast("double") / F.count(F.lit(1))).alias(
+            "dup_rate"
+        ),
+    )
