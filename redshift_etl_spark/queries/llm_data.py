@@ -2558,10 +2558,24 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Decile lift chart — rank documents by a screening score (length
 # proxy) and measure how exact duplicates concentrate across deciles:
-# the gains-chart evaluation of any screening heuristic. Deterministic
-# NTILE(10) with doc-id tiebreak; dup flags from the fingerprint
-# min-id (every non-keeper is a duplicate).
+# the gains-chart evaluation of any screening heuristic. Dup flags from
+# the fingerprint min-id (every non-keeper is a duplicate).
+#
+# Scale note (replaces the r4 global-NTILE formulation): NTILE(10)
+# with no PARTITION BY funnels every document through one window task.
+# Here the nine decile edges of n_chars are computed in ONE
+# map-side-combining aggregate (percentile_disc), broadcast back as a
+# 1-row frame, and deciles assigned with plain comparisons — the data
+# path past the scan is shuffle-free. Tie semantics differ from NTILE
+# by design (equal-length docs share a decile, so decile populations
+# are not exactly n/10); the oracle uses the identical edge
+# formulation. At 100 TB the exact percentile_disc would be swapped
+# for approx_percentile (t-digest, bounded memory); exact is kept for
+# oracle parity.
 # ---------------------------------------------------------------------------
+
+_DECILE_PS = [round(0.1 * i, 1) for i in range(1, 10)]
+
 
 @_q(
     "quality_decile_lift",
@@ -2572,9 +2586,27 @@ WITH flagged AS (
       AS is_dup
   FROM documents
 ),
+edges AS (
+  SELECT
+    """
+    + ",\n    ".join(
+        "CAST(percentile_disc("
+        + str(p)
+        + ") WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS e"
+        + str(int(p * 100))
+        for p in _DECILE_PS
+    )
+    + """
+  FROM documents
+),
 scored AS (
-  SELECT *, ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
-  FROM flagged
+  SELECT is_dup,
+    1 + """
+    + " + ".join(
+        f"CAST(n_chars > e{int(p * 100)} AS INT)" for p in _DECILE_PS
+    )
+    + """ AS decile
+  FROM flagged CROSS JOIN edges
 )
 SELECT CAST(decile AS BIGINT) AS decile,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2595,8 +2627,22 @@ def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_dup"
         ),
     )
-    wd = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
-    scored = flagged.withColumn("decile", F.ntile(10).over(wd))
+    edges = docs.agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({p}) WITHIN GROUP"
+                " (ORDER BY n_chars) AS BIGINT)"
+            ).alias(f"e{int(p * 100)}")
+            for p in _DECILE_PS
+        ]
+    )
+    decile = F.lit(1) + sum(
+        (F.col("n_chars") > F.col(f"e{int(p * 100)}")).cast("int")
+        for p in _DECILE_PS
+    )
+    scored = flagged.crossJoin(F.broadcast(edges)).select(
+        "is_dup", decile.alias("decile")
+    )
     return scored.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("is_dup").cast("long").alias("n_dups"),

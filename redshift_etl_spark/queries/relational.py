@@ -3951,9 +3951,21 @@ def time_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # RFM segmentation — recency/frequency/monetary quintiles per customer
-# (deterministic NTILE with customer-key tiebreak, the ntile_quartiles
-# discipline), rolled up to segment sizes. The marketing-analytics
-# staple every warehouse ships.
+# via percentile-EDGE bucketing, rolled up to segment sizes. The
+# marketing-analytics staple every warehouse ships.
+#
+# Scale note (replaces the r4 global-NTILE formulation): NTILE(5) with
+# no PARTITION BY serializes every customer through a single window
+# task — a hard funnel at 10^8 customers. Here the four quintile edges
+# per dimension are computed in ONE map-side-combining aggregate
+# (percentile_disc, 12 scalars total), broadcast back as a 1-row frame,
+# and scores assigned with plain comparisons — the data path is
+# shuffle-free past the per-customer agg. Tie semantics differ from
+# NTILE by design: ties share a bucket (buckets are not exactly n/5);
+# the oracle uses the identical edge formulation. At true 100 TB scale
+# the exact percentile_disc (which buffers the group's values) would be
+# swapped for approx_percentile (t-digest, mergeable, bounded memory);
+# exact is kept here for oracle parity.
 # ---------------------------------------------------------------------------
 
 @_q(
@@ -3968,12 +3980,32 @@ WITH per_cust AS (
       AS spend_cents
   FROM orders GROUP BY o_custkey
 ),
-scored AS (
-  SELECT *,
-    ntile(5) OVER (ORDER BY rec_days ASC, o_custkey) AS r_q,
-    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
-    ntile(5) OVER (ORDER BY spend_cents DESC, o_custkey) AS m_q
+edges AS (
+  SELECT
+    CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY rec_days) AS BIGINT) AS r20,
+    CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY rec_days) AS BIGINT) AS r40,
+    CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY rec_days) AS BIGINT) AS r60,
+    CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY rec_days) AS BIGINT) AS r80,
+    CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS f20,
+    CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS f40,
+    CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS f60,
+    CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS f80,
+    CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY spend_cents) AS BIGINT) AS m20,
+    CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY spend_cents) AS BIGINT) AS m40,
+    CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY spend_cents) AS BIGINT) AS m60,
+    CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY spend_cents) AS BIGINT) AS m80
   FROM per_cust
+),
+scored AS (
+  SELECT
+    1 + CAST(rec_days > r20 AS INT) + CAST(rec_days > r40 AS INT)
+      + CAST(rec_days > r60 AS INT) + CAST(rec_days > r80 AS INT) AS r_q,
+    1 + CAST(freq < f80 AS INT) + CAST(freq < f60 AS INT)
+      + CAST(freq < f40 AS INT) + CAST(freq < f20 AS INT) AS f_q,
+    1 + CAST(spend_cents < m80 AS INT) + CAST(spend_cents < m60 AS INT)
+      + CAST(spend_cents < m40 AS INT) + CAST(spend_cents < m20 AS INT) AS m_q,
+    spend_cents
+  FROM per_cust CROSS JOIN edges
 )
 SELECT r_q || '-' || f_q || '-' || m_q AS segment,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -3982,8 +4014,6 @@ FROM scored GROUP BY 1
 """,
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = load(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.datediff(
@@ -3996,25 +4026,48 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spend_cents"),
     )
-    scored = (
-        per_cust.withColumn(
-            "r_q",
-            F.ntile(5).over(
-                Window.orderBy(F.asc("rec_days"), F.asc("o_custkey"))
-            ),
+
+    def _edge(col: str, p: float, alias: str):
+        return F.expr(
+            f"CAST(percentile_disc({p}) WITHIN GROUP (ORDER BY {col})"
+            " AS BIGINT)"
+        ).alias(alias)
+
+    edges = per_cust.agg(
+        *[
+            _edge(col, p, f"{pre}{int(p * 100)}")
+            for col, pre in (
+                ("rec_days", "r"),
+                ("freq", "f"),
+                ("spend_cents", "m"),
+            )
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ]
+    )
+
+    def _asc_bucket(v: str, pre: str):
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(v) > F.col(f"{pre}{e}")).cast("int")
+                for e in (20, 40, 60, 80)
+            )
         )
-        .withColumn(
-            "f_q",
-            F.ntile(5).over(
-                Window.orderBy(F.desc("freq"), F.asc("o_custkey"))
-            ),
+
+    def _desc_bucket(v: str, pre: str):
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(v) < F.col(f"{pre}{e}")).cast("int")
+                for e in (80, 60, 40, 20)
+            )
         )
-        .withColumn(
-            "m_q",
-            F.ntile(5).over(
-                Window.orderBy(F.desc("spend_cents"), F.asc("o_custkey"))
-            ),
-        )
+
+    scored = per_cust.crossJoin(F.broadcast(edges)).select(
+        _asc_bucket("rec_days", "r").alias("r_q"),
+        _desc_bucket("freq", "f").alias("f_q"),
+        _desc_bucket("spend_cents", "m").alias("m_q"),
+        "spend_cents",
     )
     return (
         scored.select(
@@ -4217,9 +4270,14 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Sole-source risk + return rate by brand — two supply-chain audits in
-# one family: parts observed from exactly one supplier (the
-# procurement risk list), and per-brand return rates (exact integer
-# ratio of returned lineitems).
+# one family: parts whose RECENT shipments (the last quarter before
+# the 2001-08-01 as-of date used throughout this catalog) came from at
+# most two suppliers (the procurement risk list — over the full
+# history every part has many suppliers, so recency is what makes the
+# signal real; r4's unwindowed n_suppliers=1 predicate matched zero
+# rows at every SF and proved nothing), and per-brand return rates
+# (exact integer ratio of returned lineitems). The shipdate filter is
+# pushed to the parquet scan; part is the broadcast side.
 # ---------------------------------------------------------------------------
 
 @_q(
@@ -4228,28 +4286,36 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH obs AS (
   SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
          CAST(COUNT(*) AS BIGINT) AS n_lineitems
-  FROM lineitem GROUP BY 1
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2001-08-01 00:00:00'
+  GROUP BY 1
 )
-SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_sole_source_parts,
+SELECT p.p_brand, n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_at_risk_parts,
        CAST(SUM(n_lineitems) AS BIGINT) AS exposure_lineitems
 FROM obs JOIN part p ON obs.l_partkey = p.p_partkey
-WHERE n_suppliers = 1
-GROUP BY p.p_brand
+WHERE n_suppliers <= 2
+GROUP BY p.p_brand, n_suppliers
 """,
 )
 def sole_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-08-01").cast("timestamp")
+    )
     part = load(spark, sf_dir, "part")
     obs = li.groupBy("l_partkey").agg(
         F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
         F.count(F.lit(1)).cast("long").alias("n_lineitems"),
     )
+    at_risk = obs.filter(F.col("n_suppliers") <= 2)
+    # Broadcast the SMALL side: the at-risk list (rare parts), not the
+    # full part dim (which scales with the catalog at 100 TB).
     return (
-        obs.filter(F.col("n_suppliers") == 1)
-        .join(part, obs["l_partkey"] == part["p_partkey"])
-        .groupBy("p_brand")
+        F.broadcast(at_risk)
+        .join(part, at_risk["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "n_suppliers")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sole_source_parts"),
+            F.count(F.lit(1)).cast("long").alias("n_at_risk_parts"),
             F.sum("n_lineitems").cast("long").alias("exposure_lineitems"),
         )
     )

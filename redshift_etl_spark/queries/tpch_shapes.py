@@ -503,10 +503,12 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q15 shape — top supplier: per-supplier revenue for a quarter, keep the
-# max. The max rides a whole-frame window OVER the already-aggregated
-# supplier-grain table (dimension-sized), so lineitem is scanned ONCE —
-# a separate MAX branch would re-scan the fact (DataFrame lineage does
-# not share subplans without persist).
+# max. The global max is a 1-row aggregate broadcast back onto the
+# supplier-grain revenue table (the same idiom as nation_balance_share)
+# — unconditionally scale-safe, unlike a Window.partitionBy() whole-frame
+# window which funnels the frame through one task. The two rev branches
+# share an identical shuffle, deduped by ReuseExchange (asserted in
+# tests/test_plans_tpch.py), so lineitem is scanned once physically.
 # ---------------------------------------------------------------------------
 
 @_q(
@@ -526,22 +528,27 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """,
 )
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     rev = (
         load(spark, sf_dir, "lineitem")
         .filter(
             (F.col("l_shipdate") >= "2000-01-01 00:00:00")
             & (F.col("l_shipdate") < "2000-04-01 00:00:00")
+            # explicit null-key filter so BOTH consumers of rev see the
+            # same scan predicates — without it the final inner join
+            # pushes IsNotNull(l_suppkey) into only one branch and the
+            # exchanges stop being identical, defeating ReuseExchange
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy("l_suppkey")
         .agg(F.round(F.sum(_revenue()), 4).alias("total_revenue"))
     )
-    # single-partition window is safe: input is supplier-grain (dim-sized)
-    mx = F.max("total_revenue").over(Window.partitionBy())
+    # 1-row global max, broadcast back — the two rev branches share an
+    # identical groupBy exchange, which Spark's ReuseExchange dedupes,
+    # so lineitem is still scanned once at the physical level.
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.withColumn("mx", mx)
+        rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")

@@ -94,12 +94,15 @@ def test_promo_revenue_ratio_one_pass(spark):
 
 
 def test_top_supplier_fact_scanned_once(spark):
-    # Q15: the MAX rides back as a 1-row broadcast; supplier dim
-    # broadcasts — lineitem appears in the plan exactly once
+    # Q15: the global MAX is a 1-row aggregate broadcast back (no
+    # whole-frame window); the two rev branches share one identical
+    # groupBy exchange, which AQE's exchange reuse dedupes at runtime —
+    # so the fact-side partial aggregation (and its scan) runs once.
     df = _q(spark, "top_supplier")
-    scans = P.scanned_columns(df)
-    li_scans = [s for s in scans if "l_suppkey" in s or "l_shipdate" in s]
-    assert len(li_scans) == 1
+    df.collect()  # AQE reuse materializes at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "Window" not in plan
     assert P.count_broadcasts(df) >= 2
 
 
