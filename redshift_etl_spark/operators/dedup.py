@@ -670,23 +670,28 @@ def exact_substring_dedup(
 
     Returns (id, text_clean, n_tokens, n_removed): text_clean = ''
     when everything was boilerplate."""
+    # Tokenize ONCE into a real projected attribute: referencing the
+    # split() expression inline inside the transform lambda would
+    # re-split the text at every window position — O(tokens²) per doc
+    # (the trap this module's own exploded_shingles docstring warns
+    # about; fine on short test docs, fatal on book-length ones).
+    base = df.select(
+        F.col(id_col), tokens_col(text_col).alias("__toks")
+    ).filter(F.size("__toks") >= window)
     grams = (
-        df.filter(F.size(tokens_col(text_col)) >= window)
-        .select(
+        base.select(
             F.col(id_col),
             F.explode(
                 F.transform(
                     F.sequence(
                         F.lit(0),
-                        F.size(tokens_col(text_col)) - window,
+                        F.size("__toks") - window,
                     ),
                     lambda i: F.struct(
                         i.alias("start"),
                         F.md5(
                             F.array_join(
-                                F.slice(
-                                    tokens_col(text_col), i + 1, window
-                                ),
+                                F.slice(F.col("__toks"), i + 1, window),
                                 " ",
                             )
                         ).alias("gh"),
@@ -699,6 +704,12 @@ def exact_substring_dedup(
             F.col("g.start").alias("start"),
             F.col("g.gh").alias("gh"),
         )
+        # Both consumers (the hot-count agg and the flagged join probe)
+        # scan grams; without persist the ×w explode — the dominant CPU
+        # cost of the whole pass — runs twice. MEMORY_AND_DISK: gram
+        # rows are ~30 bytes, spill is sequential, and on a cluster the
+        # same role is played by shuffle-file reuse of a checkpoint.
+        .persist()
     )
     hot = (
         grams.groupBy("gh")
@@ -710,13 +721,20 @@ def exact_substring_dedup(
     starts = flagged.groupBy(id_col).agg(
         F.collect_set("start").alias("__starts")
     )
-    joined = df.join(starts, id_col, "left").withColumn(
-        "__starts", F.coalesce("__starts", F.array().cast("array<int>"))
+    joined = (
+        df.join(starts, id_col, "left")
+        .withColumn(
+            "__starts",
+            F.coalesce("__starts", F.array().cast("array<int>")),
+        )
+        # same staging rule as above: one split per row, not one per
+        # token-position
+        .withColumn("__toks", tokens_col(text_col))
     )
-    toks = tokens_col(text_col)
     kept_arr = F.filter(
         F.transform(
-            toks, lambda tok, i: F.struct(tok.alias("t"), i.alias("i"))
+            F.col("__toks"),
+            lambda tok, i: F.struct(tok.alias("t"), i.alias("i")),
         ),
         lambda s: ~F.exists(
             F.col("__starts"),
@@ -728,6 +746,8 @@ def exact_substring_dedup(
         F.array_join(
             F.transform(kept_arr, lambda s: s["t"]), " "
         ).alias("text_clean"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        (F.size(toks) - F.size(kept_arr)).cast("long").alias("n_removed"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept_arr))
+        .cast("long")
+        .alias("n_removed"),
     )

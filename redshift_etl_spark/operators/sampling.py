@@ -297,24 +297,25 @@ def mixture_concentration(
     - ``top_share``: the largest single category share;
     - ``n_categories``.
 
-    All exact-int ratios — Σn_c² and N as BIGINTs, one double division
-    each — so no libm entropy is needed to rank skewed groups (HHI
-    orders identically for the filter-threshold use case). Two tiny
-    aggregates: (group, category) counts, then per-group reduction."""
+    Factors are cast to DOUBLE BEFORE multiplying (the _CORR_EXPR
+    discipline): int64 n² / N² products throw under Spark ANSI mode
+    once a group passes ~3e9 rows. Every term and partial sum is an
+    exact integer-valued double below 2^53, so the result is
+    bit-identical to integer arithmetic at any committed SF and stays
+    order-independent (no rounding ever occurs in that range); no libm
+    entropy is needed to rank skewed groups (HHI orders identically
+    for the filter-threshold use case). Two tiny aggregates: (group,
+    category) counts, then per-group reduction."""
     counts = df.groupBy(group_col, category_col).agg(
         F.count(F.lit(1)).alias("__n")
     )
+    nd = F.col("__n").cast("double")
+    sum_sq = F.sum(nd * nd)
+    tot_sq = F.sum("__n").cast("double") * F.sum("__n").cast("double")
     return counts.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_categories"),
-        (
-            F.sum(F.col("__n") * F.col("__n")).cast("double")
-            / (F.sum("__n") * F.sum("__n")).cast("double")
-        ).alias("hhi"),
-        (
-            1
-            - F.sum(F.col("__n") * F.col("__n")).cast("double")
-            / (F.sum("__n") * F.sum("__n")).cast("double")
-        ).alias("gini_impurity"),
+        (sum_sq / tot_sq).alias("hhi"),
+        (1 - sum_sq / tot_sq).alias("gini_impurity"),
         (
             F.max("__n").cast("double") / F.sum("__n").cast("double")
         ).alias("top_share"),

@@ -794,7 +794,13 @@ def chunk_documents(
         raise ValueError(
             f"need 0 < stride <= size, got size={size} stride={stride}"
         )
-    toks = tokens_col(text_col)
+    # Stage the token array as a real projected attribute: an inline
+    # split() referenced inside the transform lambda would re-tokenize
+    # the document once per chunk — O(L²/stride) per doc on long texts.
+    staged = df.select(
+        F.col(id_col), tokens_col(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     # number of windows: 1 + ceil(max(0, L - size) / stride), spelled
     # with integer arithmetic valid on any engine
@@ -804,7 +810,7 @@ def chunk_documents(
             (F.greatest(n - size, F.lit(0)) + stride - 1) / stride
         ).cast("int")
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.explode(
             F.transform(

@@ -965,8 +965,14 @@ rows_ AS (SELECT fold, CAST(SUM(obs) AS BIGINT) AS row_tot FROM cells GROUP BY 1
 cols_ AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
 tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_tot FROM cells),
 contrib AS (
-  SELECT CAST(obs * n_tot - row_tot * col_tot AS DOUBLE)
-       * CAST(obs * n_tot - row_tot * col_tot AS DOUBLE)
+  -- factors cast to DOUBLE BEFORE multiplying (the _CORR_EXPR
+  -- discipline): int64 obs*n_tot overflows (throws under Spark ANSI)
+  -- once totals pass ~3e9 rows; double products are exact below 2^53
+  -- so the result is bit-identical on the committed SFs
+  SELECT (CAST(obs AS DOUBLE) * CAST(n_tot AS DOUBLE)
+        - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+       * (CAST(obs AS DOUBLE) * CAST(n_tot AS DOUBLE)
+        - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
        / (CAST(n_tot AS DOUBLE) * row_tot * col_tot) AS c
   FROM cells JOIN rows_ USING (fold) JOIN cols_ USING (source)
   CROSS JOIN tot
@@ -1004,15 +1010,22 @@ def fold_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cols_), "source")
         .crossJoin(F.broadcast(tot))
         .select(
+            # factors cast to DOUBLE before multiplying — int64
+            # obs*n_tot throws under ANSI past ~3e9 total rows; exact
+            # below 2^53 so values are unchanged at committed SFs
             (
                 (
-                    F.col("obs") * F.col("n_tot")
-                    - F.col("row_tot") * F.col("col_tot")
-                ).cast("double")
+                    F.col("obs").cast("double")
+                    * F.col("n_tot").cast("double")
+                    - F.col("row_tot").cast("double")
+                    * F.col("col_tot").cast("double")
+                )
                 * (
-                    F.col("obs") * F.col("n_tot")
-                    - F.col("row_tot") * F.col("col_tot")
-                ).cast("double")
+                    F.col("obs").cast("double")
+                    * F.col("n_tot").cast("double")
+                    - F.col("row_tot").cast("double")
+                    * F.col("col_tot").cast("double")
+                )
                 / (
                     F.col("n_tot").cast("double")
                     * F.col("row_tot")

@@ -1479,10 +1479,15 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH c AS (
   SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
 )
+-- factors cast to DOUBLE before multiplying (matches the operator):
+-- int64 n*n / SUM(n)*SUM(n) overflow past ~3e9-row groups; exact and
+-- order-independent below 2^53
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_categories,
-       CAST(SUM(n * n) AS DOUBLE) / CAST(SUM(n) * SUM(n) AS DOUBLE) AS hhi,
-       1 - CAST(SUM(n * n) AS DOUBLE) / CAST(SUM(n) * SUM(n) AS DOUBLE)
+       SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS hhi,
+       1 - SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
          AS gini_impurity,
        CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_share
 FROM c GROUP BY 1

@@ -3332,9 +3332,16 @@ def qty_discount_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by the Spark expr AND the DuckDB oracle. Factors are cast to
+# DOUBLE BEFORE multiplying (the _CORR_EXPR discipline): the int64
+# products obs*n_tot / row_tot*col_tot overflow (throw under Spark ANSI
+# mode) once totals pass ~3e9 rows; double products are exact below
+# 2^53 so values are bit-identical at any committed SF.
 _CHI_CONTRIB = (
-    "CAST(obs * n_tot - row_tot * col_tot AS DOUBLE)"
-    " * CAST(obs * n_tot - row_tot * col_tot AS DOUBLE)"
+    "(CAST(obs AS DOUBLE) * CAST(n_tot AS DOUBLE)"
+    "  - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))"
+    " * (CAST(obs AS DOUBLE) * CAST(n_tot AS DOUBLE)"
+    "  - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))"
     " / (CAST(n_tot AS DOUBLE) * row_tot * col_tot)"
 )
 

@@ -24,8 +24,6 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators import dedup as D
-
 
 def dedup_ingest_batch(
     batch_df: DataFrame,
@@ -38,19 +36,50 @@ def dedup_ingest_batch(
     stored fingerprints → append survivors as (id, text, fingerprint).
     Idempotent: re-running with the same batch appends nothing."""
     spark = batch_df.sparkSession
-    groups = D.exact_dedup_groups(batch_df, id_col, text_col)
-    keep = groups.select(
-        F.col("keep_id").alias(id_col), "fingerprint"
-    ).join(
-        batch_df.select(id_col, text_col), id_col
+    # Winners carried THROUGH the groupBy (text is constant within a
+    # fingerprint group, so min(text) IS the text) — no join back to
+    # the batch. The r4 formulation joined winners to the batch on id
+    # alone, so a batch that reused a doc_id for two different texts
+    # multiplied the match and appended mismatched (fingerprint, text)
+    # pairs; keying the agg by fingerprint makes the pairing exact by
+    # construction.
+    keep = (
+        batch_df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.md5(F.col(text_col)).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min(text_col).alias(text_col),
+        )
     )
     if os.path.exists(corpus_path):
-        stored = spark.read.parquet(corpus_path).select("fingerprint")
-        keep = keep.join(stored, "fingerprint", "left_anti")
-    new_rows = keep.select(id_col, text_col, "fingerprint")
+        stored = spark.read.parquet(corpus_path).select(
+            "fp_bucket", "fingerprint"
+        )
+        keep = keep.withColumn(
+            "fp_bucket", F.substring("fingerprint", 1, 2)
+        ).join(stored, ["fp_bucket", "fingerprint"], "left_anti")
+    else:
+        keep = keep.withColumn(
+            "fp_bucket", F.substring("fingerprint", 1, 2)
+        )
+    new_rows = keep.select(id_col, text_col, "fingerprint", "fp_bucket")
     # append is safe mid-read: parquet appends are new part files, and
-    # the store read above already resolved its file list
-    new_rows.write.mode("append").parquet(corpus_path)
+    # the store read above already resolved its file list.
+    #
+    # The store is hive-partitioned on the 2-hex fingerprint prefix
+    # (256 buckets): the anti-join probe reads only the single pruned
+    # fingerprint column, the bucket key joins partition-to-partition,
+    # and a periodic compaction that sorts within buckets gives parquet
+    # min/max page skipping — so per-trigger probe cost is bounded by
+    # the store's fingerprint-column footprint, not its text payload,
+    # and stays prunable as the store grows over the stream's lifetime.
+    new_rows.write.mode("append").partitionBy("fp_bucket").parquet(
+        corpus_path
+    )
 
 
 def start_dedup_ingest_sink(

@@ -47,6 +47,35 @@ def test_dedup_ingest_batch_semantics_and_replay(spark, tmp_path):
     assert len(fps) == len(set(fps)) == 3
 
 
+def test_dedup_ingest_reused_doc_id_pairs_exactly(spark, tmp_path):
+    """A batch that reuses one doc_id for two DIFFERENT texts must
+    store each distinct text once, paired with its own fingerprint —
+    the r4 join-back-on-id formulation multiplied the match and wrote
+    mismatched (fingerprint, text) rows."""
+    import pyspark.sql.functions as F
+
+    corpus = str(tmp_path / "corpus")
+    b = spark.createDataFrame(
+        [(1, "alpha"), (1, "delta"), (2, "alpha")], ["doc_id", "text"]
+    )
+    I.dedup_ingest_batch(b, corpus)
+    rows = spark.read.parquet(corpus).collect()
+    # two distinct texts -> exactly two rows, no cross-pairing
+    assert sorted(r["text"] for r in rows) == ["alpha", "delta"]
+    for r in rows:
+        # fingerprint matches ITS text
+        [expect] = (
+            spark.range(1)
+            .select(F.md5(F.lit(r["text"])))
+            .collect()[0]
+        )
+        assert r["fingerprint"] == expect
+        assert r["doc_id"] == 1  # min id per fingerprint group
+    # replay appends nothing
+    I.dedup_ingest_batch(b, corpus)
+    assert spark.read.parquet(corpus).count() == 2
+
+
 def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
     indir = tmp_path / "in"
     indir.mkdir()
