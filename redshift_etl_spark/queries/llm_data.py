@@ -2655,3 +2655,59 @@ def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document-length CDF — the exact cumulative distribution of n_chars at
+# distinct-value grain, via operators/distsort.ranked_cumsum (two-pass
+# partition-offset running sum; no single-partition window anywhere).
+# The curve a curation pipeline reads to pick length cutoffs: value_rank
+# is the distinct-length index, cdf the exact share of docs at or below
+# that length.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "doc_length_cdf",
+    """
+WITH c AS (
+  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY n_chars
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM c),
+r AS (
+  SELECT n_chars, n_docs,
+    CAST(row_number() OVER (ORDER BY n_chars ASC) AS BIGINT)
+      AS value_rank,
+    CAST(SUM(n_docs) OVER (
+      ORDER BY n_chars ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_docs
+  FROM c
+)
+SELECT value_rank, n_chars, n_docs, cum_docs,
+       CAST(cum_docs AS DOUBLE) / t AS cdf
+FROM r CROSS JOIN tot
+""",
+)
+def doc_length_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import distsort as DS
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("t"))
+    ranked = DS.ranked_cumsum(
+        counts,
+        [F.asc("n_chars")],
+        "n_docs",
+        rank_name="value_rank",
+        cumsum_name="cum_docs",
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "value_rank",
+        "n_chars",
+        "n_docs",
+        F.col("cum_docs").cast("long").alias("cum_docs"),
+        (F.col("cum_docs").cast("double") / F.col("t")).alias("cdf"),
+    )

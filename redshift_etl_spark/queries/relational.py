@@ -2959,8 +2959,11 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + 1000000).alias("dst"),
         )
     )
-    edges = G.symmetric_edges(fwd, "src", "dst")
-    return G.pagerank(edges, iterations=3).orderBy(
+    # customer keys (< 1e6 at committed SFs) and offset supplier keys
+    # (≥ 1e6) never collide — the bipartite promise behind
+    # disjoint_domains (dedup on |E|, map-only reversal)
+    edges = G.symmetric_edges(fwd, "src", "dst", disjoint_domains=True)
+    return G.pagerank(edges, iterations=3, symmetric=True).orderBy(
         F.desc("rank"), F.asc("node")
     )
 
@@ -4440,4 +4443,68 @@ def hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.hod").alias("peak_hour"),
         F.col("m.n").alias("peak_n"),
         "total_n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer Pareto curve — the full-population cumulative revenue share,
+# exercised through operators/distsort.ranked_cumsum: the two-pass
+# partition-offset global running sum (range exchange -> per-partition
+# window -> broadcast partition offsets). Unlike domain_lorenz's top-K
+# head, this ranks EVERY customer — the operator exists precisely so
+# that whole-population Pareto/CDF reports don't need a
+# single-partition window. Exact integer cumsums over a total order
+# (spend DESC, custkey ASC), one IEEE division per row.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "customer_pareto",
+    """
+WITH per_cust AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT CAST(SUM(spend_cents) AS BIGINT) AS t FROM per_cust),
+ranked AS (
+  SELECT o_custkey, spend_cents,
+    CAST(row_number() OVER (
+      ORDER BY spend_cents DESC, o_custkey ASC) AS BIGINT) AS rank,
+    CAST(SUM(spend_cents) OVER (
+      ORDER BY spend_cents DESC, o_custkey ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_spend_cents
+  FROM per_cust
+)
+SELECT rank, o_custkey, spend_cents, cum_spend_cents,
+       CAST(cum_spend_cents AS DOUBLE) / t AS cum_share
+FROM ranked CROSS JOIN tot
+""",
+)
+def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import distsort as DS
+
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    tot = per_cust.agg(F.sum("spend_cents").cast("long").alias("t"))
+    ranked = DS.ranked_cumsum(
+        per_cust,
+        [F.desc("spend_cents"), F.asc("o_custkey")],
+        "spend_cents",
+        rank_name="rank",
+        cumsum_name="cum_spend_cents",
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "o_custkey",
+        "spend_cents",
+        F.col("cum_spend_cents").cast("long").alias("cum_spend_cents"),
+        (F.col("cum_spend_cents").cast("double") / F.col("t")).alias(
+            "cum_share"
+        ),
     )

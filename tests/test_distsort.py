@@ -1,0 +1,101 @@
+"""operators/distsort — distributed global rank/cumsum must equal the
+single-window formulation exactly, across partition counts, orders,
+ties, and negatives, and its plan must never contain an unpartitioned
+window over the data."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from redshift_etl_spark.operators import distsort as DS
+
+
+def _reference(df, order_by, value_col):
+    w = Window.orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w).cast("long").alias("rank"),
+        F.sum(value_col).over(w).alias("cum_value"),
+    )
+
+
+@pytest.mark.parametrize("num_partitions", [None, 1, 3, 16])
+def test_ranked_cumsum_equals_single_window(spark, num_partitions):
+    rows = [
+        (i, (i * 37) % 11, ((-1) ** i) * (i % 7))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["id", "k", "v"]).repartition(8)
+    order = [F.desc("k"), F.asc("id")]
+    got = {
+        r["id"]: (r["rank"], r["cum_value"])
+        for r in DS.ranked_cumsum(
+            df, order, "v", num_partitions=num_partitions
+        ).collect()
+    }
+    want = {
+        r["id"]: (r["rank"], r["cum_value"])
+        for r in _reference(df, order, "v").collect()
+    }
+    assert got == want
+
+
+def test_ranked_cumsum_ties_are_total_ordered(spark):
+    # heavy ties on the primary key; the tiebreak column makes the
+    # order total, so results are exact regardless of where range
+    # boundaries fall
+    df = spark.createDataFrame(
+        [(i, i % 3, 1) for i in range(300)], ["id", "k", "v"]
+    ).repartition(7)
+    order = [F.asc("k"), F.asc("id")]
+    got = DS.ranked_cumsum(df, order, "v").collect()
+    want = _reference(df, order, "v").collect()
+    assert sorted((r["id"], r["rank"], r["cum_value"]) for r in got) == \
+        sorted((r["id"], r["rank"], r["cum_value"]) for r in want)
+
+
+def test_global_row_number(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 50) for i in range(200)], ["id", "k"]
+    ).repartition(5)
+    got = {
+        r["id"]: r["rank"]
+        for r in DS.global_row_number(
+            df, [F.asc("k"), F.asc("id")]
+        ).collect()
+    }
+    ordered = sorted(range(200), key=lambda i: ((i * 13) % 50, i))
+    want = {i: pos + 1 for pos, i in enumerate(ordered)}
+    assert got == want
+    # helper columns must not leak
+    cols = DS.global_row_number(df, [F.asc("k"), F.asc("id")]).columns
+    assert cols == ["id", "k", "rank"]
+
+
+def test_no_single_partition_window_over_data(spark):
+    """The ONLY unpartitioned window is over the partition-totals frame
+    (bounded by the shuffle-partition count): every Window node whose
+    input is the ranged data must carry a partition spec."""
+    df = spark.createDataFrame(
+        [(i, i % 5, i) for i in range(100)], ["id", "k", "v"]
+    )
+    out = DS.ranked_cumsum(df, [F.asc("k"), F.asc("id")], "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    # spec lists: [exprs], [partition], [order] — the data-side window
+    # partitions by __pid; the offsets window has an empty partition
+    # spec but consumes the totals aggregate (one row per partition)
+    assert any("__pid" in w for w in windows)
+    # range exchange present (the same shuffle a global sort would do)
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_empty_frame(spark):
+    df = spark.createDataFrame([], "id long, k long, v long")
+    assert DS.ranked_cumsum(df, [F.asc("k")], "v").count() == 0

@@ -13,6 +13,9 @@ by construction:
 - bm25_topk          — frame is the LIMITed top-k (<= k rows)
 - weekly_active_users — frame is week-grain (bounded by calendar span)
 - domain_lorenz      — frame is the LIMITed top-K domain head (<= 50)
+- ranked_cumsum      — frame is one row per SHUFFLE PARTITION (bounded
+  by spark.sql.shuffle.partitions, a cluster config, not the data);
+  this operator IS the scalable replacement for global windows
 
 Adding a new global window requires adding the function here WITH a
 bounded-frame justification — unbounded frames must use the
@@ -29,6 +32,7 @@ ALLOWED = {
     ("operators/text.py", "bm25_topk"),
     ("queries/relational.py", "weekly_active_users"),
     ("queries/curation.py", "domain_lorenz"),
+    ("operators/distsort.py", "ranked_cumsum"),
 }
 
 
