@@ -64,7 +64,17 @@ def ranked_cumsum(
         else df.repartitionByRange(*order_by)
     )
     pid = F.spark_partition_id().alias("__pid")
-    staged = ranged.select("*", pid)
+    # Materialize the staged frame ONCE: both consumers below (the
+    # local window and the per-partition totals agg) must observe the
+    # SAME physical range partitioning. repartitionByRange samples
+    # boundaries with an RDD-id-seeded RNG, so if the two subtrees
+    # were planned as independent exchanges (exchange reuse disabled,
+    # or column pruning differentiating them), rows could land in
+    # different __pid buckets per consumer and the offsets join would
+    # silently mis-rank. localCheckpoint pins one concrete RDD that
+    # both branches read — correctness no longer depends on
+    # ReuseExchange firing.
+    staged = ranged.select("*", pid).localCheckpoint(eager=False)
 
     local_w = (
         Window.partitionBy("__pid")
@@ -102,6 +112,64 @@ def ranked_cumsum(
         (F.col("__local_sum") + F.col("__sum_off")).alias(cumsum_name),
     )
     return out
+
+
+def percentile_disc_edges(
+    df: DataFrame,
+    value_col: str,
+    percents: list[float],
+    prefix: str = "p",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``percentile_disc(p) WITHIN GROUP (ORDER BY value_col)``
+    for each p in ``percents``, as a ONE-ROW frame with columns
+    ``{prefix}{round(p*100)}`` — computed fully distributed.
+
+    ``percentile_disc(p)`` is by definition the smallest value v whose
+    cumulative row count satisfies cum(v) >= p * N. Spark's (and
+    DuckDB's) built-in aggregate realizes that with an OpenHashMap
+    keyed by DISTINCT VALUE merged onto one final task — for a
+    high-cardinality continuous measure (distinct values ~ rows) that
+    is a single-task funnel. Here instead:
+
+      1. groupBy(value) -> per-distinct-value counts (ordinary
+         map-side-combined agg, shuffles |distinct| rows);
+      2. :func:`ranked_cumsum` over the counts ordered by value —
+         range exchange + per-partition windows, no global funnel;
+      3. the threshold test ``cum * denom >= num * N`` in EXACT
+         integer arithmetic (p parsed as a Fraction, so 0.2 is 1/5 —
+         no float-boundary misrounding at any N), reduced with
+         ``min(when(...))`` — a plain partial-aggregable MIN.
+
+    Bit-identical to the built-in aggregate (property-tested in
+    tests/test_distsort.py), but the largest single-task state is one
+    row per shuffle partition.
+    """
+    from fractions import Fraction
+
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    cum = ranked_cumsum(
+        counts,
+        [F.col(value_col)],
+        "__cnt",
+        rank_name="__rk",
+        cumsum_name="__cum",
+        num_partitions=num_partitions,
+    )
+    n_total = counts.agg(F.sum("__cnt").alias("__N"))
+    aggs = []
+    for p in percents:
+        fr = Fraction(str(p))
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum") * F.lit(fr.denominator)
+                    >= F.lit(fr.numerator) * F.col("__N"),
+                    F.col(value_col),
+                )
+            ).alias(f"{prefix}{round(p * 100)}")
+        )
+    return cum.crossJoin(F.broadcast(n_total)).agg(*aggs)
 
 
 def global_row_number(

@@ -3966,16 +3966,21 @@ def time_decayed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale note (replaces the r4 global-NTILE formulation): NTILE(5) with
 # no PARTITION BY serializes every customer through a single window
-# task — a hard funnel at 10^8 customers. Here the four quintile edges
-# per dimension are computed in ONE map-side-combining aggregate
-# (percentile_disc, 12 scalars total), broadcast back as a 1-row frame,
-# and scores assigned with plain comparisons — the data path is
-# shuffle-free past the per-customer agg. Tie semantics differ from
-# NTILE by design: ties share a bucket (buckets are not exactly n/5);
-# the oracle uses the identical edge formulation. At true 100 TB scale
-# the exact percentile_disc (which buffers the group's values) would be
-# swapped for approx_percentile (t-digest, mergeable, bounded memory);
-# exact is kept here for oracle parity.
+# task — a hard funnel at 10^8 customers. The four quintile edges per
+# dimension are EXACT percentile_disc values, but computed distributed
+# via operators/distsort.percentile_disc_edges: distinct-value counts
+# (map-side-combined agg) -> ranked_cumsum (range exchange +
+# per-partition windows) -> integer threshold test cum*denom >= num*N.
+# The built-in percentile_disc aggregate would merge an OpenHashMap
+# keyed by DISTINCT VALUE onto one final task — for spend_cents
+# (distinct ~ customers) that is still a 10^8-entry single-task merge;
+# this formulation's largest single-task state is one row per shuffle
+# partition. Edges are broadcast back as a 1-row frame and scores
+# assigned with plain comparisons — the data path is shuffle-free past
+# the per-customer agg. Tie semantics differ from NTILE by design:
+# ties share a bucket; the oracle uses the identical edge definition
+# (smallest value with cume_dist >= p), property-tested equal to the
+# built-in aggregate in tests/test_distsort.py.
 # ---------------------------------------------------------------------------
 
 @_q(
@@ -4037,23 +4042,22 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend_cents"),
     )
 
-    def _edge(col: str, p: float, alias: str):
-        return F.expr(
-            f"CAST(percentile_disc({p}) WITHIN GROUP (ORDER BY {col})"
-            " AS BIGINT)"
-        ).alias(alias)
+    from ..operators import distsort as DS
 
-    edges = per_cust.agg(
-        *[
-            _edge(col, p, f"{pre}{int(p * 100)}")
-            for col, pre in (
-                ("rec_days", "r"),
-                ("freq", "f"),
-                ("spend_cents", "m"),
-            )
-            for p in (0.2, 0.4, 0.6, 0.8)
-        ]
+    # per_cust feeds three edge computations plus the scoring pass —
+    # pin one materialization so the agg runs once.
+    per_cust = per_cust.localCheckpoint(eager=False)
+    r_e, f_e, m_e = (
+        DS.percentile_disc_edges(
+            per_cust, col, [0.2, 0.4, 0.6, 0.8], prefix=pre
+        )
+        for col, pre in (
+            ("rec_days", "r"),
+            ("freq", "f"),
+            ("spend_cents", "m"),
+        )
     )
+    edges = r_e.crossJoin(f_e).crossJoin(m_e)
 
     def _asc_bucket(v: str, pre: str):
         return (

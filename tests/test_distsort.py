@@ -92,8 +92,70 @@ def test_no_single_partition_window_over_data(spark):
     # partitions by __pid; the offsets window has an empty partition
     # spec but consumes the totals aggregate (one row per partition)
     assert any("__pid" in w for w in windows)
-    # range exchange present (the same shuffle a global sort would do)
-    assert "rangepartitioning" in plan.lower()
+    # The range exchange lives INSIDE the localCheckpoint boundary
+    # (the checkpoint pins ONE physical range partitioning that both
+    # consumers read — see ranked_cumsum docstring), so the downstream
+    # executed plan shows Scan ExistingRDD, not the exchange itself.
+    # Assert the checkpoint boundary is actually there: without it the
+    # two consumers would plan independent range exchanges whose
+    # sampled boundaries may disagree.
+    assert "existingrdd" in plan.lower()
+    # and the staging subtree (pre-checkpoint) does range-exchange:
+    import pyspark.sql.functions as F2
+
+    staged_plan = (
+        df.repartitionByRange(F2.asc("k"), F2.asc("id"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in staged_plan.lower()
+
+
+@pytest.mark.parametrize(
+    "gen",
+    [
+        # high-cardinality continuous-ish: distinct ~ rows (the case
+        # the built-in aggregate funnels on)
+        lambda i: i * 7919 % 100003,
+        # heavy skew: half the mass on one value, long tail
+        lambda i: 0 if i % 2 == 0 else i,
+        # negatives + duplicates
+        lambda i: ((-1) ** i) * (i % 13),
+    ],
+)
+@pytest.mark.parametrize("ps", [[0.2, 0.4, 0.6, 0.8], [0.01, 0.5, 0.99]])
+def test_percentile_disc_edges_equal_builtin(spark, gen, ps):
+    """Distributed edge extraction must equal Spark's built-in
+    percentile_disc aggregate exactly — the contract that lets
+    rfm_segments keep its unchanged DuckDB oracle."""
+    df = spark.createDataFrame(
+        [(i, gen(i)) for i in range(2000)], ["id", "v"]
+    ).repartition(9)
+    got = DS.percentile_disc_edges(df, "v", ps, prefix="e").collect()[0]
+    want = df.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY v)"
+            ).alias(f"e{round(p * 100)}")
+            for p in ps
+        ]
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
+
+
+def test_percentile_disc_edges_no_single_task_value_merge(spark):
+    """The plan must carry the distinct-value frame through a range
+    exchange + partitioned windows — not the built-in percentile_disc
+    ObjectHashAggregate whose final merge holds every distinct value
+    on one task."""
+    df = spark.createDataFrame([(i, i) for i in range(100)], ["id", "v"])
+    out = DS.percentile_disc_edges(df, "v", [0.5])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_disc" not in plan.lower()
+    # the cumulative pass is ranked_cumsum's partitioned window over
+    # the checkpointed range-staged distinct-value frame
+    assert "windowspecdefinition(__pid" in plan
 
 
 def test_empty_frame(spark):
