@@ -2933,7 +2933,7 @@ def linear_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAGERANK_EDGES_SQL = """
 WITH fwd AS (
-  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+  SELECT DISTINCT o_custkey AS src, -l_suppkey - 1 AS dst
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 )
 SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
@@ -2956,12 +2956,16 @@ def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 1000000).alias("dst"),
+            (-F.col("l_suppkey") - 1).alias("dst"),
         )
     )
-    # customer keys (< 1e6 at committed SFs) and offset supplier keys
-    # (≥ 1e6) never collide — the bipartite promise behind
-    # disjoint_domains (dedup on |E|, map-only reversal)
+    # Supplier key s ↦ -s-1 (bitwise NOT): strictly negative for every
+    # s ≥ 0, so customer ids (≥ 0) and encoded supplier ids (< 0) are
+    # disjoint at EVERY scale factor — unlike a fixed additive offset,
+    # which custkeys outgrow (1e6 offset collides at roughly SF>=7),
+    # and unlike plain negation, which collides at key 0 (present in
+    # this corpus). Disjointness is the bipartite promise behind
+    # disjoint_domains (dedup on |E|, map-only reversal).
     edges = G.symmetric_edges(fwd, "src", "dst", disjoint_domains=True)
     return G.pagerank(edges, iterations=3, symmetric=True).orderBy(
         F.desc("rank"), F.asc("node")
@@ -3450,7 +3454,9 @@ def trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 1000000).alias("dst"),
+            # supplier key ↦ -s-1 — collision-proof at every SF
+            # (see trade_pagerank)
+            (-F.col("l_suppkey") - 1).alias("dst"),
         )
     )
     edges = G.symmetric_edges(fwd, "src", "dst")
