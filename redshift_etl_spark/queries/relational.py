@@ -4297,7 +4297,8 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signal real; r4's unwindowed n_suppliers=1 predicate matched zero
 # rows at every SF and proved nothing), and per-brand return rates
 # (exact integer ratio of returned lineitems). The shipdate filter is
-# pushed to the parquet scan; part is the broadcast side.
+# pushed to the parquet scan; AQE picks the join strategy at runtime
+# (no forced hint — see the join comment below).
 # ---------------------------------------------------------------------------
 
 @_q(
@@ -4328,10 +4329,16 @@ def sole_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_lineitems"),
     )
     at_risk = obs.filter(F.col("n_suppliers") <= 2)
-    # Broadcast the SMALL side: the at-risk list (rare parts), not the
-    # full part dim (which scales with the catalog at 100 TB).
+    # No forced broadcast: the at-risk list is a DATA-DEPENDENT
+    # aggregate (a skewed catalog could make "parts with <=2 recent
+    # suppliers" huge), and a hard F.broadcast hint OOMs rather than
+    # degrades when the estimate is wrong. AQE measures the actual
+    # post-filter size at the shuffle boundary and broadcasts exactly
+    # when it is genuinely small (plan-asserted at committed SFs in
+    # tests/test_plans.py) — at a 100 TB skew it falls back to a
+    # shuffled hash join instead of failing.
     return (
-        F.broadcast(at_risk)
+        at_risk
         .join(part, at_risk["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "n_suppliers")
         .agg(
