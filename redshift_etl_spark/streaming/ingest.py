@@ -56,9 +56,21 @@ def dedup_ingest_batch(
         )
     )
     if os.path.exists(corpus_path):
-        stored = spark.read.parquet(corpus_path).select(
-            "fp_bucket", "fingerprint"
-        )
+        stored_all = spark.read.parquet(corpus_path)
+        if "fp_bucket" not in stored_all.columns:
+            # legacy (pre-partitioned-layout) store: appending
+            # hive-partitioned files next to flat part-files would
+            # leave a mixed layout Spark cannot list correctly, so
+            # fail loudly with the migration path instead of guessing
+            raise ValueError(
+                f"dedup store at {corpus_path!r} uses the legacy "
+                "unpartitioned layout (no fp_bucket partition column); "
+                "migrate it once with compact_dedup_store(spark, path) "
+                "— compaction derives fp_bucket from the stored "
+                "fingerprints and rewrites the store partitioned and "
+                "sorted — then restart the stream."
+            )
+        stored = stored_all.select("fp_bucket", "fingerprint")
         keep = keep.withColumn(
             "fp_bucket", F.substring("fingerprint", 1, 2)
         ).join(stored, ["fp_bucket", "fingerprint"], "left_anti")
@@ -73,13 +85,87 @@ def dedup_ingest_batch(
     # The store is hive-partitioned on the 2-hex fingerprint prefix
     # (256 buckets): the anti-join probe reads only the single pruned
     # fingerprint column, the bucket key joins partition-to-partition,
-    # and a periodic compaction that sorts within buckets gives parquet
-    # min/max page skipping — so per-trigger probe cost is bounded by
-    # the store's fingerprint-column footprint, not its text payload,
-    # and stays prunable as the store grows over the stream's lifetime.
+    # and periodic `compact_dedup_store` runs (sort-within-bucket +
+    # part-file coalesce, below) give parquet min/max page skipping —
+    # so per-trigger probe cost is bounded by the store's
+    # fingerprint-column footprint, not its text payload, and stays
+    # prunable as the store grows over the stream's lifetime.
     new_rows.write.mode("append").partitionBy("fp_bucket").parquet(
         corpus_path
     )
+
+
+def compact_dedup_store(
+    spark,
+    corpus_path: str,
+    files_per_bucket: int = 1,
+) -> dict:
+    """Maintenance job for the dedup-ingest store: rewrite every
+    ``fp_bucket`` partition SORTED by fingerprint and coalesced to
+    ``files_per_bucket`` part-file(s) — delivering the min/max page
+    skipping the ingest path's probe relies on, and bounding the
+    file-listing cost that otherwise grows by one part-file per
+    trigger forever.
+
+    Why sorting matters: the anti-join probe reads only the store's
+    fingerprint column; once each file holds a contiguous fingerprint
+    range, parquet column-index min/max stats let a bloom-pruned or
+    dynamic-filtered probe skip whole pages. Append order gives every
+    file the full [0x00..,0xff..] spread — no stats ever prune.
+
+    Also the MIGRATION path for legacy stores written before the
+    hive-partitioned layout: when the input lacks ``fp_bucket`` it is
+    derived from the stored fingerprints and the rewrite produces the
+    current layout.
+
+    Concurrency contract: run while the ingest stream is STOPPED (or
+    between triggers with the trigger paused) — the job reads, rewrites
+    to a temp path, and atomically swaps directories (same pattern as
+    ``operators/merge.merge_scd1_write``), so rows appended between the
+    read and the swap would be lost. Idempotent: re-running on a
+    compacted store rewrites the identical content.
+
+    Returns {"rows", "files_before", "files_after"} so operators can
+    log/alert on the reclaim.
+    """
+    import shutil
+
+    def _part_files(root: str) -> int:
+        return sum(
+            1
+            for dirpath, _dirs, files in os.walk(root)
+            for f in files
+            if f.startswith("part-")
+        )
+
+    files_before = _part_files(corpus_path)
+    store = spark.read.parquet(corpus_path)
+    if "fp_bucket" not in store.columns:
+        store = store.withColumn(
+            "fp_bucket", F.substring("fingerprint", 1, 2)
+        )
+    # hash-repartition on the bucket key: each of the 256 buckets lands
+    # wholly in one task, so partitionBy emits exactly one file per
+    # bucket per `files_per_bucket` unit; sortWithinPartitions gives
+    # each emitted file a contiguous fingerprint range
+    n_parts = 256 * files_per_bucket
+    compacted = store.repartition(
+        n_parts, "fp_bucket", *([] if files_per_bucket == 1 else ["fingerprint"])
+    ).sortWithinPartitions("fp_bucket", "fingerprint")
+    rows = compacted.count()
+
+    tmp = corpus_path.rstrip("/") + ".__compact_tmp__"
+    old = corpus_path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    compacted.write.mode("overwrite").partitionBy("fp_bucket").parquet(tmp)
+    os.rename(corpus_path, old)
+    os.rename(tmp, corpus_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": _part_files(corpus_path),
+    }
 
 
 def start_dedup_ingest_sink(

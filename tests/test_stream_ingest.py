@@ -116,3 +116,121 @@ def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
         r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()
     }
     assert got == {1: "alpha", 2: "beta", 11: "gamma"}
+
+
+def _part_files(root):
+    return sorted(
+        os.path.join(d, f)
+        for d, _dirs, files in os.walk(root)
+        for f in files
+        if f.startswith("part-")
+    )
+
+
+def _store_content(spark, corpus):
+    return sorted(
+        (r["doc_id"], r["text"], r["fingerprint"], r["fp_bucket"])
+        for r in spark.read.parquet(corpus).collect()
+    )
+
+
+def test_compaction_preserves_probe_and_reclaims_files(spark, tmp_path):
+    """Verdict r5 item 4: (a) probe results identical pre/post
+    compaction, (b) post-compaction store has fewer part-files,
+    (c) re-running compaction is idempotent."""
+    corpus = str(tmp_path / "corpus")
+    # 12 triggers * small batches -> many tiny part-files
+    for i in range(12):
+        b = spark.createDataFrame(
+            [(i * 10 + j, f"doc-{i}-{j}") for j in range(8)]
+            + [(999, "doc-0-0")],  # cross-batch dup every trigger
+            ["doc_id", "text"],
+        )
+        I.dedup_ingest_batch(b, corpus)
+
+    pre_content = _store_content(spark, corpus)
+    pre_files = _part_files(corpus)
+    # probe: a batch mixing stored dups and new docs, BEFORE compaction
+    probe = spark.createDataFrame(
+        [(1000, "doc-3-4"), (1001, "brand-new"), (1002, "doc-11-7")],
+        ["doc_id", "text"],
+    )
+    # dry-run the probe's anti-join (don't mutate the store yet)
+    from pyspark.sql import functions as F
+
+    def probe_survivors():
+        stored = spark.read.parquet(corpus).select("fp_bucket", "fingerprint")
+        cand = probe.select(
+            "doc_id", "text", F.md5("text").alias("fingerprint")
+        ).withColumn("fp_bucket", F.substring("fingerprint", 1, 2))
+        return sorted(
+            r["text"]
+            for r in cand.join(
+                stored, ["fp_bucket", "fingerprint"], "left_anti"
+            ).collect()
+        )
+
+    pre_probe = probe_survivors()
+    assert pre_probe == ["brand-new"]
+
+    stats = I.compact_dedup_store(spark, corpus)
+    assert stats["rows"] == len(pre_content)
+    assert stats["files_before"] == len(pre_files)
+    post_files = _part_files(corpus)
+    assert stats["files_after"] == len(post_files)
+    assert len(post_files) < len(pre_files)  # (b) reclaim
+    assert _store_content(spark, corpus) == pre_content  # content equal
+    assert probe_survivors() == pre_probe  # (a) probe identical
+
+    # (c) idempotent re-run
+    stats2 = I.compact_dedup_store(spark, corpus)
+    assert _store_content(spark, corpus) == pre_content
+    assert stats2["files_after"] == stats["files_after"]
+
+    # ingest keeps working against the compacted store
+    I.dedup_ingest_batch(probe, corpus)
+    got = {r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert "brand-new" in got and len(got) == len(pre_content) + 1
+
+
+def test_compaction_sorts_within_buckets(spark, tmp_path):
+    """Each compacted part-file holds ONE contiguous fingerprint run —
+    the precondition for parquet min/max page skipping."""
+    corpus = str(tmp_path / "corpus")
+    b = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(300)], ["doc_id", "text"]
+    )
+    I.dedup_ingest_batch(b, corpus)
+    I.compact_dedup_store(spark, corpus)
+    for path in _part_files(corpus):
+        fps = [
+            r["fingerprint"]
+            for r in spark.read.parquet(path).select("fingerprint").collect()
+        ]
+        assert fps == sorted(fps), path
+
+
+def test_legacy_store_migration(spark, tmp_path):
+    """A store written by the pre-partitioned layout (flat, no
+    fp_bucket) fails the ingest with a clear migration pointer;
+    compact_dedup_store migrates it in place; ingest then dedups
+    against the migrated fingerprints."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    corpus = str(tmp_path / "corpus")
+    legacy = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+    ).select("doc_id", "text", F.md5("text").alias("fingerprint"))
+    legacy.write.parquet(corpus)  # flat layout, no partition column
+
+    b = spark.createDataFrame([(3, "alpha"), (4, "gamma")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="compact_dedup_store"):
+        I.dedup_ingest_batch(b, corpus)
+
+    I.compact_dedup_store(spark, corpus)  # migration
+    assert "fp_bucket" in spark.read.parquet(corpus).columns
+
+    I.dedup_ingest_batch(b, corpus)
+    got = {r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {"alpha", "beta", "gamma"}  # alpha deduped vs legacy
