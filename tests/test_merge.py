@@ -270,3 +270,56 @@ def test_scd2_from_cdc_versions_and_delete_closure(spark):
     # exactly one current row per surviving key, none for deleted key 1
     currents = [k for (k, _), (_, cur) in hist.items() if cur]
     assert sorted(currents) == [2, 3]
+
+
+def test_merge_scd1_write_concurrent_reader_contract(spark, tmp_path):
+    """The parquet fallback's isolation contract (README 'Design
+    rules'): the directory swap is WRITER-atomic — a reader either
+    resolves its file listing entirely before the swap (and, if it
+    materializes before the old files are GC'd, sees the complete
+    pre-merge table) or entirely after (complete post-merge table). A
+    reader whose cached listing straddles the swap FAILS FAST with a
+    missing-file error on the vanished part-files; it can never return
+    a torn mix of old and new rows, because the swap replaces the whole
+    directory (old and new part-file names never coexist under the
+    store path). Retry re-resolves the listing and succeeds. This is
+    the no-transaction-log tradeoff vs the reference's Redshift MERGE
+    (Salesforce/Task/SP_litify_task.sql:14) — Delta/Iceberg would give
+    lock-free snapshot reads behind the same merge algebra."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    path = str(tmp_path / "store")
+    t0 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], ["k", "v", "ts"]
+    )
+    t0.write.parquet(path)
+
+    # reader resolves its file listing NOW (InMemoryFileIndex is built
+    # when the DataFrame is defined and cached in the plan)
+    stale_reader = spark.read.parquet(path)
+    assert stale_reader.count() == 2  # pre-merge view is complete
+
+    src = spark.createDataFrame([(2, "B", 2), (3, "c", 2)], ["k", "v", "ts"])
+    M.merge_scd1_write(path, spark.read.parquet(path), src, "k", "ts")
+
+    # fresh reader: complete post-merge table, atomically visible
+    fresh = {
+        (r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert fresh == {(1, "a"), (2, "B"), (3, "c")}
+
+    # stale reader: the cached listing names part-files the swap
+    # removed -> fail fast (never a torn view). Spark surfaces the
+    # FileNotFound either as a wrapped Py4J error or an AnalysisException
+    # depending on when re-listing happens; both are the contract's
+    # "fail, retry re-resolves".
+    with pytest.raises(Exception) as exc_info:
+        stale_reader.collect()
+    msg = str(exc_info.value)
+    assert (
+        "FileNotFound" in msg
+        or "does not exist" in msg
+        or "PATH_NOT_FOUND" in msg
+        or "FILE_NOT_EXIST" in msg
+    ), msg
