@@ -297,21 +297,26 @@ def mixture_concentration(
     - ``top_share``: the largest single category share;
     - ``n_categories``.
 
-    Factors are cast to DOUBLE BEFORE multiplying (the _CORR_EXPR
-    discipline): int64 n² / N² products throw under Spark ANSI mode
-    once a group passes ~3e9 rows. Every term and partial sum is an
-    exact integer-valued double below 2^53, so the result is
-    bit-identical to integer arithmetic at any committed SF and stays
-    order-independent (no rounding ever occurs in that range); no libm
-    entropy is needed to rank skewed groups (HHI orders identically
-    for the filter-threshold use case). Two tiny aggregates: (group,
-    category) counts, then per-group reduction."""
+    Σn² accumulates in DECIMAL: int64 n² throws under Spark ANSI mode
+    once a cell passes ~3e9 rows, and a DOUBLE accumulator (the r5
+    formulation) silently loses exactness once the running sum passes
+    2^53 — a single 1e8-row cell already contributes n² = 1e16, making
+    the sum order-dependent exactly at the scales the cast was meant to
+    protect. DECIMAL(18,0) factors give an exact DECIMAL(37,0) product
+    and an exact (38,0) sum for any cell below 1e18 rows (beyond long
+    counts anyway); ONE rounding happens at the final cast-to-double,
+    so the IEEE division is bit-identical on any engine with exact
+    integer sums (DuckDB mirrors via HUGEINT) and order-independent at
+    every scale. No libm entropy is needed to rank skewed groups (HHI
+    orders identically for the filter-threshold use case). Two tiny
+    aggregates: (group, category) counts, then per-group reduction."""
     counts = df.groupBy(group_col, category_col).agg(
         F.count(F.lit(1)).alias("__n")
     )
-    nd = F.col("__n").cast("double")
-    sum_sq = F.sum(nd * nd)
-    tot_sq = F.sum("__n").cast("double") * F.sum("__n").cast("double")
+    ndec = F.col("__n").cast("decimal(18,0)")
+    sum_sq = F.sum(ndec * ndec).cast("double")
+    tot_dec = F.sum("__n").cast("decimal(18,0)")
+    tot_sq = (tot_dec * tot_dec).cast("double")
     return counts.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_categories"),
         (sum_sq / tot_sq).alias("hhi"),

@@ -1479,16 +1479,18 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH c AS (
   SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
 )
--- factors cast to DOUBLE before multiplying (matches the operator):
--- int64 n*n / SUM(n)*SUM(n) overflow past ~3e9-row groups; exact and
--- order-independent below 2^53
+-- Σn² accumulates EXACTLY (HUGEINT here, DECIMAL(38,0) in the
+-- operator) with one rounding at the final cast-to-double, so the
+-- IEEE division is bit-identical across engines and order-independent
+-- at every scale — a DOUBLE accumulator drifts past 2^53
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_categories,
-       SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
-         / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS hhi,
-       1 - SUM(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
-         / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
-         AS gini_impurity,
+       CAST(SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS DOUBLE)
+         / CAST(CAST(SUM(n) AS HUGEINT) * CAST(SUM(n) AS HUGEINT)
+                AS DOUBLE) AS hhi,
+       1 - CAST(SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS DOUBLE)
+         / CAST(CAST(SUM(n) AS HUGEINT) * CAST(SUM(n) AS HUGEINT)
+                AS DOUBLE) AS gini_impurity,
        CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_share
 FROM c GROUP BY 1
 """,
