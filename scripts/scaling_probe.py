@@ -28,6 +28,10 @@ PROBES = (
     "substring_dedup",      # gram agg + flag join + in-row rebuild
     "bm25_search",          # filtered explode + broadcast stats
     "web_corpus_prep",      # scan-fused curation pipeline
+    "customer_pareto",      # ranked_cumsum two-pass range exchange
+    "doc_length_cdf",       # percentile-edge CDF over distinct counts
+    "rfm_segments",         # distributed percentile_disc edges (r6)
+    "trade_pagerank",       # iterative join+agg (r5 join-trimmed)
 )
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
