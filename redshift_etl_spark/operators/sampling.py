@@ -404,3 +404,101 @@ def weighted_sample(
     return df.filter(
         hash_bucket16(key, salt) < F.floor(w * 65536).cast("long")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key: str,
+    group: str,
+    total: int,
+    sqrt_steps: int = 1,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling — per-group quotas
+    proportional to n^(1/2^sqrt_steps) instead of n, the standard
+    recipe for keeping high-resource sources from drowning the mix
+    (multilingual pretraining's "temperature sampling"; sqrt_steps=1 is
+    the common alpha=0.5). Unlike `mixture_sample` (caller-supplied
+    weights) the weights come from the DATA's own group sizes, so the
+    mix rebalances itself as the corpus grows.
+
+    Exactness across engines: alpha is restricted to 1/2^k because
+    IEEE-754 `sqrt` is CORRECTLY ROUNDED — the one libm-adjacent
+    function with a bit-exact contract — so k composed sqrts produce
+    the identical double on any engine (a general `pow` does not).
+    The weight is then frozen to an integer, round(sqrt^k(n)·1e6),
+    and quotas come from pure bigint arithmetic:
+    quota_g = min(n_g, total·w_g div Σw), identical everywhere.
+
+    Scale shape: (1) per-group counts (map-side-combined agg, |groups|
+    rows); (2) quota frame joined back (AQE decides broadcast — group
+    cardinality is data-dependent, no forced hint); (3) deterministic
+    per-group selection by rank over (md5(key), key) — the
+    `exact_cap_sample` draw: stable across runs/engines/partitionings,
+    one hash shuffle on the group column. Σ quotas ≤ total by
+    construction (floor division); the remainder (< |groups| rows) is
+    deliberately NOT redistributed — redistribution orders groups by
+    fractional remainder, a second global sort for ≤|groups| rows of
+    benefit."""
+    sizes = df.groupBy(group).agg(F.count(F.lit(1)).alias("__n"))
+    w = F.col("__n").cast("double")
+    for _ in range(sqrt_steps):
+        w = F.sqrt(w)
+    weighted = sizes.select(
+        group,
+        "__n",
+        F.round(w * 1e6, 0).cast("long").alias("__w"),
+    )
+    tot_w = weighted.agg(F.sum("__w").alias("__S"))
+    quotas = weighted.crossJoin(F.broadcast(tot_w)).select(
+        group,
+        F.least(
+            F.col("__n"),
+            F.expr(f"({int(total)} * __w) div __S"),
+        ).alias("__quota"),
+    )
+    h = F.md5(F.col(key).cast("string"))
+    rk = F.row_number().over(Window.partitionBy(group).orderBy(h, key))
+    return (
+        df.join(quotas, group)
+        .withColumn("__rk", rk)
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )
+
+
+def grouped_split_edges(val_pct: int = 10, test_pct: int = 10) -> tuple:
+    """The integer bucket thresholds behind `grouped_split` — exported
+    so oracle SQL is generated from the SAME constants."""
+    lo = ((100 - val_pct - test_pct) * 256) // 100
+    hi = ((100 - test_pct) * 256) // 100
+    return lo, hi
+
+
+def grouped_split(
+    df: DataFrame,
+    group: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the hash bucket is taken
+    over the GROUP (domain, site, author…), not the document, so every
+    member of a group lands in the same split. Row-level splits leak —
+    near-duplicate pages from one domain straddle train and eval and
+    inflate held-out scores; grouping by the unit of correlation is the
+    standard fix (GroupKFold / domain-held-out evaluation).
+
+    Same md5-bucket machinery as `hash_sample` (engine-portable,
+    deterministic, no shuffle — a pure projection on the group column):
+    bucket < (100-val-test)% of 256 → train, next val% → val, rest →
+    test. Percent edges are integer bucket thresholds (floor of
+    pct·256/100, shared with oracles via `grouped_split_edges`), so
+    both engines make the identical decision."""
+    lo, hi = grouped_split_edges(val_pct, test_pct)
+    b = hash_bucket(group)
+    return df.withColumn(
+        out_col,
+        F.when(b < lo, F.lit("train"))
+        .when(b < hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -829,3 +829,61 @@ def chunk_documents(
     ).select(
         id_col, "c.chunk_id", "c.chunk_text", "c.n_chunk_tokens"
     )
+
+
+def vocab_overlap(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus groups (sources,
+    languages, crawl snapshots) — the governance matrix that answers
+    "which sources are near-copies of each other / which bring new
+    material" before exact/near dedup runs doc-by-doc. Output per
+    unordered pair (group_a < group_b): both vocab sizes, the common
+    vocabulary count, and jaccard = |∩| / |∪| as an exact int/int
+    division (bit-identical on any engine). Pairs with EMPTY
+    intersection are omitted (inner join — callers wanting the zero
+    rows outer-join against their group list).
+
+    Scale shape: (1) per-doc distinct tokens in-row, exploded and
+    globally de-dup'd → the (group, token) frame is bounded by
+    |groups|·|vocab|, NOT corpus size; (2) the pair counts come from a
+    self-equi-join on token — per-token fan-out is (groups carrying
+    it choose 2) ≤ |groups|², bounded by group cardinality, never by
+    data volume (AQE's skew split covers stopword-ish tokens present
+    in every group); (3) two size lookups AQE-joins back (no forced
+    hint — group cardinality is data-dependent). Canonical whitespace
+    tokenizer shared with the dedup/oracle stack (`tokens_col`)."""
+    gt = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(F.array_distinct(tokens_col(text_col))).alias(
+                "__tok"
+            ),
+        )
+        .distinct()
+    )
+    sizes = gt.groupBy("__g").agg(F.count(F.lit(1)).alias("__v"))
+    a = gt.select(F.col("__g").alias("group_a"), "__tok")
+    b = gt.select(F.col("__g").alias("group_b"), "__tok")
+    inter = (
+        a.join(b, "__tok")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("__g").alias("group_a"), F.col("__v").alias("__va"))
+    sb = sizes.select(F.col("__g").alias("group_b"), F.col("__v").alias("__vb"))
+    union_sz = F.col("__va") + F.col("__vb") - F.col("n_common")
+    return (
+        inter.join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("__va").cast("long").alias("vocab_a"),
+            F.col("__vb").cast("long").alias("vocab_b"),
+            "n_common",
+            (F.col("n_common").cast("double") / union_sz.cast("double"))
+            .alias("jaccard"),
+        )
+    )

@@ -1043,3 +1043,61 @@ def fold_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi_square")
     )
     return chi.crossJoin(F.broadcast(dof))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split — assignment hashed on the
+# REGISTRABLE DOMAIN, not the document, so near-duplicate pages from
+# one site can never straddle train and eval (GroupKFold semantics).
+# Output: per-split document and domain counts + a structural
+# leakage check (domains appearing in >1 split — zero by construction,
+# computed rather than asserted so the oracle proves it too).
+# ---------------------------------------------------------------------------
+
+def _leakage_split_oracle() -> str:
+    lo, hi = SA.grouped_split_edges()
+    bucket = SA.oracle_bucket_sql("registrable_domain")
+    return f"""
+WITH {_DUCK_URL_PARSE},
+assigned AS (
+  SELECT doc_id, registrable_domain,
+         CASE WHEN {bucket} < {lo} THEN 'train'
+              WHEN {bucket} < {hi} THEN 'val'
+              ELSE 'test' END AS split
+  FROM parsed
+),
+per_split AS (
+  SELECT split,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT registrable_domain) AS BIGINT) AS n_domains
+  FROM assigned GROUP BY 1
+),
+leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked_domains FROM (
+    SELECT registrable_domain FROM assigned
+    GROUP BY 1 HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT split, n_docs, n_domains, n_leaked_domains
+FROM per_split CROSS JOIN leak
+"""
+
+
+@_q("leakage_safe_split", _leakage_split_oracle())
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _with_urls(spark, sf_dir)
+    parsed = W.parse_urls(urls, "url")
+    assigned = SA.grouped_split(parsed, "registrable_domain")
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("registrable_domain")
+        .cast("long")
+        .alias("n_domains"),
+    )
+    leak = (
+        assigned.groupBy("registrable_domain")
+        .agg(F.countDistinct("split").alias("__s"))
+        .filter(F.col("__s") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_domains"))
+    )
+    return per_split.crossJoin(F.broadcast(leak))

@@ -2713,3 +2713,84 @@ def doc_length_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_docs").cast("long").alias("cum_docs"),
         (F.col("cum_docs").cast("double") / F.col("t")).alias("cdf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-flattened mixture: per-language quotas ∝ sqrt(n) — the
+# standard multilingual rebalancing (high-resource langs downweighted).
+# IEEE sqrt is correctly rounded, so the frozen integer weights (and
+# hence the bigint quota arithmetic) are bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_TEMP_TOTAL = 200
+
+
+@_q(
+    "temperature_mixture",
+    f"""
+WITH sizes AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+),
+w AS (
+  SELECT lang, n,
+         CAST(ROUND(SQRT(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) AS sw
+  FROM sizes
+),
+tot AS (SELECT CAST(SUM(sw) AS BIGINT) AS s FROM w),
+q AS (
+  SELECT lang, LEAST(n, ({_TEMP_TOTAL} * sw) // s) AS quota
+  FROM w CROSS JOIN tot
+),
+r AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.source
+FROM r JOIN q USING (lang)
+WHERE rn <= quota
+""",
+)
+def temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    return SA.temperature_mixture(
+        docs, key="doc_id", group="lang", total=_TEMP_TOTAL
+    ).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap — pairwise Jaccard of source
+# vocabularies (corpus-governance matrix; exact-int ratio).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "vocab_overlap",
+    """
+WITH gt AS (
+  SELECT DISTINCT source AS g, t.tok
+  FROM documents, UNNEST(str_split(text, ' ')) AS t(tok)
+),
+sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS v FROM gt GROUP BY 1),
+inter AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM gt a JOIN gt b ON a.tok = b.tok AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b,
+       sa.v AS vocab_a, sb.v AS vocab_b, n_common,
+       CAST(n_common AS DOUBLE)
+         / CAST(sa.v + sb.v - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.g = group_a
+JOIN sizes sb ON sb.g = group_b
+""",
+)
+def vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.vocab_overlap(docs, "source", "text")

@@ -58,6 +58,8 @@ ALLOWED = {
     ("operators/pq.py", "pq_adc_topk"),
     ("operators/quality.py", "audit"),
     ("operators/sampling.py", "mixture_sample"),
+    ("operators/sampling.py", "temperature_mixture"),
+    ("queries/curation.py", "leakage_safe_split"),
     ("operators/sampling.py", "token_budget_sample"),
     ("operators/sampling.py", "winsorize"),
     ("operators/similarity.py", "ann_topk_lsh"),

@@ -1,0 +1,142 @@
+"""temperature_mixture / grouped_split / vocab_overlap — the round-6
+curation additions, property-checked against brute-force Python."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from redshift_etl_spark.operators import sampling as SA
+from redshift_etl_spark.operators import text as TX
+
+
+def _docs(spark, sizes: dict):
+    rows = []
+    i = 0
+    for g, n in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "grp"])
+
+
+def test_temperature_mixture_quotas_exact(spark):
+    sizes = {"big": 400, "mid": 100, "small": 25}
+    df = _docs(spark, sizes)
+    out = SA.temperature_mixture(df, "doc_id", "grp", total=100)
+    got = {
+        r["grp"]: r["n"]
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    # brute-force the quota arithmetic
+    w = {g: round(math.sqrt(n) * 1e6) for g, n in sizes.items()}
+    s = sum(w.values())
+    expect = {g: min(sizes[g], (100 * w[g]) // s) for g in sizes}
+    assert got == expect
+    # sqrt flattening: small group's share strictly above its
+    # proportional share, big group's strictly below
+    assert got["small"] / 100 > sizes["small"] / 525
+    assert got["big"] / 100 < sizes["big"] / 525
+
+
+def test_temperature_mixture_selection_deterministic(spark):
+    df = _docs(spark, {"a": 60, "b": 30})
+    out1 = sorted(
+        r["doc_id"]
+        for r in SA.temperature_mixture(df, "doc_id", "grp", 40).collect()
+    )
+    out2 = sorted(
+        r["doc_id"]
+        for r in SA.temperature_mixture(
+            df.repartition(7), "doc_id", "grp", 40
+        ).collect()
+    )
+    assert out1 == out2
+    # the draw is the md5-least prefix per group
+    picked = set(out1)
+    rows = [(r["doc_id"], r["grp"]) for r in df.collect()]
+    by_g = {}
+    for d, g in rows:
+        by_g.setdefault(g, []).append(d)
+    quotas = {}
+    w = {g: round(math.sqrt(len(v)) * 1e6) for g, v in by_g.items()}
+    s = sum(w.values())
+    for g, v in by_g.items():
+        quotas[g] = min(len(v), (40 * w[g]) // s)
+    for g, v in by_g.items():
+        order = sorted(v, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        assert set(order[: quotas[g]]) <= picked
+
+
+def test_grouped_split_never_splits_a_group(spark):
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 37}") for i in range(500)], ["doc_id", "domain"]
+    )
+    out = SA.grouped_split(df, "domain")
+    per_dom = (
+        out.groupBy("domain")
+        .agg(F.countDistinct("split").alias("ns"))
+        .collect()
+    )
+    assert all(r["ns"] == 1 for r in per_dom)
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_grouped_split_matches_python_hash(spark):
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], ["doc_id", "domain"]
+    )
+    lo, hi = SA.grouped_split_edges()
+    got = {
+        r["domain"]: r["split"] for r in SA.grouped_split(df, "domain").collect()
+    }
+    for d, s in got.items():
+        b = int(hashlib.md5(d.encode()).hexdigest()[:2], 16)
+        expect = "train" if b < lo else ("val" if b < hi else "test")
+        assert s == expect, (d, b, s, expect)
+
+
+def test_vocab_overlap_brute_force(spark):
+    corpus = {
+        "s1": ["a b c", "c d"],
+        "s2": ["c d e", "e f"],
+        "s3": ["x y", "y z a"],
+    }
+    rows = [
+        (i, g, t)
+        for i, (g, ts) in enumerate(sorted(corpus.items()))
+        for t in [" ".join(ts)]
+    ]
+    # one doc per source is enough; also multi-doc form:
+    rows = []
+    i = 0
+    for g, ts in sorted(corpus.items()):
+        for t in ts:
+            rows.append((i, g, t))
+            i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    got = {
+        (r["group_a"], r["group_b"]): (
+            r["vocab_a"], r["vocab_b"], r["n_common"], r["jaccard"]
+        )
+        for r in TX.vocab_overlap(df, "src", "text").collect()
+    }
+    vocab = {
+        g: set(w for t in ts for w in t.split(" "))
+        for g, ts in corpus.items()
+    }
+    for ga in corpus:
+        for gb in corpus:
+            if ga >= gb:
+                continue
+            inter = len(vocab[ga] & vocab[gb])
+            if inter == 0:
+                assert (ga, gb) not in got
+                continue
+            va, vb = len(vocab[ga]), len(vocab[gb])
+            assert got[(ga, gb)] == (
+                va, vb, inter, inter / (va + vb - inter)
+            )
