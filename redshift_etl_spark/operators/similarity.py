@@ -1038,3 +1038,119 @@ def int8_topk(
             "query_id", "neighbor_id", "qdot", F.col("rank").cast("long")
         )
     )
+
+
+def embedding_gram(
+    df: DataFrame, emb_col: str, dims: int, scale: int = 1_000_000
+) -> DataFrame:
+    """Second-moment (gram) matrix Σ x xᵀ over an embedding column —
+    the one-pass statistic behind whitening / PCA / OPQ rotation
+    training. Returns (i, j, gram_e6) rows, i/j ∈ [0, dims): each
+    per-row product x_i·x_j is widened float→double (exact), rounded
+    once at 1/``scale`` granularity and summed as BIGINT — the repo's
+    standard exact-sum policy, so any engine reproduces the integers
+    bit-for-bit.
+
+    Scale shape: the d² per-row terms are exploded BEFORE a hash
+    aggregate on (i, j) — map-side partial aggregation collapses each
+    task's terms to ≤ d² rows, so the shuffle carries d²·partitions
+    rows (a config-bounded constant), never N·d². CPU is the
+    irreducible O(N·d²) of any gramian; state per task is d² longs.
+    Only the upper triangle j ≥ i is aggregated (the matrix is
+    symmetric by construction — mirror on read)."""
+    pairs = F.expr(
+        f"""
+        flatten(transform(sequence(0, {dims - 1}), i ->
+          transform(sequence(i, {dims - 1}), j ->
+            struct(i AS i, j AS j,
+              CAST(ROUND(CAST({emb_col}[i] AS DOUBLE)
+                         * CAST({emb_col}[j] AS DOUBLE)
+                         * {scale}, 0) AS BIGINT) AS t))))
+        """
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.t")
+        .groupBy("i", "j")
+        .agg(F.sum("t").cast("long").alias("gram_e6"))
+    )
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    emb_col: str,
+    dims: int,
+    eps: float = 1e-6,
+    out_col: str = "whitened",
+) -> DataFrame:
+    """ZCA whitening: project embeddings so their covariance is ~I —
+    the standard preconditioner before product quantization / cosine
+    bucketing when raw dimensions are correlated (correlated dims make
+    PQ subspaces dependent and LSH planes redundant).
+
+    Distributed shape: ONE pass computes the d² second moments and the
+    d means (`embedding_gram` + an element-wise sum — both bounded
+    aggregates); the d×d eigendecomposition runs on the driver (d²
+    doubles is bounded METADATA, the codebook-collect exception, same
+    as `kmeans_codebook`); the projection W = U diag((λ+eps)^-½) Uᵀ
+    broadcasts to an Arrow-batched numpy matmul (`mapInPandas`) — the
+    data path stays map-only. Output schema: input columns +
+    ``out_col`` array<double>.
+
+    Not oracle-twinned: eigendecomposition has no portable bit-exact
+    contract (sign/order of eigenvectors is implementation-defined);
+    correctness is property-tested instead (covariance of the output
+    ≈ I, determinism across partitionings given the fixed LAPACK)."""
+    import numpy as np
+    import pandas as pd
+
+    n = df.count()
+    gram_rows = embedding_gram(df, emb_col, dims).collect()
+    # means under the SAME round-then-BIGINT-sum policy as the gram —
+    # a raw double SUM is order-dependent across partitionings and
+    # would make the trained W (hence every projection) depend on the
+    # physical layout
+    sums = df.select(
+        *[
+            F.sum(
+                F.round(F.col(emb_col)[i].cast("double") * 1e6, 0).cast(
+                    "long"
+                )
+            ).alias(f"s{i}")
+            for i in range(dims)
+        ]
+    ).collect()[0]
+    mu = np.array([sums[f"s{i}"] / 1e6 for i in range(dims)]) / n
+    g = np.zeros((dims, dims))
+    for r in gram_rows:
+        g[r["i"], r["j"]] = r["gram_e6"] / 1e6
+        g[r["j"], r["i"]] = r["gram_e6"] / 1e6
+    cov = g / n - np.outer(mu, mu)
+    lam, u = np.linalg.eigh(cov)
+    w = (u * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ u.T
+    w_list = w.tolist()
+    mu_list = mu.tolist()
+    out_fields = df.schema.fieldNames()
+    schema_str = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out_col}` array<double>"
+
+    def project(batches):
+        wm = np.asarray(w_list)
+        m = np.asarray(mu_list)
+        for pdf in batches:
+            x = np.stack(
+                pdf[emb_col].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            # fixed-order einsum, NOT BLAS matmul: dgemm picks blocked
+            # summation kernels by matrix SHAPE, so `(x-m) @ W.T` gives
+            # ulp-different results as Arrow batch sizes change — i.e.
+            # outputs that depend on the physical partitioning. The
+            # non-optimized einsum accumulates each output element in a
+            # fixed sequential order regardless of batch row count.
+            z = np.einsum("ij,kj->ik", x - m, wm, optimize=False)
+            out = pdf.copy()
+            out[out_col] = list(z)
+            yield out
+
+    return df.mapInPandas(project, schema=schema_str)

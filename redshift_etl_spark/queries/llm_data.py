@@ -2794,3 +2794,32 @@ JOIN sizes sb ON sb.g = group_b
 def vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return TX.vocab_overlap(docs, "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# Embedding second-moment (gram) matrix — the one-pass statistic
+# behind whitening/PCA/OPQ. Exploded (i,j) terms collapse under
+# map-side partial aggregation, so the shuffle carries d²·partitions
+# rows regardless of N; per-term round-then-BIGINT-sum is the repo's
+# exact-sum policy (identical integers on any engine).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "embedding_gram",
+    """
+WITH idx AS (SELECT range AS i FROM range(0, 64)),
+terms AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(ROUND(CAST(e.embedding[a.i + 1] AS DOUBLE)
+                    * CAST(e.embedding[b.i + 1] AS DOUBLE)
+                    * 1000000, 0) AS BIGINT) AS t
+  FROM embeddings e, idx a, idx b
+  WHERE b.i >= a.i
+)
+SELECT i, j, CAST(SUM(t) AS BIGINT) AS gram_e6
+FROM terms GROUP BY 1, 2
+""",
+)
+def embedding_gram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.embedding_gram(emb, "embedding", dims=64)
