@@ -128,7 +128,7 @@ def stratified_cap_sample(
 
 
 def exact_cap_sample(
-    df: DataFrame, key: str, group: str, cap: int
+    df: DataFrame, key: str, group: str, cap: int, prefilter: bool = False
 ) -> DataFrame:
     """Exact per-group quota sampling: keep exactly min(cap, |group|)
     rows per group, chosen deterministically — rank rows within each
@@ -138,7 +138,22 @@ def exact_cap_sample(
     hash shuffle on the group for the rank window. The md5 order makes
     the selection a uniform draw that is stable across runs, engines,
     and partitionings — and adding NEW rows to a group can displace
-    only the md5-largest survivors, never reshuffle the whole draw."""
+    only the md5-largest survivors, never reshuffle the whole draw.
+
+    The committed use (per-domain caps — millions of SMALL groups) is
+    skew-safe as-is; when the groups are instead few and giant, pass
+    ``prefilter=True`` to route through the `_quota_draw` md5-bucket
+    prefix prefilter (identical draw, window input bounded by ~cap·1.5
+    per group instead of the group size, at the cost of one extra
+    counting pass over the data)."""
+    if prefilter:
+        sizes = df.groupBy(group).agg(F.count(F.lit(1)).alias("__n"))
+        quotas = sizes.select(
+            group,
+            F.least(F.col("__n"), F.lit(int(cap))).alias("__quota"),
+            "__n",
+        )
+        return _quota_draw(df, key, group, quotas)
     from pyspark.sql import Window
 
     h = F.md5(F.col(key).cast("string"))
@@ -406,12 +421,93 @@ def weighted_sample(
     )
 
 
+def quota_bucket_edge(quota: int, n: int, margin_pct: int = 50) -> int:
+    """Python twin of the per-group md5-bucket edge used by the
+    quota-draw prefilter (exported so tests can bound the window input
+    with the SAME bigint arithmetic as the Column expression):
+    min(256, (256·quota·(100+margin)) div (100·n) + 1), and 0 when the
+    quota is 0 (nothing to draw — drop the group outright)."""
+    if quota <= 0:
+        return 0
+    if n <= 0:
+        return 256
+    return min(256, (256 * quota * (100 + margin_pct)) // (100 * n) + 1)
+
+
+def _quota_draw(
+    df: DataFrame,
+    key: str,
+    group: str,
+    quotas: DataFrame,
+    margin_pct: int = 50,
+) -> DataFrame:
+    """Deterministic per-group quota draw, bounded-window shape.
+
+    ``quotas`` carries (group, __quota, __n). The selection order is
+    (md5(key), key); `hash_bucket` is the FIRST BYTE of that same md5
+    hex string, and hex digits sort in ASCII order — so the row set
+    {bucket < B} is a PREFIX of each group's selection order. The draw
+    therefore prefilters to buckets below a per-group edge sized for
+    ~(1+margin)·quota expected survivors, count-verifies that each
+    group kept ≥ quota rows, and ranks ONLY the survivors — for a
+    verified group the top-quota of the prefix IS the top-quota of the
+    whole group, bit-identical, while the rank window's input is
+    ~quota·(1+margin) rows instead of the full group (the difference
+    between sorting ~quota rows and sorting a 10 TB source at 100 TB).
+    Any group whose survivor count falls short (possible only when the
+    md5 buckets of its keys are pathologically skewed high) falls back
+    to ranking its full membership — exactness never depends on the
+    margin, only the window-input bound does.
+
+    Passes over the data: survivor counting + the final draw, each a
+    scan joined against the tiny quota frame (AQE decides broadcast —
+    group cardinality is data-dependent, no forced hint). The quota
+    frame is localCheckpointed so its own aggregation scan runs once,
+    not once per consumer (tiny frame — |groups| rows; on a real
+    cluster the blocks are executor-local and non-replicated, an
+    acceptable trade for metadata this small)."""
+    b = hash_bucket(key)
+    edge = F.when(F.col("__quota") <= 0, F.lit(0)).otherwise(
+        F.expr(
+            f"least(256, (256 * __quota * {100 + int(margin_pct)})"
+            f" div (100 * __n) + 1)"
+        )
+    )
+    qn = quotas.select(
+        group, "__quota", edge.cast("long").alias("__edge")
+    ).localCheckpoint(eager=False)
+    surv = (
+        df.join(qn, group)
+        .filter(b < F.col("__edge"))
+        .groupBy(group)
+        .agg(F.count(F.lit(1)).alias("__surv"))
+    )
+    fb = qn.join(surv, group, "left").select(
+        group,
+        "__quota",
+        "__edge",
+        (F.coalesce(F.col("__surv"), F.lit(0)) < F.col("__quota")).alias(
+            "__fb"
+        ),
+    )
+    h = F.md5(F.col(key).cast("string"))
+    rk = F.row_number().over(Window.partitionBy(group).orderBy(h, key))
+    return (
+        df.join(fb, group)
+        .filter(F.col("__fb") | (b < F.col("__edge")))
+        .withColumn("__rk", rk)
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota", "__edge", "__fb")
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     key: str,
     group: str,
     total: int,
     sqrt_steps: int = 1,
+    margin_pct: int = 50,
 ) -> DataFrame:
     """Temperature-flattened mixture sampling — per-group quotas
     proportional to n^(1/2^sqrt_steps) instead of n, the standard
@@ -430,15 +526,17 @@ def temperature_mixture(
     quota_g = min(n_g, total·w_g div Σw), identical everywhere.
 
     Scale shape: (1) per-group counts (map-side-combined agg, |groups|
-    rows); (2) quota frame joined back (AQE decides broadcast — group
-    cardinality is data-dependent, no forced hint); (3) deterministic
-    per-group selection by rank over (md5(key), key) — the
-    `exact_cap_sample` draw: stable across runs/engines/partitionings,
-    one hash shuffle on the group column. Σ quotas ≤ total by
-    construction (floor division); the remainder (< |groups| rows) is
-    deliberately NOT redistributed — redistribution orders groups by
-    fractional remainder, a second global sort for ≤|groups| rows of
-    benefit."""
+    rows); (2) the `_quota_draw` prefix-prefiltered selection — the
+    headline use case is FEW, GIANT sources (multilingual temperature
+    sampling), where a naive per-group rank window funnels each whole
+    source through one task; the md5-bucket prefilter bounds the
+    window input to ~quota·(1+margin_pct/100) rows per group instead,
+    with a count-verified full-rank fallback so the draw stays
+    bit-identical to the unfiltered rank in every case. Σ quotas ≤
+    total by construction (floor division); the remainder (< |groups|
+    rows) is deliberately NOT redistributed — redistribution orders
+    groups by fractional remainder, a second global sort for ≤|groups|
+    rows of benefit."""
     sizes = df.groupBy(group).agg(F.count(F.lit(1)).alias("__n"))
     w = F.col("__n").cast("double")
     for _ in range(sqrt_steps):
@@ -455,15 +553,9 @@ def temperature_mixture(
             F.col("__n"),
             F.expr(f"({int(total)} * __w) div __S"),
         ).alias("__quota"),
+        "__n",
     )
-    h = F.md5(F.col(key).cast("string"))
-    rk = F.row_number().over(Window.partitionBy(group).orderBy(h, key))
-    return (
-        df.join(quotas, group)
-        .withColumn("__rk", rk)
-        .filter(F.col("__rk") <= F.col("__quota"))
-        .drop("__rk", "__quota")
-    )
+    return _quota_draw(df, key, group, quotas, margin_pct)
 
 
 def grouped_split_edges(val_pct: int = 10, test_pct: int = 10) -> tuple:
