@@ -20,8 +20,12 @@ _MODULES = (llm_data, tpch_shapes, agent_metrics, relational, curation)
 #
 # Maintained each round from CORRECTNESS_r{N}.json: add hash-green rows
 # at round N; leave hash-mismatched rows at their previous value so
-# they re-run immediately. Rows-only-by-design queries (approx_distinct,
-# compression_signals) count as green when the driver records them.
+# they re-run immediately. Rows-only credit applies only to rounds
+# BEFORE a query gained a hash oracle: approx_distinct and
+# compression_signals were reshaped to portable hash contracts in r07
+# (exact count + within_tol; raw_bytes + type_token_ratio +
+# deflate_bounded), so from r07 on they are held to the hash bar like
+# everything else.
 
 _LAST_GREEN: dict[str, int] = {}
 
@@ -93,7 +97,8 @@ def _sweep_driver_rounds() -> frozenset:
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    rows_only = {"approx_distinct", "compression_signals"}
+    # hash oracles landed in r07 — rows-only credit for earlier rounds only
+    rows_only_until = {"approx_distinct": 6, "compression_signals": 6}
     seen_green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -113,7 +118,10 @@ def _sweep_driver_rounds() -> frozenset:
             ok = (
                 row.get("rows_match")
                 and row.get("schema_match")
-                and (row.get("hash_match") or name in rows_only)
+                and (
+                    row.get("hash_match")
+                    or rnd <= rows_only_until.get(name, 0)
+                )
                 and not row.get("err")
             )
             if ok:

@@ -365,18 +365,41 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct (HLL sketch) — rows-only check: Spark's HLL++ and
-# any oracle's sketch differ by design; the exact twin is
-# `agent_metrics.unique_props`/A4. Kept as a catalog entry because the
-# 100 TB path uses the sketch, not exact COUNT(DISTINCT).
+# Approximate distinct (HLL sketch). Sketch INTERNALS are engine-specific
+# (Spark's HLL++ vs anything an oracle could run), so the portable
+# contract is emitted instead of the estimate: the exact distinct count
+# plus `within_tol` = |approx − exact|·10 ≤ exact (pure bigint test,
+# i.e. the rsd=0.02 sketch landed within 10% ≈ 5σ). Both engines
+# hash-match on (exact, TRUE) while the Spark side genuinely exercises
+# the sketch — the 100 TB path uses approx_count_distinct, not exact
+# COUNT(DISTINCT) (exact twin: `agent_metrics.unique_props`/A4).
 # ---------------------------------------------------------------------------
 
-@_q("approx_distinct", None)
+@_q(
+    "approx_distinct",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+""",
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users")) * 10
+                <= F.col("exact_users")
+            ).alias("within_tol"),
+        )
     )
 
 
@@ -1409,17 +1432,56 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Compression-ratio redundancy signal — zlib is deterministic but not
-# SQL-expressible, so this entry is deliberately oracle-less (the
-# driver records the weaker rows-only check; value-level coverage lives
-# in pytest against hand-computed zlib outputs).
+# Compression-ratio redundancy signal. zlib is deterministic but not
+# SQL-expressible, so the emitted row carries the PORTABLE contract:
+# raw UTF-8 bytes (Python len(bytes) ≡ octet_length(encode())), the
+# type-token redundancy ratio both engines compute from the shared
+# whitespace split (exact IEEE division of two exact ints — identical
+# doubles, no rounding needed, same policy as text_stats), and
+# `deflate_bounded` = compressed ∈ (0, raw + raw div 1000 + 64] — the
+# zlib worst-case expansion bound (stored-block overhead ≤ 5 bytes per
+# 16 KiB + 2-byte header + 4-byte adler), so the boolean proves the
+# mapInPandas zlib path actually ran and produced a sane size while the
+# oracle emits literal TRUE. Value-level zlib coverage (exact byte
+# counts vs hand-computed zlib) stays in pytest (test_quality.py).
 # ---------------------------------------------------------------------------
 
 
-@_q("compression_signals", None)
+@_q(
+    "compression_signals",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
+       CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+         / len(str_split(text, ' ')) AS type_token_ratio,
+       TRUE AS deflate_bounded
+FROM documents
+""",
+)
 def compression_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return TX.compression_signals(docs)
+    sig = TX.compression_signals(docs)
+    ttr = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(TX.tokens_col("text"))).cast("double")
+            / F.size(TX.tokens_col("text"))
+        ).alias("type_token_ratio"),
+    )
+    return sig.join(ttr, "doc_id").select(
+        "doc_id",
+        "raw_bytes",
+        "type_token_ratio",
+        (
+            (F.col("compressed_bytes") > 0)
+            & (
+                F.col("compressed_bytes")
+                <= F.col("raw_bytes")
+                + F.expr("raw_bytes div 1000")
+                + F.lit(64)
+            )
+        ).alias("deflate_bounded"),
+    )
 
 
 # ---------------------------------------------------------------------------

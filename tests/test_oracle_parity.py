@@ -20,11 +20,12 @@ def test_oracle_parity(spark, duck, name):
     compare(df, duck, Q.all_oracles()[name], name)
 
 
-# queries deliberately without oracle twins (driver records rows-only):
-# sketch-based ops whose algorithm differs from any oracle by design,
-# and zlib compression which no SQL engine can replicate (value-level
-# coverage lives in pytest against local zlib instead)
-ROWS_ONLY_OK = {"approx_distinct", "compression_signals"}
+# Since r07 every catalog query carries a hash oracle: the former
+# rows-only pair was reshaped to portable contracts (approx_distinct →
+# exact count + within_tol boolean; compression_signals → raw_bytes +
+# type_token_ratio + deflate_bounded), keeping the sketch / zlib
+# execution Spark-side while both engines hash-match on the contract.
+ROWS_ONLY_OK: set = set()
 
 
 def test_every_query_has_oracle_or_is_documented():
