@@ -831,6 +831,110 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Whitened-ANN recall report: ZCA-whiten the embeddings
+# (similarity.whiten_embeddings — the PQ/LSH preconditioner), run the
+# symmetric-int8 compressed-domain search IN WHITENED SPACE, and score
+# its recall@3 against the whitened-space exact cosine top-3, side by
+# side with the raw-space int8 recall (the `ann_recall_report`
+# numbers).
+#
+# Oracle shape: the raw-space half is fully portable (same CTEs as
+# ann_recall_report), so n_hits_raw hash-matches value-for-value. The
+# whitened half cannot be SQL-twinned — eigendecomposition has no
+# portable bit-exact contract (eigenvector sign/order is
+# implementation-defined) — so it enters the hash through the portable
+# contract `whitened_hits_ok` = (whitened n_hits ≥ 1), oracle literal
+# TRUE: deterministic at any committed SF (fixed LAPACK +
+# partition-invariant einsum projection; verified 1..3 hits per query
+# at sf0.001/0.01/0.1, vs ~0 for a random top-3 of N≥500), proving the
+# whiten → quantize → integer-dot → rank path end-to-end. The
+# "whitening improves recall on CORRELATED dims" property is pinned by
+# pytest on a correlated synthetic fixture (this testdata is
+# near-isotropic, where whitening is ~neutral by design).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "whitened_ann_recall",
+    f"""
+WITH {_INT8_CTES},
+m AS (SELECT MAX(abs(val)) AS ma FROM rows_),
+sym AS (
+  SELECT vec_id, dim, CAST(ROUND(val * 127 / ma) AS BIGINT) AS code
+  FROM rows_ CROSS JOIN m
+),
+q8 AS (SELECT vec_id, dim, code FROM sym WHERE vec_id < 10),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q8.vec_id AS query_id, c2.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY q8.vec_id
+        ORDER BY CAST(SUM(q8.code * c2.code) AS BIGINT) DESC, c2.vec_id ASC
+      ) AS rk
+    FROM q8 JOIN sym c2 ON q8.dim = c2.dim AND q8.vec_id <> c2.vec_id
+    GROUP BY q8.vec_id, c2.vec_id
+  ) WHERE rk <= 3
+),
+qf AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qf.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY qf.vec_id
+        ORDER BY ROUND(list_dot_product(qf.v, c.v)
+          / (sqrt(list_dot_product(qf.v, qf.v))
+             * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+          c.vec_id ASC
+      ) AS rk
+    FROM qf JOIN c ON qf.vec_id <> c.vec_id
+  ) WHERE rk <= 3
+)
+SELECT e.query_id,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits_raw,
+  TRUE AS whitened_hits_ok
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+""",
+)
+def whitened_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+
+    def int8_hits(frame: DataFrame) -> DataFrame:
+        exact = S.cosine_topk(
+            frame, frame.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=3
+        ).select("query_id", "neighbor_id")
+        ma = float(
+            S.global_max_abs(frame, "embedding").collect()[0]["max_abs"]
+        )
+        codes = S.symmetric_quantize(frame, ma, "vec_id", "embedding")
+        approx = S.int8_topk(
+            codes, codes.filter(F.col("vec_id") < 10), "vec_id", k=3
+        ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+        joined = exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["a_neighbor"]),
+            "left",
+        ).select(exact["query_id"], "a_neighbor")
+        return joined.groupBy("query_id").agg(
+            F.count("a_neighbor").cast("long").alias("n_hits")
+        )
+
+    raw = int8_hits(emb.select("vec_id", "embedding"))
+    wh = S.whiten_embeddings(emb, "embedding", 64).select(
+        "vec_id", F.col("whitened").alias("embedding")
+    )
+    whitened = int8_hits(wh)
+    return raw.join(whitened, "query_id").select(
+        "query_id",
+        raw["n_hits"].alias("n_hits_raw"),
+        (whitened["n_hits"] >= 1).alias("whitened_hits_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lorenz curve of crawl dominance — cumulative doc share by domain
 # rank over the TOP-K head plus one "(other)" tail bucket, the Pareto
 # view behind per-domain caps. Exact integer cumsums divided by the

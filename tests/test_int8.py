@@ -119,3 +119,57 @@ def test_strip_html_semantics(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_whitening_improves_int8_recall_on_correlated_dims(spark):
+    """The ZCA preconditioner's reason to exist: when a few correlated
+    directions dominate the variance, the single global int8 scale
+    spends its 8 bits on them and starves the rest, wrecking
+    compressed-domain ranking; whitening equalizes the spectrum first.
+    Fixture: 3 dominant latent directions mixed into 16 dims + small
+    noise (numpy-prototyped: raw ~3/30 hits vs whitened ~16/30).
+    Recall is measured per space — int8 top-3 vs exact cosine top-3 of
+    the SAME vectors — i.e. pure quantization fidelity."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, d, klat = 240, 16, 3
+    z = rng.randn(n, klat)
+    mix = rng.randn(klat, d) * np.array([12.0, 5.0, 2.0])[:, None]
+    x = z @ mix + 0.15 * rng.randn(n, d)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def int8_hits(frame):
+        exact = S.cosine_topk(
+            frame, frame.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=3
+        ).select("query_id", "neighbor_id")
+        ma = float(
+            S.global_max_abs(frame, "embedding").collect()[0]["max_abs"]
+        )
+        codes = S.symmetric_quantize(frame, ma, "vec_id", "embedding")
+        approx = S.int8_topk(
+            codes, codes.filter(F.col("vec_id") < 10), "vec_id", k=3
+        ).select("query_id", F.col("neighbor_id").alias("a"))
+        j = exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["neighbor_id"] == approx["a"]),
+            "left",
+        )
+        return sum(
+            r["n"]
+            for r in j.groupBy(exact["query_id"])
+            .agg(F.count("a").alias("n"))
+            .collect()
+        )
+
+    raw_hits = int8_hits(df)
+    wh = S.whiten_embeddings(df, "embedding", d).select(
+        "vec_id", F.col("whitened").alias("embedding")
+    )
+    wh_hits = int8_hits(wh)
+    assert wh_hits > raw_hits, (raw_hits, wh_hits)
+    assert wh_hits >= 10  # not just "slightly less broken"
