@@ -25,6 +25,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def count_part_files(root: str) -> int:
+    """Part-file count of a parquet store — the compaction trigger
+    signal (driver-side directory walk, no Spark job)."""
+    return sum(
+        1
+        for _dirpath, _dirs, files in os.walk(root)
+        for f in files
+        if f.startswith("part-")
+    )
+
+
+def maybe_compact(
+    spark,
+    corpus_path: str,
+    files_threshold: int,
+    files_per_bucket: int = 1,
+) -> dict | None:
+    """Threshold-gated `compact_dedup_store`: compact when the store's
+    part-file count exceeds ``files_threshold``, else no-op. Returns
+    the compaction stats dict, or None when below threshold. Safe
+    wherever the store has no concurrent writer — in particular inside
+    a foreachBatch body, where the stream will not start the next
+    trigger until the batch returns (the between-micro-batches slot the
+    compaction contract asks for)."""
+    if not os.path.exists(corpus_path):
+        return None
+    if count_part_files(corpus_path) <= files_threshold:
+        return None
+    return compact_dedup_store(spark, corpus_path, files_per_bucket)
+
+
 def dedup_ingest_batch(
     batch_df: DataFrame,
     corpus_path: str,
@@ -130,28 +161,32 @@ def compact_dedup_store(
     """
     import shutil
 
-    def _part_files(root: str) -> int:
-        return sum(
-            1
-            for dirpath, _dirs, files in os.walk(root)
-            for f in files
-            if f.startswith("part-")
-        )
-
-    files_before = _part_files(corpus_path)
+    files_before = count_part_files(corpus_path)
     store = spark.read.parquet(corpus_path)
     if "fp_bucket" not in store.columns:
         store = store.withColumn(
             "fp_bucket", F.substring("fingerprint", 1, 2)
         )
-    # hash-repartition on the bucket key: each of the 256 buckets lands
-    # wholly in one task, so partitionBy emits exactly one file per
-    # bucket per `files_per_bucket` unit; sortWithinPartitions gives
-    # each emitted file a contiguous fingerprint range
     n_parts = 256 * files_per_bucket
-    compacted = store.repartition(
-        n_parts, "fp_bucket", *([] if files_per_bucket == 1 else ["fingerprint"])
-    ).sortWithinPartitions("fp_bucket", "fingerprint")
+    if files_per_bucket == 1:
+        # hash-repartition on the bucket key alone: each of the 256
+        # buckets lands wholly in one task, so partitionBy emits
+        # exactly one file per bucket
+        compacted = store.repartition(n_parts, "fp_bucket")
+    else:
+        # RANGE repartition on (fp_bucket, fingerprint): each task
+        # holds one contiguous (bucket, fingerprint) slice, so a
+        # bucket's rows span ~files_per_bucket ADJACENT tasks — the
+        # write emits a bounded number of files per bucket whose
+        # fingerprint runs are contiguous and non-overlapping. (A hash
+        # repartition on the pair — the r06 formulation — scattered
+        # every bucket across essentially all tasks: up to n_parts
+        # overlapping files PER bucket, defeating both the file-count
+        # bound and min/max page skipping.)
+        compacted = store.repartitionByRange(
+            n_parts, "fp_bucket", "fingerprint"
+        )
+    compacted = compacted.sortWithinPartitions("fp_bucket", "fingerprint")
     rows = compacted.count()
 
     tmp = corpus_path.rstrip("/") + ".__compact_tmp__"
@@ -164,7 +199,7 @@ def compact_dedup_store(
     return {
         "rows": rows,
         "files_before": files_before,
-        "files_after": _part_files(corpus_path),
+        "files_after": count_part_files(corpus_path),
     }
 
 
@@ -175,13 +210,28 @@ def start_dedup_ingest_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     trigger_seconds: int | None = None,
+    compact_files_threshold: int | None = None,
 ):
     """Attach the dedup-ingest body to a document stream. The target is
     an append-only store in which every fingerprint occurs exactly once
-    across the whole stream lifetime — the corpus a trainer reads."""
+    across the whole stream lifetime — the corpus a trainer reads.
+
+    ``compact_files_threshold`` arms auto-compaction: after each
+    micro-batch append, if the store's part-file count exceeds the
+    threshold, `compact_dedup_store` runs before the batch returns —
+    i.e. between triggers, where the stop-the-stream contract holds by
+    construction (this sink is the store's only writer, and the next
+    trigger cannot start until foreachBatch returns). That bounds both
+    file-listing cost and the probe's page-skipping quality over the
+    stream's lifetime instead of leaving compaction to an external
+    maintenance window."""
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         dedup_ingest_batch(batch_df, corpus_path, id_col, text_col)
+        if compact_files_threshold is not None:
+            maybe_compact(
+                batch_df.sparkSession, corpus_path, compact_files_threshold
+            )
 
     writer = stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint_path

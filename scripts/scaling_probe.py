@@ -32,6 +32,10 @@ PROBES = (
     "doc_length_cdf",       # percentile-edge CDF over distinct counts
     "rfm_segments",         # distributed percentile_disc edges (r6)
     "trade_pagerank",       # iterative join+agg (r5 join-trimmed)
+    "temperature_mixture",  # quota draw, r7 md5-prefix-bounded window
+    "vocab_overlap",        # (group,token) frame + per-token join
+    "embedding_gram",       # d^2 explode + map-side partial agg
+    "leakage_safe_split",   # pure projection on md5(group)
 )
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 

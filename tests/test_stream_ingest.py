@@ -234,3 +234,125 @@ def test_legacy_store_migration(spark, tmp_path):
     I.dedup_ingest_batch(b, corpus)
     got = {r["text"] for r in spark.read.parquet(corpus).collect()}
     assert got == {"alpha", "beta", "gamma"}  # alpha deduped vs legacy
+
+
+def test_compaction_multifile_buckets_are_range_partitioned(spark, tmp_path):
+    """files_per_bucket > 1 must keep each bucket's files few, with
+    contiguous NON-OVERLAPPING fingerprint ranges (the r06 hash
+    formulation scattered every bucket across all tasks — unbounded
+    overlapping files, no min/max skipping)."""
+    from collections import defaultdict
+
+    corpus = str(tmp_path / "corpus")
+    b = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(3000)], ["doc_id", "text"]
+    )
+    I.dedup_ingest_batch(b, corpus)
+    fpb = 2
+    I.compact_dedup_store(spark, corpus, files_per_bucket=fpb)
+
+    by_bucket = defaultdict(list)
+    for path in _part_files(corpus):
+        bucket = next(
+            seg.split("=", 1)[1]
+            for seg in path.split(os.sep)
+            if seg.startswith("fp_bucket=")
+        )
+        fps = [
+            r["fingerprint"]
+            for r in spark.read.parquet(path).select("fingerprint").collect()
+        ]
+        assert fps == sorted(fps), path  # contiguous run within file
+        by_bucket[bucket].append((min(fps), max(fps)))
+    assert by_bucket
+    for bucket, ranges in by_bucket.items():
+        # bounded file count: ~files_per_bucket, +2 slack for range
+        # boundaries that straddle a bucket
+        assert len(ranges) <= fpb + 2, (bucket, len(ranges))
+        # non-overlapping ranges across the bucket's files
+        for (lo1, hi1), (lo2, _hi2) in zip(
+            sorted(ranges), sorted(ranges)[1:]
+        ):
+            assert hi1 < lo2, (bucket, sorted(ranges))
+    # probe against the multi-file store still dedups correctly
+    I.dedup_ingest_batch(
+        spark.createDataFrame([(9001, "text-7"), (9002, "fresh")], ["doc_id", "text"]),
+        corpus,
+    )
+    got = spark.read.parquet(corpus)
+    assert got.count() == 3001
+    assert got.filter("text = 'fresh'").count() == 1
+
+
+def test_auto_compaction_bounds_files_across_lifecycle(spark, tmp_path):
+    """Verdict r6 item 6: ingest → threshold-triggered compaction →
+    more ingest, with probe results identical throughout and the file
+    count bounded, using exactly the sink's per-batch hook."""
+    corpus = str(tmp_path / "corpus")
+    threshold = 40
+    expected = {}
+    max_files_seen = 0
+    compactions = 0
+    for i in range(14):
+        rows = [(i * 100 + j, f"doc-{i}-{j}") for j in range(6)] + [
+            (9999, "doc-0-0")  # cross-batch dup every trigger
+        ]
+        for did, txt in rows:
+            expected.setdefault(txt, min(did, expected.get(txt, did)))
+        b = spark.createDataFrame(rows, ["doc_id", "text"])
+        I.dedup_ingest_batch(b, corpus)
+        stats = I.maybe_compact(spark, corpus, threshold)
+        if stats is not None:
+            compactions += 1
+            assert stats["files_after"] < stats["files_before"]
+        max_files_seen = max(max_files_seen, I.count_part_files(corpus))
+        # store content is exactly the expected dedup state after
+        # every batch, compacted or not
+        got = {
+            r["text"]: r["doc_id"]
+            for r in spark.read.parquet(corpus).collect()
+        }
+        assert got == expected
+    assert compactions >= 1  # the threshold actually fired
+    # bounded: never beyond threshold + one batch's worth of appends
+    assert max_files_seen <= threshold + 64
+
+
+def test_sink_auto_compaction_end_to_end(spark, tmp_path):
+    """The live-stream form: compact_files_threshold=0 forces a
+    compaction after every micro-batch; content must match the plain
+    sink's and the store must end compacted (~one file per occupied
+    bucket)."""
+    indir = tmp_path / "in"
+    indir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    now = time.time()
+    _write_batch(
+        indir / "b1.json",
+        [{"doc_id": 1, "text": "alpha"}, {"doc_id": 2, "text": "beta"}],
+        now - 20,
+    )
+    _write_batch(
+        indir / "b2.json",
+        [{"doc_id": 10, "text": "beta"}, {"doc_id": 11, "text": "gamma"}],
+        now - 10,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q = I.start_dedup_ingest_sink(
+        stream, corpus, ckpt, compact_files_threshold=0
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()
+    }
+    assert got == {1: "alpha", 2: "beta", 11: "gamma"}
+    # compacted: one part-file per occupied bucket (3 distinct texts)
+    assert I.count_part_files(corpus) == 3
