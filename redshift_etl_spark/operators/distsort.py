@@ -47,6 +47,7 @@ def ranked_cumsum(
     rank_name: str = "rank",
     cumsum_name: str = "cum_value",
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Append global ``rank_name`` (row_number over the total order)
     and ``cumsum_name`` (running sum of ``value_col``, current row
@@ -57,6 +58,18 @@ def ranked_cumsum(
                      PRECEDING)                     AS cum_value
 
     ``order_by`` must be a TOTAL order (include a tiebreak column).
+
+    Durability (``reliable``): the default pins the staged frame with
+    ``localCheckpoint`` — executor-LOCAL, non-replicated blocks with
+    truncated lineage, which is exactly right on a single node but
+    means that on a real cluster, losing an executor AFTER
+    materialization fails every downstream job over the staged frame
+    unrecoverably (no lineage left to recompute from). For cluster
+    deployments where that matters, pass ``reliable=True`` to use a
+    reliable checkpoint instead (replicated, fault-tolerant storage;
+    the caller must have set ``spark.sparkContext.setCheckpointDir``
+    first — same correctness pinning, survives executor loss, at the
+    cost of a write to the checkpoint filesystem).
     """
     ranged = (
         df.repartitionByRange(num_partitions, *order_by)
@@ -71,10 +84,15 @@ def ranked_cumsum(
     # were planned as independent exchanges (exchange reuse disabled,
     # or column pruning differentiating them), rows could land in
     # different __pid buckets per consumer and the offsets join would
-    # silently mis-rank. localCheckpoint pins one concrete RDD that
+    # silently mis-rank. Checkpointing pins one concrete RDD that
     # both branches read — correctness no longer depends on
     # ReuseExchange firing.
-    staged = ranged.select("*", pid).localCheckpoint(eager=False)
+    staged = ranged.select("*", pid)
+    staged = (
+        staged.checkpoint(eager=False)
+        if reliable
+        else staged.localCheckpoint(eager=False)
+    )
 
     local_w = (
         Window.partitionBy("__pid")
@@ -120,6 +138,7 @@ def percentile_disc_edges(
     percents: list[float],
     prefix: str = "p",
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact ``percentile_disc(p) WITHIN GROUP (ORDER BY value_col)``
     for each p in ``percents``, as a ONE-ROW frame with columns
@@ -143,11 +162,17 @@ def percentile_disc_edges(
 
     Bit-identical to the built-in aggregate (property-tested in
     tests/test_distsort.py), but the largest single-task state is one
-    row per shuffle partition.
+    row per shuffle partition. NULL inputs are ignored, matching the
+    built-in (an aggregate skips NULLs): they are filtered before the
+    counts so they inflate neither N nor any cumulative threshold.
     """
     from fractions import Fraction
 
-    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
     cum = ranked_cumsum(
         counts,
         [F.col(value_col)],
@@ -155,6 +180,7 @@ def percentile_disc_edges(
         rank_name="__rk",
         cumsum_name="__cum",
         num_partitions=num_partitions,
+        reliable=reliable,
     )
     n_total = counts.agg(F.sum("__cnt").alias("__N"))
     aggs = []

@@ -82,47 +82,82 @@ def load_factor(cur_doc: dict, canary_floor: float | None) -> float:
     return min(max(1.0, c / canary_floor), LOAD_FACTOR_CAP)
 
 
-def gate(cur_doc: dict, floors: dict) -> tuple[list[str], list[str]]:
-    """Pure gate: returns (report_lines, regressed_names)."""
+ADVISORY_LOAD = 1.5
+
+
+def gate(
+    cur_doc: dict, floors: dict
+) -> tuple[list[str], list[str], list[str]]:
+    """Pure gate: returns (report_lines, regressed_names,
+    advisory_names).
+
+    Advisory tier (ADVICE r06): a heavily-loaded round grades itself
+    leniently — at load_factor 2.5 a ~2.9× slowdown still fits the
+    scaled budget. So above ADVISORY_LOAD the gate stops trusting the
+    scaling as PROOF of health: queries that pass the scaled budget
+    but would FAIL the idle (unscaled) budget are returned as
+    `advisory` — not regressions, but not cleared either; the round's
+    numbers should be re-recorded on an idle machine before being
+    committed as floors. Queries inside the idle budget even under
+    load are genuinely clean and pass outright."""
     cur_doc = _unwrap(cur_doc)
     cur = cur_doc["queries"]
     q_floor, s_floor = floors["queries"], floors["stream"]
     lf = load_factor(cur_doc, floors.get("canary"))
+    advisory_mode = lf > ADVISORY_LOAD
 
-    regressions, lines = [], []
+    regressions, advisory, lines = [], [], []
     lines.append(f"  load_factor: {lf:.2f} (canary-normalized budgets)")
+    if advisory_mode:
+        lines.append(
+            f"  !! load_factor > {ADVISORY_LOAD}: scaled-budget passes "
+            "that exceed the idle budget are ADVISORY — re-run idle "
+            "before committing this round's numbers"
+        )
     for name, t in sorted(cur.items()):
         if name not in q_floor:
             lines.append(f"  {name}: {t:.3f}s (new, no floor)")
             continue
-        budget = lf * max(RATIO * q_floor[name], q_floor[name] + GRACE_SEC)
-        flag = "" if t <= budget else "  << REGRESSION"
+        idle_budget = max(RATIO * q_floor[name], q_floor[name] + GRACE_SEC)
+        budget = lf * idle_budget
+        if t > budget:
+            flag = "  << REGRESSION"
+            regressions.append(name)
+        elif advisory_mode and t > idle_budget:
+            flag = "  << ADVISORY (passes only via load scaling)"
+            advisory.append(name)
+        else:
+            flag = ""
         lines.append(
             f"  {name}: {t:.3f}s vs floor {q_floor[name]:.3f}s "
             f"(budget {budget:.3f}s){flag}"
         )
-        if t > budget:
-            regressions.append(name)
     for name, v in sorted(cur_doc.get("stream", {}).items()):
         if not name.endswith("_rows_per_sec"):
             continue
         if name not in s_floor:
             lines.append(f"  {name}: {v:.0f} rows/s (new, no floor)")
             continue
-        budget = s_floor[name] / RATIO / lf
-        flag = "" if v >= budget else "  << REGRESSION"
+        idle_budget = s_floor[name] / RATIO
+        budget = idle_budget / lf
+        if v < budget:
+            flag = "  << REGRESSION"
+            regressions.append(name)
+        elif advisory_mode and v < idle_budget:
+            flag = "  << ADVISORY (passes only via load scaling)"
+            advisory.append(name)
+        else:
+            flag = ""
         lines.append(
             f"  {name}: {v:.0f} rows/s vs best {s_floor[name]:.0f} "
             f"(budget ≥{budget:.0f}){flag}"
         )
-        if v < budget:
-            regressions.append(name)
     tot_cur = sum(cur.values())
     tot_floor = sum(q_floor.get(n, cur[n]) for n in cur)
     lines.append(
         f"total: {tot_cur:.2f}s vs best-recorded floor {tot_floor:.2f}s"
     )
-    return lines, regressions
+    return lines, regressions, advisory
 
 
 def _current() -> dict:
@@ -137,11 +172,17 @@ def _current() -> dict:
 
 
 def main() -> None:
-    lines, regressions = gate(_current(), _recorded_floors())
+    lines, regressions, advisory = gate(_current(), _recorded_floors())
     print("\n".join(lines))
     if regressions:
         print(f"REGRESSED: {regressions}")
         sys.exit(1)
+    if advisory:
+        print(
+            f"ADVISORY: {advisory} — within load-scaled budget only; "
+            "re-run on an idle machine before trusting this round"
+        )
+        sys.exit(2)
     print("bench-gate: PASS")
 
 

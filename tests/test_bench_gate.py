@@ -38,8 +38,13 @@ FLOORS = bench_gate.floors_from_docs([_round_doc()])
 
 
 def _regressed(doc):
-    _, regressions = bench_gate.gate(doc, FLOORS)
+    _, regressions, _adv = bench_gate.gate(doc, FLOORS)
     return regressions
+
+
+def _advisory(doc, floors=None):
+    _, _reg, advisory = bench_gate.gate(doc, floors or FLOORS)
+    return advisory
 
 
 def test_idle_machine_at_floor_passes():
@@ -89,7 +94,7 @@ def test_legacy_rounds_without_canary_unnormalized():
     floors = bench_gate.floors_from_docs([_round_doc(canary=False)])
     assert floors["canary"] is None
     doc = _round_doc(q_scale=1.3, canary=False)
-    _, regressions = bench_gate.gate(doc, floors)
+    _, regressions, _adv = bench_gate.gate(doc, floors)
     # without a canary the 1.3× drift DOES flag q_slow (ratio budget) —
     # exactly the old behavior; the canary is what fixes it
     assert "q_slow" in regressions
@@ -97,5 +102,55 @@ def test_legacy_rounds_without_canary_unnormalized():
 
 def test_driver_wrapped_doc_unwraps():
     wrapped = {"parsed": _round_doc()}
-    _, regressions = bench_gate.gate(wrapped, FLOORS)
+    _, regressions, _adv = bench_gate.gate(wrapped, FLOORS)
     assert regressions == []
+
+
+def test_moderate_uniform_load_stays_clean_not_advisory():
+    # 1.3x uniform load is below the advisory threshold: scaled
+    # budgets apply silently, exactly the r06 in-vivo behavior
+    doc = _round_doc(q_scale=1.3, s_scale=1 / 1.3, canary_scale=1.3)
+    assert _advisory(doc) == []
+
+
+def test_heavy_load_scaled_pass_is_advisory_not_clean():
+    # ADVICE r06: under 2.5x load, a query at 2.0x its floor fits the
+    # scaled budget (2.5 * 1.2 = 3.0x) but NOT the idle budget (1.2x)
+    # -> advisory, not a silent pass
+    doc = _round_doc(canary_scale=2.5)
+    doc["queries"]["q_slow"] = round(QUERIES["q_slow"] * 2.0, 3)
+    assert _regressed(doc) == []
+    assert _advisory(doc) == ["q_slow"]
+
+
+def test_heavy_load_idle_budget_pass_is_clean():
+    # under heavy load, queries inside the IDLE budget are genuinely
+    # healthy - no advisory noise for them
+    doc = _round_doc(canary_scale=2.5)  # queries at floor
+    assert _regressed(doc) == []
+    assert _advisory(doc) == []
+
+
+def test_heavy_load_stream_scaled_pass_is_advisory():
+    doc = _round_doc(canary_scale=2.5)
+    doc["stream"]["stream_ctr_rate_rows_per_sec"] = round(
+        STREAM["stream_ctr_rate_rows_per_sec"] / 2.0, 1
+    )  # fits /1.2/2.5 scaled bar, fails /1.2 idle bar
+    assert _regressed(doc) == []
+    assert _advisory(doc) == ["stream_ctr_rate_rows_per_sec"]
+
+
+def test_committed_floor_present_loaded_replay_end_to_end():
+    # verdict r06 item 8: the floor-present path with a synthetic
+    # loaded-machine replay - floors from a committed round WITH a
+    # canary, current round under 1.4x load, all queries drifting
+    # with the load: clean pass, load_factor computed from the
+    # committed floor
+    floors = bench_gate.floors_from_docs(
+        [_round_doc(), _round_doc(q_scale=1.1, canary_scale=1.05)]
+    )
+    assert floors["canary"] == CANARY  # min across rounds
+    doc = _round_doc(q_scale=1.38, s_scale=1 / 1.38, canary_scale=1.4)
+    assert bench_gate.load_factor(doc, floors["canary"]) == 1.4
+    _, reg, adv = bench_gate.gate(doc, floors)
+    assert reg == [] and adv == []

@@ -161,3 +161,47 @@ def test_percentile_disc_edges_no_single_task_value_merge(spark):
 def test_empty_frame(spark):
     df = spark.createDataFrame([], "id long, k long, v long")
     assert DS.ranked_cumsum(df, [F.asc("k")], "v").count() == 0
+
+
+def test_percentile_disc_edges_ignore_nulls_like_builtin(spark):
+    """ADVICE r06: NULL inputs must not inflate N or shift any edge —
+    the built-in aggregate ignores NULLs, so must the distributed
+    edges. Fixture skews a third of rows to NULL so a NULL-counting
+    bug moves every threshold."""
+    rows = [(i, None if i % 3 == 0 else i % 17) for i in range(2001)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(7)
+    ps = [0.2, 0.5, 0.8, 0.99]
+    got = DS.percentile_disc_edges(df, "v", ps, prefix="e").collect()[0]
+    want = df.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY v)"
+            ).alias(f"e{round(p * 100)}")
+            for p in ps
+        ]
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
+    # and the all-NULL frame yields all-NULL edges, like the built-in
+    nulls = spark.createDataFrame([(1, None), (2, None)], "id long, v long")
+    out = DS.percentile_disc_edges(nulls, "v", [0.5], prefix="e").collect()[0]
+    assert out["e50"] is None
+
+
+def test_ranked_cumsum_reliable_checkpoint_path(spark, tmp_path):
+    """reliable=True pins the staged frame with a replicated reliable
+    checkpoint (cluster-survivable) instead of executor-local blocks;
+    results identical."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.createDataFrame(
+        [(i, i % 7, (i * 13) % 101) for i in range(500)], ["id", "k", "v"]
+    ).repartition(5)
+    order = lambda: [F.asc("k"), F.asc("id")]  # noqa: E731
+    base = sorted(
+        (r["id"], r["rank"], r["cum_value"])
+        for r in DS.ranked_cumsum(df, order(), "v").collect()
+    )
+    rel = sorted(
+        (r["id"], r["rank"], r["cum_value"])
+        for r in DS.ranked_cumsum(df, order(), "v", reliable=True).collect()
+    )
+    assert base == rel
