@@ -323,3 +323,81 @@ def test_merge_scd1_write_concurrent_reader_contract(spark, tmp_path):
         or "PATH_NOT_FOUND" in msg
         or "FILE_NOT_EXIST" in msg
     ), msg
+
+
+# --- table-format dispatch (r07: optional transactional backend) -----------
+
+
+def _delta_runtime():
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_merge_scd1_write_unknown_format_raises(spark, tmp_path):
+    import pytest
+
+    t = spark.createDataFrame([(1, "a", 1)], ["id", "v", "ts"])
+    s = spark.createDataFrame([(1, "b", 2)], ["id", "v", "ts"])
+    with pytest.raises(ValueError, match="table_format"):
+        M.merge_scd1_write(
+            str(tmp_path / "t"), t, s, "id", "ts", table_format="iceberg"
+        )
+
+
+def test_merge_scd1_write_delta_fails_loudly_without_runtime(spark, tmp_path):
+    """Without the delta-spark runtime the delta path must refuse (not
+    silently fall back to parquet and drop the transactional
+    contract). On a delta-enabled cluster this test is vacuous and the
+    delta suite below runs instead."""
+    import pytest
+
+    if _delta_runtime() and M.delta_available(spark):
+        pytest.skip("delta runtime present — covered by the delta suite")
+    t = spark.createDataFrame([(1, "a", 1)], ["id", "v", "ts"])
+    s = spark.createDataFrame([(1, "b", 2)], ["id", "v", "ts"])
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        M.merge_scd1_write(
+            str(tmp_path / "t"), t, s, "id", "ts", table_format="delta"
+        )
+
+
+def test_merge_scd1_write_delta_backend(spark, tmp_path):
+    """Delta-gated: same row-level semantics as merge_scd1, idempotent
+    on replay, and a reader holding a pre-merge snapshot succeeds
+    ACROSS the merge without retry (the transactional upgrade over the
+    parquet fail-fast contract)."""
+    import pytest
+
+    if not _delta_runtime() or not M.delta_available(spark):
+        pytest.skip("delta-spark runtime not on this classpath")
+    path = str(tmp_path / "t")
+    t = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], ["id", "v", "ts"]
+    )
+    s = spark.createDataFrame(
+        [(1, "a2", 20), (1, "a1", 15), (3, "c", 5)], ["id", "v", "ts"]
+    )
+    M.merge_scd1_write(path, t, s, "id", "ts", table_format="delta")
+    reader = spark.read.format("delta").load(path)  # snapshot pinned
+    want = sorted(
+        (r["id"], r["v"], r["ts"])
+        for r in M.merge_scd1(t, s, "id", "ts").collect()
+    )
+    got = sorted(
+        (r["id"], r["v"], r["ts"])
+        for r in spark.read.format("delta").load(path).collect()
+    )
+    assert got == want
+    # replay idempotence through the transactional path
+    M.merge_scd1_write(path, t, s, "id", "ts", table_format="delta")
+    got2 = sorted(
+        (r["id"], r["v"], r["ts"])
+        for r in spark.read.format("delta").load(path).collect()
+    )
+    assert got2 == want
+    # the pre-merge reader still completes (no vanished-file retry)
+    assert reader.count() == len(want)
