@@ -594,3 +594,87 @@ def grouped_split(
         .when(b < hi, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    token_count: Column,
+    capacity: int,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the final assembly step of a
+    pretraining pipeline: lay every document head-to-tail on one long
+    token tape in a deterministic pseudo-random order, then cut the
+    tape into fixed-``capacity`` training sequences ("shards" here).
+    Documents straddling a cut are split across the adjacent shards,
+    exactly like the standard concatenate-then-chunk packing (no
+    padding waste, every shard except the last is full by
+    construction).
+
+    Output: one row per (document, shard) overlap —
+      shard_id        tape_position div capacity (0-based),
+      ``key``         the document,
+      seq             the document's position in the tape order,
+      tok_start/tok_end   the half-open token slice of THIS document
+                          that lands in this shard,
+      shard_offset    where that slice begins inside the shard.
+    Zero-token documents occupy no tape and are dropped.
+
+    Determinism and scale: the tape order is (md5(salt‖':'‖key), key) —
+    the `training_shuffle` permutation, reproducible on any engine and
+    independent of partitioning — and the global token offsets come
+    from :func:`operators.distsort.ranked_cumsum` (range exchange +
+    per-partition windows + broadcast offsets), NEVER a global
+    single-task window. The boundary explode emits
+    ceil(doc_tokens/capacity)+1 rows per document at most —
+    Σ ≈ N + total_tokens/capacity rows, the output's own size. At
+    100 TB this is the same shape as writing the shards themselves:
+    embarrassingly parallel after one range shuffle."""
+    from .distsort import ranked_cumsum
+
+    h = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(key).cast("string"))
+    )
+    base = df.select(
+        F.col(key),
+        F.col(key).alias("__k2"),
+        h.alias("__h"),
+        token_count.cast("long").alias("__tok"),
+    ).filter(F.col("__tok") > 0)
+    cum = ranked_cumsum(
+        base,
+        [F.asc("__h"), F.asc("__k2")],
+        "__tok",
+        rank_name="seq",
+        cumsum_name="__cum_end",
+    )
+    start = (F.col("__cum_end") - F.col("__tok")).alias("__start")
+    cap = F.lit(int(capacity)).cast("long")
+    staged = cum.select(
+        key, "seq", "__tok", "__cum_end", start
+    ).select(
+        "*",
+        F.expr(f"__start div {int(capacity)}").alias("__fs"),
+        F.expr(f"(__cum_end - 1) div {int(capacity)}").alias("__ls"),
+    )
+    exploded = staged.select(
+        "*",
+        F.explode(F.sequence(F.col("__fs"), F.col("__ls"))).alias(
+            "shard_id"
+        ),
+    )
+    shard_start = F.col("shard_id") * cap
+    return exploded.select(
+        F.col("shard_id").cast("long"),
+        F.col(key),
+        F.col("seq").cast("long"),
+        F.greatest(F.lit(0).cast("long"), shard_start - F.col("__start"))
+        .alias("tok_start"),
+        F.least(
+            F.col("__tok"), shard_start + cap - F.col("__start")
+        ).alias("tok_end"),
+        F.greatest(
+            F.lit(0).cast("long"), F.col("__start") - shard_start
+        ).alias("shard_offset"),
+    )

@@ -2885,3 +2885,104 @@ FROM terms GROUP BY 1, 2
 def embedding_gram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.embedding_gram(emb, "embedding", dims=64)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (operators/sampling.pack_sequences): concat-and-chunk
+# the corpus into fixed-capacity training sequences on a deterministic
+# md5 tape order. The oracle replays the identical arithmetic with a
+# window cumsum + generate_series — every (doc, shard) slice matches
+# value-for-value. shard_manifest aggregates the same packing per shard.
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 512
+
+_PACK_CORE = f"""
+  t AS (
+    SELECT doc_id,
+           md5(concat('pack:', CAST(doc_id AS VARCHAR))) AS h,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS tok
+    FROM documents
+    WHERE len(str_split(text, ' ')) > 0
+  ),
+  c AS (
+    SELECT doc_id, tok,
+           CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS seq,
+           CAST(SUM(tok) OVER (ORDER BY h, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+    FROM t
+  ),
+  e AS (
+    SELECT doc_id, tok, seq, cum_end - tok AS strt,
+           (cum_end - tok) // {_PACK_CAP} AS fs,
+           (cum_end - 1) // {_PACK_CAP} AS ls
+    FROM c
+  ),
+  x AS (
+    SELECT e.*, unnest(generate_series(fs, ls)) AS shard_id FROM e
+  ),
+  packed AS (
+    SELECT CAST(shard_id AS BIGINT) AS shard_id, doc_id, seq,
+      CAST(greatest(0, shard_id * {_PACK_CAP} - strt) AS BIGINT)
+        AS tok_start,
+      CAST(least(tok, shard_id * {_PACK_CAP} + {_PACK_CAP} - strt)
+        AS BIGINT) AS tok_end
+    FROM x
+  )
+"""
+
+
+@_q(
+    "pack_sequences",
+    f"""
+WITH {_PACK_CORE}
+SELECT shard_id, doc_id, seq, tok_start, tok_end,
+       tok_end - tok_start AS n_tokens
+FROM packed
+""",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    packed = SA.pack_sequences(
+        docs, "doc_id", TX.token_count("text"), _PACK_CAP
+    )
+    return packed.select(
+        "shard_id",
+        "doc_id",
+        "seq",
+        "tok_start",
+        "tok_end",
+        (F.col("tok_end") - F.col("tok_start")).alias("n_tokens"),
+    )
+
+
+@_q(
+    "shard_manifest",
+    f"""
+WITH {_PACK_CORE}
+SELECT shard_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(tok_end - tok_start) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN tok_start > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_continuations
+FROM packed GROUP BY shard_id
+""",
+)
+def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    packed = SA.pack_sequences(
+        docs, "doc_id", TX.token_count("text"), _PACK_CAP
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("tok_end") - F.col("tok_start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum((F.col("tok_start") > 0).cast("long"))
+        .cast("long")
+        .alias("n_continuations"),
+    )

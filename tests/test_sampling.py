@@ -222,3 +222,61 @@ def test_token_budget_sample_budgets_and_determinism(spark):
     # unknown groups drop; tiny budget still yields >= 1 doc
     one = token_budget_sample(df, "source", "doc_id", "n_tokens", {"web": 1})
     assert one.count() == 1
+
+
+def test_pack_sequences_properties(spark):
+    """Concat-and-chunk invariants: (a) every shard except the last is
+    exactly full; (b) each document's slices tile [0, tok) without gap
+    or overlap; (c) shard-internal layout is gap-free; (d) the packing
+    is independent of input partitioning."""
+    import pyspark.sql.functions as F
+
+    cap = 64
+    rows = [(i, (i * 7) % 150 + 1) for i in range(200)] + [(999, 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "tok"])
+    out = SP.pack_sequences(df, "doc_id", F.col("tok"), cap).collect()
+
+    total_tok = sum(t for _i, t in rows)
+    by_shard, by_doc = {}, {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    assert 999 not in by_doc  # zero-token doc occupies no tape
+    last = max(by_shard)
+    assert sorted(by_shard) == list(range(last + 1))  # no empty shards
+    for sid, srows in by_shard.items():
+        tokens = sum(r["tok_end"] - r["tok_start"] for r in srows)
+        if sid < last:
+            assert tokens == cap, sid  # (a) full
+        else:
+            assert 0 < tokens <= cap
+        # (c) gap-free layout inside the shard
+        spans = sorted(
+            (r["shard_offset"], r["shard_offset"] + r["tok_end"] - r["tok_start"])
+            for r in srows
+        )
+        assert spans[0][0] == 0
+        for (_s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+            assert e1 == s2, (sid, spans)
+    assert sum(t for _i, t in rows) == sum(
+        r["tok_end"] - r["tok_start"] for r in out
+    )
+    for did, drows in by_doc.items():
+        tok = dict(rows)[did]
+        slices = sorted((r["tok_start"], r["tok_end"]) for r in drows)
+        assert slices[0][0] == 0 and slices[-1][1] == tok
+        for (_s1, e1), (s2, _e2) in zip(slices, slices[1:]):
+            assert e1 == s2, (did, slices)  # (b) tile exactly
+        # straddling docs sit in consecutive shards
+        sids = sorted(r["shard_id"] for r in drows)
+        assert sids == list(range(sids[0], sids[0] + len(sids)))
+
+    # (d) partition invariance
+    out2 = SP.pack_sequences(
+        df.repartition(13), "doc_id", F.col("tok"), cap
+    ).collect()
+    key = lambda r: (r["shard_id"], r["doc_id"], r["tok_start"])  # noqa: E731
+    assert sorted(map(lambda r: tuple(r), sorted(out, key=key))) == sorted(
+        map(lambda r: tuple(r), sorted(out2, key=key))
+    )
