@@ -2892,7 +2892,7 @@ def embedding_gram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the corpus into fixed-capacity training sequences on a deterministic
 # md5 tape order. The oracle replays the identical arithmetic with a
 # window cumsum + generate_series — every (doc, shard) slice matches
-# value-for-value. shard_manifest aggregates the same packing per shard.
+# value-for-value. pack_manifest aggregates the same packing per shard.
 # ---------------------------------------------------------------------------
 
 _PACK_CAP = 512
@@ -2959,7 +2959,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "shard_manifest",
+    "pack_manifest",
     f"""
 WITH {_PACK_CORE}
 SELECT shard_id,
@@ -2970,7 +2970,7 @@ SELECT shard_id,
 FROM packed GROUP BY shard_id
 """,
 )
-def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling as SA
 
     docs = load(spark, sf_dir, "documents")
