@@ -4525,3 +4525,42 @@ def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order curve assignment (operators/zorder): Morton-interleave the
+# bucketed (o_custkey, o_totalprice) pair — the multi-column
+# data-skipping layout key. Spark embeds its collected min/max as
+# float literals; the oracle computes the same min/max in a stats CTE;
+# MIN/MAX select existing doubles exactly and repr round-trips, so the
+# bucket arithmetic (generated by the SAME zvalue_sql/bucket_sql
+# helpers, only the integer-division token differs) agrees bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from ..operators import zorder as Z
+
+    b0 = Z.bucket_sql("o_custkey", "mn0", "mx0", 8)
+    b1 = Z.bucket_sql("o_totalprice", "mn1", "mx1", 8)
+    z = Z.zvalue_sql([b0, b1], 8, intdiv="//")
+    return f"""
+WITH s AS (
+  SELECT MIN(CAST(o_custkey AS DOUBLE)) AS mn0,
+         MAX(CAST(o_custkey AS DOUBLE)) AS mx0,
+         MIN(CAST(o_totalprice AS DOUBLE)) AS mn1,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS mx1
+  FROM orders
+)
+SELECT o_orderkey, CAST({z} AS BIGINT) AS zvalue
+FROM orders CROSS JOIN s
+"""
+
+
+@_q("zorder_curve", _zorder_oracle())
+def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import zorder as Z
+
+    orders = load(spark, sf_dir, "orders")
+    laid = Z.zorder_layout(orders, ["o_custkey", "o_totalprice"], bits=8)
+    return laid.select("o_orderkey", F.col("zvalue").cast("long"))
