@@ -4564,3 +4564,75 @@ def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     laid = Z.zorder_layout(orders, ["o_custkey", "o_totalprice"], bits=8)
     return laid.select("o_orderkey", F.col("zvalue").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (operators/merge.apply_cdc): collapse an I/U/D change log
+# onto the orders snapshot. The log is derived deterministically from
+# orders itself (delete every key≡0 mod 7 — after a superseded update,
+# so the collapse is exercised; two competing updates for key≡1 mod 7
+# where seq 2 must win; insert a shifted copy of every key≡0 mod 97).
+# The oracle states the expected FINAL SEMANTICS directly (filters +
+# arithmetic), not a replay of the operator's algebra — a genuinely
+# independent check.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "cdc_apply",
+    """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+)
+SELECT * FROM base WHERE o_orderkey % 7 NOT IN (0, 1)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 2,
+       o_orderdate, o_orderpriority
+FROM base WHERE o_orderkey % 7 = 1
+UNION ALL
+SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM base WHERE o_orderkey % 97 = 0
+""",
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    base = load(spark, sf_dir, "orders").select(*cols)
+    k = F.col("o_orderkey")
+
+    def change(rows: DataFrame, price_delta: float, seq: int, op: str):
+        return rows.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(price_delta)).alias(
+                "o_totalprice"
+            ),
+            "o_orderdate",
+            "o_orderpriority",
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    dels = base.filter(k % 7 == 0)
+    upds = base.filter(k % 7 == 1)
+    ins = base.filter(k % 97 == 0).withColumn(
+        "o_orderkey", k + F.lit(1_000_000_000)
+    )
+    log = (
+        change(dels, 1.0, 1, "U")       # superseded by the delete below
+        .unionByName(change(dels, 0.0, 2, "D"))
+        .unionByName(change(upds, 1.0, 1, "U"))  # loses to seq 2
+        .unionByName(change(upds, 2.0, 2, "U"))  # wins
+        .unionByName(change(ins, 0.0, 1, "I"))
+    )
+    return M.apply_cdc(base, log, "o_orderkey", "seq")

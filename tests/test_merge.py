@@ -401,3 +401,61 @@ def test_merge_scd1_write_delta_backend(spark, tmp_path):
     assert got2 == want
     # the pre-merge reader still completes (no vanished-file retry)
     assert reader.count() == len(want)
+
+
+# --- CDC apply --------------------------------------------------------------
+
+
+def _cdc_fixture(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10), (4, "d", 10)],
+        ["id", "v", "ts"],
+    )
+    log = spark.createDataFrame(
+        [
+            (1, "a1", 11, 1, "U"),   # superseded
+            (1, "a2", 12, 2, "U"),   # winner: update
+            (2, "x", 11, 1, "U"),    # superseded
+            (2, "x", 12, 2, "D"),    # winner: delete
+            (5, "e", 11, 1, "I"),    # insert new key
+            (6, "f", 11, 1, "I"),    # insert then delete -> never lands
+            (6, "f", 12, 2, "D"),
+        ],
+        ["id", "v", "ts", "seq", "op"],
+    )
+    return target, log
+
+
+def test_apply_cdc_semantics(spark):
+    target, log = _cdc_fixture(spark)
+    got = sorted(
+        (r["id"], r["v"], r["ts"])
+        for r in M.apply_cdc(target, log, "id", "seq").collect()
+    )
+    assert got == [
+        (1, "a2", 12),  # latest update applied
+        (3, "c", 10),   # untouched passthrough
+        (4, "d", 10),
+        (5, "e", 11),   # insert
+    ]
+
+
+def test_apply_cdc_collapse_and_replay_idempotent(spark):
+    target, log = _cdc_fixture(spark)
+    once = M.apply_cdc(target, log, "id", "seq")
+    # apply(log) == apply(latest-per-key(log)) — intermediate changes
+    # collapse without being applied
+    collapsed = M.apply_cdc(
+        target, M.latest_per_key(log, "id", "seq"), "id", "seq"
+    )
+    key = lambda r: (r["id"], r["v"], r["ts"])  # noqa: E731
+    assert sorted(map(key, once.collect())) == sorted(
+        map(key, collapsed.collect())
+    )
+    # replaying the same batch onto the applied state is a no-op
+    # (delete winners target already-absent keys, upserts rewrite
+    # identical rows)
+    twice = M.apply_cdc(once, log, "id", "seq")
+    assert sorted(map(key, twice.collect())) == sorted(
+        map(key, once.collect())
+    )
