@@ -4636,3 +4636,40 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(change(ins, 0.0, 1, "I"))
     )
     return M.apply_cdc(base, log, "o_orderkey", "seq")
+
+
+# ---------------------------------------------------------------------------
+# Attribution interval join (streaming/joins.attribution_join in batch
+# mode): click events matched to the view (impression) they followed
+# within the attribution window, same-user. The IDENTICAL expression
+# runs as a bounded-state stream-stream join on live feeds (watermarks
+# on both sides — see streaming/joins.py); the batch degradation is
+# what the oracle checks, and the streaming pytest pins live ≡ batch.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "attribution_join",
+    """
+WITH i AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT i.user_id AS ad_id, i.ts AS imp_time, c.ts AS click_time,
+       CAST(floor(date_part('epoch', c.ts)) AS BIGINT)
+         - CAST(floor(date_part('epoch', i.ts)) AS BIGINT) AS delay_sec
+FROM i JOIN c
+  ON i.user_id = c.user_id
+ AND c.ts >= i.ts
+ AND c.ts <= i.ts + INTERVAL 3600 SECOND
+""",
+)
+def attribution_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import attribution_join
+
+    ev = load(spark, sf_dir, "events")
+    imps = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("ad_id"), F.col("ts").alias("imp_time")
+    )
+    clks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("ad_id"), F.col("ts").alias("click_time")
+    )
+    return attribution_join(imps, clks, max_delay_seconds=3600)
