@@ -4673,3 +4673,61 @@ def attribution_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("ad_id"), F.col("ts").alias("click_time")
     )
     return attribution_join(imps, clks, max_delay_seconds=3600)
+
+
+# ---------------------------------------------------------------------------
+# Incremental MV maintenance (operators/mv): build the aggregate view
+# over one slice of orders, then fold two append batches in — cost
+# per fold ∝ the delta, never the base. The oracle is the FULL
+# recompute over all of orders: hash equality proves
+# maintain(maintain(mv(b), d1), d2) ≡ mv(b ∪ d1 ∪ d2) exactly (sums
+# ride the round-to-cents BIGINT policy, so partial-merge order is
+# associativity-exact).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "mv_incremental",
+    """
+SELECT o_orderpriority, o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+    AS sum_price_cents,
+  MIN(o_orderdate) AS min_o_orderdate,
+  MAX(o_orderdate) AS max_o_orderdate
+FROM orders GROUP BY 1, 2
+""",
+)
+def mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import mv as MV
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    k = F.col("o_orderkey") % 5
+    base = orders.filter(k.isin(1, 2))
+    d1 = orders.filter(k.isin(3, 4))
+    d2 = orders.filter(k == 0)
+    spec = dict(
+        keys=["o_orderpriority", "o_orderstatus"],
+        sum_cols=["price_cents"],
+        min_cols=["o_orderdate"],
+        max_cols=["o_orderdate"],
+    )
+    view = MV.agg_mv(base, **spec)
+    view = MV.maintain_agg_mv(view, d1, **spec)
+    view = MV.maintain_agg_mv(view, d2, **spec)
+    return view.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_price_cents").cast("long"),
+        "min_o_orderdate",
+        "max_o_orderdate",
+    )
