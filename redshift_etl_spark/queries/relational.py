@@ -1060,8 +1060,8 @@ def salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Exact percentiles (continuous interpolation — identical formula in
-# both engines; the approximate path is `approx_distinct`-style
-# percentile_approx, which has no oracle by design)
+# both engines). The approximate path (`approx_quantiles` below) is
+# oracle-checked through a bracket contract, approx_distinct-style.
 # ---------------------------------------------------------------------------
 
 @_q(
@@ -1080,6 +1080,47 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.percentile("l_quantity", 0.9).alias("p90_qty"),
         F.percentile("l_extendedprice", 0.5).alias("median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles (the 100 TB path: percentile_approx's
+# mergeable KLL-style sketch instead of an exact per-group sort).
+# Sketch internals are engine-specific, so the portable contract is a
+# BRACKET: at accuracy 1000 the rank error is ≤ 1/1000, so the
+# estimate must land between the exact 45th and 55th percentiles —
+# both engines hash-match on (exact median, TRUE) while the Spark side
+# genuinely runs the sketch.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "approx_quantiles",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       TRUE AS approx_in_bracket
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("median_qty"),
+            F.percentile_approx("l_quantity", 0.5, 1000).alias("__a"),
+            F.percentile("l_quantity", 0.45).alias("__lo"),
+            F.percentile("l_quantity", 0.55).alias("__hi"),
+        )
+        .select(
+            "l_returnflag",
+            "median_qty",
+            (
+                (F.col("__a") >= F.col("__lo"))
+                & (F.col("__a") <= F.col("__hi"))
+            ).alias("approx_in_bracket"),
+        )
     )
 
 
