@@ -58,6 +58,11 @@ HEADLINE = (
     "hybrid_search_rrf",    # keyword ⊕ vector RRF fusion
     "ann_topk_int8",        # compressed-domain integer-dot ANN
     "substring_dedup",      # ExactSubstr sliding-window dedup (5 stages)
+    "pack_sequences",       # exact concat-and-chunk shard slicing (r7)
+    "zorder_curve",         # Morton z-value layout key (r7)
+    "cdc_apply",            # I/U/D change-log collapse with deletes (r7)
+    "mv_incremental",       # two delta folds into the aggregate MV (r7)
+    "attribution_join",     # interval attribution join, batch form (r7)
 )
 
 

@@ -238,6 +238,12 @@ def sequence_packs(
     Returns one row per (group, pack) with doc/token accounting; packs
     may exceed ``cap`` by at most one document's spill, matching the
     chunk-boundary semantics of real packers.
+
+    Companion: :func:`pack_sequences` is the EXACT-capacity form —
+    global md5 tape order via `ranked_cumsum` and documents SPLIT at
+    shard boundaries with per-slice offsets (every shard but the last
+    exactly full); this one is the lighter whole-document assignment
+    per source stream.
     """
     from pyspark.sql import Window
 
@@ -611,6 +617,11 @@ def pack_sequences(
     exactly like the standard concatenate-then-chunk packing (no
     padding waste, every shard except the last is full by
     construction).
+
+    Companion: :func:`sequence_packs` is the lighter whole-document
+    form (per-source streams, a doc never splits, packs overflow by
+    one doc's spill); this one cuts EXACTLY at the capacity, the shape
+    a trainer's fixed-length batcher consumes.
 
     Output: one row per (document, shard) overlap —
       shard_id        tape_position div capacity (0-based),
