@@ -751,3 +751,100 @@ def exact_substring_dedup(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+# --- incremental near-dup index -------------------------------------------
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The PERSISTENT form of the banded-LSH signatures: one row per
+    (doc, band) — ``(id, band_no, band_hash, h0..h{k-1})`` — the table
+    a corpus stores so tomorrow's increment can be near-dup-checked
+    without ever re-reading today's text. Long form (band exploded)
+    because that is the probe's join key: store it partitioned/bucketed
+    on (band_no, band_hash) and an increment's probe co-locates.
+    Documents too short to shingle (< shingle_n tokens) have no
+    signature and are absent, same as the batch LSH path."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_no"),
+                F.md5(
+                    F.concat(*[F.col(f"h{b * r + j}") for j in range(r)])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col),
+        F.explode(entries).alias("__e"),
+        *[F.col(f"h{j}") for j in range(num_hashes)],
+    ).select(
+        id_col,
+        F.col("__e.band_no").alias("band_no"),
+        F.col("__e.band_hash").alias("band_hash"),
+        *[F.col(f"h{j}") for j in range(num_hashes)],
+    )
+
+
+def incremental_near_dups(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup check of an increment against the STORED corpus index —
+    the daily-ingest shape at 100 TB: signature cost ∝ the increment,
+    the corpus contributes only its (band, hash) index rows (text never
+    rescanned), and the probe is a plain equi-join on
+    (band_no, band_hash) that AQE broadcasts when the increment is
+    small. Returns ``(pairs, new_index_rows)``: pairs =
+    (doc_a ∈ stored, doc_b ∈ increment, est_jaccard from signature
+    agreement — both sides carry their signatures, so no text join),
+    and the increment's own index rows for the caller to append
+    (store ∪ new_index_rows IS the next day's index — the same
+    content-as-ledger idempotence as the exact-dedup streaming ingest).
+    Within-increment duplicates are the existing batch path
+    (`lsh_candidate_pairs` on the increment alone)."""
+    new_idx = minhash_index(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    left = index.select(
+        F.col(id_col).alias("doc_a"),
+        "band_no",
+        "band_hash",
+        *[F.col(f"h{j}").alias(f"ha{j}") for j in range(num_hashes)],
+    )
+    right = new_idx.select(
+        F.col(id_col).alias("doc_b"),
+        "band_no",
+        "band_hash",
+        *[F.col(f"h{j}").alias(f"hb{j}") for j in range(num_hashes)],
+    )
+    agree = sum(
+        (F.col(f"ha{j}") == F.col(f"hb{j}")).cast("int")
+        for j in range(num_hashes)
+    )
+    pairs = (
+        left.join(right, ["band_no", "band_hash"])
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+    return pairs, new_idx

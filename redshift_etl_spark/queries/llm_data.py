@@ -2986,3 +2986,53 @@ def pack_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_continuations"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup probe (operators/dedup.incremental_near_dups):
+# the daily-ingest shape — docs ≡ 0 mod 3 are "today's increment",
+# checked against the STORED banded-LSH index of everything else
+# without re-reading old text. The oracle recomputes both sides'
+# signatures from scratch (same 32-bit family) and takes the
+# cross-slice band matches, so the index path must agree value-for-
+# value with a full recompute.
+# ---------------------------------------------------------------------------
+
+
+def _incr_near_dup_oracle() -> str:
+    sig_cols = ",\n    ".join(
+        f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS h{j}"
+        for j in range(8)
+    )
+    agree = " + ".join(f"CAST(a.h{j} = b.h{j} AS INT)" for j in range(8))
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT *, md5(h0 || h1 || h2 || h3) AS band0,
+            md5(h4 || h5 || h6 || h7) AS band1
+  FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ({agree}) / 8.0 AS est_jaccard
+FROM banded a
+JOIN banded b
+  ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+ AND (a.band0 = b.band0 OR a.band1 = b.band1)
+"""
+
+
+@_q("incremental_near_dups", _incr_near_dup_oracle())
+def incremental_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") % 3 != 0)
+    increment = docs.filter(F.col("doc_id") % 3 == 0)
+    index = D.minhash_index(stored, "doc_id", "text")
+    pairs, _new_rows = D.incremental_near_dups(
+        index, increment, "doc_id", "text"
+    )
+    return pairs

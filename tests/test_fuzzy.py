@@ -93,3 +93,50 @@ def test_empty_strings_participate(spark):
     # empty halves produce empty-fragment keys; "" is lev-1 from "a"
     got = _pairs(spark, ["", "", "a"])
     assert got == {(0, 2, 1)}
+
+
+def test_incremental_index_equals_full_lsh_cross_pairs(spark):
+    """index-probe(increment) must find exactly the cross-slice subset
+    of the batch LSH pairs, and appending the increment's index rows
+    then probing a second increment keeps the ledger consistent."""
+    from redshift_etl_spark.operators import dedup as D2
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy cat today"),
+        (3, "completely different text about spark and parquet files"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+        (5, "another unrelated document mentioning warehouses only"),
+        (6, "completely different text about spark and parquet files"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    stored = docs.filter("doc_id <= 3")
+    inc1 = docs.filter("doc_id IN (4, 5)")
+    inc2 = docs.filter("doc_id = 6")
+
+    idx = D2.minhash_index(stored, "doc_id", "text")
+    pairs1, rows1 = D2.incremental_near_dups(idx, inc1, "doc_id", "text")
+    got1 = sorted((r["doc_a"], r["doc_b"]) for r in pairs1.collect())
+    # full-batch reference: banded pairs across the whole corpus,
+    # restricted to stored x inc1
+    full = D2.lsh_candidate_pairs(docs, "doc_id", "text")
+    want1 = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in full.collect()
+        if r["doc_a"] <= 3 and r["doc_b"] in (4, 5)
+    )
+    assert got1 == want1 and (1, 4) in got1  # exact dup found via index
+    # est_jaccard for the exact duplicate is 1.0
+    ej = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs1.collect()}
+    assert ej[(1, 4)] == 1.0
+
+    # append the increment's rows -> next day's index
+    idx2 = idx.unionByName(rows1)
+    pairs2, _ = D2.incremental_near_dups(idx2, inc2, "doc_id", "text")
+    got2 = sorted((r["doc_a"], r["doc_b"]) for r in pairs2.collect())
+    want2 = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in full.collect()
+        if r["doc_b"] == 6
+    )
+    assert got2 == want2 and (3, 6) in got2
