@@ -428,43 +428,3 @@ def scd2_from_cdc(
         .drop(op_col)
     )
 
-
-def apply_cdc(
-    target: DataFrame,
-    changelog: DataFrame,
-    key: str | Sequence[str],
-    seq_col: str,
-    op_col: str = "op",
-    delete_op: str = "D",
-) -> DataFrame:
-    """Collapse a change-data-capture log onto a base snapshot — the
-    missing member of the merge family: unlike SCD1 (upsert-only),
-    a CDC feed carries DELETES (`op` ∈ I/U/D with a monotonically
-    increasing ``seq_col``, the Debezium/DMS shape; the reference's
-    analog is the truncate-reload Salesforce pipelines, which this
-    replaces with incremental apply).
-
-    Semantics: per key, the change with the greatest (seq, tiebreak)
-    wins — a delete winner removes the key, any other winner replaces
-    (or inserts) the row; keys untouched by the log pass through.
-    Intermediate changes collapse away without ever being applied
-    (apply(log) ≡ apply(latest-per-key(log)) — the idempotence that
-    makes replayed/overlapping CDC batches safe).
-
-    Scale shape: one hash shuffle of the LOG on the key for the
-    latest-per-key window (the log is the small side — a day of
-    changes vs the full table), one anti-join against the target (AQE
-    broadcasts the collapsed log when it fits), one union. Target rows
-    never move through a window."""
-    keys = _key_list(key)
-    tiebreakers = [
-        c
-        for c in changelog.columns
-        if c not in keys and c not in (seq_col, op_col)
-    ]
-    winners = latest_per_key(changelog, keys, seq_col, tiebreakers)
-    upserts = winners.filter(F.col(op_col) != delete_op).select(
-        *target.columns
-    )
-    kept = target.join(winners.select(*keys), keys, "left_anti")
-    return kept.unionByName(upserts)

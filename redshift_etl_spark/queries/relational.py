@@ -4608,15 +4608,6 @@ def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# CDC apply (operators/merge.apply_cdc): collapse an I/U/D change log
-# onto the orders snapshot. The log is derived deterministically from
-# orders itself (delete every key≡0 mod 7 — after a superseded update,
-# so the collapse is exercised; two competing updates for key≡1 mod 7
-# where seq 2 must win; insert a shifted copy of every key≡0 mod 97).
-# The oracle states the expected FINAL SEMANTICS directly (filters +
-# arithmetic), not a replay of the operator's algebra — a genuinely
-# independent check.
-# ---------------------------------------------------------------------------
 
 
 @_q(

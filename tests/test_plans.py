@@ -416,3 +416,43 @@ def test_time_decayed_revenue_no_libm_pow(spark):
     plan = P.physical_plan(df).lower()
     assert "shiftleft" in plan
     assert "power(" not in plan and "exp(" not in plan
+
+
+def test_zorder_curve_pure_projection_data_path(spark):
+    # z-value is div/mod arithmetic over the scan: after the bounded
+    # stats pass (separate job), the data path must not shuffle
+    df = Q.all_queries()["zorder_curve"](spark, SF_ORACLE)
+    assert P.count_shuffles(df) == 0
+    # and the scan reads only the participating columns
+    scans = P.scanned_columns(df)
+    assert scans and all(
+        set(s) <= {"o_orderkey", "o_custkey", "o_totalprice"} for s in scans
+    )
+
+
+def test_pack_sequences_no_single_task_window(spark):
+    # the tape offsets must come from ranked_cumsum's partitioned
+    # windows, never an unpartitioned global window
+    df = Q.all_queries()["pack_sequences"](spark, SF_ORACLE)
+    plan = P.physical_plan(df)
+    assert "windowspecdefinition(__pid" in plan
+    # the range-staged frame is localCheckpointed (lineage truncated),
+    # so the exchange itself is not visible here; the __pid-partitioned
+    # windowspec above is the contract — a global-order window would
+    # show an empty partition spec instead
+
+
+def test_attribution_join_equi_not_nested_loop(spark):
+    # the interval condition rides an equi key: the plan must be a
+    # hash/merge join with the range as residual, never BNLJ/Cartesian
+    df = Q.all_queries()["attribution_join"](spark, SF_ORACLE)
+    plan = P.physical_plan(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_mv_incremental_fold_is_two_level_agg(spark):
+    # delta fold = aggregate + merge aggregate; no joins, no windows
+    df = Q.all_queries()["mv_incremental"](spark, SF_ORACLE)
+    plan = P.final_plan_tree(df)
+    assert "Join" not in plan and "Window" not in plan
