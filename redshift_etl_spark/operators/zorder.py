@@ -90,7 +90,11 @@ def zorder_layout(
     narrow per-file min/max ranges (multi-dimension skipping)."""
     stats = _stats(df, cols)
     buckets = [
-        bucket_sql(
+        # an all-NULL (or empty) column has no min/max: degenerate to
+        # bucket 0 rather than interpolating a None literal into SQL
+        "0"
+        if stats[c][0] is None or stats[c][1] is None
+        else bucket_sql(
             f"`{c}`", repr(stats[c][0]), repr(stats[c][1]), bits
         )
         for c in cols

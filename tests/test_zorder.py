@@ -122,3 +122,20 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
         and 2000.0 <= float((i * 104729) % 10_000) <= 4500.0
     )
     assert got == want
+
+
+def test_zorder_degenerate_columns(spark):
+    # all-NULL and constant columns collapse to bucket 0 instead of
+    # breaking the generated SQL; the other column still orders rows
+    df = spark.createDataFrame(
+        [(i, None, float(i % 50)) for i in range(100)],
+        "id long, x long, y double",
+    )
+    out = Z.zorder_layout(df, ["x", "y"]).collect()
+    assert len(out) == 100
+    zs = {r["id"]: r["zvalue"] for r in out}
+    assert len(set(zs.values())) > 1  # y still differentiates
+    const = spark.createDataFrame(
+        [(i, 7, float(i)) for i in range(10)], "id long, x long, y double"
+    )
+    assert Z.zorder_layout(const, ["x", "y"]).count() == 10
