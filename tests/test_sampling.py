@@ -280,3 +280,44 @@ def test_pack_sequences_properties(spark):
     assert sorted(map(lambda r: tuple(r), sorted(out, key=key))) == sorted(
         map(lambda r: tuple(r), sorted(out2, key=key))
     )
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Property check vs a brute-force Python packer across several
+    capacities and size mixes (zero-token docs, giant docs spanning
+    many shards, singleton corpus)."""
+    import hashlib
+
+    cases = [
+        (7, [3, 0, 10, 7, 1, 25, 7, 7]),
+        (16, [16, 16, 16]),
+        (5, [1] * 23),
+        (64, [200]),          # one doc spanning 4 shards
+        (8, [9, 9, 9, 9]),    # every doc straddles
+    ]
+    for cap, sizes in cases:
+        rows = [(i, t) for i, t in enumerate(sizes)]
+        df = spark.createDataFrame(rows, ["doc_id", "tok"])
+        got = sorted(
+            (r["shard_id"], r["doc_id"], r["seq"], r["tok_start"],
+             r["tok_end"], r["shard_offset"])
+            for r in SP.pack_sequences(df, "doc_id", F.col("tok"), cap).collect()
+        )
+        # python reference: md5 tape order, running offsets, chunk cuts
+        order = sorted(
+            (i for i, t in rows if t > 0),
+            key=lambda i: (
+                hashlib.md5(f"pack:{i}".encode()).hexdigest(),
+                i,
+            ),
+        )
+        want, pos = [], 0
+        for seq, i in enumerate(order, start=1):
+            t = sizes[i]
+            start = pos
+            for sid in range(start // cap, (start + t - 1) // cap + 1):
+                ts = max(0, sid * cap - start)
+                te = min(t, sid * cap + cap - start)
+                want.append((sid, i, seq, ts, te, max(0, start - sid * cap)))
+            pos += t
+        assert got == sorted(want), (cap, sizes)
