@@ -887,3 +887,49 @@ def vocab_overlap(
             .alias("jaccard"),
         )
     )
+
+
+def assemble_conversations(
+    df: DataFrame,
+    conv_col: str,
+    order_cols: list,
+    role_col: str,
+    content_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """SFT conversation assembly — the chat-templating step of an
+    instruction-tuning pipeline: gather each conversation's turns in
+    turn order and render them as one training document
+    ``<|role|>content`` joined by ``sep``.
+
+    Shape: ONE hash shuffle on the conversation id; per-conversation
+    state is the turns of that conversation only (collect_list into an
+    array, sorted in-row by `array_sort` over a struct whose leading
+    fields are the order columns — struct comparison is
+    lexicographic, so the sort order is (order_cols…, role, content):
+    callers must make order_cols a per-conversation total order, the
+    same contract as deterministic NTILE). No window, no per-turn
+    shuffle, and rendering is a pure in-row `transform`+`array_join`
+    — all JVM-side built-ins.
+
+    Output: (conv_col, text, n_turns, n_chars)."""
+    turn = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        F.col(role_col).alias("__r"),
+        F.col(content_col).alias("__c"),
+    )
+    turns = F.array_sort(F.collect_list(turn))
+    rendered = F.array_join(
+        F.transform(
+            turns,
+            lambda s: F.concat(
+                F.lit("<|"), s["__r"], F.lit("|>"), s["__c"]
+            ),
+        ),
+        sep,
+    )
+    return df.groupBy(conv_col).agg(
+        rendered.alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.length(rendered).cast("long").alias("n_chars"),
+    )

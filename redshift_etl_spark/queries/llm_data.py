@@ -3036,3 +3036,38 @@ def incremental_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, increment, "doc_id", "text"
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Conversation assembly (operators/text.assemble_conversations): each
+# user's event stream rendered as one chat-style training document —
+# turns in (ts, event_id) order, '<|role|>content' per turn. The
+# oracle is DuckDB's ordered string_agg of the identical rendering.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "chat_transcripts",
+    """
+SELECT user_id AS conv_id,
+  string_agg('<|' || event_type || '|>' || props, chr(10)
+             ORDER BY ts, event_id) AS text,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(length(string_agg('<|' || event_type || '|>' || props, chr(10)
+              ORDER BY ts, event_id)) AS BIGINT) AS n_chars
+FROM events GROUP BY user_id
+""",
+)
+def chat_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import load as _load
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        "event_type",
+        "props",
+    )
+    return TX.assemble_conversations(
+        ev, "conv_id", ["ts", "event_id"], "event_type", "props"
+    )

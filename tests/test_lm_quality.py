@@ -177,3 +177,30 @@ def test_token_chunks_column_overload_matches_string_overload(spark):
     assert got_name[1] == ["a b c", "d e f", "g"]
     assert got_name[2] == ["x y"]
     assert got_name[3] == ["solo"]
+
+
+def test_assemble_conversations_order_and_render(spark):
+    rows = [
+        (1, 2, "assistant", "hi there"),
+        (1, 1, "user", "hello"),
+        (1, 3, "user", "bye"),
+        (2, 1, "user", "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["conv", "turn", "role", "content"])
+    out = {
+        r["conv"]: (r["text"], r["n_turns"], r["n_chars"])
+        for r in TX.assemble_conversations(
+            df, "conv", ["turn"], "role", "content"
+        ).collect()
+    }
+    t1 = "<|user|>hello\n<|assistant|>hi there\n<|user|>bye"
+    assert out[1] == (t1, 3, len(t1))
+    assert out[2] == ("<|user|>solo", 1, len("<|user|>solo"))
+    # partition-invariant
+    out2 = {
+        r["conv"]: r["text"]
+        for r in TX.assemble_conversations(
+            df.repartition(5), "conv", ["turn"], "role", "content"
+        ).collect()
+    }
+    assert out2 == {c: t for c, (t, _n, _ch) in out.items()}
