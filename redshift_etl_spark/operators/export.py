@@ -24,6 +24,8 @@ Design:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -126,3 +128,91 @@ def export_jsonl_shards(
         .partitionBy("shard")
         .json(path)
     )
+
+
+def export_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    key: Column | str,
+    n_shards: int,
+    text_col: str = "text",
+    meta_cols: Sequence[str] = (),
+) -> list[str]:
+    """Write the corpus as WebDataset-style tar shards —
+    ``path/shard-NNNNN.tar`` each holding ``{key}.txt`` (UTF-8 content)
+    and ``{key}.json`` (metadata) members, the format streaming data
+    loaders consume directly (members of one sample share the basename;
+    samples are contiguous).
+
+    Distributed shape: the same deterministic md5-mod shard assignment
+    as `export_shards`, one repartition so each shard's rows land in
+    exactly one task, then a per-partition tar writer (`mapInPandas`)
+    that streams members in deterministic key order — executors write
+    shard files directly to the shared filesystem, the driver only
+    collects the tiny (shard, n_samples) report. Tar members carry a
+    fixed mtime (0) so a shard's bytes are a pure function of its
+    content — re-runs are binary-identical, diffable, cacheable.
+
+    Returns the sorted list of shard file paths written."""
+    import io
+    import json as _json
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    sharded = assign_shards(df, key, n_shards)
+    key_name = key if isinstance(key, str) else "__key"
+    cols = [key_name, text_col, *meta_cols, "shard"]
+    part = sharded.select(*cols).repartition(n_shards, "shard")
+
+    def write_tars(batches):
+        # one partition = one shard (the repartition above); the whole
+        # shard is materialized to build its tar — size shards via
+        # n_shards so each fits executor memory, the same constraint
+        # any tar/WebDataset writer has
+        chunks = list(batches)
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True)
+        if rows.empty:
+            return
+        for shard, grp in rows.groupby("shard", sort=True):
+            out = os.path.join(path, f"shard-{int(shard):05d}.tar")
+            grp = grp.sort_values(key_name, kind="mergesort")
+            with tarfile.open(out, "w") as tar:
+                for _, r in grp.iterrows():
+                    base = str(r[key_name])
+                    body = (r[text_col] or "").encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{base}.txt")
+                    info.size = len(body)
+                    info.mtime = 0
+                    tar.addfile(info, io.BytesIO(body))
+                    meta = _json.dumps(
+                        {c: _jsonable(r[c]) for c in meta_cols},
+                        sort_keys=True,
+                    ).encode("utf-8")
+                    info = tarfile.TarInfo(name=f"{base}.json")
+                    info.size = len(meta)
+                    info.mtime = 0
+                    tar.addfile(info, io.BytesIO(meta))
+            yield pd.DataFrame(
+                {"shard": [int(shard)], "n_samples": [len(grp)]}
+            )
+
+    report = part.mapInPandas(
+        write_tars, schema="shard long, n_samples long"
+    )
+    written = {r["shard"] for r in report.collect()}
+    return sorted(
+        os.path.join(path, f"shard-{int(s):05d}.tar") for s in written
+    )
+
+
+def _jsonable(v):
+    """numpy scalars → Python natives for json.dumps."""
+    try:
+        return v.item()
+    except AttributeError:
+        return v

@@ -103,3 +103,45 @@ def test_jsonl_shards_round_trip(spark, tmp_path):
         r["doc_id"] for r in sharded.filter(F.col("shard") == 0).collect()
     }
     assert ids_in_0 == want_0
+
+
+def test_webdataset_shards_round_trip(spark, tmp_path):
+    import json
+    import tarfile
+
+    from redshift_etl_spark.operators import export as EX2
+
+    docs = spark.createDataFrame(
+        [(f"doc{i:03d}", f"text number {i}", f"src{i % 3}") for i in range(40)],
+        "doc_id string, text string, source string",
+    )
+    out = str(tmp_path / "wds")
+    paths = EX2.export_webdataset_shards(
+        docs, out, "doc_id", n_shards=4, meta_cols=["source"]
+    )
+    assert len(paths) == 4
+    seen = {}
+    for p in paths:
+        with tarfile.open(p) as tar:
+            names = tar.getnames()
+            # members of one sample are adjacent: key.txt then key.json
+            assert all(
+                names[i][:-4] == names[i + 1][:-5]
+                for i in range(0, len(names), 2)
+            )
+            for i in range(0, len(names), 2):
+                base = names[i][:-4]
+                txt = tar.extractfile(names[i]).read().decode()
+                meta = json.loads(tar.extractfile(names[i + 1]).read())
+                seen[base] = (txt, meta["source"])
+    want = {
+        f"doc{i:03d}": (f"text number {i}", f"src{i % 3}") for i in range(40)
+    }
+    assert seen == want
+    # deterministic bytes: re-export is binary identical (mtime pinned)
+    before = {p: open(p, "rb").read() for p in paths}
+    paths2 = EX2.export_webdataset_shards(
+        docs.repartition(7), out, "doc_id", n_shards=4, meta_cols=["source"]
+    )
+    assert paths2 == paths
+    assert all(open(p, "rb").read() == before[p] for p in paths)
