@@ -20,12 +20,9 @@ _MODULES = (llm_data, tpch_shapes, agent_metrics, relational, curation)
 #
 # Maintained each round from CORRECTNESS_r{N}.json: add hash-green rows
 # at round N; leave hash-mismatched rows at their previous value so
-# they re-run immediately. Rows-only credit applies only to rounds
-# BEFORE a query gained a hash oracle: approx_distinct and
-# compression_signals were reshaped to portable hash contracts in r07
-# (exact count + within_tol; raw_bytes + type_token_ratio +
-# deflate_bounded), so from r07 on they are held to the hash bar like
-# everything else.
+# they re-run immediately. Every catalog query is held to the hash bar
+# since r07 (the former rows-only pair was reshaped to portable hash
+# contracts and its pre-r07 evidence voided — see _sweep_driver_rounds).
 
 _LAST_GREEN: dict[str, int] = {}
 
@@ -45,7 +42,10 @@ for _n in """agent_metrics agent_metrics_2 pricing_summary star_filter_project
     dormant_customers zscore_anomalies""".split():
     _LAST_GREEN[_n] = 1
 
-# Round 2 (CORRECTNESS_r02): 45 hash-green + 2 documented rows-only.
+# Round 2 (CORRECTNESS_r02): 45 hash-green. (The 2 then-rows-only
+# queries are deliberately unlisted since r07: their contracts were
+# reshaped to hash oracles, voiding pre-r07 evidence — they sit at
+# tier 0 until the driver hash-verifies the new shape.)
 # The 3 hash-mismatched rows (deterministic_split, corpus_prep,
 # priority_shipping_mix — DuckDB HUGEINT representation artifact, fixed
 # by CAST in round 3) are deliberately left unlisted so they re-run at
@@ -61,8 +61,7 @@ for _n in """dedup_exact dedup_jaccard dedup_minhash_lsh dedup_simhash
     profit_by_nation_year returned_top_customers nation_balance_share
     promo_revenue top_supplier supplier_part_variety disjunctive_revenue
     promotion_suppliers waiting_suppliers min_cost_supplier
-    forecast_revenue scd1_merge_wide snapshot_diff approx_distinct
-    compression_signals""".split():
+    forecast_revenue scd1_merge_wide snapshot_diff""".split():
     _LAST_GREEN[_n] = 2
 
 
@@ -86,9 +85,9 @@ def _sweep_driver_rounds() -> frozenset:
     """Fold every CORRECTNESS_r{N}.json the driver has written (repo
     root, two levels above this package) into _LAST_GREEN, so the
     staleness ordering self-maintains: a query's tier is the newest
-    round whose row was fully green (rows+schema+hash, or rows+schema
-    for the documented rows-only entries). Hash-red rows keep their
-    previous tier and therefore re-run at the head of the next window.
+    round whose row was fully green (rows+schema+hash). Hash-red rows
+    keep their previous tier and therefore re-run at the head of the
+    next window.
     Returns the names still owed a green row from the static must-run
     head."""
     import glob
@@ -97,8 +96,13 @@ def _sweep_driver_rounds() -> frozenset:
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    # hash oracles landed in r07 — rows-only credit for earlier rounds only
-    rows_only_until = {"approx_distinct": 6, "compression_signals": 6}
+    # Reshaped in r07: both queries emit a NEW portable-contract shape
+    # (exact count + within_tol; raw_bytes + type_token_ratio +
+    # deflate_bounded), so their pre-r07 rows-only evidence verified a
+    # shape that no longer exists — void it entirely. That puts both at
+    # staleness 0 (never-verified) until the driver records a hash-green
+    # row for the new contract.
+    reshaped_in = {"approx_distinct": 7, "compression_signals": 7}
     seen_green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -118,11 +122,9 @@ def _sweep_driver_rounds() -> frozenset:
             ok = (
                 row.get("rows_match")
                 and row.get("schema_match")
-                and (
-                    row.get("hash_match")
-                    or rnd <= rows_only_until.get(name, 0)
-                )
+                and row.get("hash_match")
                 and not row.get("err")
+                and rnd >= reshaped_in.get(name, 0)
             )
             if ok:
                 _LAST_GREEN[name] = max(_LAST_GREEN.get(name, 0), rnd)

@@ -36,6 +36,12 @@ PROBES = (
     "vocab_overlap",        # (group,token) frame + per-token join
     "embedding_gram",       # d^2 explode + map-side partial agg
     "leakage_safe_split",   # pure projection on md5(group)
+    "pack_sequences",       # ranked_cumsum tape + boundary explode
+    "zorder_curve",         # stats pass + pure projection
+    "cdc_apply",            # feed window + distinct-key anti-join
+    "mv_incremental",       # two partial-aggregate folds
+    "incremental_near_dups",  # increment signatures + index equi-probe
+    "chat_transcripts",     # collect+in-row sort render, one shuffle
 )
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
