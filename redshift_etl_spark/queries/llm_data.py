@@ -3071,3 +3071,76 @@ def chat_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.assemble_conversations(
         ev, "conv_id", ["ts", "event_id"], "event_type", "props"
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: near-duplicate pairs that STRADDLE the
+# train/val/test boundary — the documents that inflate held-out scores
+# if left in place. Pure composition: banded-LSH candidates
+# (dedup.lsh_candidate_pairs) ⋈ the deterministic md5-bucket split
+# (sampling.deterministic_split), keeping cross-split pairs. Both
+# pieces already have exact oracle twins; the audit's oracle composes
+# the same CTEs with the same integer bucket edges.
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_oracle() -> str:
+    t_edge = int(round(0.8 * 256))
+    v_edge = t_edge + int(round(0.1 * 256))
+    sig_cols = ",\n    ".join(
+        f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS h{j}"
+        for j in range(8)
+    )
+    agree = " + ".join(f"CAST(a.h{j} = b.h{j} AS INT)" for j in range(8))
+    bucket = SP.oracle_bucket_sql("doc_id")
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT *, md5(h0 || h1 || h2 || h3) AS band0,
+            md5(h4 || h5 || h6 || h7) AS band1
+  FROM sig
+),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN {bucket} < {t_edge} THEN 'train'
+         WHEN {bucket} < {v_edge} THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ({agree}) / 8.0 AS est_jaccard,
+       sa.split AS split_a, sb.split AS split_b
+FROM banded a
+JOIN banded b
+  ON a.doc_id < b.doc_id
+ AND (a.band0 = b.band0 OR a.band1 = b.band1)
+JOIN sp sa ON a.doc_id = sa.doc_id
+JOIN sp sb ON b.doc_id = sb.doc_id
+WHERE sa.split <> sb.split
+"""
+
+
+@_q("split_leakage_audit", _split_leakage_oracle())
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text")
+    splits = SP.deterministic_split(
+        docs.select("doc_id"), "doc_id"
+    ).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "est_jaccard", "split_a", "split_b")
+    )
