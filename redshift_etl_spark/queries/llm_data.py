@@ -3144,3 +3144,86 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "est_jaccard", "split_a", "split_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-cut conversation assembly: the SFT-prep composite — cut each
+# user's event stream at 30-minute gaps (the `sessionization` idiom),
+# then render every session as its own chat document
+# (text.assemble_conversations). One per-user window pass + one hash
+# aggregate on (user, session).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "chat_sessions",
+    """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type, props,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type, props,
+         SUM(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id AS conv_id, CAST(session_id AS BIGINT) AS session_id,
+  string_agg('<|' || event_type || '|>' || props, chr(10)
+             ORDER BY ts, event_id) AS text,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(length(string_agg('<|' || event_type || '|>' || props, chr(10)
+              ORDER BY ts, event_id)) AS BIGINT) AS n_chars
+FROM s GROUP BY 1, 2
+""",
+)
+def chat_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .tables import load as _load
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        "event_type",
+        "props",
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1800), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(cum).cast("long")
+    )
+    out = TX.assemble_conversations(
+        sess.withColumn(
+            "__ck",
+            F.concat(
+                F.col("conv_id").cast("string"),
+                F.lit(":"),
+                F.col("session_id").cast("string"),
+            ),
+        ),
+        "__ck",
+        ["ts", "event_id"],
+        "event_type",
+        "props",
+    )
+    parts = F.split(F.col("__ck"), ":")
+    return out.select(
+        parts[0].cast("long").alias("conv_id"),
+        parts[1].cast("long").alias("session_id"),
+        "text",
+        "n_turns",
+        "n_chars",
+    )
