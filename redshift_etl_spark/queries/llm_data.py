@@ -3227,3 +3227,64 @@ def chat_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_turns",
         "n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture drift report: actual per-source TOKEN share vs the target
+# mixture weights (the monitoring view a data-mix owner watches; the
+# drift column is what triggers re-balancing via mixture_sample /
+# temperature_mixture). Exact arithmetic: token counts are BIGINT,
+# shares are single IEEE divisions by the global total, drift = share
+# − target. Sources outside the target mix report a NULL target
+# (FULL accounting — unplanned sources are exactly the ones a drift
+# report must surface).
+# ---------------------------------------------------------------------------
+
+
+def _mixture_drift_oracle() -> str:
+    vals = ", ".join(
+        f"('{g}', CAST({w} AS DOUBLE))"
+        for g, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH w(source, target_share) AS (SELECT * FROM (VALUES {vals})),
+c AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM c)
+SELECT c.source, c.n_docs, c.n_tokens,
+       CAST(c.n_tokens AS DOUBLE) / t.tot AS token_share,
+       w.target_share,
+       CAST(c.n_tokens AS DOUBLE) / t.tot - w.target_share AS drift
+FROM c CROSS JOIN t LEFT JOIN w ON c.source = w.source
+"""
+
+
+@_q("mixture_drift", _mixture_drift_oracle())
+def mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_df = load(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        sorted((g, float(wt)) for g, wt in _MIX_WEIGHTS.items()),
+        "source string, target_share double",
+    )
+    c = spark_df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("long").alias("n_tokens"),
+    )
+    t = c.agg(F.sum("n_tokens").cast("long").alias("tot"))
+    share = F.col("n_tokens").cast("double") / F.col("tot")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .join(F.broadcast(w), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            share.alias("token_share"),
+            "target_share",
+            (share - F.col("target_share")).alias("drift"),
+        )
+    )

@@ -139,42 +139,21 @@ def zorder_key(
     df: DataFrame, z_cols: list[str], bits: int = 12
 ) -> DataFrame:
     """Adds ``__zkey``: the interleaved-bit Z-order key over the given
-    numeric columns. Each column is normalized to a 2^bits grid using
-    its min/max (one tiny aggregate, broadcast back as a single bounded
-    row), then the grid coordinates' bits are interleaved — points
-    close in EVERY dimension get close keys, so sorting by ``__zkey``
-    co-locates multi-dimensional neighborhoods the way a single-column
-    sort cannot. Pure column arithmetic (shift/and/or chains compiled
-    by codegen); at 100 TB compute the min/max from a sample or catalog
-    stats instead of the extra pass — the key only needs APPROXIMATE
-    ranges to cluster well (outliers merely crowd edge cells)."""
-    n = len(z_cols)
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"__mn_{i}") for i, c in enumerate(z_cols)],
-        *[F.max(c).cast("double").alias(f"__mx_{i}") for i, c in enumerate(z_cols)],
-    )
-    out = df.crossJoin(F.broadcast(stats))
-    grid_max = (1 << bits) - 1
-    grids = []
-    for i, c in enumerate(z_cols):
-        mn, mx = F.col(f"__mn_{i}"), F.col(f"__mx_{i}")
-        span = F.greatest(mx - mn, F.lit(1e-12))
-        grids.append(
-            F.least(
-                F.floor(
-                    (F.col(c).cast("double") - mn) / span * (grid_max + 1)
-                ).cast("long"),
-                F.lit(grid_max).cast("long"),
-            )
-        )
-    zkey = F.lit(0).cast("long")
-    for b in range(bits):
-        for i, g in enumerate(grids):
-            bit = F.shiftright(g, b).bitwiseAND(F.lit(1))
-            zkey = zkey + F.shiftleft(bit, b * n + i)
-    return out.withColumn("__zkey", zkey).drop(
-        *[f"__mn_{i}" for i in range(n)], *[f"__mx_{i}" for i in range(n)]
-    )
+    numeric columns — points close in EVERY dimension get close keys,
+    so sorting by ``__zkey`` co-locates multi-dimensional neighborhoods
+    the way a single-column sort cannot.
+
+    Delegates to the canonical engine-portable implementation in
+    `operators/zorder.zorder_layout` (min-max bucketing + div/mod
+    Morton interleave, oracle-verified cross-engine by the
+    `zorder_curve` catalog query); this wrapper only fixes the output
+    column name for the lake writer. The min/max stats pass is one
+    bounded aggregate; at 100 TB compute it from a sample or catalog
+    stats instead — the key only needs APPROXIMATE ranges to cluster
+    well (outliers merely crowd edge cells)."""
+    from ..operators.zorder import zorder_layout
+
+    return zorder_layout(df, z_cols, bits=bits, out_col="__zkey")
 
 
 def write_zordered_partitioned(

@@ -106,7 +106,7 @@ ALLOWED = {
     ("queries/tpch_shapes.py", "top_supplier"),
     ("queries/tpch_shapes.py", "volume_shipping"),
     ("queries/tpch_shapes.py", "waiting_suppliers"),
-    ("sources/lake.py", "zorder_key"),
+    ("queries/llm_data.py", "mixture_drift"),
     ("streaming/topk.py", "topk_similarity_stream"),
 }
 
