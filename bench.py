@@ -63,6 +63,8 @@ HEADLINE = (
     "cdc_apply",            # I/U/D change-log collapse with deletes (r7)
     "mv_incremental",       # two delta folds into the aggregate MV (r7)
     "attribution_join",     # interval attribution join, batch form (r7)
+    "incremental_near_dups",  # stored-index LSH probe of an increment (r7)
+    "chat_sessions",        # session-cut conversation assembly (r7)
 )
 
 

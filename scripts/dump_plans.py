@@ -70,6 +70,19 @@ NOTES = {
         "(band_no, band_hash) against the stored index; est_jaccard "
         "from carried signatures, no text join"
     ),
+    "chat_sessions": (
+        "session-cut conversation assembly: per-user lag+cumsum "
+        "windows -> one hash agg with in-row array_sort render; no "
+        "global window"
+    ),
+    "split_leakage_audit": (
+        "near-dup split audit: banded-LSH equi-joins (no cross "
+        "product) + two split joins; cross-split filter"
+    ),
+    "mixture_drift": (
+        "token-share drift: one hash agg -> 1-row total broadcast -> "
+        "10-row weights broadcast; data path scans once"
+    ),
     "training_shuffle_order": (
         "one bucket exchange + per-bucket rank window; no global sort"
     ),
