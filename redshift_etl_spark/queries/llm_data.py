@@ -3288,3 +3288,80 @@ def mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (share - F.col("target_share")).alias("drift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling selection (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+from ..operators import dsir as DS  # noqa: E402
+
+
+def _dsir_oracle() -> str:
+    bucket = DS.token_bucket_sql("w")
+    gkey = DS.gumbel_key_sql("s.doc_id")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source = 'src0' AS is_target,
+         unnest(str_split(text, ' ')) AS w
+  FROM documents
+),
+tb AS (SELECT doc_id, is_target, {bucket} AS b FROM tok),
+bc AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS n_r
+  FROM tb GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_t) AS BIGINT) AS nt_tot,
+         CAST(SUM(n_r) AS BIGINT) AS nr_tot
+  FROM bc
+),
+delta AS (
+  SELECT b,
+         CAST(ROUND(ln(
+           CAST((n_t + 1) * (nr_tot + {DS.N_BUCKETS}) AS DOUBLE)
+           / CAST((n_r + 1) * (nt_tot + {DS.N_BUCKETS}) AS DOUBLE)
+         ) * {DS.SCALE}, 0) AS BIGINT) AS delta_micro
+  FROM bc CROSS JOIN tot
+),
+scores AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(delta_micro) AS BIGINT) AS score_micro
+  FROM tb t JOIN delta USING (b)
+  WHERE NOT t.is_target
+  GROUP BY 1
+)
+SELECT s.doc_id, d.source, d.lang, s.n_tokens, s.score_micro,
+       CAST(s.score_micro + {gkey} AS BIGINT) AS gkey_micro
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY gkey_micro DESC, s.doc_id
+LIMIT 50
+"""
+
+
+@_q("dsir_select", _dsir_oracle())
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): pick the 50 pool
+    documents whose hashed-unigram distribution best matches the
+    `src0` target corpus, drawn by Gumbel-top-k over exact-integer
+    log importance weights. Reference analog: the reference filters
+    source rows by static predicates (`Matter/SP_matter.sql`); this
+    is the distribution-matching upgrade a pretraining pipeline needs.
+    Plan: 64-row model agg (map-side combined) -> broadcast delta
+    join onto the token stream -> one doc-keyed hash agg ->
+    TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    sel = DS.dsir_select(
+        docs, "doc_id", "text", F.col("source") == "src0", k=50
+    )
+    return (
+        sel.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select(
+            "doc_id", "source", "lang",
+            "n_tokens", "score_micro", "gkey_micro",
+        )
+        .orderBy(F.col("gkey_micro").desc(), "doc_id")
+    )
