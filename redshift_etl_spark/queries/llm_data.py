@@ -3365,3 +3365,45 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("gkey_micro").desc(), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# RLHF preference-pair assembly (operators/preference.py)
+# ---------------------------------------------------------------------------
+
+from ..operators.preference import preference_pairs  # noqa: E402
+
+_PREF_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY value DESC, event_id
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_type,
+       MAX(CASE WHEN rn = 1 THEN event_id END) AS chosen_id,
+       MAX(CASE WHEN rn = 2 THEN event_id END) AS rejected_id,
+       MAX(CASE WHEN rn = 1 THEN cents END) AS chosen_cents,
+       MAX(CASE WHEN rn = 2 THEN cents END) AS rejected_cents,
+       MAX(CASE WHEN rn = 1 THEN cents END)
+         - MAX(CASE WHEN rn = 2 THEN cents END) AS margin_cents
+FROM ranked
+WHERE rn <= 2
+GROUP BY 1, 2
+HAVING MAX(CASE WHEN rn = 2 THEN event_id END) IS NOT NULL
+"""
+
+
+@_q("preference_pairs", _PREF_ORACLE)
+def preference_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF pair construction: per (user, event_type) prompt
+    group, the two highest-value events become (chosen, rejected)
+    with an exact integer-cents margin. One hash shuffle — the top-2
+    window and the pivot aggregate share the group partitioning."""
+    events = load(spark, sf_dir, "events")
+    return preference_pairs(
+        events, ["user_id", "event_type"], "event_id", "value"
+    )
