@@ -1154,3 +1154,98 @@ def whiten_embeddings(
             yield out
 
     return df.mapInPandas(project, schema=schema_str)
+
+
+def margin_mined_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): align two
+    embedding collections (e.g. sentences in two languages) by MUTUAL
+    best match under the ratio margin
+    ``margin(a,b) = cos(a,b) / ((avg top-k cos(a,·B) + avg top-k
+    cos(b,·A)) / 2)`` — the margin discounts hubs that are close to
+    everything, the classic failure of raw-cosine alignment.
+
+    Determinism contract: cosines are micro-rounded BIGINTs, each
+    top-k denominator is an exact integer sum of k of them (never a
+    float AVG whose accumulation order could vary with partitioning),
+    and the margin is one int64/int64 IEEE division — identical in
+    any engine. Ranking ties fall to the partner id.
+
+    Returns one row per mutual-best pair: (a_id, b_id, cosine,
+    margin), margin rounded at 6 for presentation.
+
+    Scale posture: the exact all-pairs form is the CONTRACTED
+    baseline (scores every cross pair, like `cosine_topk`); at corpus
+    scale the same margin/mutual logic runs unchanged over
+    LSH-bucketed candidate pairs (`lsh_bucket_pairs`) instead of the
+    cross join. Within this form: one broadcast of the smaller side,
+    two partitioned rank windows, one join — no global sort.
+    """
+    from pyspark.sql import Window
+
+    a = side_a.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va")
+    )
+    b = side_b.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .withColumn(
+            "cos_micro",
+            F.round(cosine(F.col("__va"), F.col("__vb")) * 1e6, 0).cast(
+                "long"
+            ),
+        )
+        .select("a_id", "b_id", "cos_micro")
+    )
+    wa = Window.partitionBy("a_id").orderBy(
+        F.col("cos_micro").desc(), F.col("b_id")
+    )
+    wb = Window.partitionBy("b_id").orderBy(
+        F.col("cos_micro").desc(), F.col("a_id")
+    )
+    ranked = pairs.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_b", F.row_number().over(wb)
+    )
+    den_a = (
+        ranked.filter(F.col("rn_a") <= k)
+        .groupBy("a_id")
+        .agg(F.sum("cos_micro").cast("long").alias("den_a"))
+    )
+    den_b = (
+        ranked.filter(F.col("rn_b") <= k)
+        .groupBy("b_id")
+        .agg(F.sum("cos_micro").cast("long").alias("den_b"))
+    )
+    scored = (
+        pairs.join(F.broadcast(den_a), "a_id")
+        .join(F.broadcast(den_b), "b_id")
+        .withColumn(
+            "margin",
+            (F.col("cos_micro") * (2 * k))
+            / (F.col("den_a") + F.col("den_b")),
+        )
+    )
+    fwd = Window.partitionBy("a_id").orderBy(
+        F.col("margin").desc(), F.col("b_id")
+    )
+    bwd = Window.partitionBy("b_id").orderBy(
+        F.col("margin").desc(), F.col("a_id")
+    )
+    best = (
+        scored.withColumn("best_b", F.row_number().over(fwd))
+        .withColumn("best_a", F.row_number().over(bwd))
+        .filter((F.col("best_b") == 1) & (F.col("best_a") == 1))
+    )
+    return best.select(
+        "a_id",
+        "b_id",
+        (F.col("cos_micro") / 1e6).alias("cosine"),
+        F.round(F.col("margin"), 6).alias("margin"),
+    )

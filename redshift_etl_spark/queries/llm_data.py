@@ -3407,3 +3407,73 @@ def preference_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pairs(
         events, ["user_id", "event_type"], "event_id", "value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (operators/similarity.margin_mined_pairs)
+# ---------------------------------------------------------------------------
+
+_BITEXT_ORACLE = """
+WITH a AS (
+  SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label = 0
+),
+b AS (
+  SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label = 1
+),
+pairs AS (
+  SELECT a_id, b_id,
+         CAST(ROUND(
+           list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           * 1e6, 0) AS BIGINT) AS cos_micro
+  FROM a CROSS JOIN b
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_micro DESC, b_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos_micro DESC, a_id) AS rn_b
+  FROM pairs
+),
+den_a AS (
+  SELECT a_id, CAST(SUM(cos_micro) AS BIGINT) AS den_a
+  FROM ranked WHERE rn_a <= 4 GROUP BY 1
+),
+den_b AS (
+  SELECT b_id, CAST(SUM(cos_micro) AS BIGINT) AS den_b
+  FROM ranked WHERE rn_b <= 4 GROUP BY 1
+),
+scored AS (
+  SELECT p.a_id, p.b_id, p.cos_micro,
+         CAST(p.cos_micro * 8 AS DOUBLE) / (den_a.den_a + den_b.den_b) AS margin
+  FROM pairs p JOIN den_a USING (a_id) JOIN den_b USING (b_id)
+),
+best AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS best_b,
+    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS best_a
+  FROM scored
+)
+SELECT a_id, b_id,
+       cos_micro / 1e6 AS cosine,
+       ROUND(margin, 6) AS margin
+FROM best WHERE best_b = 1 AND best_a = 1
+"""
+
+
+@_q("bitext_margin_pairs", _BITEXT_ORACLE)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (CCMatrix recipe): mutual-best
+    alignment of the label-0 and label-1 embedding collections under
+    the ratio margin — exact-integer denominators, IEEE-deterministic
+    margins. The contracted exact baseline; at scale the same logic
+    runs over LSH-bucketed candidates instead of the cross join."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.margin_mined_pairs(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") == 1),
+        "vec_id",
+        "embedding",
+        k=4,
+    )
