@@ -49,9 +49,32 @@ def ranked_cumsum(
     num_partitions: int | None = None,
     reliable: bool = False,
 ) -> DataFrame:
+    """Single-value-column form of :func:`ranked_cumsums` (the
+    original API; see it for the full contract)."""
+    return ranked_cumsums(
+        df,
+        order_by,
+        [value_col],
+        rank_name=rank_name,
+        cumsum_names=[cumsum_name],
+        num_partitions=num_partitions,
+        reliable=reliable,
+    )
+
+
+def ranked_cumsums(
+    df: DataFrame,
+    order_by: list[Column],
+    value_cols: list[str],
+    rank_name: str = "rank",
+    cumsum_names: list[str] | None = None,
+    num_partitions: int | None = None,
+    reliable: bool = False,
+) -> DataFrame:
     """Append global ``rank_name`` (row_number over the total order)
-    and ``cumsum_name`` (running sum of ``value_col``, current row
-    inclusive) to ``df`` — the distributed equivalent of
+    and one running sum per entry of ``value_cols`` (current row
+    inclusive, named by ``cumsum_names``, default ``cum_<col>``) to
+    ``df`` — the distributed equivalent of, per value column,
 
         row_number() OVER (ORDER BY ...)            AS rank,
         sum(v) OVER (ORDER BY ... ROWS UNBOUNDED
@@ -70,7 +93,17 @@ def ranked_cumsum(
     the caller must have set ``spark.sparkContext.setCheckpointDir``
     first — same correctness pinning, survives executor loss, at the
     cost of a write to the checkpoint filesystem).
+
+    Multiple value columns share ONE range exchange, one staged
+    checkpoint, and one offsets broadcast — the marginal cost of an
+    extra running sum is one more window expression over the same
+    frame (vs a full second pass if the caller composed two
+    single-column calls).
     """
+    if cumsum_names is None:
+        cumsum_names = [f"cum_{c}" for c in value_cols]
+    if len(cumsum_names) != len(value_cols):
+        raise ValueError("cumsum_names must match value_cols")
     ranged = (
         df.repartitionByRange(num_partitions, *order_by)
         if num_partitions
@@ -102,7 +135,10 @@ def ranked_cumsum(
     local = staged.select(
         "*",
         F.count(F.lit(1)).over(local_w).alias("__local_rn"),
-        F.sum(value_col).over(local_w).alias("__local_sum"),
+        *[
+            F.sum(c).over(local_w).alias(f"__local_sum_{i}")
+            for i, c in enumerate(value_cols)
+        ],
     )
 
     # Offsets: one row per shuffle partition — bounded by
@@ -111,7 +147,7 @@ def ranked_cumsum(
     # test allowlist).
     totals = staged.groupBy("__pid").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(value_col).alias("__s"),
+        *[F.sum(c).alias(f"__s_{i}") for i, c in enumerate(value_cols)],
     )
     off_w = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -119,7 +155,12 @@ def ranked_cumsum(
     offsets = totals.select(
         "__pid",
         (F.sum("__n").over(off_w) - F.col("__n")).alias("__rn_off"),
-        (F.sum("__s").over(off_w) - F.col("__s")).alias("__sum_off"),
+        *[
+            (F.sum(f"__s_{i}").over(off_w) - F.col(f"__s_{i}")).alias(
+                f"__sum_off_{i}"
+            )
+            for i in range(len(value_cols))
+        ],
     )
 
     out = local.join(F.broadcast(offsets), "__pid").select(
@@ -127,7 +168,12 @@ def ranked_cumsum(
         (F.col("__local_rn") + F.col("__rn_off"))
         .cast("long")
         .alias(rank_name),
-        (F.col("__local_sum") + F.col("__sum_off")).alias(cumsum_name),
+        *[
+            (F.col(f"__local_sum_{i}") + F.col(f"__sum_off_{i}")).alias(
+                cumsum_names[i]
+            )
+            for i in range(len(value_cols))
+        ],
     )
     return out
 
@@ -216,3 +262,79 @@ def global_row_number(
         num_partitions=num_partitions,
     )
     return ranked.drop("__one", "__cum_one")
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    in_a: Column,
+    in_b: Column,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    ``value_col`` distributions of two row populations (``in_a`` /
+    ``in_b`` boolean predicates) — the drift test a data pipeline runs
+    between a reference window and a live window before trusting new
+    data.
+
+    D = max_v |F_a(v) − F_b(v)| is computed with ZERO floating-point
+    state: per-distinct-value counts, one :func:`ranked_cumsums` pass
+    (both cumulative counts share a single range exchange), and the
+    integer cross-difference ``|cum_a·n_b − cum_b·n_a|`` whose maximum
+    is an ordinary MAX aggregate. The only double is the final
+    presentation division of two exact int64s — deterministic on any
+    engine (n_a·n_b stays under 2^63 up to ~3·10^9 rows per side;
+    beyond that emit the numerator alone and divide downstream).
+
+    Returns ONE row: (ks_num, n_a, n_b, ks, at_value) where at_value
+    is the smallest value attaining the maximum gap.
+
+    Scale: the counts agg shuffles |distinct values| rows (map-side
+    combined — bounded by the value DOMAIN, not the row count); the
+    cumsum is the distsort range-exchange path; the argmax is a
+    TakeOrderedAndProject over the distinct-value frame. No global
+    window, no driver state.
+    """
+    tagged = (
+        df.filter(F.col(value_col).isNotNull())  # a CDF has no NULL point
+        .select(
+            F.col(value_col).alias("__v"),
+            in_a.cast("long").alias("__a"),
+            in_b.cast("long").alias("__b"),
+        )
+        .filter((F.col("__a") == 1) | (F.col("__b") == 1))
+    )
+    counts = tagged.groupBy("__v").agg(
+        F.sum("__a").cast("long").alias("cnt_a"),
+        F.sum("__b").cast("long").alias("cnt_b"),
+    )
+    cums = ranked_cumsums(
+        counts,
+        [F.col("__v")],
+        ["cnt_a", "cnt_b"],
+        cumsum_names=["cum_a", "cum_b"],
+        num_partitions=num_partitions,
+    )
+    tot = counts.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    ).alias("__gap")
+    return (
+        cums.crossJoin(F.broadcast(tot))
+        .select("__v", "n_a", "n_b", gap)
+        .orderBy(F.col("__gap").desc(), F.col("__v"))
+        .limit(1)
+        .select(
+            F.col("__gap").cast("long").alias("ks_num"),
+            "n_a",
+            "n_b",
+            (
+                F.col("__gap")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("ks"),
+            F.col("__v").alias("at_value"),
+        )
+    )

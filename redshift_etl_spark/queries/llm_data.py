@@ -3477,3 +3477,54 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         k=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample KS drift (operators/distsort.ks_drift)
+# ---------------------------------------------------------------------------
+
+from ..operators import distsort as DSORT  # noqa: E402
+
+_KS_ORACLE = """
+WITH c AS (
+  SELECT value AS v,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM events
+  WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         SUM(cnt_a) OVER (ORDER BY v) AS cum_a,
+         SUM(cnt_b) OVER (ORDER BY v) AS cum_b
+  FROM c
+),
+tot AS (
+  SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a, CAST(SUM(cnt_b) AS BIGINT) AS n_b
+  FROM c
+)
+SELECT CAST(ABS(cum_a * n_b - cum_b * n_a) AS BIGINT) AS ks_num,
+       n_a, n_b,
+       CAST(ABS(cum_a * n_b - cum_b * n_a) AS DOUBLE)
+         / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS ks,
+       v AS at_value
+FROM cum CROSS JOIN tot
+ORDER BY ABS(cum_a * n_b - cum_b * n_a) DESC, v
+LIMIT 1
+"""
+
+
+@_q("ks_drift", _KS_ORACLE)
+def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift between the value
+    distributions of click and error events — integer cross-difference
+    maximum, zero floating-point state (see operators/distsort.ks_drift
+    for the range-exchange cumsum design)."""
+    events = load(spark, sf_dir, "events")
+    return DSORT.ks_drift(
+        events,
+        "value",
+        F.col("event_type") == "click",
+        F.col("event_type") == "error",
+    )

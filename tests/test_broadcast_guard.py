@@ -49,7 +49,11 @@ ALLOWED = {
     ("operators/bpe.py", "bpe_encode"),
     ("operators/dedup.py", "contamination"),
     ("operators/distsort.py", "percentile_disc_edges"),
-    ("operators/distsort.py", "ranked_cumsum"),
+    ("operators/distsort.py", "ranked_cumsums"),
+    ("operators/distsort.py", "ks_drift"),
+    ("operators/dsir.py", "_delta_table"),
+    ("operators/dsir.py", "dsir_scores"),
+    ("operators/similarity.py", "margin_mined_pairs"),
     ("operators/funnel.py", "retention_cohorts"),
     ("operators/funnel.py", "transition_matrix"),
     ("operators/graph.py", "_pagerank_loop"),

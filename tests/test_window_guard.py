@@ -45,7 +45,7 @@ ALLOWED = {
     ("operators/text.py", "bm25_topk"),
     ("queries/relational.py", "weekly_active_users"),
     ("queries/curation.py", "domain_lorenz"),
-    ("operators/distsort.py", "ranked_cumsum"),
+    ("operators/distsort.py", "ranked_cumsums"),
 }
 
 _WINDOW_MODULES = {"pyspark.sql", "pyspark.sql.window"}
