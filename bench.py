@@ -65,6 +65,10 @@ HEADLINE = (
     "attribution_join",     # interval attribution join, batch form (r7)
     "incremental_near_dups",  # stored-index LSH probe of an increment (r7)
     "chat_sessions",        # session-cut conversation assembly (r7)
+    "dsir_select",          # DSIR importance resampling, Gumbel-top-k (r7)
+    "preference_pairs",     # RLHF chosen/rejected assembly (r7)
+    "ks_drift",             # exact two-sample KS statistic (r7)
+    "bitext_margin_pairs",  # margin-based mutual-best mining (r7)
 )
 
 

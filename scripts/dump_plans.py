@@ -83,6 +83,24 @@ NOTES = {
         "token-share drift: one hash agg -> 1-row total broadcast -> "
         "10-row weights broadcast; data path scans once"
     ),
+    "dsir_select": (
+        "64-row model agg (map-side combined) -> broadcast delta join "
+        "on the token stream -> one doc-keyed hash agg -> "
+        "TakeOrderedAndProject Gumbel-top-k"
+    ),
+    "preference_pairs": (
+        "top-2 rank window and pivot agg share ONE group-key "
+        "exchange; no second shuffle"
+    ),
+    "ks_drift": (
+        "distinct-value counts agg -> one range exchange (both "
+        "cumsums share it) -> integer cross-diff argmax top-1"
+    ),
+    "bitext_margin_pairs": (
+        "contracted exact baseline: broadcast side B cross scores, "
+        "partitioned rank windows, broadcast denominators; LSH-"
+        "bucketed candidates at scale"
+    ),
     "training_shuffle_order": (
         "one bucket exchange + per-bucket rank window; no global sort"
     ),
