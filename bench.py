@@ -69,6 +69,7 @@ HEADLINE = (
     "preference_pairs",     # RLHF chosen/rejected assembly (r7)
     "ks_drift",             # exact two-sample KS statistic (r7)
     "bitext_margin_pairs",  # margin-based mutual-best mining (r7)
+    "ccnet_perplexity",     # hashed bigram LM perplexity filter (r7)
 )
 
 

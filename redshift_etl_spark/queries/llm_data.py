@@ -3528,3 +3528,85 @@ def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "click",
         F.col("event_type") == "error",
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity filter (operators/ngramlm.py)
+# ---------------------------------------------------------------------------
+
+from ..operators import ngramlm as NG  # noqa: E402
+
+
+def _ccnet_oracle() -> str:
+    bc = NG.token_bucket_sql("w1", NG.CTX_BUCKETS)
+    bw = NG.token_bucket_sql("w2", NG.WORD_BUCKETS)
+    model = NG.nll_table_sql("refbg")
+    return f"""
+WITH sp AS (
+  SELECT doc_id, source, str_split(text, ' ') AS sp FROM documents
+),
+ps AS (
+  SELECT doc_id, source,
+         generate_subscripts(sp, 1) AS tpos, unnest(sp) AS w
+  FROM sp
+),
+bg AS (
+  SELECT doc_id, source,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY tpos) AS w1,
+         w AS w2
+  FROM ps
+),
+refbg AS (
+  SELECT w1, w2 FROM bg WHERE source = 'src0' AND w1 IS NOT NULL
+),
+model AS ({model}
+),
+poolbg AS (
+  SELECT doc_id, {bc} AS bc, {bw} AS bw
+  FROM bg WHERE source <> 'src0' AND w1 IS NOT NULL
+),
+scores AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(nll_micro) AS BIGINT) AS nll_micro
+  FROM poolbg JOIN model USING (bc, bw)
+  GROUP BY 1
+)
+SELECT s.doc_id, d.source, d.lang, s.n_bigrams, s.nll_micro,
+       CAST(s.nll_micro AS DOUBLE) / s.n_bigrams AS nll_per_tok
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY nll_per_tok, s.doc_id
+LIMIT 40
+"""
+
+
+@_q("ccnet_perplexity", _ccnet_oracle())
+def ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity filter (Wenzek et al. 2020): train a hashed
+    bigram LM on the `src0` reference corpus, score every other
+    document's exact-integer total NLL under it, and return the 40
+    best (lowest per-token NLL) — the "head" of the perplexity
+    distribution that CCNet keeps for pretraining. Plan: zero-shuffle
+    bigram transform -> 4096-row model agg (map-side combined) ->
+    broadcast model join -> one doc-keyed hash agg ->
+    TakeOrderedAndProject. The per-token NLL is one IEEE
+    bigint/bigint division, identical across engines."""
+    docs = load(spark, sf_dir, "documents")
+    scores = NG.perplexity_scores(
+        docs, "doc_id", "text", F.col("source") == "src0"
+    )
+    return (
+        scores.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_bigrams",
+            "nll_micro",
+            (F.col("nll_micro").cast("double") / F.col("n_bigrams")).alias(
+                "nll_per_tok"
+            ),
+        )
+        .orderBy("nll_per_tok", "doc_id")
+        .limit(40)
+    )

@@ -96,6 +96,11 @@ NOTES = {
         "distinct-value counts agg -> one range exchange (both "
         "cumsums share it) -> integer cross-diff argmax top-1"
     ),
+    "ccnet_perplexity": (
+        "zero-shuffle bigram transform -> 4096-row model agg "
+        "(map-side combined) -> broadcast model join -> one "
+        "doc-keyed hash agg -> TakeOrderedAndProject"
+    ),
     "bitext_margin_pairs": (
         "contracted exact baseline: broadcast side B cross scores, "
         "partitioned rank windows, broadcast denominators; LSH-"
