@@ -70,6 +70,7 @@ HEADLINE = (
     "ks_drift",             # exact two-sample KS statistic (r7)
     "bitext_margin_pairs",  # margin-based mutual-best mining (r7)
     "ccnet_perplexity",     # hashed bigram LM perplexity filter (r7)
+    "hard_negative_mining",  # DPR margin-gated hard negatives (r7)
 )
 
 

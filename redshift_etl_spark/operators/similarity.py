@@ -1156,12 +1156,127 @@ def whiten_embeddings(
     return df.mapInPandas(project, schema=schema_str)
 
 
+def hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    margin_micro: int = 20000,
+    dims: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    DPR / sentence-transformers recipe): for each anchor, the k most
+    similar items with a DIFFERENT label — the negatives that
+    actually move the loss — excluding any negative whose similarity
+    comes within ``margin_micro`` of the anchor's best positive
+    (those are likely mislabeled positives, the classic
+    false-negative trap).
+
+    Determinism contract: cosines are micro-rounded BIGINTs; the
+    margin gate ``cos <= pos_best − margin_micro`` is a pure int64
+    comparison; ranking ties fall to the candidate id. Anchors with
+    no same-label partner have no positive ceiling and emit nothing.
+
+    Returns (anchor_id, anchor_label, neg_id, neg_label, neg_rank,
+    cosine, pos_best) — cosines divided back to doubles for
+    presentation only.
+
+    Scale posture: the exact all-pairs form is the CONTRACTED
+    baseline (like `cosine_topk`); at corpus scale the same
+    gate/rank logic runs unchanged over LSH-bucketed candidate
+    pairs (`lsh_bucket_pairs`). Within this form the pair frame is
+    evaluated ONCE: the anchor side is hash-repartitioned on a_id
+    to core width BEFORE the broadcast cross score (a small parquet
+    input is typically one file = one partition, which would
+    serialize the whole O(N·M) scoring loop into a single task —
+    and the nested-loop join preserves the streamed side's
+    partitioning, so this one exchange also satisfies both windows'
+    required distribution: no post-join shuffle at all). The
+    positive ceiling is an unordered window max over that same
+    per-anchor partitioning the rank window uses. No global sort,
+    no driver state.
+    """
+    from pyspark.sql import Window
+
+    # per-vector norms BEFORE the cross join (one sqrt per vector, not
+    # three dots per pair); with dims known the per-pair dot is one
+    # unrolled codegen expression — same doubles either way
+    norm = l2_norm(vec_col, dims) if dims else l2_norm(F.col(vec_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(label_col).alias("a_label"),
+        F.col(vec_col).alias("__va"),
+        norm.alias("__na"),
+    ).repartition(par, "a_id")
+    b = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(label_col).alias("b_label"),
+        F.col(vec_col).alias("__vb"),
+        norm.alias("__nb"),
+    )
+    pair_dot = (
+        F.expr(_sql_dot("__va", "__vb", dims))
+        if dims
+        else dot(F.col("__va"), F.col("__vb"))
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn(
+            "cos_micro",
+            F.round(
+                pair_dot / (F.col("__na") * F.col("__nb")) * 1e6, 0
+            ).cast("long"),
+        )
+        .select("a_id", "a_label", "b_id", "b_label", "cos_micro")
+    )
+    # positive ceiling as an UNORDERED max window over the same a_id
+    # partitioning the rank window needs: one pass over pairs, one
+    # shared hash exchange, no second cross-join evaluation. Anchors
+    # with no same-label partner get a NULL ceiling and are dropped
+    # by the margin filter (documented contract).
+    w_all = Window.partitionBy("a_id")
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cos_micro").desc(), F.col("b_id")
+    )
+    return (
+        pairs.withColumn(
+            "pos_best_micro",
+            F.max(
+                F.when(
+                    F.col("a_label") == F.col("b_label"),
+                    F.col("cos_micro"),
+                )
+            ).over(w_all),
+        )
+        .filter(F.col("a_label") != F.col("b_label"))
+        .filter(
+            F.col("cos_micro")
+            <= F.col("pos_best_micro") - F.lit(margin_micro)
+        )
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            F.col("a_id").alias("anchor_id"),
+            F.col("a_label").alias("anchor_label"),
+            F.col("b_id").alias("neg_id"),
+            F.col("b_label").alias("neg_label"),
+            "neg_rank",
+            (F.col("cos_micro") / 1e6).alias("cosine"),
+            (F.col("pos_best_micro") / 1e6).alias("pos_best"),
+        )
+    )
+
+
 def margin_mined_pairs(
     side_a: DataFrame,
     side_b: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 4,
+    dims: int | None = None,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019): align two
     embedding collections (e.g. sentences in two languages) by MUTUAL
@@ -1183,26 +1298,47 @@ def margin_mined_pairs(
     baseline (scores every cross pair, like `cosine_topk`); at corpus
     scale the same margin/mutual logic runs unchanged over
     LSH-bucketed candidate pairs (`lsh_bucket_pairs`) instead of the
-    cross join. Within this form: one broadcast of the smaller side,
-    two partitioned rank windows, one join — no global sort.
+    cross join. Within this form: side A is hash-repartitioned to
+    core width before the broadcast cross score (a small parquet
+    input is one partition — without this the whole O(N·M) scoring
+    loop is a single task), and the scored pair frame (3 narrow
+    cols) is persisted so its four consumers (two rank-window
+    directions, two denominator joins) evaluate the cross product
+    exactly once. No global sort.
     """
     from pyspark.sql import Window
 
+    # per-vector norms BEFORE the cross join; unrolled codegen dot per
+    # pair when dims is known — same doubles as the fold (both strict
+    # left-to-right), but it pays a multi-second janino compile per
+    # stage: only pass dims when pairs >> 10^6
+    norm = l2_norm(vec_col, dims) if dims else l2_norm(F.col(vec_col))
+    par = side_a.sparkSession.sparkContext.defaultParallelism
     a = side_a.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va")
-    )
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("__va"),
+        norm.alias("__na"),
+    ).repartition(par, "a_id")
     b = side_b.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb")
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("__vb"),
+        norm.alias("__nb"),
+    )
+    pair_dot = (
+        F.expr(_sql_dot("__va", "__vb", dims))
+        if dims
+        else dot(F.col("__va"), F.col("__vb"))
     )
     pairs = (
         a.crossJoin(F.broadcast(b))
         .withColumn(
             "cos_micro",
-            F.round(cosine(F.col("__va"), F.col("__vb")) * 1e6, 0).cast(
-                "long"
-            ),
+            F.round(
+                pair_dot / (F.col("__na") * F.col("__nb")) * 1e6, 0
+            ).cast("long"),
         )
         .select("a_id", "b_id", "cos_micro")
+        .persist()
     )
     wa = Window.partitionBy("a_id").orderBy(
         F.col("cos_micro").desc(), F.col("b_id")

@@ -3610,3 +3610,66 @@ def ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("nll_per_tok", "doc_id")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (operators/similarity.hard_negatives)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, a.label AS a_label,
+         b.vec_id AS b_id, b.label AS b_label,
+         CAST(ROUND(
+           list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           * 1e6, 0) AS BIGINT) AS cos_micro
+  FROM e a CROSS JOIN e b
+  WHERE a.vec_id <> b.vec_id
+),
+pos_best AS (
+  SELECT a_id, MAX(cos_micro) AS pos_best_micro
+  FROM pairs WHERE a_label = b_label GROUP BY 1
+),
+negs AS (
+  SELECT p.*, pb.pos_best_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.a_id ORDER BY p.cos_micro DESC, p.b_id
+         ) AS neg_rank
+  FROM pairs p JOIN pos_best pb USING (a_id)
+  WHERE p.a_label <> p.b_label
+    AND p.cos_micro <= pb.pos_best_micro - 20000
+)
+SELECT a_id AS anchor_id, a_label AS anchor_label,
+       b_id AS neg_id, b_label AS neg_label, neg_rank,
+       cos_micro / 1e6 AS cosine,
+       pos_best_micro / 1e6 AS pos_best
+FROM negs WHERE neg_rank <= 3
+ORDER BY anchor_id, neg_rank
+"""
+
+
+@_q("hard_negative_mining", _HARDNEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives (DPR recipe): for every
+    labeled embedding, the 3 most-similar DIFFERENT-label vectors
+    whose similarity stays a 0.02-cosine margin below the anchor's
+    best positive (false-negative guard). Exact-integer gate and
+    ranking; contracted exact baseline over the embeddings table —
+    the same logic runs over LSH-bucketed candidates at corpus
+    scale. Plan: anchors hash-spread to core width, one broadcast
+    cross score evaluated once, positive ceiling + rank as two
+    windows over that same a_id partitioning (no post-join
+    shuffle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.hard_negatives(
+        emb,
+        "vec_id",
+        "embedding",
+        "label",
+        k=3,
+        margin_micro=20000,
+    ).orderBy("anchor_id", "neg_rank")

@@ -22,7 +22,8 @@ frame is bounded. Entries group by boundedness argument:
 - LIMIT / top-k heads: domain_lorenz top-50, bm25/tfidf vocab,
   heavy-hitter finalists, farthest-point seeds
 - codebooks / models: pq & ivf centroids, bpe merge rules, int8
-  scales, query vectors (constant per call)
+  scales, query vectors (constant per call), the hashed bigram LM
+  (≤ ctx_buckets × word_buckets = 4096 cells by construction)
 - dims bounded at committed scale AND joined as the build side of a
   star: nation/region/customer-slice/part-slice in the TPC-H shapes
   (these carry docstring caps; the catalog-scaling ones also have
@@ -53,11 +54,13 @@ ALLOWED = {
     ("operators/distsort.py", "ks_drift"),
     ("operators/dsir.py", "_delta_table"),
     ("operators/dsir.py", "dsir_scores"),
+    ("operators/similarity.py", "hard_negatives"),
     ("operators/similarity.py", "margin_mined_pairs"),
     ("operators/funnel.py", "retention_cohorts"),
     ("operators/funnel.py", "transition_matrix"),
     ("operators/graph.py", "_pagerank_loop"),
     ("operators/heavy.py", "heavy_hitters"),
+    ("operators/ngramlm.py", "perplexity_scores"),
     ("operators/pq.py", "_assign"),
     ("operators/pq.py", "pq_adc_topk"),
     ("operators/quality.py", "audit"),
