@@ -71,6 +71,7 @@ HEADLINE = (
     "bitext_margin_pairs",  # margin-based mutual-best mining (r7)
     "ccnet_perplexity",     # hashed bigram LM perplexity filter (r7)
     "hard_negative_mining",  # DPR margin-gated hard negatives (r7)
+    "gopher_quality_rules",  # Gopher/C4 integer-exact quality screens (r7)
 )
 
 

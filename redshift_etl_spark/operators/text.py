@@ -933,3 +933,105 @@ def assemble_conversations(
         F.count(F.lit(1)).cast("long").alias("n_turns"),
         F.length(rendered).cast("long").alias("n_chars"),
     )
+
+
+# --- Gopher / C4 document-quality rules ------------------------------------
+
+# Required-stopword set from the Gopher paper (Rae et al. 2021 §A1.1):
+# a kept document must contain at least GOPHER_STOP_MIN of these.
+GOPHER_STOP_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_STOP_MIN = 2
+# Bullet / ellipsis line decorations (Gopher: drop if >90% of lines
+# start with a bullet or >30% end with an ellipsis).
+BULLET_PREFIXES = ("- ", "* ", "• ")
+ELLIPSIS_SUFFIXES = ("...", "…")
+# Gopher symbol-to-word screen counts these glyphs.
+HASH_GLYPH = "#"
+ELLIPSIS_GLYPH = "…"
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Exact substring occurrence count via length arithmetic — pure
+    integer, identical in any engine: (len - len(remove)) / len(needle)."""
+    removed = F.replace(text, F.lit(needle), F.lit(""))
+    return (
+        (F.length(text) - F.length(removed)) / F.lit(len(needle))
+    ).cast("long")
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher (Rae et al. 2021) + C4 (Raffel et al. 2020) document
+    quality rules as ONE pure projection — each published screen is an
+    integer flag, `keep` is their conjunction.
+
+    Every ratio threshold is cross-multiplied into exact integer
+    arithmetic (e.g. "≥80% alphabetic words" is `5·n_alpha ≥ 4·n_words`)
+    so no float boundary can split engines, and the whole frame is a
+    zero-shuffle scan-speed projection over (id, text) — the shape a
+    100 TB curation pass needs.
+
+    Rules (flag = 1 means the document PASSES that screen):
+      r_word_count     50 ≤ words ≤ 100 000
+      r_mean_word_len  3 ≤ (word-chars / words) ≤ 10
+      r_symbol_ratio   (#-glyphs + ellipses) / words ≤ 0.1
+      r_bullet_lines   bullet-prefixed lines ≤ 90% of lines
+      r_ellipsis_lines ellipsis-ending lines ≤ 30% of lines
+      r_alpha_words    words containing a letter ≥ 80%
+      r_stopwords      ≥ 2 of the required stop set present
+      r_no_lorem       no "lorem ipsum" (C4)
+      r_no_brace       no "{" (C4 code screen)
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    lines = F.split(t, "\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    n_sym = _occurrences(t, HASH_GLYPH) + _occurrences(t, ELLIPSIS_GLYPH)
+    def _any_prefix(line: Column) -> Column:
+        out = F.lit(False)
+        for p in BULLET_PREFIXES:
+            out = out | line.startswith(F.lit(p))
+        return out
+
+    def _any_suffix(line: Column) -> Column:
+        out = F.lit(False)
+        for s in ELLIPSIS_SUFFIXES:
+            out = out | line.endswith(F.lit(s))
+        return out
+
+    bullet = F.size(F.filter(lines, _any_prefix)).cast("long")
+    ellipsis = F.size(F.filter(lines, _any_suffix)).cast("long")
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOP_REQUIRED]),
+            lambda s: F.array_contains(words, s),
+        )
+    ).cast("long")
+    flags = {
+        "r_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "r_mean_word_len": (word_chars >= 3 * n_words)
+        & (word_chars <= 10 * n_words),
+        "r_symbol_ratio": 10 * n_sym <= n_words,
+        "r_bullet_lines": 10 * bullet <= 9 * n_lines,
+        "r_ellipsis_lines": 10 * ellipsis <= 3 * n_lines,
+        "r_alpha_words": 5 * n_alpha >= 4 * n_words,
+        "r_stopwords": n_stop >= GOPHER_STOP_MIN,
+        "r_no_lorem": ~F.lower(t).contains("lorem ipsum"),
+        "r_no_brace": ~t.contains("{"),
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        *[c.cast("int").alias(name) for name, c in flags.items()],
+        keep.cast("int").alias("keep"),
+    )

@@ -3673,3 +3673,78 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         margin_micro=20000,
     ).orderBy("anchor_id", "neg_rank")
+
+
+# ---------------------------------------------------------------------------
+# Gopher / C4 quality rules (operators/text.gopher_rules)
+# ---------------------------------------------------------------------------
+
+def _gopher_oracle() -> str:
+    stop_sql = ", ".join(f"'{s}'" for s in TX.GOPHER_STOP_REQUIRED)
+    bullet_sql = " OR ".join(
+        f"starts_with(l, '{p}')" for p in TX.BULLET_PREFIXES
+    )
+    ellipsis_sql = " OR ".join(
+        f"ends_with(l, '{s}')" for s in TX.ELLIPSIS_SUFFIXES
+    )
+    # every threshold is the same cross-multiplied integer comparison
+    # the Spark operator uses — no float boundary anywhere
+    rules = {
+        "r_word_count": "n_words >= 50 AND n_words <= 100000",
+        "r_mean_word_len": (
+            "word_chars >= 3 * n_words AND word_chars <= 10 * n_words"
+        ),
+        "r_symbol_ratio": "10 * n_sym <= n_words",
+        "r_bullet_lines": "10 * n_bullet <= 9 * n_lines",
+        "r_ellipsis_lines": "10 * n_ellipsis <= 3 * n_lines",
+        "r_alpha_words": "5 * n_alpha >= 4 * n_words",
+        "r_stopwords": f"n_stop >= {TX.GOPHER_STOP_MIN}",
+        "r_no_lorem": "NOT contains(lower(text), 'lorem ipsum')",
+        "r_no_brace": "NOT contains(text, '{')",
+    }
+    flag_cols = ",\n  ".join(
+        f"CASE WHEN {cond} THEN 1 ELSE 0 END AS {name}"
+        for name, cond in rules.items()
+    )
+    keep_cond = " AND ".join(f"({c})" for c in rules.values())
+    return f"""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(coalesce(list_sum(list_transform(
+             str_split(text, ' '), w -> length(w))), 0) AS BIGINT)
+           AS word_chars,
+         CAST(len(list_filter(str_split(text, ' '),
+             w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         CAST(length(text) - length(replace(text, '{TX.HASH_GLYPH}', ''))
+           AS BIGINT)
+         + CAST(length(text)
+             - length(replace(text, '{TX.ELLIPSIS_GLYPH}', ''))
+           AS BIGINT) AS n_sym,
+         CAST(len(list_filter(str_split(text, chr(10)),
+             l -> {bullet_sql})) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(str_split(text, chr(10)),
+             l -> {ellipsis_sql})) AS BIGINT) AS n_ellipsis,
+         CAST(len(list_filter([{stop_sql}],
+             s -> list_contains(str_split(text, ' '), s))) AS BIGINT)
+           AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_words, n_lines,
+  {flag_cols},
+  CASE WHEN {keep_cond} THEN 1 ELSE 0 END AS keep
+FROM m
+"""
+
+
+@_q("gopher_quality_rules", _gopher_oracle())
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher (Rae et al. 2021) + C4 (Raffel et al. 2020) document
+    quality screens over the documents table — one integer flag per
+    published rule plus the conjunction `keep`. Every ratio threshold
+    is cross-multiplied into exact integer arithmetic, and the whole
+    report is a single zero-shuffle projection over (doc_id, text):
+    scan-speed at 100 TB with full column pruning."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.gopher_rules(docs, "doc_id", "text")
