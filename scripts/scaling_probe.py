@@ -42,6 +42,10 @@ PROBES = (
     "mv_incremental",       # two partial-aggregate folds
     "incremental_near_dups",  # increment signatures + index equi-probe
     "chat_transcripts",     # collect+in-row sort render, one shuffle
+    "ccnet_perplexity",     # bigram stream + 4096-cell model join (r7)
+    "gopher_quality_rules",  # pure projection — the linear floor (r7)
+    "dsir_select",          # 64-row model + doc-keyed agg + top-k (r7)
+    "ks_drift",             # shared range-exchange cumsum (r7)
 )
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
