@@ -3748,3 +3748,77 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-speed at 100 TB with full column pruning."""
     docs = load(spark, sf_dir, "documents")
     return TX.gopher_rules(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication audit (composition: banded LSH ∘ source join)
+# ---------------------------------------------------------------------------
+
+def _cross_source_dup_oracle() -> str:
+    # reuse the committed minhash-LSH pair SQL verbatim as a subquery —
+    # the matrix is a pure composition over the same candidate set
+    return f"""
+WITH p AS ({_minhash_oracle()})
+SELECT
+  least(da.source, db.source)    AS src_lo,
+  greatest(da.source, db.source) AS src_hi,
+  CAST(COUNT(*) AS BIGINT)       AS n_pairs,
+  CAST(SUM(CAST(ROUND(p.est_jaccard * 8, 0) AS BIGINT)) AS BIGINT)
+                                 AS sum_agree,
+  CAST(SUM(CAST(ROUND(p.est_jaccard * 8, 0) AS BIGINT)) AS DOUBLE)
+    / (8 * COUNT(*))             AS mean_est_jaccard
+FROM p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, src_lo, src_hi
+"""
+
+
+@_q("cross_source_dup_matrix", _cross_source_dup_oracle())
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit: for every (source, source) pair,
+    how many banded-LSH near-duplicate candidate pairs straddle them
+    and their mean signature agreement — the curation diagnostic that
+    surfaces which corpus slices copy from each other (mirrors,
+    scraped re-posts) before mixture weights are chosen.
+
+    Pure composition: the committed `lsh_candidate_pairs` candidate
+    set (banding bounds pairs — no quadratic tile at scale) joined to
+    the 2-column (doc_id, source) projection on both endpoints (AQE
+    picks broadcast vs shuffle by measured size), then one hash
+    aggregate on the |sources|²-bounded matrix key. Agreement sums
+    are exact BIGINTs (est_jaccard is k/8, so est·8 is an integer by
+    construction); the mean is one IEEE division for presentation.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=2, shingle_n=3
+    )
+    src = docs.select("doc_id", "source")
+    sa = F.col("__sa.source")
+    sb = F.col("__sb.source")
+    return (
+        pairs.join(src.alias("__sa"), pairs["doc_a"] == F.col("__sa.doc_id"))
+        .join(src.alias("__sb"), pairs["doc_b"] == F.col("__sb.doc_id"))
+        .select(
+            F.least(sa, sb).alias("src_lo"),
+            F.greatest(sa, sb).alias("src_hi"),
+            F.round(F.col("est_jaccard") * 8, 0).cast("long").alias("__agree"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("__agree").cast("long").alias("sum_agree"),
+        )
+        .select(
+            "src_lo",
+            "src_hi",
+            "n_pairs",
+            "sum_agree",
+            (F.col("sum_agree").cast("double") / (8 * F.col("n_pairs"))).alias(
+                "mean_est_jaccard"
+            ),
+        )
+        .orderBy(F.col("n_pairs").desc(), "src_lo", "src_hi")
+    )
