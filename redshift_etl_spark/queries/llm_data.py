@@ -3822,3 +3822,141 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_pairs").desc(), "src_lo", "src_hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (composition over operators/ngramlm)
+# ---------------------------------------------------------------------------
+
+def _doremi_oracle() -> str:
+    bc = NG.token_bucket_sql("w1", NG.CTX_BUCKETS)
+    bw = NG.token_bucket_sql("w2", NG.WORD_BUCKETS)
+    model = NG.nll_table_sql("refbg")
+    return f"""
+WITH sp AS (
+  SELECT doc_id, source, str_split(text, ' ') AS sp FROM documents
+),
+ps AS (
+  SELECT doc_id, source,
+         generate_subscripts(sp, 1) AS tpos, unnest(sp) AS w
+  FROM sp
+),
+bg AS (
+  SELECT doc_id, source,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY tpos) AS w1,
+         w AS w2
+  FROM ps
+),
+refbg AS (
+  SELECT w1, w2 FROM bg WHERE source = 'src0' AND w1 IS NOT NULL
+),
+model AS ({model}
+),
+poolbg AS (
+  SELECT source, {bc} AS bc, {bw} AS bw
+  FROM bg WHERE source <> 'src0' AND w1 IS NOT NULL
+),
+dom AS (
+  SELECT source,
+         CAST(SUM(nll_micro) AS BIGINT) AS dom_nll,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM poolbg JOIN model USING (bc, bw)
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(dom_nll) AS BIGINT) AS tot_nll,
+         CAST(SUM(n_bigrams) AS BIGINT) AS tot_bg
+  FROM dom
+),
+w AS (
+  SELECT source, dom_nll, n_bigrams,
+         CAST(ROUND(exp(greatest(
+             CAST(dom_nll AS DOUBLE) / n_bigrams
+               - CAST(tot_nll AS DOUBLE) / tot_bg, 0.0) / 1e6)
+           * 1e6, 0) AS BIGINT) AS w_micro
+  FROM dom, tot
+),
+tw AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS sum_w FROM w)
+SELECT source, n_bigrams, dom_nll, w_micro,
+       CAST(w_micro AS DOUBLE) / sum_w AS weight
+FROM w, tw
+ORDER BY weight DESC, source
+"""
+
+
+@_q("doremi_weights", _doremi_oracle())
+def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, one
+    exponentiated-gradient step): score every non-reference domain's
+    mean NLL under the hashed bigram LM trained on the `src0`
+    reference slice, then upweight domains with EXCESS loss over the
+    corpus mean — ``w_d ∝ exp(max(mean_d − overall, 0))`` — the
+    domains the proxy finds hardest get more mixture mass.
+
+    Exactness: domain NLL and bigram counts are BIGINT sums; means
+    are IEEE bigint/bigint divisions; the only libm call is the one
+    exp per DOMAIN (micro-rounded, ≤|sources| calls total); the final
+    weight is w_micro/Σw_micro — two exact integers. Plan: zero-
+    shuffle bigram transform → broadcast 4096-cell model join → ONE
+    hash agg on the |sources|-bounded domain key (no doc-level
+    intermediate), then two 1-row totals folded back by broadcast-
+    sized cross joins over the ≤|sources|-row cached frame."""
+    docs = load(spark, sf_dir, "documents")
+    bg = NG.bigram_stream(
+        docs.withColumn("__ref", F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        extra=["__ref", "source"],
+    )
+    model = NG.nll_table(bg.filter(F.col("__ref")))
+    pool = (
+        bg.filter(~F.col("__ref"))
+        .withColumn("bc", NG.token_bucket("w1", NG.CTX_BUCKETS))
+        .withColumn("bw", NG.token_bucket("w2", NG.WORD_BUCKETS))
+    )
+    dom = (
+        pool.join(F.broadcast(model), ["bc", "bw"])
+        .groupBy("source")
+        .agg(
+            F.sum("nll_micro").cast("long").alias("dom_nll"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+        .persist()
+    )
+    tot = dom.agg(
+        F.sum("dom_nll").cast("long").alias("tot_nll"),
+        F.sum("n_bigrams").cast("long").alias("tot_bg"),
+    )
+    w = dom.crossJoin(tot).select(
+        "source",
+        "dom_nll",
+        "n_bigrams",
+        F.round(
+            F.exp(
+                F.greatest(
+                    F.col("dom_nll").cast("double") / F.col("n_bigrams")
+                    - F.col("tot_nll").cast("double") / F.col("tot_bg"),
+                    F.lit(0.0),
+                )
+                / F.lit(1e6)
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    tw = w.agg(F.sum("w_micro").cast("long").alias("sum_w"))
+    return (
+        w.crossJoin(tw)
+        .select(
+            "source",
+            "n_bigrams",
+            "dom_nll",
+            "w_micro",
+            (F.col("w_micro").cast("double") / F.col("sum_w")).alias(
+                "weight"
+            ),
+        )
+        .orderBy(F.col("weight").desc(), "source")
+    )

@@ -89,6 +89,7 @@ ALLOWED = {
     ("queries/curation.py", "int8_quantize_stats"),
     ("queries/curation.py", "length_trim"),
     ("queries/llm_data.py", "doc_length_cdf"),
+    ("queries/llm_data.py", "doremi_weights"),
     ("queries/llm_data.py", "embedding_drift"),
     ("queries/llm_data.py", "quality_decile_lift"),
     ("queries/llm_data.py", "token_pmi_top"),
