@@ -700,11 +700,14 @@ def _duck_assign(out: str, cent: str) -> str:
 )"""
 
 
-def _ivf_kmeans_oracle(
+def _ivf_train_ctes(
     k: int = 8, iters: int = 2, scale: int = 10**6
-) -> str:
+) -> list[str]:
+    """The deterministic-Lloyd's training chain as CTE fragments —
+    ends with ``assignF`` (vec_id, v, cluster) and ``cent{iters}``
+    (cent_id, cv). Shared by the IVF probe oracle and semdedup."""
     parts = [
-        "WITH c AS "
+        "c AS "
         "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM c "
         f"ORDER BY vec_id LIMIT {k})",
@@ -725,6 +728,14 @@ def _ivf_kmeans_oracle(
   ) GROUP BY cluster
 )""")
     parts.append(_duck_assign("assignF", f"cent{iters}"))
+    return parts
+
+
+def _ivf_kmeans_oracle(
+    k: int = 8, iters: int = 2, scale: int = 10**6
+) -> str:
+    parts = _ivf_train_ctes(k, iters, scale)
+    parts[0] = "WITH " + parts[0]
     parts.append("q AS (SELECT * FROM assignF WHERE vec_id < 5)")
     parts.append(f"""scored AS (
   SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
@@ -3959,4 +3970,131 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.col("weight").desc(), "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means
+# clusters — candidate pairs come from the SAME deterministic codebook
+# the IVF index trains, so at corpus scale the quadratic tile is
+# bounded per cluster (k grows with the corpus), never global. Keep
+# rule per duplicate group: the member FARTHEST from its centroid
+# (lowest centroid cosine; ties to lowest id) — the paper's choice,
+# which preserves the cluster's outer shell.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.45
+
+
+def _semdedup_oracle() -> str:
+    ctes = ",\n".join(_ivf_train_ctes())
+    return f"""
+WITH RECURSIVE {ctes},
+withcos AS (
+  SELECT a.vec_id, a.cluster,
+         {_duck_cos("a.v", "cent2.cv")} AS cent_cos
+  FROM assignF a JOIN cent2 ON a.cluster = cent2.cent_id
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assignF a JOIN assignF b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_duck_cos("a.v", "b.v")} >= {SEMDEDUP_TAU}
+),
+sym AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+),
+ranked AS (
+  SELECT c.component, c.node, w.cent_cos,
+         row_number() OVER (
+           PARTITION BY c.component ORDER BY w.cent_cos, c.node
+         ) AS rn
+  FROM comp c JOIN withcos w ON w.vec_id = c.node
+)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+       MIN(CASE WHEN rn = 1 THEN node END) AS keep_id
+FROM ranked
+GROUP BY component
+ORDER BY component
+"""
+
+
+@_q("semdedup", _semdedup_oracle())
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: assign every embedding to its k-means cluster (the
+    committed train-once IVF codebook), find within-cluster pairs with
+    cosine ≥ τ, connect them into duplicate groups, and keep ONE
+    member per group — the one farthest from its centroid. Emits one
+    row per duplicate group: (component, n_members, n_dropped,
+    keep_id).
+
+    Plan: broadcast-codebook assignment (hash agg argmax, no window)
+    → cluster-keyed self-join whose quadratic tile is bounded PER
+    CLUSTER (SemDeDup's contract: k scales with the corpus, so
+    cluster populations stay bounded; no global pair tile) →
+    hash-min/pointer-jump connected components → one hash agg per
+    group with a struct-ordered min_by keep rule. Cosines compare at
+    the committed rounded-6 spelling, so the oracle (which retrains
+    the codebook relationally) is bit-identical."""
+    emb = load(spark, sf_dir, "embeddings")
+    cb = ivf_codebook(spark, sf_dir)
+    assigned = S.assign_clusters(emb, cb, "vec_id", "embedding")
+    cent = cb.select(
+        F.col("vec_id").alias("__cent_id"),
+        F.col("embedding").alias("__cent_vec"),
+    )
+    withcos = (
+        assigned.join(
+            F.broadcast(cent), F.col("cluster") == F.col("__cent_id")
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(
+                S.cosine(F.col("embedding"), F.col("__cent_vec")), 6
+            ).alias("cent_cos"),
+        )
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("__va"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("__vb"),
+        "cluster",
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.round(S.cosine(F.col("__va"), F.col("__vb")), 6)
+            >= F.lit(SEMDEDUP_TAU)
+        )
+        .select("vec_a", "vec_b")
+    )
+    cc = D.connected_components(pairs, "vec_a", "vec_b")
+    return (
+        cc.join(withcos, cc["node"] == withcos["vec_id"])
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+            F.min_by(
+                F.col("node"), F.struct(F.col("cent_cos"), F.col("node"))
+            ).alias("keep_id"),
+        )
+        .orderBy("component")
     )
