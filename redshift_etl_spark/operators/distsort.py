@@ -244,6 +244,81 @@ def percentile_disc_edges(
     return cum.crossJoin(F.broadcast(n_total)).agg(*aggs)
 
 
+def grouped_percentile_disc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percents: list[float],
+    prefix: str = "p",
+    num_partitions: int | None = None,
+    reliable: bool = False,
+) -> DataFrame:
+    """Exact per-GROUP ``percentile_disc(p) WITHIN GROUP (ORDER BY
+    value_col)`` — one output row per group — computed with NO
+    per-group funnel.
+
+    This is the FEW-GIANT-GROUPS shape (a bounded catalog of event
+    types / sources, each holding a huge share of rows). There the
+    built-in aggregate's per-group distinct-value hashmap ≈ the group
+    itself on one task, and a per-group sort window is a group-sized
+    single-task sort. Here instead the distinct-value counts ride ONE
+    global range exchange ordered by (group, value) — the same
+    :func:`ranked_cumsum` machinery as the ungrouped edges — and each
+    group's cumulative count is recovered by subtracting the group's
+    exclusive offset ``Σ n_{g'} for g' < group`` (an aggregated
+    |groups|-row frame theta-joined to itself: |groups|² work, trivial
+    under this shape's contract). With MANY small groups, prefer the
+    built-in aggregate: map-side combine keeps its per-group state
+    bounded, and this operator's offsets join would not.
+
+    Threshold test is the same exact-integer Fraction arithmetic as
+    :func:`percentile_disc_edges`; NULL values are filtered before
+    counting, matching aggregate semantics per group (property-tested
+    ≡ the built-in grouped aggregate)."""
+    from fractions import Fraction
+
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    cum = ranked_cumsum(
+        counts,
+        [F.col(group_col), F.col(value_col)],
+        "__cnt",
+        rank_name="__rk",
+        cumsum_name="__cum",
+        num_partitions=num_partitions,
+        reliable=reliable,
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("__cnt").cast("long").alias("__n_g")
+    )
+    earlier = totals.select(
+        F.col(group_col).alias("__g2"), F.col("__n_g").alias("__n2")
+    )
+    offsets = (
+        totals.join(earlier, F.col("__g2") < F.col(group_col), "left")
+        .groupBy(group_col, "__n_g")
+        .agg(F.coalesce(F.sum("__n2"), F.lit(0)).cast("long").alias("__off"))
+    )
+    j = cum.join(offsets, group_col)
+    aggs = []
+    for p in percents:
+        fr = Fraction(str(p))
+        aggs.append(
+            F.min(
+                F.when(
+                    (F.col("__cum") - F.col("__off"))
+                    * F.lit(fr.denominator)
+                    >= F.lit(fr.numerator) * F.col("__n_g"),
+                    F.col(value_col),
+                )
+            ).alias(f"{prefix}{round(p * 100)}")
+        )
+    return j.groupBy(group_col).agg(*aggs)
+
+
 def global_row_number(
     df: DataFrame,
     order_by: list[Column],

@@ -4763,3 +4763,85 @@ def mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_o_orderdate",
         "max_o_orderdate",
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier report: per-group modified z-score (Iglewicz–Hoaglin,
+# 0.6745·(x − median)/MAD > 3.5) with the median and MAD computed as
+# exact DISCRETE percentiles via distsort.grouped_percentile_disc —
+# the few-giant-groups shape (a bounded event-type catalog, each type
+# holding a huge share of rows) where the built-in per-group
+# percentile aggregate would funnel each group's distinct values onto
+# one task. All percentile outputs are actual data values (bit-exact
+# cross-engine); the z itself is deterministic IEEE arithmetic over
+# them, rounded at 6 for presentation.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med50
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med50,
+         abs(e.value - m.med50) AS abs_dev
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+mad AS (
+  SELECT event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev) AS mad50
+  FROM dev GROUP BY 1
+)
+SELECT event_id, event_type, value,
+       med50 AS median, mad50 AS mad,
+       ROUND(0.6745 * (value - med50) / mad50, 6) AS robust_z
+FROM dev JOIN mad USING (event_type)
+WHERE mad50 > 0
+  AND abs(ROUND(0.6745 * (value - med50) / mad50, 6)) > 3.5
+ORDER BY abs(robust_z) DESC, event_id
+LIMIT 50
+"""
+
+
+@_q("mad_outliers", _MAD_ORACLE)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import distsort as DS
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = DS.grouped_percentile_disc(
+        ev, "event_type", "value", [0.5], prefix="med"
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med50",
+        F.abs(F.col("value") - F.col("med50")).alias("abs_dev"),
+    )
+    mad = DS.grouped_percentile_disc(
+        dev, "event_type", "abs_dev", [0.5], prefix="mad"
+    )
+    z = F.round(
+        F.lit(0.6745)
+        * (F.col("value") - F.col("med50"))
+        / F.col("mad50"),
+        6,
+    )
+    return (
+        dev.join(mad, "event_type")
+        .filter(F.col("mad50") > 0)
+        .withColumn("robust_z", z)
+        .filter(F.abs(F.col("robust_z")) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.col("med50").alias("median"),
+            F.col("mad50").alias("mad"),
+            "robust_z",
+        )
+        .orderBy(F.abs(F.col("robust_z")).desc(), "event_id")
+        .limit(50)
+    )

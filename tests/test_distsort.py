@@ -205,3 +205,51 @@ def test_ranked_cumsum_reliable_checkpoint_path(spark, tmp_path):
         for r in DS.ranked_cumsum(df, order(), "v", reliable=True).collect()
     )
     assert base == rel
+
+
+@pytest.mark.parametrize(
+    "gen",
+    [
+        lambda i: i * 7919 % 100003,          # distinct ~ rows
+        lambda i: 0 if i % 2 == 0 else i,     # heavy value skew
+        lambda i: ((-1) ** i) * (i % 13),     # negatives + duplicates
+    ],
+)
+@pytest.mark.parametrize("ps", [[0.25, 0.5, 0.75], [0.01, 0.99]])
+def test_grouped_percentile_disc_equal_builtin(spark, gen, ps):
+    """Per-group distributed percentile_disc must equal the built-in
+    grouped aggregate exactly, including NULL skipping per group and
+    wildly skewed group sizes (one group holds ~90% of rows)."""
+    rows = []
+    for i in range(2000):
+        g = "big" if i % 10 else ("mid" if i % 2 else "tiny")
+        v = None if i % 97 == 0 else gen(i)
+        rows.append((i, g, v))
+    df = spark.createDataFrame(rows, ["id", "g", "v"]).repartition(7)
+    got = {
+        r["g"]: r.asDict()
+        for r in DS.grouped_percentile_disc(df, "g", "v", ps, prefix="e").collect()
+    }
+    want = {
+        r["g"]: r.asDict()
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc({p}) WITHIN GROUP (ORDER BY v)"
+                ).alias(f"e{round(p * 100)}")
+                for p in ps
+            ]
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_grouped_percentile_disc_single_group_matches_edges(spark):
+    df = spark.createDataFrame(
+        [(i, "only", i * 31 % 997) for i in range(500)], ["id", "g", "v"]
+    )
+    grouped = DS.grouped_percentile_disc(df, "g", "v", [0.5], prefix="e")
+    edges = DS.percentile_disc_edges(df, "v", [0.5], prefix="e")
+    assert grouped.collect()[0]["e50"] == edges.collect()[0]["e50"]
