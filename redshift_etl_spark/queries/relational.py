@@ -4810,9 +4810,13 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import distsort as DS
 
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # med/mad are |event_type|-row frames but each sits atop a full
+    # range-exchange percentile pipeline — pin them so the three
+    # downstream consumers (dev projection, MAD counts/totals, final
+    # report join) do not re-run that pipeline per consumer
     med = DS.grouped_percentile_disc(
         ev, "event_type", "value", [0.5], prefix="med"
-    )
+    ).persist()
     dev = ev.join(med, "event_type").select(
         "event_id",
         "event_type",
@@ -4822,7 +4826,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = DS.grouped_percentile_disc(
         dev, "event_type", "abs_dev", [0.5], prefix="mad"
-    )
+    ).persist()
     z = F.round(
         F.lit(0.6745)
         * (F.col("value") - F.col("med50"))
