@@ -456,3 +456,18 @@ def test_mv_incremental_fold_is_two_level_agg(spark):
     df = Q.all_queries()["mv_incremental"](spark, SF_ORACLE)
     plan = P.final_plan_tree(df)
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_hard_negatives_single_exchange_feeds_both_windows(spark):
+    # the explicit anchor repartition must be the ONLY hash exchange:
+    # the nested-loop cross score preserves it, so the positive-ceiling
+    # max window and the rank window both consume it with no extra
+    # shuffle — total shuffles = that one + the presentation sort. The
+    # rank filter must also push down as a WindowGroupLimit.
+    df = Q.all_queries()["hard_negative_mining"](spark, SF_ORACLE)
+    # tree_count, not count_shuffles: the formatted detail section
+    # repeats node names, which doubles nonzero counts
+    assert P.tree_count(df, "Exchange") == 2
+    assert P.tree_count(df, "Window") == 2
+    assert P.tree_count(df, "WindowGroupLimit") >= 1
+    assert P.tree_count(df, "BroadcastNestedLoopJoin") == 1
