@@ -4098,3 +4098,110 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets — the recipe's final step:
+# the corpus splits at fixed perplexity percentiles (head = best 30%,
+# middle 40%, tail worst 30%) and pretraining samples mostly from the
+# head. Edges are exact percentile_disc values over the per-doc NLL
+# ratio via the distributed distsort machinery (no single-task
+# distinct-value merge); bucket comparison is on IEEE doubles both
+# engines compute identically (bigint/bigint divisions).
+# ---------------------------------------------------------------------------
+
+def _ccnet_buckets_oracle() -> str:
+    bc = NG.token_bucket_sql("w1", NG.CTX_BUCKETS)
+    bw = NG.token_bucket_sql("w2", NG.WORD_BUCKETS)
+    model = NG.nll_table_sql("refbg")
+    return f"""
+WITH sp AS (
+  SELECT doc_id, source, str_split(text, ' ') AS sp FROM documents
+),
+ps AS (
+  SELECT doc_id, source,
+         generate_subscripts(sp, 1) AS tpos, unnest(sp) AS w
+  FROM sp
+),
+bg AS (
+  SELECT doc_id, source,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY tpos) AS w1,
+         w AS w2
+  FROM ps
+),
+refbg AS (
+  SELECT w1, w2 FROM bg WHERE source = 'src0' AND w1 IS NOT NULL
+),
+model AS ({model}
+),
+poolbg AS (
+  SELECT doc_id, {bc} AS bc, {bw} AS bw
+  FROM bg WHERE source <> 'src0' AND w1 IS NOT NULL
+),
+scores AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(nll_micro) AS BIGINT) AS nll_micro
+  FROM poolbg JOIN model USING (bc, bw)
+  GROUP BY 1
+),
+rated AS (
+  SELECT doc_id, n_bigrams,
+         CAST(nll_micro AS DOUBLE) / n_bigrams AS nll_per_tok
+  FROM scores
+),
+edges AS (
+  SELECT percentile_disc(0.3) WITHIN GROUP (ORDER BY nll_per_tok) AS e30,
+         percentile_disc(0.7) WITHIN GROUP (ORDER BY nll_per_tok) AS e70
+  FROM rated
+)
+SELECT CASE WHEN nll_per_tok <= e30 THEN 'head'
+            WHEN nll_per_tok <= e70 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams
+FROM rated, edges
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@_q("ccnet_buckets", _ccnet_buckets_oracle())
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's corpus split: bucket every scored document into
+    head/middle/tail at the exact 30th/70th perplexity percentiles.
+    Edges come from `distsort.percentile_disc_edges` over the per-doc
+    NLL ratio — distributed, no single-task distinct-value merge —
+    and are folded back as a broadcast 1-row frame."""
+    from ..operators import distsort as DSORT2
+
+    docs = load(spark, sf_dir, "documents")
+    scores = NG.perplexity_scores(
+        docs, "doc_id", "text", F.col("source") == "src0"
+    )
+    rated = scores.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("nll_micro").cast("double") / F.col("n_bigrams")).alias(
+            "nll_per_tok"
+        ),
+    ).persist()
+    edges = DSORT2.percentile_disc_edges(
+        rated, "nll_per_tok", [0.3, 0.7], prefix="e"
+    )
+    return (
+        rated.crossJoin(F.broadcast(edges))
+        .select(
+            F.when(F.col("nll_per_tok") <= F.col("e30"), "head")
+            .when(F.col("nll_per_tok") <= F.col("e70"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_bigrams",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("sum_bigrams"),
+        )
+        .orderBy("bucket")
+    )

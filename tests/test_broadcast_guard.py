@@ -88,9 +88,11 @@ ALLOWED = {
     ("queries/curation.py", "fold_source_balance"),
     ("queries/curation.py", "int8_quantize_stats"),
     ("queries/curation.py", "length_trim"),
+    ("queries/llm_data.py", "ccnet_buckets"),
     ("queries/llm_data.py", "doc_length_cdf"),
     ("queries/llm_data.py", "doremi_weights"),
     ("queries/llm_data.py", "embedding_drift"),
+    ("queries/llm_data.py", "semdedup"),
     ("queries/llm_data.py", "quality_decile_lift"),
     ("queries/llm_data.py", "token_pmi_top"),
     ("queries/relational.py", "basket_part_pairs"),
