@@ -161,3 +161,42 @@ def test_sql_surface_over_registered_views(spark):
     # rank column is dense over the same ordering
     ranks = sorted(r["rnk"] for r in got.collect())
     assert ranks[0] == 1 and len(ranks) == len(g)
+
+
+# --- ORC round-trip + pushdown ---------------------------------------------
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark import plans as P
+    from redshift_etl_spark.queries.tables import load
+    from redshift_etl_spark.sources.batch import read_orc_table, write_orc_table
+
+    from .conftest import SF_ORACLE
+
+    df = load(spark, SF_ORACLE, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_orc_table(df, out, bloom_cols=["n_nationkey"])
+    back = read_orc_table(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # predicate reaches the ORC scan
+    q = back.filter(F.col("n_nationkey") == 3).select("n_name")
+    assert "n_nationkey" in " ".join(P.pushed_filters(q))
+
+
+def test_binaryfile_media_reader(spark, tmp_path):
+    from redshift_etl_spark.sources.batch import read_media_dir
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.wav").write_bytes(b"RIFF" + b"\x00" * 60)
+    (d / "b.wav").write_bytes(b"RIFF" + b"\x01" * 600)
+    (d / "skip.txt").write_bytes(b"not media")
+    rows = read_media_dir(spark, str(d), glob="*.wav").collect()
+    assert {r["path"].rsplit("/", 1)[-1] for r in rows} == {"a.wav", "b.wav"}
+    by_name = {r["path"].rsplit("/", 1)[-1]: r for r in rows}
+    assert bytes(by_name["a.wav"]["content"])[:4] == b"RIFF"
+    assert by_name["b.wav"]["length"] == 604
+    # the size guard prunes on the listing column
+    small = read_media_dir(spark, str(d), glob="*.wav", max_bytes=100).collect()
+    assert [r["path"].rsplit("/", 1)[-1] for r in small] == ["a.wav"]
