@@ -244,6 +244,62 @@ def percentile_disc_edges(
     return cum.crossJoin(F.broadcast(n_total)).agg(*aggs)
 
 
+def weighted_percentile_disc_edges(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    percents: list[float],
+    prefix: str = "p",
+    num_partitions: int | None = None,
+    reliable: bool = False,
+) -> DataFrame:
+    """Weight-mass percentile edges: for each p, the smallest value v
+    such that the cumulative WEIGHT of rows with value ≤ v reaches
+    p·W_total — e.g. "the document length below which half the
+    corpus's TOKENS sit", the packing/budgeting diagnostic that plain
+    row-count percentiles misstate whenever length and weight
+    correlate (they always do for documents).
+
+    Same machinery and exactness contract as
+    :func:`percentile_disc_edges` — per-distinct-value INTEGER weight
+    sums ride one range-exchange cumsum, thresholds are Fraction-exact
+    bigint cross-multiplications, NULL values and NULL/zero weights
+    drop out before counting. ``weight_col`` must be integral (token
+    counts, byte sizes): exactness comes from bigint sums."""
+    from fractions import Fraction
+
+    counts = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        .groupBy(value_col)
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+    )
+    cum = ranked_cumsum(
+        counts,
+        [F.col(value_col)],
+        "__w",
+        rank_name="__rk",
+        cumsum_name="__cum",
+        num_partitions=num_partitions,
+        reliable=reliable,
+    )
+    w_total = counts.agg(F.sum("__w").alias("__wtot"))
+    aggs = []
+    for p in percents:
+        fr = Fraction(str(p))
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum") * F.lit(fr.denominator)
+                    >= F.lit(fr.numerator) * F.col("__wtot"),
+                    F.col(value_col),
+                )
+            ).alias(f"{prefix}{round(p * 100)}")
+        )
+    return cum.crossJoin(F.broadcast(w_total)).agg(*aggs)
+
+
 def grouped_percentile_disc(
     df: DataFrame,
     group_col: str,

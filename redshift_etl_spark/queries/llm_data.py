@@ -4205,3 +4205,52 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-weighted length percentiles (operators/distsort
+# .weighted_percentile_disc_edges) — the packing/budget diagnostic:
+# row-count percentiles say where the median DOCUMENT sits; weighted
+# ones say where the median TOKEN sits. Both reported side by side.
+# ---------------------------------------------------------------------------
+
+_WLEN_ORACLE = """
+WITH t AS (
+  SELECT n_chars, CAST(len(str_split(text, ' ')) AS BIGINT) AS w
+  FROM documents
+),
+cw AS (
+  SELECT n_chars, CAST(SUM(w) AS BIGINT) AS w FROM t GROUP BY 1
+),
+cum AS (
+  SELECT n_chars,
+         SUM(w) OVER (ORDER BY n_chars) AS c,
+         (SELECT SUM(w) FROM cw) AS W
+  FROM cw
+)
+SELECT
+  MIN(CASE WHEN c * 2 >= 1 * W THEN n_chars END)  AS wp50,
+  MIN(CASE WHEN c * 10 >= 9 * W THEN n_chars END) AS wp90,
+  (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+   FROM documents) AS rp50,
+  (SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
+   FROM documents) AS rp90
+FROM cum
+"""
+
+
+@_q("token_weighted_length", _WLEN_ORACLE)
+def token_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import distsort as DSORT3
+
+    docs = load(spark, sf_dir, "documents")
+    wdf = docs.select(
+        "n_chars", TX.token_count("text").alias("__w")
+    )
+    w_edges = DSORT3.weighted_percentile_disc_edges(
+        wdf, "n_chars", "__w", [0.5, 0.9], prefix="wp"
+    )
+    r_edges = DSORT3.percentile_disc_edges(
+        docs, "n_chars", [0.5, 0.9], prefix="rp"
+    )
+    return w_edges.crossJoin(r_edges)

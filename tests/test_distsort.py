@@ -253,3 +253,43 @@ def test_grouped_percentile_disc_single_group_matches_edges(spark):
     grouped = DS.grouped_percentile_disc(df, "g", "v", [0.5], prefix="e")
     edges = DS.percentile_disc_edges(df, "v", [0.5], prefix="e")
     assert grouped.collect()[0]["e50"] == edges.collect()[0]["e50"]
+
+
+def test_weighted_percentile_unit_weights_equal_plain(spark):
+    df = spark.createDataFrame(
+        [(i, i * 37 % 211, 1) for i in range(800)], ["id", "v", "w"]
+    ).repartition(5)
+    w = DS.weighted_percentile_disc_edges(
+        df, "v", "w", [0.25, 0.5, 0.9], prefix="e"
+    ).collect()[0]
+    p = DS.percentile_disc_edges(df, "v", [0.25, 0.5, 0.9], prefix="e").collect()[0]
+    assert w.asDict() == p.asDict()
+
+
+def test_weighted_percentile_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50), rng.randint(1, 9)) for i in range(600)]
+    # a few NULLs and zero-weights must drop out
+    rows += [(1000, None, 5), (1001, 3, None)]
+    df = spark.createDataFrame(rows, "id long, v long, w long").repartition(7)
+    got = DS.weighted_percentile_disc_edges(
+        df, "v", "w", [0.5, 0.9], prefix="e"
+    ).collect()[0]
+
+    clean = [(v, w) for _, v, w in rows if v is not None and w is not None]
+    total = sum(w for _, w in clean)
+    by_v: dict[int, int] = {}
+    for v, w in clean:
+        by_v[v] = by_v.get(v, 0) + w
+
+    def edge(p_num, p_den):
+        c = 0
+        for v in sorted(by_v):
+            c += by_v[v]
+            if c * p_den >= p_num * total:
+                return v
+
+    assert got["e50"] == edge(1, 2)
+    assert got["e90"] == edge(9, 10)
