@@ -122,12 +122,27 @@ def dsir_scores(
     where score_micro = Σ_tokens delta_micro[bucket(token)] — the
     smoothed log-weight log(p_target/p_raw) in exact integer
     micro-units. Target rows (is_target) train the target model and
-    are excluded from scoring; pool rows train the raw model."""
-    tok = df.select(
-        F.col(id_col),
-        is_target.alias("is_target"),
-        F.explode(F.split(F.col(text_col), " ")).alias("w"),
-    ).withColumn("b", token_bucket("w", n_buckets))
+    are excluded from scoring; pool rows train the raw model.
+
+    Scale posture (same as ngramlm.bucketed_stream): the tokenize
+    explode is the dominant linear CPU and feeds TWO consumers (the
+    delta model and the scoring agg), so the bucketed token frame is
+    persisted with the token string dropped, and an under-split
+    compact input (one small file ≈ one task) is spread to core width
+    first — a no-op on a many-split lake."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    tok = (
+        df.select(
+            F.col(id_col),
+            is_target.alias("is_target"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .withColumn("b", token_bucket("w", n_buckets))
+        .select(id_col, "is_target", "b")
+        .persist()
+    )
     delta = _delta_table(tok, n_buckets)
     return (
         tok.filter(~F.col("is_target"))

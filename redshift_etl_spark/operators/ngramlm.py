@@ -80,6 +80,60 @@ def _bucketed(bg: DataFrame, ctx_buckets: int, word_buckets: int) -> DataFrame:
     )
 
 
+def bucketed_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_ref: Column,
+    extra: list[str] | None = None,
+    ctx_buckets: int = CTX_BUCKETS,
+    word_buckets: int = WORD_BUCKETS,
+) -> DataFrame:
+    """(id, [extra...], __ref, bc, bw) — the tokenize-explode bigram
+    stream bucketed and PERSISTED with the token strings dropped.
+
+    Every LM consumer needs the stream twice (once to train the model
+    on ``is_ref`` rows, once to score the pool); without pinning, both
+    subtrees re-run the full explode — the dominant linear CPU of the
+    whole family (measured 2x on the 10x scale rehearsal). Bucketing
+    BEFORE the persist shrinks the pinned frame to the id plus two
+    ints per bigram.
+
+    The explode does ~100x work per input byte, so a compact text
+    corpus the scan under-splits (one small compressed file ≈ one
+    task) would serialize it: if the input has fewer partitions than
+    cores, spread it first. At lake scale the input already has
+    thousands of splits and this is a no-op — never an unconditional
+    shuffle of raw text."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    bg = bigram_stream(
+        df.withColumn("__ref", is_ref), id_col, text_col,
+        extra=(extra or []) + ["__ref"],
+    )
+    return (
+        _bucketed(bg, ctx_buckets, word_buckets)
+        .select(id_col, *(extra or []), "__ref", "bc", "bw")
+        .persist()
+    )
+
+
+def nll_table_bucketed(
+    ref_bucketed: DataFrame,
+    ctx_buckets: int = CTX_BUCKETS,
+    word_buckets: int = WORD_BUCKETS,
+) -> DataFrame:
+    """`nll_table` for a frame that already carries (bc, bw) — the
+    shared-stream path (`bucketed_stream`). Same grid, same cells."""
+    counts = ref_bucketed.groupBy("bc", "bw").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ctx = counts.groupBy("bc").agg(F.sum("c").cast("long").alias("ctx_n"))
+    spark = ref_bucketed.sparkSession
+    return _nll_grid(spark, counts, ctx, ctx_buckets, word_buckets)
+
+
 def nll_table(
     ref_bigrams: DataFrame,
     ctx_buckets: int = CTX_BUCKETS,
@@ -96,6 +150,16 @@ def nll_table(
     )
     ctx = counts.groupBy("bc").agg(F.sum("c").cast("long").alias("ctx_n"))
     spark = ref_bigrams.sparkSession
+    return _nll_grid(spark, counts, ctx, ctx_buckets, word_buckets)
+
+
+def _nll_grid(
+    spark,
+    counts: DataFrame,
+    ctx: DataFrame,
+    ctx_buckets: int,
+    word_buckets: int,
+) -> DataFrame:
     grid = spark.range(ctx_buckets).select(
         F.col("id").alias("bc")
     ).crossJoin(spark.range(word_buckets).select(F.col("id").alias("bw")))
@@ -130,14 +194,20 @@ def perplexity_scores(
     exact-integer total negative log-likelihood under the hashed
     bigram LM trained on the ``is_ref`` rows. Reference rows train
     the model and are excluded from scoring; pool documents with
-    fewer than two tokens have no bigrams and are not scored."""
-    bg = bigram_stream(
-        df.withColumn("__ref", is_ref), id_col, text_col, extra=["__ref"]
+    fewer than two tokens have no bigrams and are not scored.
+
+    The bucketed bigram stream is formed ONCE and pinned
+    (`bucketed_stream`): model training and pool scoring share it, so
+    the tokenize explode — the family's dominant linear CPU — runs a
+    single pass over the corpus."""
+    bgb = bucketed_stream(
+        df, id_col, text_col, is_ref,
+        ctx_buckets=ctx_buckets, word_buckets=word_buckets,
     )
-    model = nll_table(
-        bg.filter(F.col("__ref")), ctx_buckets, word_buckets
+    model = nll_table_bucketed(
+        bgb.filter(F.col("__ref")), ctx_buckets, word_buckets
     )
-    pool = _bucketed(bg.filter(~F.col("__ref")), ctx_buckets, word_buckets)
+    pool = bgb.filter(~F.col("__ref"))
     return (
         pool.join(F.broadcast(model), ["bc", "bw"])
         .groupBy(id_col)

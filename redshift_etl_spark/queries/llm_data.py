@@ -3913,18 +3913,12 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate), then two 1-row totals folded back by broadcast-
     sized cross joins over the ≤|sources|-row cached frame."""
     docs = load(spark, sf_dir, "documents")
-    bg = NG.bigram_stream(
-        docs.withColumn("__ref", F.col("source") == "src0"),
-        "doc_id",
-        "text",
-        extra=["__ref", "source"],
+    bgb = NG.bucketed_stream(
+        docs, "doc_id", "text", F.col("source") == "src0",
+        extra=["source"],
     )
-    model = NG.nll_table(bg.filter(F.col("__ref")))
-    pool = (
-        bg.filter(~F.col("__ref"))
-        .withColumn("bc", NG.token_bucket("w1", NG.CTX_BUCKETS))
-        .withColumn("bw", NG.token_bucket("w2", NG.WORD_BUCKETS))
-    )
+    model = NG.nll_table_bucketed(bgb.filter(F.col("__ref")))
+    pool = bgb.filter(~F.col("__ref"))
     dom = (
         pool.join(F.broadcast(model), ["bc", "bw"])
         .groupBy("source")

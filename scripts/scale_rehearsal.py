@@ -1,0 +1,150 @@
+"""Scale dress rehearsal — the 1000x-span evidence run.
+
+Synthesizes a 10x replica of sf0.1 (~sf1: 6M lineitem / 1M events /
+50k documents) under ``/tmp/spark_graft_sfbig`` with FK-CONSISTENT key
+offsets (every key column in every table shifts by the same
+replica-offset, so orders⋈customer, lineitem⋈part/supplier,
+events⋈customer all stay referentially intact) and per-replica text
+perturbation (documents get a replica-tagged suffix so exact/near-dup
+density stays realistic instead of exploding 10x). Then times the
+SHAPE-SCALABLE headline queries there and reports the 10x slope,
+extending the committed sf0.001→sf0.1 (100x) probe to a 1000x span.
+
+Pairwise-similarity queries are deliberately excluded: replicating
+rows multiplies their candidate-pair workload quadratically, which
+measures the synthetic copying, not the engine.
+
+Run on demand (idle machine):
+
+    python scripts/scale_rehearsal.py            # generate (if absent) + probe
+    python scripts/scale_rehearsal.py --regen    # force regeneration
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/spark_graft_sfbig"
+REPLICAS = 10
+OFF = 10_000_000  # > every key in every sf0.1 table
+
+# key columns shifted by i*OFF per replica i (FK pairs shift together)
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_ONLY = ("region", "nation")
+
+REHEARSAL = (
+    "agent_metrics",          # star join + grouped aggregates
+    "pricing_summary",        # pushed-filter scan + hash agg
+    "scd1_merge",             # key shuffle + window + anti-join
+    "customer_pareto",        # ranked_cumsum range exchange
+    "doc_length_cdf",         # percentile-edge CDF
+    "rfm_segments",           # distributed percentile_disc edges
+    "temperature_mixture",    # md5-prefix bounded quota draw
+    "pack_sequences",         # ranked_cumsum tape + boundary explode
+    "zorder_curve",           # stats pass + pure projection
+    "cdc_apply",              # feed window + distinct-key anti-join
+    "mv_incremental",         # two partial-aggregate folds
+    "ks_drift",               # shared range-exchange cumsum
+    "chat_transcripts",       # collect + in-row sort render
+    "gopher_quality_rules",   # pure projection
+    "ccnet_perplexity",       # bigram stream + 4096-cell model join
+    "dsir_select",            # 64-row model + doc agg + top-k
+    "token_weighted_length",  # weighted + plain percentile edges
+    "mad_outliers",           # two grouped-percentile passes
+)
+
+
+def generate() -> None:
+    import duckdb
+
+    out = pathlib.Path(OUT)
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    rep = f"(SELECT unnest(range({REPLICAS})) AS __i)"
+    for t in COPY_ONLY:
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
+            f"'{OUT}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t, keys in KEYED.items():
+        cols = [
+            c[0]
+            for c in con.execute(
+                f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
+            ).fetchall()
+        ]
+        sel = []
+        for c in cols:
+            if c in keys:
+                sel.append(f"{c} + __i * {OFF} AS {c}")
+            elif t == "documents" and c == "text":
+                # replica-tagged suffix: copies stay only NEAR-dups of
+                # the original, not exact ones (replica 0 = original)
+                sel.append(
+                    "CASE WHEN __i = 0 THEN text ELSE "
+                    "text || ' rep' || __i || 'x' || doc_id END AS text"
+                )
+            elif t == "documents" and c == "n_chars":
+                sel.append(
+                    "CASE WHEN __i = 0 THEN n_chars ELSE n_chars + "
+                    "length(' rep' || __i || 'x' || doc_id) END AS n_chars"
+                )
+            elif (t, c) in (
+                ("events", "ts"),
+                ("orders", "o_orderdate"),
+                ("lineitem", "l_shipdate"),
+            ):
+                # preserve the NANOS encoding the loader expects
+                sel.append(f"CAST({c} AS TIMESTAMP_NS) AS {c}")
+            else:
+                sel.append(c)
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} FROM '{SRC}/{t}.parquet' "
+            f"CROSS JOIN {rep}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def main() -> None:
+    if "--regen" in sys.argv or not pathlib.Path(f"{OUT}/lineitem.parquet").exists():
+        t0 = time.time()
+        generate()
+        print(f"# generated {OUT} in {time.time() - t0:.1f}s", flush=True)
+
+    from redshift_etl_spark import queries as Q
+    from redshift_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_rehearsal")
+    spark.range(1).count()
+    all_q = Q.all_queries()
+    report: dict[str, dict[str, float]] = {}
+    for name in REHEARSAL:
+        fn = all_q[name]
+        times = {}
+        for label, d in (("sf0.1", SRC), ("sfbig", OUT)):
+            t0 = time.time()
+            fn(spark, d).count()
+            times[label] = round(time.time() - t0, 3)
+        slope = round(times["sfbig"] / max(times["sf0.1"], 1e-9), 2)
+        report[name] = {**times, "slope_at_10x": slope}
+        print(f"# {name}: {times}  (10x data -> {slope}x time)", flush=True)
+    print(json.dumps({"metric": "scale_rehearsal", "replicas": REPLICAS,
+                      "queries": report}))
+
+
+if __name__ == "__main__":
+    main()

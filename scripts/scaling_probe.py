@@ -46,6 +46,8 @@ PROBES = (
     "gopher_quality_rules",  # pure projection — the linear floor (r7)
     "dsir_select",          # 64-row model + doc-keyed agg + top-k (r7)
     "ks_drift",             # shared range-exchange cumsum (r7)
+    "mad_outliers",         # two grouped-percentile passes (r7s2)
+    "token_weighted_length",  # weighted + plain edges, one report (r7s2)
 )
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
