@@ -66,6 +66,16 @@ REHEARSAL = (
     "dsir_select",            # 64-row model + doc agg + top-k
     "token_weighted_length",  # weighted + plain percentile edges
     "mad_outliers",           # two grouped-percentile passes
+    "bm25_search",            # filtered explode + broadcast stats
+    "text_stats",             # pure projection over documents
+    "asof_prev_order",        # union + window merge_asof
+    # DENSITY-COUPLED: replicas share the 30-day time range, so both
+    # incidents and in-window events densify 10x -> true matched pairs
+    # grow ~100x. Judge the slope against the OUTPUT, not the input
+    # (2026-08-15 idle: 5.7x wall for ~100x pairs).
+    "range_join_incidents",   # bucketed range-join rewrite
+    "trade_pagerank",         # iterative join+agg graph core
+    "session_window_agg",     # session windows over events
 )
 
 
