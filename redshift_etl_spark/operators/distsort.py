@@ -469,3 +469,65 @@ def ks_drift(
             F.col("__v").alias("at_value"),
         )
     )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ROC AUC of ``score_col`` against boolean ``label_col``,
+    fully distributed — the Mann-Whitney midrank formulation:
+
+        AUC = (Σ_pos midrank − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    with ties handled by midranks, which keeps the statistic identical
+    to the pairwise definition P(s⁺ > s⁻) + ½·P(s⁺ = s⁻).
+
+    Everything is INTEGER until the final division: per-distinct-score
+    (count, positive-count) pairs ride one :func:`ranked_cumsum` range
+    exchange ordered by score ascending; the doubled midrank
+    ``2·cum − cnt + 1`` and the doubled rank-sum stay bigint, and AUC
+    is ONE IEEE bigint/bigint division — bit-identical in any engine.
+    No global sort of the raw rows, no single-task rank window: the
+    largest single-task state is one row per shuffle partition.
+    NULL scores/labels are dropped (pairwise semantics have no place
+    for them). Returns one row: (n_pos, n_neg, auc)."""
+    counts = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(score_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            F.sum(F.col(label_col).cast("int"))
+            .cast("long")
+            .alias("__pos"),
+        )
+    )
+    cum = ranked_cumsum(
+        counts,
+        [F.col(score_col)],
+        "__cnt",
+        rank_name="__rk",
+        cumsum_name="__cum",
+        num_partitions=num_partitions,
+    )
+    # doubled midrank keeps integers: 2*mid = 2*cum - cnt + 1
+    two_s = F.sum(
+        F.col("__pos") * (2 * F.col("__cum") - F.col("__cnt") + 1)
+    ).cast("long")
+    agg = cum.agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        (F.sum("__cnt") - F.sum("__pos")).cast("long").alias("n_neg"),
+        two_s.alias("__two_s"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("__two_s") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2 * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )

@@ -4248,3 +4248,55 @@ def token_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "n_chars", [0.5, 0.9], prefix="rp"
     )
     return w_edges.crossJoin(r_edges)
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed AUC (operators/distsort.auc_exact) — the eval
+# metric every quality-classifier pipeline needs, demonstrated on a
+# real relationship: do English marker-token hits rank English
+# documents above the rest?
+# ---------------------------------------------------------------------------
+
+def _auc_oracle() -> str:
+    en = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT CAST(len(list_filter(str_split(text, ' '),
+              w -> w IN ({en}))) AS BIGINT) AS s,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents
+),
+counts AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT s, cnt, pos, SUM(cnt) OVER (ORDER BY s) AS c FROM counts
+),
+agg AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * c - cnt + 1)) AS BIGINT) AS two_s
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       (two_s - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg) AS auc
+FROM agg
+"""
+
+
+@_q("lang_marker_auc", _auc_oracle())
+def lang_marker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (Mann-Whitney midrank form) of the English
+    marker-hit count against the `lang = 'en'` label — all-integer
+    rank sums on one range exchange, one final IEEE division. The
+    shape every classifier-threshold decision in a curation pipeline
+    needs, at any corpus size."""
+    from ..operators import distsort as DSORT4
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        TX.marker_hits("text", TX.LANG_MARKERS["en"]).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return DSORT4.auc_exact(scored, "s", "y")

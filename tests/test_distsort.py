@@ -293,3 +293,39 @@ def test_weighted_percentile_matches_python_replay(spark):
 
     assert got["e50"] == edge(1, 2)
     assert got["e90"] == edge(9, 10)
+
+
+def test_auc_exact_matches_pairwise_definition(spark):
+    """Midrank AUC must equal the brute pairwise statistic
+    P(s+ > s-) + 0.5*P(s+ = s-), including heavy ties and NULLs."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 6) + (3 if rng.random() < 0.4 else 0),
+             rng.random() < 0.4) for _ in range(400)]
+    # label correlation: boost scores of positives
+    rows = [(s + (2 if y else 0), y) for s, y in rows]
+    rows += [(None, True), (5, None)]  # dropped
+    df = spark.createDataFrame(rows, "s int, y boolean").repartition(6)
+    got = DS.auc_exact(df, "s", "y").collect()[0]
+
+    clean = [(s, y) for s, y in rows if s is not None and y is not None]
+    pos = [s for s, y in clean if y]
+    neg = [s for s, y in clean if not y]
+    num = sum(1.0 if p > n else (0.5 if p == n else 0.0)
+              for p in pos for n in neg)
+    want = num / (len(pos) * len(neg))
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert abs(got["auc"] - want) < 1e-12
+
+
+def test_auc_extremes(spark):
+    perfect = spark.createDataFrame(
+        [(i, i >= 50) for i in range(100)], "s int, y boolean"
+    )
+    assert DS.auc_exact(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    # all scores tied -> AUC exactly 0.5 by midrank
+    tied = spark.createDataFrame(
+        [(7, i % 3 == 0) for i in range(90)], "s int, y boolean"
+    )
+    assert DS.auc_exact(tied, "s", "y").collect()[0]["auc"] == 0.5
