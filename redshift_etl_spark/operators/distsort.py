@@ -531,3 +531,68 @@ def auc_exact(
             / (2 * F.col("n_pos") * F.col("n_neg"))
         ).alias("auc"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Precision/recall at EVERY distinct threshold ("predict positive
+    when score >= t"), from the same single range-exchange cumsum as
+    :func:`auc_exact`: per-distinct-score (count, positives) pairs
+    cumulated ascending give exact integer TP/FP/FN at each t —
+
+        tp(t) = n_pos − cum_pos(<t),   fp(t) = n_neg − cum_neg(<t)
+
+    — and precision/recall are IEEE divisions of those integers.
+    Output: one row per distinct score (threshold, tp, fp, fn,
+    precision, recall), ordered by threshold. Row count = |distinct
+    scores|, which for a bounded classifier-score grid is a report,
+    not a data product."""
+    counts = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(score_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            F.sum(F.col(label_col).cast("int"))
+            .cast("long")
+            .alias("__pos"),
+        )
+    )
+    cum = ranked_cumsums(
+        counts,
+        [F.col(score_col)],
+        ["__cnt", "__pos"],
+        rank_name="__rk",
+        cumsum_names=["__cum", "__cum_pos"],
+        num_partitions=num_partitions,
+    )
+    totals = counts.agg(
+        F.sum("__pos").cast("long").alias("__npos"),
+        (F.sum("__cnt") - F.sum("__pos")).cast("long").alias("__nneg"),
+    )
+    # cum_* above INCLUDE the current score row; thresholds are
+    # ">= t", so exclude rows strictly BELOW t: cum(<t) = cum - row
+    tp = (F.col("__npos") - (F.col("__cum_pos") - F.col("__pos"))).cast(
+        "long"
+    )
+    fp = (
+        F.col("__nneg")
+        - ((F.col("__cum") - F.col("__cum_pos")) - (F.col("__cnt") - F.col("__pos")))
+    ).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(score_col).alias("threshold"),
+            tp.alias("tp"),
+            fp.alias("fp"),
+            (F.col("__npos") - tp).cast("long").alias("fn"),
+            (tp / (tp + fp)).alias("precision"),
+            (tp / F.col("__npos")).alias("recall"),
+        )
+        .orderBy("threshold")
+    )

@@ -4300,3 +4300,55 @@ def lang_marker_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("y"),
     )
     return DSORT4.auc_exact(scored, "s", "y")
+
+
+def _pr_oracle() -> str:
+    en = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT CAST(len(list_filter(str_split(text, ' '),
+              w -> w IN ({en}))) AS BIGINT) AS s,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents
+),
+counts AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT s, cnt, pos,
+         SUM(cnt) OVER (ORDER BY s) AS c,
+         SUM(pos) OVER (ORDER BY s) AS cp
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS npos,
+         CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS nneg
+  FROM counts
+)
+SELECT s AS threshold,
+       CAST(npos - (cp - pos) AS BIGINT) AS tp,
+       CAST(nneg - ((c - cp) - (cnt - pos)) AS BIGINT) AS fp,
+       CAST(npos - (npos - (cp - pos)) AS BIGINT) AS fn,
+       (npos - (cp - pos)) /
+         ((npos - (cp - pos)) + (nneg - ((c - cp) - (cnt - pos)))) AS precision,
+       (npos - (cp - pos)) / npos AS recall
+FROM cum, tot
+ORDER BY threshold
+"""
+
+
+@_q("lang_marker_pr", _pr_oracle())
+def lang_marker_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall at every distinct English-marker-hit threshold
+    (`distsort.pr_curve`) — exact integer TP/FP/FN from the same
+    single range-exchange cumsum the AUC uses; the report that picks
+    a classifier's operating point."""
+    from ..operators import distsort as DSORT5
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        TX.marker_hits("text", TX.LANG_MARKERS["en"]).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return DSORT5.pr_curve(scored, "s", "y")

@@ -329,3 +329,24 @@ def test_auc_extremes(spark):
         [(7, i % 3 == 0) for i in range(90)], "s int, y boolean"
     )
     assert DS.auc_exact(tied, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_pr_curve_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(rng.randint(0, 8), rng.random() < 0.3) for _ in range(300)]
+    df = spark.createDataFrame(rows, "s int, y boolean").repartition(5)
+    got = {r["threshold"]: r.asDict() for r in DS.pr_curve(df, "s", "y").collect()}
+
+    npos = sum(1 for _, y in rows if y)
+    for t in {s for s, _ in rows}:
+        tp = sum(1 for s, y in rows if y and s >= t)
+        fp = sum(1 for s, y in rows if not y and s >= t)
+        r = got[t]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, npos - tp)
+        assert abs(r["precision"] - tp / (tp + fp)) < 1e-12
+        assert abs(r["recall"] - tp / npos) < 1e-12
+    # recall is monotone non-increasing in the threshold
+    recalls = [got[t]["recall"] for t in sorted(got)]
+    assert recalls == sorted(recalls, reverse=True)
