@@ -50,6 +50,8 @@ ALLOWED = {
     ("operators/bpe.py", "bpe_encode"),
     ("operators/dedup.py", "contamination"),
     ("operators/distsort.py", "percentile_disc_edges"),
+    ("operators/distsort.py", "weighted_percentile_disc_edges"),
+    ("operators/distsort.py", "pr_curve"),
     ("operators/distsort.py", "ranked_cumsums"),
     ("operators/distsort.py", "ks_drift"),
     ("operators/dsir.py", "_delta_table"),
