@@ -290,3 +290,79 @@ def changed_buckets(
             F.coalesce("new_rows", z).alias("new_rows"),
         )
     )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    both marginal entropies and the normalized MI — the
+    feature-relevance / drift diagnostic ("does `source` carry
+    information about `lang`?").
+
+    Exactness contract (the ngramlm libm policy): every probability is
+    an exact integer ratio, the ONLY libm calls are one micro-rounded
+    ``ln`` per contingency CELL (≤ |X|·|Y| calls total, never per
+    row), each integer-weighted and summed as BIGINT, and the final
+    values are IEEE divisions of exact integers. ``nmi =
+    mi/sqrt(h_x·h_y)`` is deterministic too: IEEE sqrt is correctly
+    rounded, and its inputs are already bit-identical cross-engine.
+    NULL categories count as their own level (they carry
+    information): both columns are sentinel-encoded before the
+    contingency agg, because the margin joins below are equi-joins
+    and a raw NULL key would silently drop its cells from the MI sum.
+    Returns one row: (n, mi_nats, h_x, h_y, nmi)."""
+    SCALE = 1_000_000
+    sent = "\x00<null>"
+    df = df.select(
+        F.coalesce(F.col(x_col).cast("string"), F.lit(sent)).alias(x_col),
+        F.coalesce(F.col(y_col).cast("string"), F.lit(sent)).alias(y_col),
+    )
+    cells = df.groupBy(x_col, y_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__nxy")
+    )
+    mx = cells.groupBy(x_col).agg(F.sum("__nxy").cast("long").alias("__nx"))
+    my = cells.groupBy(y_col).agg(F.sum("__nxy").cast("long").alias("__ny"))
+    n1 = cells.agg(F.sum("__nxy").cast("long").alias("__n"))
+
+    def _ln_micro(arg):
+        return F.round(F.log(arg) * SCALE, 0).cast("long")
+
+    j = cells.join(mx, x_col).join(my, y_col).crossJoin(F.broadcast(n1))
+    mi_num = F.sum(
+        F.col("__nxy")
+        * _ln_micro(
+            (F.col("__nxy") * F.col("__n"))
+            / (F.col("__nx") * F.col("__ny"))
+        )
+    ).cast("long")
+    mi = j.agg(mi_num.alias("__mi_num"), F.first("__n").alias("__n"))
+
+    def _entropy(margin: DataFrame, n_col: str):
+        # H = -(Σ n_i · ln_micro(n_i/N)) / (N · SCALE)
+        return (
+            margin.crossJoin(F.broadcast(n1))
+            .agg(
+                F.sum(
+                    F.col(n_col) * _ln_micro(F.col(n_col) / F.col("__n"))
+                )
+                .cast("long")
+                .alias("__h_num")
+            )
+            .select((-F.col("__h_num")).alias("__h_num"))
+        )
+
+    hx = _entropy(mx, "__nx").select(F.col("__h_num").alias("__hx_num"))
+    hy = _entropy(my, "__ny").select(F.col("__h_num").alias("__hy_num"))
+    out = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    denom = F.col("__n").cast("double") * SCALE
+    mi_d = F.col("__mi_num") / denom
+    hx_d = F.col("__hx_num") / denom
+    hy_d = F.col("__hy_num") / denom
+    return out.select(
+        F.col("__n").alias("n"),
+        mi_d.alias("mi_nats"),
+        hx_d.alias("h_x"),
+        hy_d.alias("h_y"),
+        (mi_d / F.sqrt(hx_d * hy_d)).alias("nmi"),
+    )

@@ -4352,3 +4352,58 @@ def lang_marker_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("y"),
     )
     return DSORT5.pr_curve(scored, "s", "y")
+
+
+# ---------------------------------------------------------------------------
+# Mutual information: does `source` carry information about `lang`?
+# (operators/quality.mutual_information — micro-rounded ln per cell,
+# BIGINT-weighted sums, IEEE divisions; nmi uses IEEE-exact sqrt.)
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM documents GROUP BY 1, 2
+),
+mx AS (SELECT source, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+my AS (SELECT lang, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+n1 AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT CAST(SUM(nxy * CAST(ROUND(
+           ln((nxy * n) / (nx * ny)) * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS mi_num,
+         MAX(n) AS n
+  FROM cells JOIN mx USING (source) JOIN my USING (lang), n1
+),
+hx AS (
+  SELECT CAST(-SUM(nx * CAST(ROUND(ln(nx / n) * 1000000, 0) AS BIGINT))
+         AS BIGINT) AS hx_num
+  FROM mx, n1
+),
+hy AS (
+  SELECT CAST(-SUM(ny * CAST(ROUND(ln(ny / n) * 1000000, 0) AS BIGINT))
+         AS BIGINT) AS hy_num
+  FROM my, n1
+)
+SELECT n,
+       mi_num / (CAST(n AS DOUBLE) * 1000000) AS mi_nats,
+       hx_num / (CAST(n AS DOUBLE) * 1000000) AS h_x,
+       hy_num / (CAST(n AS DOUBLE) * 1000000) AS h_y,
+       (mi_num / (CAST(n AS DOUBLE) * 1000000))
+         / sqrt((hx_num / (CAST(n AS DOUBLE) * 1000000))
+                * (hy_num / (CAST(n AS DOUBLE) * 1000000))) AS nmi
+FROM mi, hx, hy
+"""
+
+
+@_q("source_lang_mi", _MI_ORACLE)
+def source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between corpus source and language, with
+    both marginal entropies and normalized MI — the one-row report
+    that says whether a mixture dimension is redundant with another.
+    One contingency agg (map-side combined), one micro-rounded ln per
+    CELL, exact-integer sums, IEEE divisions."""
+    from ..operators.quality import mutual_information
+
+    docs = load(spark, sf_dir, "documents")
+    return mutual_information(docs, "source", "lang")

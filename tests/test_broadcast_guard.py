@@ -65,7 +65,9 @@ ALLOWED = {
     ("operators/ngramlm.py", "perplexity_scores"),
     ("operators/pq.py", "_assign"),
     ("operators/pq.py", "pq_adc_topk"),
+    ("operators/quality.py", "_entropy"),
     ("operators/quality.py", "audit"),
+    ("operators/quality.py", "mutual_information"),
     ("operators/sampling.py", "mixture_sample"),
     ("operators/sampling.py", "temperature_mixture"),
     ("queries/curation.py", "leakage_safe_split"),

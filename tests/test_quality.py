@@ -184,3 +184,43 @@ def test_changed_buckets_localizes_single_row_change(spark):
     assert diff[0]["old_rows"] == diff[0]["new_rows"]  # same count, diff content
     # identical snapshots: zero changed buckets
     assert changed_buckets(old, old, "id", 64).count() == 0
+
+
+# --- mutual information -----------------------------------------------------
+
+def test_mutual_information_known_values(spark):
+    import math
+
+    from redshift_etl_spark.operators.quality import mutual_information
+
+    # independent columns -> MI ~ 0 (exactly 0 with uniform margins:
+    # every cell ratio is exactly 1, ln(1) = 0 with no rounding)
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(25)],
+        "x string, y string",
+    )
+    r = mutual_information(ind, "x", "y").collect()[0]
+    assert r["mi_nats"] == 0.0
+    assert abs(r["h_x"] - math.log(2)) < 1e-5
+    assert abs(r["nmi"]) < 1e-12
+
+    # perfectly dependent -> MI = H(x) = H(y), nmi = 1
+    dep = spark.createDataFrame(
+        [("a", "c")] * 30 + [("b", "d")] * 70, "x string, y string"
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    want_h = -(0.3 * math.log(0.3) + 0.7 * math.log(0.7))
+    assert abs(r["mi_nats"] - want_h) < 1e-5
+    assert abs(r["h_x"] - want_h) < 1e-5
+    assert abs(r["nmi"] - 1.0) < 1e-5
+
+
+def test_mutual_information_null_is_a_level(spark):
+    from redshift_etl_spark.operators.quality import mutual_information
+
+    df = spark.createDataFrame(
+        [("a", None)] * 10 + [("b", "y")] * 10, "x string, y string"
+    )
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r["n"] == 20
+    assert r["nmi"] > 0.99  # NULL level perfectly predicted by x
