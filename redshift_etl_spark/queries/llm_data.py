@@ -4407,3 +4407,163 @@ def source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return mutual_information(docs, "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Corpus datacard — the one-row release summary a dataset ships with.
+# Pure composition of committed machinery: token counts (shared
+# tokenizer), exact-dup accounting (md5 identity), Gopher keep share,
+# language/source concentration. Every number is an exact integer or
+# an IEEE division of exact integers.
+# ---------------------------------------------------------------------------
+
+def _datacard_oracle() -> str:
+    stop_sql = ", ".join(f"'{s}'" for s in TX.GOPHER_STOP_REQUIRED)
+    bullet_sql = " OR ".join(
+        f"starts_with(l, '{p}')" for p in TX.BULLET_PREFIXES
+    )
+    ellipsis_sql = " OR ".join(
+        f"ends_with(l, '{s}')" for s in TX.ELLIPSIS_SUFFIXES
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS toks,
+         CAST(length(text) AS BIGINT) AS chars,
+         md5(text) AS fp
+  FROM documents
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(chars) AS BIGINT) AS n_chars,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_texts
+  FROM base
+),
+top_lang AS (
+  SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS top_lang_docs
+  FROM base GROUP BY 1 ORDER BY top_lang_docs DESC, lang LIMIT 1
+),
+top_source AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS top_source_docs
+  FROM base GROUP BY source ORDER BY top_source_docs DESC, source LIMIT 1
+),
+keep AS (
+  SELECT CAST(SUM(CASE WHEN
+      n_words >= 50 AND n_words <= 100000
+      AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+      AND 10 * n_sym <= n_words
+      AND 10 * n_bullet <= 9 * n_lines
+      AND 10 * n_ellipsis <= 3 * n_lines
+      AND 5 * n_alpha >= 4 * n_words
+      AND n_stop >= {TX.GOPHER_STOP_MIN}
+      AND NOT contains(lower(text), 'lorem ipsum')
+      AND NOT contains(text, '{{')
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+  FROM (
+    SELECT text,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(coalesce(list_sum(list_transform(
+               str_split(text, ' '), w -> length(w))), 0) AS BIGINT)
+             AS word_chars,
+           CAST(len(list_filter(str_split(text, ' '),
+               w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+           CAST(length(text)
+             - length(replace(text, '{TX.HASH_GLYPH}', '')) AS BIGINT)
+           + CAST(length(text)
+             - length(replace(text, '{TX.ELLIPSIS_GLYPH}', ''))
+               AS BIGINT) AS n_sym,
+           CAST(len(list_filter(str_split(text, chr(10)),
+               l -> {bullet_sql})) AS BIGINT) AS n_bullet,
+           CAST(len(list_filter(str_split(text, chr(10)),
+               l -> {ellipsis_sql})) AS BIGINT) AS n_ellipsis,
+           CAST(len(list_filter([{stop_sql}],
+               s -> list_contains(str_split(text, ' '), s)))
+             AS BIGINT) AS n_stop
+    FROM base
+  )
+)
+SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+       CAST(n_docs - n_distinct_texts AS BIGINT) AS exact_dup_docs,
+       top_lang, top_lang_docs,
+       top_lang_docs / CAST(n_docs AS DOUBLE) AS top_lang_share,
+       top_source_docs / CAST(n_docs AS DOUBLE) AS top_source_share,
+       n_keep / CAST(n_docs AS DOUBLE) AS gopher_keep_share,
+       n_tokens / CAST(n_docs AS DOUBLE) AS mean_doc_tokens
+FROM agg, top_lang, top_source, keep
+"""
+
+
+@_q("corpus_datacard", _datacard_oracle())
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row release summary a dataset ships with: volume
+    (docs/tokens/chars), diversity (languages, sources, concentration
+    of the largest), hygiene (exact-duplicate count via md5 identity,
+    Gopher keep share), and density (mean tokens per doc). Pure
+    composition of committed machinery — one scan for the base stats,
+    three bounded aggregates folded back by 1-row cross joins."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        TX.token_count("text").alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+        F.md5("text").alias("fp"),
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+        F.sum("chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("fp").cast("long").alias("n_distinct_texts"),
+    )
+    top_lang = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("top_lang_docs"))
+        .orderBy(F.col("top_lang_docs").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "top_lang_docs")
+    )
+    top_source = (
+        base.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("top_source_docs"))
+        .orderBy(F.col("top_source_docs").desc(), "source")
+        .limit(1)
+        .select("top_source_docs")
+    )
+    keep = TX.gopher_rules(docs, "doc_id", "text").agg(
+        F.sum("keep").cast("long").alias("n_keep")
+    )
+    return (
+        agg.crossJoin(F.broadcast(top_lang))
+        .crossJoin(F.broadcast(top_source))
+        .crossJoin(F.broadcast(keep))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            "n_sources",
+            (F.col("n_docs") - F.col("n_distinct_texts"))
+            .cast("long")
+            .alias("exact_dup_docs"),
+            "top_lang",
+            "top_lang_docs",
+            (F.col("top_lang_docs") / F.col("n_docs").cast("double")).alias(
+                "top_lang_share"
+            ),
+            (
+                F.col("top_source_docs") / F.col("n_docs").cast("double")
+            ).alias("top_source_share"),
+            (F.col("n_keep") / F.col("n_docs").cast("double")).alias(
+                "gopher_keep_share"
+            ),
+            (F.col("n_tokens") / F.col("n_docs").cast("double")).alias(
+                "mean_doc_tokens"
+            ),
+        )
+    )

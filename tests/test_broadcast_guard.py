@@ -93,6 +93,7 @@ ALLOWED = {
     ("queries/curation.py", "int8_quantize_stats"),
     ("queries/curation.py", "length_trim"),
     ("queries/llm_data.py", "ccnet_buckets"),
+    ("queries/llm_data.py", "corpus_datacard"),
     ("queries/llm_data.py", "doc_length_cdf"),
     ("queries/llm_data.py", "doremi_weights"),
     ("queries/llm_data.py", "embedding_drift"),
