@@ -56,12 +56,13 @@ def apply_quality_epoch(
     directly): dynamic-overwrite this epoch's partition of the metrics
     table. Replaying the same epoch rewrites the identical partition —
     idempotent without any ledger read."""
-    spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         epoch_quality_metrics(batch_df, id_col, text_col, epoch_id)
         .coalesce(1)
         .write.mode("overwrite")
+        # writer-scoped, NOT a session conf mutation: other writers in
+        # the session keep their static-overwrite default
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("epoch")
         .parquet(metrics_path)
     )
