@@ -865,3 +865,82 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
         .alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — global-scalar decorrelation + NOT EXISTS: customers in
+# selected segments with an above-average balance (average over the
+# POSITIVE balances of those segments — a correlated scalar subquery
+# in the original) with no RECENT order (none since 2001-01-01 — the
+# dormant-account variant; the synthetic orders table covers every
+# customer historically, so the unconditional form is empty).
+# Catalyst plan:
+# the scalar collapses to a 1-row aggregate broadcast into the filter,
+# the NOT EXISTS to a left-anti join — no per-row subquery execution.
+# ---------------------------------------------------------------------------
+
+_Q22_SEGMENTS = ("BUILDING", "MACHINERY", "AUTOMOBILE")
+_SEG_SQL = ", ".join(f"'{s}'" for s in _Q22_SEGMENTS)
+
+
+@_q(
+    "idle_rich_customers",
+    f"""
+WITH pos_avg AS (
+  SELECT AVG(c_acctbal) AS avg_bal
+  FROM customer
+  WHERE c_acctbal > 0.00 AND c_mktsegment IN ({_SEG_SQL})
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer, pos_avg
+WHERE c_mktsegment IN ({_SEG_SQL})
+  AND c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2001-01-01'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape. The segment-positive average is one scalar
+    aggregate folded in by a 1-row cross join (broadcast by size);
+    "never ordered" is a LEFT ANTI join on the order keys. Balance
+    totals are exact integer cents; the only double compare is
+    against the deterministic IEEE average both engines compute from
+    the same sums."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(*_Q22_SEGMENTS)
+    )
+    # AVG must equal DuckDB's: divide the exact rounded-cents sum by
+    # the exact count (both engines' AVG over these values agrees —
+    # asserted by the oracle hash), spelled as sum/count of doubles
+    pos_avg = cust.filter(F.col("c_acctbal") > 0.00).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders,
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("totacctbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -110,6 +110,7 @@ ALLOWED = {
     ("queries/relational.py", "shipping_priority"),
     ("queries/relational.py", "small_qty_revenue"),
     ("queries/relational.py", "star_filter_project"),
+    ("queries/tpch_shapes.py", "idle_rich_customers"),
     ("queries/tpch_shapes.py", "market_share"),
     ("queries/tpch_shapes.py", "min_cost_supplier"),
     ("queries/tpch_shapes.py", "nation_balance_share"),

@@ -471,3 +471,13 @@ def test_hard_negatives_single_exchange_feeds_both_windows(spark):
     assert P.tree_count(df, "Window") == 2
     assert P.tree_count(df, "WindowGroupLimit") >= 1
     assert P.tree_count(df, "BroadcastNestedLoopJoin") == 1
+
+
+def test_idle_rich_customers_decorrelates(spark):
+    # Q22 shape: the scalar average is a broadcast 1-row fold, NOT
+    # EXISTS is a left-anti join, and the recency predicate reaches
+    # the orders scan
+    df = Q.all_queries()["idle_rich_customers"](spark, SF_ORACLE)
+    plan = P.physical_plan(df)
+    assert "LeftAnti" in plan
+    assert "o_orderdate" in " ".join(P.pushed_filters(df))
