@@ -596,3 +596,62 @@ def pr_curve(
         )
         .orderBy("threshold")
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a score expressed as an exact
+    integer RATIO ``num/den`` in [0, 1] (hits/tokens, matches/trials):
+    bin assignment is pure bigint arithmetic ``min(n_bins−1,
+    num·n_bins div den)`` — no float boundary can move a row across a
+    bin edge — and each bin reports exact counts, the observed
+    positive rate, and the ratio-of-sums mean score (Σnum/Σden, never
+    a float average of floats). One map-side-combined hash agg on the
+    bin key; rows with NULL or zero denominators drop out. Output:
+    (bin, n, n_pos, mean_score, pos_rate), ordered by bin."""
+    num = F.col(num_col).cast("long")
+    den = F.col(den_col).cast("long")
+    return (
+        df.filter(
+            num.isNotNull()
+            & den.isNotNull()
+            & (den > 0)
+            & F.col(label_col).isNotNull()
+        )
+        .select(
+            num.alias("__num"),
+            den.alias("__den"),
+            F.col(label_col).cast("int").alias("__y"),
+        )
+        # `div` is Spark's INTEGER division (`/` on longs is IEEE
+        # double division — a float boundary that could move a row
+        # across a bin edge); DuckDB's twin operator is `//`
+        .withColumn(
+            "bin",
+            F.expr(
+                f"least(CAST({n_bins - 1} AS BIGINT),"
+                f" (__num * {n_bins}) div __den)"
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            (
+                F.sum("__num").cast("double") / F.sum("__den")
+            ).alias("mean_score"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "mean_score",
+            (F.col("n_pos") / F.col("n").cast("double")).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -4567,3 +4567,46 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _calibration_oracle() -> str:
+    en = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT CAST(len(list_filter(str_split(text, ' '),
+              w -> w IN ({en}))) AS BIGINT) AS num,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS den,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents
+),
+binned AS (
+  SELECT least(9, (num * 10) // den) AS bin, num, den, y
+  FROM scored WHERE den > 0
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(num) AS DOUBLE) / CAST(SUM(den) AS BIGINT) AS mean_score,
+       CAST(SUM(y) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+@_q("lang_marker_calibration", _calibration_oracle())
+def lang_marker_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the English marker-hit RATIO as a
+    probability proxy of `lang = 'en'` (`distsort.calibration_bins`):
+    bigint bin assignment (no float edge), exact counts, ratio-of-sums
+    mean score per bin — the companion to AUC/PR that says whether
+    the score's VALUE (not just its ordering) is trustworthy."""
+    from ..operators import distsort as DSORT6
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        TX.marker_hits("text", TX.LANG_MARKERS["en"]).alias("num"),
+        TX.token_count("text").alias("den"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return DSORT6.calibration_bins(scored, "num", "den", "y", n_bins=10)

@@ -350,3 +350,24 @@ def test_pr_curve_matches_brute_force(spark):
     # recall is monotone non-increasing in the threshold
     recalls = [got[t]["recall"] for t in sorted(got)]
     assert recalls == sorted(recalls, reverse=True)
+
+
+def test_calibration_bins_exact(spark):
+    rows = [
+        (0, 10, True),    # score 0.0  -> bin 0
+        (1, 10, False),   # 0.1        -> bin 1
+        (9, 10, True),    # 0.9        -> bin 9
+        (10, 10, True),   # 1.0        -> clamped to bin 9
+        (1, 3, False),    # 0.333...   -> bin 3 by integer div
+        (None, 10, True), # dropped
+        (5, 0, True),     # zero denominator: dropped
+        (5, 10, None),    # NULL label: dropped
+    ]
+    df = spark.createDataFrame(rows, "num int, den int, y boolean")
+    got = {r["bin"]: r.asDict()
+           for r in DS.calibration_bins(df, "num", "den", "y", 10).collect()}
+    assert set(got) == {0, 1, 3, 9}
+    assert got[9]["n"] == 2 and got[9]["n_pos"] == 2
+    assert got[9]["mean_score"] == 19 / 20  # ratio of sums, not mean of ratios
+    assert got[3]["pos_rate"] == 0.0
+    assert got[0]["pos_rate"] == 1.0
