@@ -655,3 +655,73 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def grouped_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP exact ROC AUC — :func:`auc_exact` for every slice at
+    once (per-language, per-source classifier eval), with the same
+    no-per-group-funnel shape as :func:`grouped_percentile_disc`:
+    per-(group, distinct-score) count/positive pairs ride ONE global
+    range exchange ordered by (group, score); each group's cumulative
+    count is recovered by subtracting its exclusive offset from the
+    |groups|-row totals theta-join. Doubled midranks keep all rank
+    sums bigint; one IEEE division per group. Groups with no
+    positives or no negatives report NULL auc (the statistic is
+    undefined, not zero). Output: (group, n_pos, n_neg, auc)."""
+    counts = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(group_col, score_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            F.sum(F.col(label_col).cast("int"))
+            .cast("long")
+            .alias("__pos"),
+        )
+    )
+    cum = ranked_cumsum(
+        counts,
+        [F.col(group_col), F.col(score_col)],
+        "__cnt",
+        rank_name="__rk",
+        cumsum_name="__cum",
+        num_partitions=num_partitions,
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("__cnt").cast("long").alias("__n_g"),
+        F.sum("__pos").cast("long").alias("__pos_g"),
+    )
+    earlier = totals.select(
+        F.col(group_col).alias("__g2"), F.col("__n_g").alias("__n2")
+    )
+    offsets = (
+        totals.join(earlier, F.col("__g2") < F.col(group_col), "left")
+        .groupBy(group_col, "__n_g", "__pos_g")
+        .agg(F.coalesce(F.sum("__n2"), F.lit(0)).cast("long").alias("__off"))
+    )
+    j = cum.join(offsets, group_col)
+    cum_g = F.col("__cum") - F.col("__off")
+    per_group = j.groupBy(group_col).agg(
+        F.first("__pos_g").alias("n_pos"),
+        (F.first("__n_g") - F.first("__pos_g")).cast("long").alias("n_neg"),
+        F.sum(F.col("__pos") * (2 * cum_g - F.col("__cnt") + 1))
+        .cast("long")
+        .alias("__two_s"),
+    )
+    return per_group.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (F.col("__two_s") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2 * F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+    ).orderBy(group_col)

@@ -4610,3 +4610,58 @@ def lang_marker_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("y"),
     )
     return DSORT6.calibration_bins(scored, "num", "den", "y", n_bins=10)
+
+
+def _grouped_auc_oracle() -> str:
+    en = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT source,
+         CAST(len(list_filter(str_split(text, ' '),
+              w -> w IN ({en}))) AS BIGINT) AS s,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents
+),
+counts AS (
+  SELECT source, s,
+         CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, s, cnt, pos,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY s) AS c
+  FROM counts
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * c - cnt + 1)) AS BIGINT) AS two_s
+  FROM cum GROUP BY 1
+)
+SELECT source, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN (two_s - n_pos * (n_pos + 1)) / (2 * n_pos * n_neg)
+       END AS auc
+FROM agg
+ORDER BY source
+"""
+
+
+@_q("lang_marker_auc_by_source", _grouped_auc_oracle())
+def lang_marker_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE exact AUC of the English-marker score
+    (`distsort.grouped_auc`): slice-level classifier eval — which
+    corpus slices the heuristic ranks well — with the same
+    no-per-group-funnel machinery as the grouped percentiles. Slices
+    with no positives or no negatives report NULL (undefined, not
+    zero)."""
+    from ..operators import distsort as DSORT7
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        TX.marker_hits("text", TX.LANG_MARKERS["en"]).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return DSORT7.grouped_auc(scored, "source", "s", "y")

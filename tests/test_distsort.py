@@ -371,3 +371,24 @@ def test_calibration_bins_exact(spark):
     assert got[9]["mean_score"] == 19 / 20  # ratio of sums, not mean of ratios
     assert got[3]["pos_rate"] == 0.0
     assert got[0]["pos_rate"] == 1.0
+
+
+def test_grouped_auc_matches_per_group_auc_exact(spark):
+    import random
+
+    rng = random.Random(21)
+    rows = []
+    for g, n in (("big", 300), ("mid", 60), ("tiny", 8)):
+        for _ in range(n):
+            y = rng.random() < 0.35
+            rows.append((g, rng.randint(0, 9) + (2 if y else 0), y))
+    rows.append(("allpos", 4, True))   # no negatives -> NULL auc
+    df = spark.createDataFrame(rows, "g string, s int, y boolean")
+    got = {r["g"]: r.asDict() for r in DS.grouped_auc(df, "g", "s", "y").collect()}
+    assert got["allpos"]["auc"] is None
+    for g in ("big", "mid", "tiny"):
+        sub = df.filter(F.col("g") == g)
+        want = DS.auc_exact(sub, "s", "y").collect()[0]
+        assert got[g]["n_pos"] == want["n_pos"]
+        assert got[g]["n_neg"] == want["n_neg"]
+        assert got[g]["auc"] == want["auc"]  # bit-identical, same formula
