@@ -76,6 +76,9 @@ REHEARSAL = (
     "range_join_incidents",   # bucketed range-join rewrite
     "trade_pagerank",         # iterative join+agg graph core
     "session_window_agg",     # session windows over events
+    "lang_marker_auc",        # global midrank AUC, one range exchange
+    "lang_marker_auc_by_source",  # grouped AUC, offsets theta-join
+    "corpus_datacard",        # one-scan release summary
 )
 
 

@@ -48,6 +48,8 @@ PROBES = (
     "ks_drift",             # shared range-exchange cumsum (r7)
     "mad_outliers",         # two grouped-percentile passes (r7s2)
     "token_weighted_length",  # weighted + plain edges, one report (r7s2)
+    "lang_marker_auc",      # exact midrank AUC (r7s2)
+    "corpus_datacard",      # one-scan release summary (r7s2)
 )
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
