@@ -4665,3 +4665,74 @@ def lang_marker_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("y"),
     )
     return DSORT7.grouped_auc(scored, "source", "s", "y")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — the per-class eval artifact for the
+# marker-argmax heuristic: one row per (true lang, predicted lang)
+# with counts and the within-true-lang share (row-normalized recall
+# diagonal). Reuses the committed argmax-fold spelling.
+# ---------------------------------------------------------------------------
+
+def _lang_confusion_oracle() -> str:
+    hit_cols = ",\n  ".join(
+        "CAST(len(list_filter(str_split(text, ' '), w -> w IN ({}))) AS BIGINT)"
+        " AS hits_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in TX.LANG_MARKERS.items()
+    )
+    prev_b, prev_n = "'unknown'", "0"
+    for lang in sorted(TX.LANG_MARKERS):
+        b = f"CASE WHEN hits_{lang} > {prev_n} THEN '{lang}' ELSE {prev_b} END"
+        n = f"CASE WHEN hits_{lang} > {prev_n} THEN hits_{lang} ELSE {prev_n} END"
+        prev_b, prev_n = b, n
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+  {hit_cols}
+  FROM documents
+),
+pred AS (
+  SELECT lang, {prev_b} AS predicted_lang FROM h
+),
+cells AS (
+  SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+),
+tot AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1
+)
+SELECT c.lang, c.predicted_lang, c.n,
+       c.n / CAST(t.n_lang AS DOUBLE) AS row_share
+FROM cells c JOIN tot t USING (lang)
+ORDER BY c.lang, c.predicted_lang
+"""
+
+
+@_q("lang_id_confusion", _lang_confusion_oracle())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-argmax language ID against the
+    labeled lang column: (true, predicted, n, within-true share). One
+    projection + one hash agg on the ≤\\|langs\\|² matrix key; the
+    per-true-lang totals fold back by an AQE-sized join."""
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    pred = TX.lang_scores(docs, "text").select("lang", "predicted_lang")
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cells.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_lang")
+    )
+    return (
+        cells.join(tot, "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            (F.col("n") / F.col("n_lang").cast("double")).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
