@@ -725,3 +725,35 @@ def grouped_auc(
             / (2 * F.col("n_pos") * F.col("n_neg")),
         ).alias("auc"),
     ).orderBy(group_col)
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """ECE over :func:`calibration_bins`: Σ_b (n_b/N)·|pos_rate_b −
+    mean_score_b| — the one-number summary of the reliability diagram.
+
+    Exactness: each bin's |gap| is an |IEEE difference of two exact-
+    integer divisions| MICRO-ROUNDED to int64 (the repo's libm/float-
+    fold policy — a raw double SUM's value would depend on partition
+    order), so the weighted numerator is a plain BIGINT sum and the
+    ECE is one division: Σ n_b·gap_micro_b / (N·10⁶)."""
+    bins = calibration_bins(df, num_col, den_col, label_col, n_bins)
+    gap_micro = F.round(
+        F.abs(F.col("pos_rate") - F.col("mean_score")) * 1_000_000, 0
+    ).cast("long")
+    agg = bins.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(F.col("n") * gap_micro).cast("long").alias("__num"),
+    )
+    return agg.select(
+        "n",
+        (
+            F.col("__num")
+            / (F.col("n").cast("double") * 1_000_000)
+        ).alias("ece"),
+    )

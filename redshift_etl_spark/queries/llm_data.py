@@ -4736,3 +4736,52 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "predicted_lang")
     )
+
+
+def _ece_oracle() -> str:
+    en = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT CAST(len(list_filter(str_split(text, ' '),
+              w -> w IN ({en}))) AS BIGINT) AS num,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS den,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents
+),
+binned AS (
+  SELECT least(9, (num * 10) // den) AS bin, num, den, y
+  FROM scored WHERE den > 0
+),
+bins AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(num) AS DOUBLE) / CAST(SUM(den) AS BIGINT) AS mean_score,
+         CAST(SUM(y) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+  FROM binned GROUP BY bin
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(n * CAST(ROUND(abs(pos_rate - mean_score) * 1000000, 0)
+                    AS BIGINT)) AS BIGINT)
+         / (CAST(SUM(n) AS DOUBLE) * 1000000) AS ece
+FROM bins
+"""
+
+
+@_q("lang_marker_ece", _ece_oracle())
+def lang_marker_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the English marker-hit ratio as a
+    probability proxy (`distsort.expected_calibration_error`): each
+    bin's |observed − predicted| gap micro-rounded to int64, weighted
+    BIGINT sum, one division — the one-number reliability summary."""
+    from ..operators import distsort as DSORT8
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        TX.marker_hits("text", TX.LANG_MARKERS["en"]).alias("num"),
+        TX.token_count("text").alias("den"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return DSORT8.expected_calibration_error(
+        scored, "num", "den", "y", n_bins=10
+    )

@@ -392,3 +392,16 @@ def test_grouped_auc_matches_per_group_auc_exact(spark):
         assert got[g]["n_pos"] == want["n_pos"]
         assert got[g]["n_neg"] == want["n_neg"]
         assert got[g]["auc"] == want["auc"]  # bit-identical, same formula
+
+
+def test_ece_known_value(spark):
+    # one bin perfectly calibrated, one fully mis-calibrated
+    rows = (
+        [(1, 10, True)] * 5 + [(1, 10, False)] * 45   # bin 1: mean .1, obs .1
+        + [(9, 10, False)] * 50                        # bin 9: mean .9, obs 0
+    )
+    df = spark.createDataFrame(rows, "num int, den int, y boolean")
+    r = DS.expected_calibration_error(df, "num", "den", "y", 10).collect()[0]
+    assert r["n"] == 100
+    # ECE = .5*|0.1-0.1| + .5*|0.0-0.9| = 0.45
+    assert abs(r["ece"] - 0.45) < 1e-6
