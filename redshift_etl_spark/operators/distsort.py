@@ -757,3 +757,27 @@ def expected_calibration_error(
             / (F.col("n").cast("double") * 1_000_000)
         ).alias("ece"),
     )
+
+
+def best_f1_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The operating point a deployed filter actually needs: the
+    threshold maximizing F1 over :func:`pr_curve`'s exact confusion
+    counts. F1 = 2·tp/(2·tp+fp+fn) is one IEEE division of exact
+    integers per candidate threshold; ties break to the LOWEST
+    threshold (keep more, deterministic). One row: (threshold, tp,
+    fp, fn, precision, recall, f1)."""
+    pr = pr_curve(df, score_col, label_col, num_partitions=num_partitions)
+    f1 = (2 * F.col("tp")) / (2 * F.col("tp") + F.col("fp") + F.col("fn"))
+    scored = pr.withColumn("f1", f1)
+    best = scored.agg(
+        F.max_by(
+            F.struct(*scored.columns),
+            F.struct(F.col("f1"), (-F.col("threshold")).alias("nt")),
+        ).alias("b")
+    )
+    return best.select("b.*")

@@ -4785,3 +4785,62 @@ def lang_marker_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DSORT8.expected_calibration_error(
         scored, "num", "den", "y", n_bins=10
     )
+
+
+def _best_f1_oracle() -> str:
+    en = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT CAST(len(list_filter(str_split(text, ' '),
+              w -> w IN ({en}))) AS BIGINT) AS s,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents
+),
+counts AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT s, cnt, pos,
+         SUM(cnt) OVER (ORDER BY s) AS c,
+         SUM(pos) OVER (ORDER BY s) AS cp
+  FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS npos,
+         CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS nneg
+  FROM counts
+),
+pr AS (
+  SELECT s AS threshold,
+         CAST(npos - (cp - pos) AS BIGINT) AS tp,
+         CAST(nneg - ((c - cp) - (cnt - pos)) AS BIGINT) AS fp,
+         CAST(npos - (npos - (cp - pos)) AS BIGINT) AS fn,
+         (npos - (cp - pos)) /
+           ((npos - (cp - pos)) + (nneg - ((c - cp) - (cnt - pos))))
+           AS precision,
+         (npos - (cp - pos)) / npos AS recall
+  FROM cum, tot
+)
+SELECT threshold, tp, fp, fn, precision, recall,
+       (2 * tp) / (2 * tp + fp + fn) AS f1
+FROM pr
+ORDER BY f1 DESC, threshold
+LIMIT 1
+"""
+
+
+@_q("lang_marker_best_f1", _best_f1_oracle())
+def lang_marker_best_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployable operating point for the English-marker filter:
+    the threshold maximizing F1 over the exact PR curve
+    (`distsort.best_f1_threshold`); ties break to the lowest
+    threshold."""
+    from ..operators import distsort as DSORT9
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        TX.marker_hits("text", TX.LANG_MARKERS["en"]).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return DSORT9.best_f1_threshold(scored, "s", "y")

@@ -405,3 +405,25 @@ def test_ece_known_value(spark):
     assert r["n"] == 100
     # ECE = .5*|0.1-0.1| + .5*|0.0-0.9| = 0.45
     assert abs(r["ece"] - 0.45) < 1e-6
+
+
+def test_best_f1_threshold_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(17)
+    rows = [(rng.randint(0, 8) + (3 if rng.random() < 0.4 else 0),
+             rng.random() < 0.4) for _ in range(300)]
+    df = spark.createDataFrame(rows, "s int, y boolean")
+    got = DS.best_f1_threshold(df, "s", "y").collect()[0]
+
+    npos = sum(1 for _, y in rows if y)
+    best = None
+    for t in sorted({s for s, _ in rows}):
+        tp = sum(1 for s, y in rows if y and s >= t)
+        fp = sum(1 for s, y in rows if not y and s >= t)
+        f1 = 2 * tp / (2 * tp + fp + (npos - tp))
+        if best is None or f1 > best[0]:  # strict: ties keep LOWEST t
+            best = (f1, t, tp, fp)
+    assert got["threshold"] == best[1]
+    assert (got["tp"], got["fp"]) == (best[2], best[3])
+    assert abs(got["f1"] - best[0]) < 1e-12
