@@ -72,6 +72,8 @@ HEADLINE = (
     "ccnet_perplexity",     # hashed bigram LM perplexity filter (r7)
     "hard_negative_mining",  # DPR margin-gated hard negatives (r7)
     "gopher_quality_rules",  # Gopher/C4 integer-exact quality screens (r7)
+    "lang_marker_auc",      # exact midrank AUC, one range exchange (r7)
+    "corpus_datacard",      # one-scan release summary (r7)
 )
 
 
