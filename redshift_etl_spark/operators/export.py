@@ -162,8 +162,14 @@ def export_webdataset_shards(
     import pandas as pd
 
     os.makedirs(path, exist_ok=True)
-    sharded = assign_shards(df, key, n_shards)
-    key_name = key if isinstance(key, str) else "__key"
+    # a Column key has no name to select later — materialize it first,
+    # then shard on the materialized column (same hash, same shards)
+    if isinstance(key, str):
+        key_name = key
+    else:
+        key_name = "__key"
+        df = df.withColumn(key_name, key)
+    sharded = assign_shards(df, key_name, n_shards)
     cols = [key_name, text_col, *meta_cols, "shard"]
     part = sharded.select(*cols).repartition(n_shards, "shard")
 

@@ -887,7 +887,9 @@ _SEG_SQL = ", ".join(f"'{s}'" for s in _Q22_SEGMENTS)
     "idle_rich_customers",
     f"""
 WITH pos_avg AS (
-  SELECT AVG(c_acctbal) AS avg_bal
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS cents_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_pos
   FROM customer
   WHERE c_acctbal > 0.00 AND c_mktsegment IN ({_SEG_SQL})
 )
@@ -897,7 +899,7 @@ SELECT c_mktsegment,
          AS totacctbal_cents
 FROM customer, pos_avg
 WHERE c_mktsegment IN ({_SEG_SQL})
-  AND c_acctbal > avg_bal
+  AND CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_pos > cents_sum
   AND NOT EXISTS (
     SELECT 1 FROM orders
     WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2001-01-01'
@@ -910,17 +912,18 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape. The segment-positive average is one scalar
     aggregate folded in by a 1-row cross join (broadcast by size);
     "never ordered" is a LEFT ANTI join on the order keys. Balance
-    totals are exact integer cents; the only double compare is
-    against the deterministic IEEE average both engines compute from
-    the same sums."""
+    totals are exact integer cents, and the above-average test is the
+    cross-multiplied integer form ``cents·n > Σcents`` — a raw double
+    AVG's partial-sum association order is partition-dependent, so a
+    balance within ulps of the mean could flip across runs."""
     cust = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin(*_Q22_SEGMENTS)
     )
-    # AVG must equal DuckDB's: divide the exact rounded-cents sum by
-    # the exact count (both engines' AVG over these values agrees —
-    # asserted by the oracle hash), spelled as sum/count of doubles
     pos_avg = cust.filter(F.col("c_acctbal") > 0.00).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("cents_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
     )
     orders = (
         load(spark, sf_dir, "orders")
@@ -929,7 +932,10 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cust.crossJoin(F.broadcast(pos_avg))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(
+            F.round(F.col("c_acctbal") * 100).cast("long") * F.col("n_pos")
+            > F.col("cents_sum")
+        )
         .join(
             orders,
             F.col("o_custkey") == F.col("c_custkey"),

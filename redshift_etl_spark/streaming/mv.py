@@ -51,10 +51,28 @@ def fold_epoch(
     is already applied. Returns True when the fold ran.
 
     Write protocol: merged view → temp dir, ledger file INTO the temp
-    dir, then one atomic rename — a crash at any point leaves either
-    the old (view, ledger) pair or the new one, never a fold without
-    its ledger entry (the ordering that would double-count on
-    replay)."""
+    dir, then a two-rename swap (current → ``.__old__``, temp →
+    current). The swap itself is NOT atomic — two crash windows exist
+    and each fold RECOVERS them before doing anything else:
+
+    - crash between the two renames leaves no view at ``view_path``
+      but a complete one at ``.__old__`` → rename it back (the ledger
+      inside it still names the previous epoch, so the interrupted
+      epoch replays and folds exactly once);
+    - crash after the second rename but before the ``.__old__``
+      cleanup leaves a stale populated ``.__old__`` → remove it
+      (the new view and its ledger are already in place; without
+      this the next swap's ``os.rename`` would fail ENOTEMPTY).
+
+    The ledger file always travels WITH the view bytes it describes,
+    so a fold can never be observed without its ledger entry — the
+    ordering that would double-count on replay."""
+    old = view_path.rstrip("/") + ".__old__"
+    if os.path.exists(old):
+        if os.path.exists(view_path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, view_path)
     if epoch_id <= last_applied_epoch(view_path):
         return False
     spark = batch_df.sparkSession
@@ -70,7 +88,6 @@ def fold_epoch(
     else:
         merged = MV.agg_mv(batch_df, **spec)
     tmp = view_path.rstrip("/") + ".__tmp__"
-    old = view_path.rstrip("/") + ".__old__"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, _EPOCH_FILE), "w") as fh:

@@ -145,3 +145,34 @@ def test_webdataset_shards_round_trip(spark, tmp_path):
     )
     assert paths2 == paths
     assert all(open(p, "rb").read() == before[p] for p in paths)
+
+
+def test_webdataset_shards_column_key(spark, tmp_path):
+    """A Column key must behave exactly like the equivalent string key
+    (the advertised `key: Column | str` contract — previously the
+    Column path selected a column assign_shards never created)."""
+    import os
+    import tarfile
+
+    from redshift_etl_spark.operators import export as EX2
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    out_col = str(tmp_path / "wds_col")
+    paths = EX2.export_webdataset_shards(
+        docs, out_col, F.concat(F.lit("k"), F.col("doc_id")), n_shards=3
+    )
+    out_str = str(tmp_path / "wds_str")
+    paths_str = EX2.export_webdataset_shards(
+        docs.withColumn("k", F.concat(F.lit("k"), F.col("doc_id"))),
+        out_str,
+        "k",
+        n_shards=3,
+    )
+    assert [os.path.basename(p) for p in paths] == [
+        os.path.basename(p) for p in paths_str
+    ]
+    for p, q in zip(paths, paths_str):
+        with tarfile.open(p) as ta, tarfile.open(q) as tb:
+            assert ta.getnames() == tb.getnames()
