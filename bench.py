@@ -74,6 +74,9 @@ HEADLINE = (
     "gopher_quality_rules",  # Gopher/C4 integer-exact quality screens (r7)
     "lang_marker_auc",      # exact midrank AUC, one range exchange (r7)
     "corpus_datacard",      # one-scan release summary (r7)
+    "hard_negatives_bucketed",  # mining over LSH candidates — the
+                            # 100 TB path for hard_negative_mining (r8)
+    "bitext_margin_bucketed",  # bipartite-LSH bitext mining (r8)
 )
 
 

@@ -1156,87 +1156,30 @@ def whiten_embeddings(
     return df.mapInPandas(project, schema=schema_str)
 
 
-def hard_negatives(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    label_col: str = "label",
-    k: int = 3,
-    margin_micro: int = 20000,
-    dims: int | None = None,
+def hard_negative_stage(
+    pairs: DataFrame, k: int = 3, margin_micro: int = 20000
 ) -> DataFrame:
-    """Hard-negative mining for contrastive embedding training (the
-    DPR / sentence-transformers recipe): for each anchor, the k most
-    similar items with a DIFFERENT label — the negatives that
-    actually move the loss — excluding any negative whose similarity
-    comes within ``margin_micro`` of the anchor's best positive
-    (those are likely mislabeled positives, the classic
-    false-negative trap).
+    """The margin-gate / positive-ceiling / rank stage of hard-negative
+    mining, factored so it consumes ANY candidate frame with columns
+    ``(a_id, a_label, b_id, b_label, cos_micro)`` — the exact all-pairs
+    cross score (`hard_negatives`) and the LSH-bucketed candidate
+    generator (`hard_negatives_bucketed` via
+    `lsh_bucketed_cosine_pairs`) both feed this same logic.
 
-    Determinism contract: cosines are micro-rounded BIGINTs; the
-    margin gate ``cos <= pos_best − margin_micro`` is a pure int64
-    comparison; ranking ties fall to the candidate id. Anchors with
-    no same-label partner have no positive ceiling and emit nothing.
+    Semantics: per anchor, the positive ceiling is the max cos_micro
+    among same-label candidates; different-label candidates at
+    ``cos <= ceiling − margin_micro`` are ranked by (cos desc, id) and
+    the top ``k`` emitted. Anchors with no same-label candidate have a
+    NULL ceiling and emit nothing. All comparisons are pure int64 —
+    engine- and partitioning-exact given exact inputs.
 
-    Returns (anchor_id, anchor_label, neg_id, neg_label, neg_rank,
-    cosine, pos_best) — cosines divided back to doubles for
-    presentation only.
-
-    Scale posture: the exact all-pairs form is the CONTRACTED
-    baseline (like `cosine_topk`); at corpus scale the same
-    gate/rank logic runs unchanged over LSH-bucketed candidate
-    pairs (`lsh_bucket_pairs`). Within this form the pair frame is
-    evaluated ONCE: the anchor side is hash-repartitioned on a_id
-    to core width BEFORE the broadcast cross score (a small parquet
-    input is typically one file = one partition, which would
-    serialize the whole O(N·M) scoring loop into a single task —
-    and the nested-loop join preserves the streamed side's
-    partitioning, so this one exchange also satisfies both windows'
-    required distribution: no post-join shuffle at all). The
-    positive ceiling is an unordered window max over that same
-    per-anchor partitioning the rank window uses. No global sort,
-    no driver state.
-    """
+    Plan shape: the ceiling is an UNORDERED max window over the same
+    a_id partitioning the rank window needs — one hash exchange shared
+    by both windows, no second pass over the candidates. No global
+    sort, no driver state, nothing broadcast — the stage scales with
+    the candidate frame, not the corpus."""
     from pyspark.sql import Window
 
-    # per-vector norms BEFORE the cross join (one sqrt per vector, not
-    # three dots per pair); with dims known the per-pair dot is one
-    # unrolled codegen expression — same doubles either way
-    norm = l2_norm(vec_col, dims) if dims else l2_norm(F.col(vec_col))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    a = df.select(
-        F.col(id_col).alias("a_id"),
-        F.col(label_col).alias("a_label"),
-        F.col(vec_col).alias("__va"),
-        norm.alias("__na"),
-    ).repartition(par, "a_id")
-    b = df.select(
-        F.col(id_col).alias("b_id"),
-        F.col(label_col).alias("b_label"),
-        F.col(vec_col).alias("__vb"),
-        norm.alias("__nb"),
-    )
-    pair_dot = (
-        F.expr(_sql_dot("__va", "__vb", dims))
-        if dims
-        else dot(F.col("__va"), F.col("__vb"))
-    )
-    pairs = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("a_id") != F.col("b_id"))
-        .withColumn(
-            "cos_micro",
-            F.round(
-                pair_dot / (F.col("__na") * F.col("__nb")) * 1e6, 0
-            ).cast("long"),
-        )
-        .select("a_id", "a_label", "b_id", "b_label", "cos_micro")
-    )
-    # positive ceiling as an UNORDERED max window over the same a_id
-    # partitioning the rank window needs: one pass over pairs, one
-    # shared hash exchange, no second cross-join evaluation. Anchors
-    # with no same-label partner get a NULL ceiling and are dropped
-    # by the margin filter (documented contract).
     w_all = Window.partitionBy("a_id")
     w = Window.partitionBy("a_id").orderBy(
         F.col("cos_micro").desc(), F.col("b_id")
@@ -1270,6 +1213,235 @@ def hard_negatives(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    margin_micro: int = 20000,
+    dims: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    DPR / sentence-transformers recipe): for each anchor, the k most
+    similar items with a DIFFERENT label — the negatives that
+    actually move the loss — excluding any negative whose similarity
+    comes within ``margin_micro`` of the anchor's best positive
+    (those are likely mislabeled positives, the classic
+    false-negative trap).
+
+    Determinism contract: cosines are micro-rounded BIGINTs; the
+    margin gate ``cos <= pos_best − margin_micro`` is a pure int64
+    comparison; ranking ties fall to the candidate id. Anchors with
+    no same-label partner have no positive ceiling and emit nothing.
+
+    Returns (anchor_id, anchor_label, neg_id, neg_label, neg_rank,
+    cosine, pos_best) — cosines divided back to doubles for
+    presentation only.
+
+    Scale posture: this exact all-pairs form is the CONTRACTED
+    baseline (like `cosine_topk`) — the broadcast side is the whole
+    corpus, bounded only by the caller's contract that the corpus
+    fits one executor. At corpus scale use `hard_negatives_bucketed`:
+    the IDENTICAL gate/rank stage (`hard_negative_stage`) fed by
+    LSH-bucketed candidates from `lsh_bucketed_cosine_pairs`, with no
+    full-table broadcast anywhere. Within this form the pair frame is
+    evaluated ONCE: the anchor side is hash-repartitioned on a_id
+    to core width BEFORE the broadcast cross score (a small parquet
+    input is typically one file = one partition, which would
+    serialize the whole O(N·M) scoring loop into a single task —
+    and the nested-loop join preserves the streamed side's
+    partitioning, so this one exchange also satisfies both windows'
+    required distribution: no post-join shuffle at all).
+    """
+    # per-vector norms BEFORE the cross join (one sqrt per vector, not
+    # three dots per pair); with dims known the per-pair dot is one
+    # unrolled codegen expression — same doubles either way
+    norm = l2_norm(vec_col, dims) if dims else l2_norm(F.col(vec_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(label_col).alias("a_label"),
+        F.col(vec_col).alias("__va"),
+        norm.alias("__na"),
+    ).repartition(par, "a_id")
+    b = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(label_col).alias("b_label"),
+        F.col(vec_col).alias("__vb"),
+        norm.alias("__nb"),
+    )
+    pair_dot = (
+        F.expr(_sql_dot("__va", "__vb", dims))
+        if dims
+        else dot(F.col("__va"), F.col("__vb"))
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn(
+            "cos_micro",
+            F.round(
+                pair_dot / (F.col("__na") * F.col("__nb")) * 1e6, 0
+            ).cast("long"),
+        )
+        .select("a_id", "a_label", "b_id", "b_label", "cos_micro")
+    )
+    return hard_negative_stage(pairs, k, margin_micro)
+
+
+def hard_negatives_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    margin_micro: int = 20000,
+    dims: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 3,
+    threshold: float = 0.0,
+    n_blocks: int = 2,
+    target_block_rows: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining at corpus scale: the SAME gate/rank stage
+    as `hard_negatives` (`hard_negative_stage`), fed by LSH-bucketed
+    candidate pairs (`lsh_bucketed_cosine_pairs`) instead of the
+    all-pairs broadcast cross score — no full-table broadcast, no
+    O(N²) tile, anywhere in the plan.
+
+    Candidate contract (deterministic, oracle-replicable): a pair is a
+    candidate iff the two vectors share at least one of ``bands``
+    md5-derived band buckets AND its micro-rounded cosine ≥
+    round(threshold·10⁶) — banding is the recall dial (see
+    `lsh_bucketed_cosine_pairs`). Both the positive ceiling and the
+    negative ranking are computed over CANDIDATES: a missed positive
+    can only LOWER the ceiling, making the margin gate stricter —
+    bucketing never admits a negative the gate itself would reject.
+
+    Scale shape: bands·B·|data| shuffle for candidate generation with
+    per-(band,bucket[,block]) quadratic tiles that never span the
+    table; the undirected pairs are mirrored (each side anchors) and
+    labels rejoin by id — two corpus-sized hash joins AQE plans
+    without any broadcast hint; then one a_id hash exchange shared by
+    the ceiling and rank windows."""
+    pairs = lsh_bucketed_cosine_pairs(
+        df,
+        id_col,
+        vec_col,
+        dims=dims,
+        bands=bands,
+        planes_per_band=planes_per_band,
+        threshold=threshold,
+        n_blocks=n_blocks,
+        out_a="__pa",
+        out_b="__pb",
+        target_block_rows=target_block_rows,
+    )
+    # persist the 3-col candidate frame: the mirror below is a union
+    # of two reads, which would otherwise evaluate the whole bucketed
+    # sweep pipeline twice (the r07 multi-consumer-atop-cross lesson)
+    micro = pairs.select(
+        "__pa",
+        "__pb",
+        F.round(F.col("cosine_raw") * 1e6, 0).cast("long").alias(
+            "cos_micro"
+        ),
+    ).filter(
+        F.col("cos_micro") >= F.lit(int(round(threshold * 1e6)))
+    ).persist()
+    sym = micro.select(
+        F.col("__pa").alias("a_id"), F.col("__pb").alias("b_id"), "cos_micro"
+    ).unionByName(
+        micro.select(
+            F.col("__pb").alias("a_id"),
+            F.col("__pa").alias("b_id"),
+            "cos_micro",
+        )
+    )
+    la = df.select(
+        F.col(id_col).alias("a_id"), F.col(label_col).alias("a_label")
+    )
+    lb = df.select(
+        F.col(id_col).alias("b_id"), F.col(label_col).alias("b_label")
+    )
+    cand = sym.join(la, "a_id").join(lb, "b_id").select(
+        "a_id", "a_label", "b_id", "b_label", "cos_micro"
+    )
+    return hard_negative_stage(cand, k, margin_micro)
+
+
+def margin_mining_stage(pairs: DataFrame, k: int = 4) -> DataFrame:
+    """The margin-score / mutual-best stage of bitext mining, factored
+    so it consumes ANY scored candidate frame with columns
+    ``(a_id, b_id, cos_micro)`` — the exact cross score
+    (`margin_mined_pairs`) and the LSH-bucketed bipartite candidate
+    generator (`margin_mined_pairs_bucketed` via
+    `lsh_bucketed_cross_pairs`) both feed this same logic.
+
+    Semantics (Artetxe & Schwenk ratio margin, computed over the
+    candidate set): ``margin(a,b) = cos·2k / (Σ top-k cos(a,·) +
+    Σ top-k cos(b,·))`` with exact-BIGINT denominators (never a float
+    AVG whose accumulation order could vary with partitioning) and one
+    int64/int64 IEEE division; a pair is emitted iff it is BOTH sides'
+    best margin. Ranking ties fall to the partner id.
+
+    Plan shape: the input frame is persisted HERE because the stage
+    has four consumers (two rank-window directions, two denominator
+    joins) — callers should not persist it again. The denominator
+    joins carry NO broadcast hint: den_a/den_b are one row per side-A/
+    side-B vector, i.e. corpus-sized at scale — AQE broadcasts them
+    when they are actually small."""
+    from pyspark.sql import Window
+
+    pairs = pairs.persist()
+    wa = Window.partitionBy("a_id").orderBy(
+        F.col("cos_micro").desc(), F.col("b_id")
+    )
+    wb = Window.partitionBy("b_id").orderBy(
+        F.col("cos_micro").desc(), F.col("a_id")
+    )
+    ranked = pairs.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_b", F.row_number().over(wb)
+    )
+    den_a = (
+        ranked.filter(F.col("rn_a") <= k)
+        .groupBy("a_id")
+        .agg(F.sum("cos_micro").cast("long").alias("den_a"))
+    )
+    den_b = (
+        ranked.filter(F.col("rn_b") <= k)
+        .groupBy("b_id")
+        .agg(F.sum("cos_micro").cast("long").alias("den_b"))
+    )
+    scored = (
+        pairs.join(den_a, "a_id")
+        .join(den_b, "b_id")
+        .withColumn(
+            "margin",
+            (F.col("cos_micro") * (2 * k))
+            / (F.col("den_a") + F.col("den_b")),
+        )
+    )
+    fwd = Window.partitionBy("a_id").orderBy(
+        F.col("margin").desc(), F.col("b_id")
+    )
+    bwd = Window.partitionBy("b_id").orderBy(
+        F.col("margin").desc(), F.col("a_id")
+    )
+    best = (
+        scored.withColumn("best_b", F.row_number().over(fwd))
+        .withColumn("best_a", F.row_number().over(bwd))
+        .filter((F.col("best_b") == 1) & (F.col("best_a") == 1))
+    )
+    return best.select(
+        "a_id",
+        "b_id",
+        (F.col("cos_micro") / 1e6).alias("cosine"),
+        F.round(F.col("margin"), 6).alias("margin"),
+    )
+
+
 def margin_mined_pairs(
     side_a: DataFrame,
     side_b: DataFrame,
@@ -1294,20 +1466,21 @@ def margin_mined_pairs(
     Returns one row per mutual-best pair: (a_id, b_id, cosine,
     margin), margin rounded at 6 for presentation.
 
-    Scale posture: the exact all-pairs form is the CONTRACTED
-    baseline (scores every cross pair, like `cosine_topk`); at corpus
-    scale the same margin/mutual logic runs unchanged over
-    LSH-bucketed candidate pairs (`lsh_bucket_pairs`) instead of the
-    cross join. Within this form: side A is hash-repartitioned to
+    Scale posture: this exact all-pairs form is the CONTRACTED
+    baseline (scores every cross pair, like `cosine_topk`) — the
+    broadcast side is the whole of side B, bounded only by the
+    caller's contract that it fits one executor. At corpus scale use
+    `margin_mined_pairs_bucketed`: the IDENTICAL margin/mutual stage
+    (`margin_mining_stage`) fed by LSH-bucketed bipartite candidates
+    from `lsh_bucketed_cross_pairs`, with no full-table broadcast
+    anywhere. Within this form: side A is hash-repartitioned to
     core width before the broadcast cross score (a small parquet
     input is one partition — without this the whole O(N·M) scoring
     loop is a single task), and the scored pair frame (3 narrow
-    cols) is persisted so its four consumers (two rank-window
-    directions, two denominator joins) evaluate the cross product
-    exactly once. No global sort.
+    cols) is persisted by the stage so its four consumers (two
+    rank-window directions, two denominator joins) evaluate the
+    cross product exactly once. No global sort.
     """
-    from pyspark.sql import Window
-
     # per-vector norms BEFORE the cross join; unrolled codegen dot per
     # pair when dims is known — same doubles as the fold (both strict
     # left-to-right), but it pays a multi-second janino compile per
@@ -1338,50 +1511,119 @@ def margin_mined_pairs(
             ).cast("long"),
         )
         .select("a_id", "b_id", "cos_micro")
-        .persist()
     )
-    wa = Window.partitionBy("a_id").orderBy(
-        F.col("cos_micro").desc(), F.col("b_id")
-    )
-    wb = Window.partitionBy("b_id").orderBy(
-        F.col("cos_micro").desc(), F.col("a_id")
-    )
-    ranked = pairs.withColumn("rn_a", F.row_number().over(wa)).withColumn(
-        "rn_b", F.row_number().over(wb)
-    )
-    den_a = (
-        ranked.filter(F.col("rn_a") <= k)
-        .groupBy("a_id")
-        .agg(F.sum("cos_micro").cast("long").alias("den_a"))
-    )
-    den_b = (
-        ranked.filter(F.col("rn_b") <= k)
-        .groupBy("b_id")
-        .agg(F.sum("cos_micro").cast("long").alias("den_b"))
-    )
-    scored = (
-        pairs.join(F.broadcast(den_a), "a_id")
-        .join(F.broadcast(den_b), "b_id")
-        .withColumn(
-            "margin",
-            (F.col("cos_micro") * (2 * k))
-            / (F.col("den_a") + F.col("den_b")),
+    return margin_mining_stage(pairs, k)
+
+
+def lsh_bucketed_cross_pairs(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 3,
+    threshold_micro: int = 0,
+    out_a: str = "a_id",
+    out_b: str = "b_id",
+) -> DataFrame:
+    """Bipartite banded-LSH candidate pairs between two embedding
+    collections — the scale-path candidate generator for bitext
+    mining (`margin_mined_pairs_bucketed`). Same deterministic
+    md5-derived plane family as `lsh_bucketed_cosine_pairs`; the
+    bipartite form joins the two sides on a shared band bucket
+    instead of sweeping one table against itself.
+
+    Contract (oracle-replicable): a pair is a candidate iff the two
+    vectors share at least one of ``bands`` band buckets; every
+    candidate carries its EXACT micro-rounded cosine (``cos_micro``
+    BIGINT, fold-order deterministic) and pairs below
+    ``threshold_micro`` are dropped. Cross-band duplicates collapse
+    BEFORE scoring (scores are id-determined, so which copy survives
+    is immaterial).
+
+    Scale shape: one folded-literal projection per side computes all
+    band signatures, a ``bands``-way explode routes each vector to
+    its buckets, and the candidate join is a plain shuffle equi-join
+    on the bucket key — hot buckets are ordinary join skew, which AQE
+    splits (unlike the self-join kernel, no applyInPandas group to
+    outgrow). Shuffle is bands·(|A|+|B|); no broadcast, no O(N·M)
+    tile."""
+    r = planes_per_band
+
+    def banded(side, id_alias, v_alias, n_alias):
+        sigs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                hyperplane_signature(
+                    vec_col, dims, planes=r, plane_offset=b * r
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ])
+        return side.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(v_alias),
+            l2_norm(F.col(vec_col)).alias(n_alias),
+            F.explode(sigs).alias("__bb"),
+        ).select(
+            id_alias,
+            v_alias,
+            n_alias,
+            (
+                F.col("__bb.band") * (2 ** r) + F.col("__bb.bucket")
+            ).alias("__band_bucket"),
         )
+
+    a = banded(side_a, out_a, "__va", "__na")
+    b = banded(side_b, out_b, "__vb", "__nb")
+    cand = a.join(b, "__band_bucket").dropDuplicates([out_a, out_b])
+    return (
+        cand.withColumn(
+            "cos_micro",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+                * 1e6,
+                0,
+            ).cast("long"),
+        )
+        .filter(F.col("cos_micro") >= F.lit(int(threshold_micro)))
+        .select(out_a, out_b, "cos_micro")
     )
-    fwd = Window.partitionBy("a_id").orderBy(
-        F.col("margin").desc(), F.col("b_id")
+
+
+def margin_mined_pairs_bucketed(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    dims: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 3,
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Bitext mining at corpus scale: the SAME margin/mutual stage as
+    `margin_mined_pairs` (`margin_mining_stage`), fed by bipartite
+    LSH-bucketed candidates (`lsh_bucketed_cross_pairs`) instead of
+    the broadcast cross join — no full-table broadcast, no O(N·M)
+    score, anywhere in the plan.
+
+    Semantics note: the top-k margin denominators and the mutual-best
+    ranks are computed over CANDIDATES (the standard approximation —
+    Faiss-backed LASER/CCMatrix mining does the same with ANN top-k);
+    banding is the recall dial, and the md5-derived planes make the
+    candidate set — hence every emitted pair — deterministic and
+    oracle-checkable, not a probabilistic expectation."""
+    cand = lsh_bucketed_cross_pairs(
+        side_a,
+        side_b,
+        id_col,
+        vec_col,
+        dims=dims,
+        bands=bands,
+        planes_per_band=planes_per_band,
+        threshold_micro=threshold_micro,
     )
-    bwd = Window.partitionBy("b_id").orderBy(
-        F.col("margin").desc(), F.col("a_id")
-    )
-    best = (
-        scored.withColumn("best_b", F.row_number().over(fwd))
-        .withColumn("best_a", F.row_number().over(bwd))
-        .filter((F.col("best_b") == 1) & (F.col("best_a") == 1))
-    )
-    return best.select(
-        "a_id",
-        "b_id",
-        (F.col("cos_micro") / 1e6).alias("cosine"),
-        F.round(F.col("margin"), 6).alias("margin"),
-    )
+    return margin_mining_stage(cand, k)

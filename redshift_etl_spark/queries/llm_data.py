@@ -3687,6 +3687,209 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed mining — the 100 TB path for hard negatives and bitext
+# mining: the SAME gate/rank (resp. margin/mutual) stage as the exact
+# queries above, fed by banded-LSH candidate pairs instead of a
+# broadcast cross score. The md5-derived planes make the candidate set
+# deterministic, so the oracle replicates the buckets literally (the
+# same OR-of-band-equalities join as `lsh_bucketed_cosine`) and these
+# are FULL value checks of the approximate path.
+# ---------------------------------------------------------------------------
+
+def _band_sig_sql(
+    id_expr: str,
+    src: str,
+    dims: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 3,
+) -> tuple[str, str]:
+    """(sig-CTE body, band-match predicate) for the md5-derived banded
+    hyperplane buckets — shared by both bucketed-mining oracles; the
+    same constants drive `S.hyperplane_signature` Spark-side."""
+    from ..operators.similarity import _plane_component
+
+    r = planes_per_band
+    bucket_cols = []
+    for b in range(bands):
+        terms = []
+        for j in range(r):
+            arr = "[" + ", ".join(
+                repr(_plane_component(b * r + j, d)) for d in range(dims)
+            ) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) > 0"
+                f" THEN {2 ** j} ELSE 0 END)"
+            )
+        bucket_cols.append(" + ".join(terms) + f" AS b{b}")
+    buckets = ",\n       ".join(bucket_cols)
+    body = f"SELECT {id_expr}, v,\n       {buckets}\nFROM {src}"
+    match = lambda a, s: " OR ".join(  # noqa: E731
+        f"{a}.b{b} = {s}.b{b}" for b in range(bands)
+    )
+    return body, match
+
+
+def _hardneg_bucketed_oracle(threshold_micro: int = 200000) -> str:
+    sig_body, match = _band_sig_sql("vec_id", "e")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS ({sig_body}),
+cand AS (
+  SELECT a.vec_id AS a_id, s.vec_id AS b_id,
+         CAST(ROUND(
+           list_dot_product(a.v, s.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(s.v, s.v)))
+           * 1e6, 0) AS BIGINT) AS cos_micro
+  FROM sig a JOIN sig s
+    ON a.vec_id < s.vec_id AND ({match('a', 's')})
+),
+qual AS (SELECT * FROM cand WHERE cos_micro >= {threshold_micro}),
+sym AS (
+  SELECT a_id, b_id, cos_micro FROM qual
+  UNION ALL SELECT b_id, a_id, cos_micro FROM qual
+),
+pairs AS (
+  SELECT s.a_id, la.label AS a_label, s.b_id, lb.label AS b_label,
+         s.cos_micro
+  FROM sym s
+  JOIN embeddings la ON la.vec_id = s.a_id
+  JOIN embeddings lb ON lb.vec_id = s.b_id
+),
+pos_best AS (
+  SELECT a_id, MAX(cos_micro) AS pos_best_micro
+  FROM pairs WHERE a_label = b_label GROUP BY 1
+),
+negs AS (
+  SELECT p.*, pb.pos_best_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.a_id ORDER BY p.cos_micro DESC, p.b_id
+         ) AS neg_rank
+  FROM pairs p JOIN pos_best pb USING (a_id)
+  WHERE p.a_label <> p.b_label
+    AND p.cos_micro <= pb.pos_best_micro - 20000
+)
+SELECT a_id AS anchor_id, a_label AS anchor_label,
+       b_id AS neg_id, b_label AS neg_label, neg_rank,
+       cos_micro / 1e6 AS cosine,
+       pos_best_micro / 1e6 AS pos_best
+FROM negs WHERE neg_rank <= 3
+ORDER BY anchor_id, neg_rank
+"""
+
+
+@_q("hard_negatives_bucketed", _hardneg_bucketed_oracle())
+def hard_negatives_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over LSH-bucketed candidates — the plan a
+    100 TB corpus actually runs (`hard_negative_mining` above is the
+    contracted exact baseline it trades against). Candidates are
+    bucket-sharing pairs with cos ≥ 0.2 — the threshold is the volume
+    dial (near-uniform synthetic vectors make bands prune weakly:
+    0 → 731k candidates, 0.2 → 91k at sf0.1) and every intra-label
+    ceiling above it survives; the positive ceiling and the ranking
+    run over candidates, so bucketing can only tighten the margin
+    gate, never loosen it (an anchor whose best positive falls below
+    the threshold loses its ceiling and emits nothing — documented
+    contract, oracle-replicated). Plan: banded-explode candidate
+    tiles → mirrored pairs → two id hash joins for labels → ONE a_id
+    exchange shared by ceiling and rank windows. No broadcast of
+    anything data-sized."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.hard_negatives_bucketed(
+        emb,
+        "vec_id",
+        "embedding",
+        "label",
+        k=3,
+        margin_micro=20000,
+        dims=64,
+        bands=8,
+        planes_per_band=3,
+        threshold=0.2,
+        n_blocks=2,
+    ).orderBy("anchor_id", "neg_rank")
+
+
+def _bitext_bucketed_oracle() -> str:
+    siga_body, match = _band_sig_sql("vec_id AS a_id", "ea")
+    sigb_body, _ = _band_sig_sql("vec_id AS b_id", "eb")
+    return f"""
+WITH ea AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label = 0
+),
+eb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label = 1
+),
+siga AS ({siga_body}),
+sigb AS ({sigb_body}),
+pairs AS (
+  SELECT a_id, b_id,
+         CAST(ROUND(
+           list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           * 1e6, 0) AS BIGINT) AS cos_micro
+  FROM siga a JOIN sigb b ON ({match('a', 'b')})
+),
+qual AS (SELECT * FROM pairs WHERE cos_micro >= 0),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_micro DESC, b_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY cos_micro DESC, a_id) AS rn_b
+  FROM qual
+),
+den_a AS (
+  SELECT a_id, CAST(SUM(cos_micro) AS BIGINT) AS den_a
+  FROM ranked WHERE rn_a <= 4 GROUP BY 1
+),
+den_b AS (
+  SELECT b_id, CAST(SUM(cos_micro) AS BIGINT) AS den_b
+  FROM ranked WHERE rn_b <= 4 GROUP BY 1
+),
+scored AS (
+  SELECT p.a_id, p.b_id, p.cos_micro,
+         CAST(p.cos_micro * 8 AS DOUBLE) / (den_a.den_a + den_b.den_b) AS margin
+  FROM qual p JOIN den_a USING (a_id) JOIN den_b USING (b_id)
+),
+best AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS best_b,
+    ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS best_a
+  FROM scored
+)
+SELECT a_id, b_id,
+       cos_micro / 1e6 AS cosine,
+       ROUND(margin, 6) AS margin
+FROM best WHERE best_b = 1 AND best_a = 1
+"""
+
+
+@_q("bitext_margin_bucketed", _bitext_bucketed_oracle())
+def bitext_margin_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining over bipartite LSH-bucketed candidates — the
+    100 TB path (`bitext_margin_pairs` above is the contracted exact
+    baseline). Margin denominators and mutual-best ranks run over the
+    candidate set, the same approximation Faiss-backed CCMatrix
+    mining makes with ANN top-k — but deterministic here, so the
+    oracle value-checks every emitted pair. Plan: banded-explode →
+    shuffle equi-join on the bucket key (hot buckets are ordinary AQE
+    join skew) → persisted 3-col candidate frame → windows/joins of
+    the shared margin stage."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.margin_mined_pairs_bucketed(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") == 1),
+        "vec_id",
+        "embedding",
+        k=4,
+        dims=64,
+        bands=8,
+        planes_per_band=3,
+        threshold_micro=0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gopher / C4 quality rules (operators/text.gopher_rules)
 # ---------------------------------------------------------------------------
 

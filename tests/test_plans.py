@@ -481,3 +481,20 @@ def test_idle_rich_customers_decorrelates(spark):
     plan = P.physical_plan(df)
     assert "LeftAnti" in plan
     assert "o_orderdate" in " ".join(P.pushed_filters(df))
+
+
+def test_bucketed_mining_no_full_table_broadcast_or_cross(spark):
+    # the 100 TB mining path must carry NO broadcast cross score and
+    # no Cartesian anywhere: candidates come from bucket-key joins,
+    # labels from id hash joins (AQE may size-broadcast at sf0.01 —
+    # that is a runtime choice, not a forced hint; the guard sweep
+    # asserts the functions carry no F.broadcast site at all)
+    for name in ("hard_negatives_bucketed", "bitext_margin_bucketed"):
+        df = Q.all_queries()[name](spark, SF_ORACLE)
+        plan = P.physical_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Cartesian" not in plan, name
+        # the exact baselines' O(N*M) signature is a BNLJ over a
+        # broadcast of the whole other side; the bucketed plan's only
+        # quadratic work is inside per-bucket tiles
+        assert "FlatMapGroupsInPandas" in plan or "SortMergeJoin" in plan, name
