@@ -166,8 +166,12 @@ def time_canary(spark, runs: int = 3) -> float:
 
 
 def recorded_canary_floor(repo: str) -> float | None:
-    """Best canary time across recorded rounds — the idle-machine
-    anchor the current canary is compared against."""
+    """Best canary time across recorded rounds AND the verified-idle
+    anchor (CANARY_FLOOR.json, a multi-run idle measurement with
+    provenance — r08). The anchor exists because a streak of loaded
+    rounds would otherwise make the recorded minimum drift upward,
+    silently inflating every budget; min(anchor, recorded) keeps the
+    floor pinned to what an idle run of THIS box demonstrably does."""
     floor = None
     for fname in sorted(os.listdir(repo)):
         if re.fullmatch(r"BENCH_r\d+\.json", fname):
@@ -177,6 +181,12 @@ def recorded_canary_floor(repo: str) -> float | None:
             c = doc.get("canary_sec")
             if c is not None:
                 floor = c if floor is None else min(floor, c)
+    anchor_path = os.path.join(repo, "CANARY_FLOOR.json")
+    if os.path.exists(anchor_path):
+        with open(anchor_path) as fh:
+            a = json.load(fh).get("canary_sec")
+        if a is not None:
+            floor = a if floor is None else min(floor, a)
     return floor
 
 

@@ -65,12 +65,22 @@ def floors_from_docs(docs: list[dict]) -> dict:
 
 
 def _recorded_floors() -> dict:
-    return floors_from_docs(
+    floors = floors_from_docs(
         [
             json.loads(p.read_text())
             for p in sorted(REPO.glob("BENCH_r*.json"))
         ]
     )
+    # verified-idle canary anchor (see bench.recorded_canary_floor):
+    # keeps the floor pinned to a demonstrated idle time even if every
+    # recorded round happened to run under load
+    anchor_path = REPO / "CANARY_FLOOR.json"
+    if anchor_path.exists():
+        a = json.loads(anchor_path.read_text()).get("canary_sec")
+        if a is not None:
+            c = floors.get("canary")
+            floors["canary"] = a if c is None else min(c, a)
+    return floors
 
 
 def load_factor(cur_doc: dict, canary_floor: float | None) -> float:
