@@ -959,7 +959,12 @@ def _occurrences(text: Column, needle: str) -> Column:
     ).cast("long")
 
 
-def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Gopher (Rae et al. 2021) + C4 (Raffel et al. 2020) document
     quality rules as ONE pure projection — each published screen is an
     integer flag, `keep` is their conjunction.
@@ -980,6 +985,10 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
       r_stopwords      ≥ 2 of the required stop set present
       r_no_lorem       no "lorem ipsum" (C4)
       r_no_brace       no "{" (C4 code screen)
+
+    ``carry`` names extra df columns to pass through untouched (e.g.
+    an epoch/source key a downstream group-by needs) — still a pure
+    projection, no join required to reattach them.
     """
     t = F.col(text_col)
     words = F.split(t, " ")
@@ -1030,6 +1039,7 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         keep = c if keep is None else (keep & c)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         n_words.alias("n_words"),
         n_lines.alias("n_lines"),
         *[c.cast("int").alias(name) for name, c in flags.items()],

@@ -3893,7 +3893,10 @@ def bitext_margin_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Gopher / C4 quality rules (operators/text.gopher_rules)
 # ---------------------------------------------------------------------------
 
-def _gopher_oracle() -> str:
+def _gopher_sql_parts() -> tuple[str, str, str]:
+    """(per-doc measurement CTE body, flag column SQL, keep predicate)
+    — shared by the per-doc rules oracle and the epoch-trend oracle,
+    same constants as the Spark operator."""
     stop_sql = ", ".join(f"'{s}'" for s in TX.GOPHER_STOP_REQUIRED)
     bullet_sql = " OR ".join(
         f"starts_with(l, '{p}')" for p in TX.BULLET_PREFIXES
@@ -3921,9 +3924,7 @@ def _gopher_oracle() -> str:
         for name, cond in rules.items()
     )
     keep_cond = " AND ".join(f"({c})" for c in rules.values())
-    return f"""
-WITH m AS (
-  SELECT doc_id, text,
+    m_body = f"""SELECT doc_id, text,
          CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
          CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
          CAST(coalesce(list_sum(list_transform(
@@ -3943,7 +3944,15 @@ WITH m AS (
          CAST(len(list_filter([{stop_sql}],
              s -> list_contains(str_split(text, ' '), s))) AS BIGINT)
            AS n_stop
-  FROM documents
+  FROM documents"""
+    return m_body, flag_cols, keep_cond
+
+
+def _gopher_oracle() -> str:
+    m_body, flag_cols, keep_cond = _gopher_sql_parts()
+    return f"""
+WITH m AS (
+  {m_body}
 )
 SELECT doc_id, n_words, n_lines,
   {flag_cols},
@@ -3962,6 +3971,61 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-speed at 100 TB with full column pruning."""
     docs = load(spark, sf_dir, "documents")
     return TX.gopher_rules(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Epoch quality trend (streaming/monitor.quality_trend) — the batch,
+# oracle-checkable form of the streaming quality monitor's metrics
+# table: per-epoch volume / token mass / Gopher keep share, plus the
+# keep_share drift vs the previous epoch. Epochs are synthesized
+# deterministically from doc_id so the query runs over the standard
+# tables (the stream writes the identical metric spelling per batch).
+# ---------------------------------------------------------------------------
+
+def _quality_trend_oracle(n_epochs: int = 8) -> str:
+    m_body, _flag_cols, keep_cond = _gopher_sql_parts()
+    return f"""
+WITH m AS (
+  {m_body}
+),
+kd AS (
+  SELECT doc_id % {n_epochs} AS epoch, n_words,
+         CASE WHEN {keep_cond} THEN 1 ELSE 0 END AS keep
+  FROM m
+),
+per AS (
+  SELECT epoch,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+         CAST(SUM(keep) AS BIGINT) AS n_keep
+  FROM kd GROUP BY 1
+)
+SELECT epoch, n_docs, n_tokens, n_keep,
+       ROUND(CAST(n_keep AS DOUBLE) / n_docs, 6) AS keep_share,
+       ROUND(
+         CAST(n_keep AS DOUBLE) / n_docs
+           - LAG(CAST(n_keep AS DOUBLE) / n_docs) OVER (ORDER BY epoch),
+         6
+       ) AS keep_share_delta
+FROM per ORDER BY epoch
+"""
+
+
+@_q("corpus_quality_trend", _quality_trend_oracle())
+def corpus_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch corpus-quality trend — the batch replica of the
+    streaming monitor's metrics table (streaming/monitor.py): same
+    exact-integer metrics per epoch, plus keep_share drift vs the
+    previous epoch. Epoch = doc_id mod 8 (deterministic stand-in for
+    the stream's micro-batch id). Plan: zero-shuffle Gopher projection
+    with the epoch carried through → one epoch hash agg → a lag window
+    over the 8-row result (bounded by epoch count, not data)."""
+    from ..streaming.monitor import quality_trend
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "epoch", F.col("doc_id") % 8
+    )
+    return quality_trend(docs, "doc_id", "text", "epoch")
 
 
 # ---------------------------------------------------------------------------

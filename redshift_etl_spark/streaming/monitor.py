@@ -94,3 +94,46 @@ def start_quality_monitor_sink(
 def read_monitor(spark, metrics_path: str) -> DataFrame:
     """The metrics table, one row per applied epoch."""
     return spark.read.parquet(metrics_path)
+
+
+def quality_trend(
+    df: DataFrame, id_col: str, text_col: str, epoch_col: str
+) -> DataFrame:
+    """Batch form of the monitor's metrics over an epoch-keyed corpus,
+    plus drift: the SAME exact-integer per-epoch metrics the streaming
+    sink writes (n_docs, n_tokens, n_keep, keep_share), with each
+    epoch's keep_share delta vs the previous epoch — the report an
+    analyst runs over `read_monitor`'s table, expressed directly over
+    the documents so it is oracle-checkable end to end (including the
+    Gopher screens the stream applies per batch).
+
+    Plan: one zero-shuffle Gopher projection (epoch carried through,
+    no reattach join), one hash aggregate to epoch grain, then a lag
+    window over the one-row-per-epoch frame — unpartitioned by
+    construction but bounded by the epoch count, never by data volume.
+    keep_share and its delta are IEEE operations on exact BIGINTs, so
+    every value is engine- and partitioning-exact."""
+    from pyspark.sql import Window
+
+    per_doc = TX.gopher_rules(df, id_col, text_col, carry=(epoch_col,))
+    per_epoch = per_doc.groupBy(epoch_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        F.sum("keep").cast("long").alias("n_keep"),
+    )
+    share = F.col("n_keep") / F.col("n_docs").cast("double")
+    w = Window.orderBy(epoch_col)
+    return (
+        per_epoch.withColumn("__share", share)
+        .select(
+            F.col(epoch_col).alias("epoch"),
+            "n_docs",
+            "n_tokens",
+            "n_keep",
+            F.round(F.col("__share"), 6).alias("keep_share"),
+            F.round(
+                F.col("__share") - F.lag("__share").over(w), 6
+            ).alias("keep_share_delta"),
+        )
+        .orderBy("epoch")
+    )

@@ -92,3 +92,49 @@ def test_live_stream_end_to_end(spark, tmp_path):
         assert sum(r["n_keep"] for r in rows) == 1
     finally:
         q.stop()
+
+
+def test_quality_trend_matches_streamed_metrics(spark, tmp_path):
+    """The batch trend over an epoch-keyed corpus must report the SAME
+    per-epoch metrics the streaming sink writes batch-by-batch, plus
+    the keep_share delta between consecutive epochs."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "metrics")
+    batches = [
+        [(1, GOOD), (2, GOOD), (3, BAD)],
+        [(4, GOOD), (5, BAD)],
+        [(6, BAD), (7, BAD), (8, BAD), (9, GOOD)],
+    ]
+    full = []
+    for epoch, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, ["doc_id", "text"])
+        M.apply_quality_epoch(b, epoch, path, "doc_id", "text")
+        full += [(d, t, epoch) for d, t in rows]
+    streamed = {
+        r["epoch"]: r.asDict()
+        for r in M.read_monitor(spark, path).collect()
+    }
+    corpus = spark.createDataFrame(full, ["doc_id", "text", "epoch"])
+    trend = {
+        r["epoch"]: r.asDict()
+        for r in M.quality_trend(corpus, "doc_id", "text", "epoch").collect()
+    }
+    assert set(trend) == set(streamed)
+    for e, s in streamed.items():
+        t = trend[e]
+        assert (t["n_docs"], t["n_tokens"], t["n_keep"]) == (
+            s["n_docs"],
+            s["n_tokens"],
+            s["n_keep"],
+        )
+        assert abs(t["keep_share"] - round(s["keep_share"], 6)) < 1e-12
+    # drift column: epoch 0 has no predecessor; later deltas exact
+    assert trend[0]["keep_share_delta"] is None
+    assert (
+        abs(
+            trend[1]["keep_share_delta"]
+            - round(trend[1]["keep_share"] - trend[0]["keep_share"], 6)
+        )
+        < 1e-9
+    )
