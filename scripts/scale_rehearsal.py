@@ -79,16 +79,44 @@ REHEARSAL = (
     "lang_marker_auc",        # global midrank AUC, one range exchange
     "lang_marker_auc_by_source",  # grouped AUC, offsets theta-join
     "corpus_datacard",        # one-scan release summary
+    # r08 additions (remaining r07 surface):
+    "preference_pairs",       # per-group top-2 window + pivot
+    "doremi_weights",         # two bigram LMs + excess-loss reweight
+    # DENSITY-COUPLED (measured r08: 4.5x / 4.9x): each original
+    # doc's 10 replica variants are mutual NEAR-dups (suffix-tagged),
+    # so true near-dup pairs grow ~45x per original — workload growth
+    # the suffix design trades for exact-dup realism.
+    "cross_source_dup_matrix",  # minhash-LSH pairs x source join
+    "incremental_near_dups",  # stored-index LSH probe of an increment
+    # DENSITY-COUPLED (measured r08: 22.8x): replica embeddings are
+    # EXACT copies (vec_id offset only) and the codebook k stays fixed
+    # here, so every cluster densifies 10x and the per-cluster
+    # quadratic tile pays ~100x. The operator's documented contract is
+    # k scaling with the corpus (SemDeDup), under which cluster
+    # populations — hence the tile — stay bounded.
+    "semdedup",               # cluster-scoped embedding dedup
 )
 
+# Density-DECOUPLED range-join variant (r08): the same query probed
+# against a fixture whose replicas are shifted +40 days each, so
+# incident windows never span replicas and true pairs scale LINEARLY
+# with data — separating the engine's slope from the shared-window
+# workload growth that makes the coupled probe read ~5.7x per 10x.
+OUT_DECOUPLED = "/tmp/spark_graft_sfbig_decoupled"
 
-def generate() -> None:
+
+def generate(force: bool = False) -> None:
     import duckdb
 
     out = pathlib.Path(OUT)
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     rep = f"(SELECT unnest(range({REPLICAS})) AS __i)"
+    if not force and pathlib.Path(f"{OUT}/lineitem.parquet").exists():
+        # main fixture already present (r07): only the decoupled
+        # events variant may be missing
+        _generate_decoupled(con, rep)
+        return
     for t in COPY_ONLY:
         con.execute(
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
@@ -130,12 +158,45 @@ def generate() -> None:
             f"COPY (SELECT {', '.join(sel)} FROM '{SRC}/{t}.parquet' "
             f"CROSS JOIN {rep}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
         )
+    _generate_decoupled(con, rep)
+
+
+def _generate_decoupled(con, rep) -> None:
+    # decoupled-events fixture: identical replication but each
+    # replica's timestamps shift +40 days (outside any query's 30-day
+    # or 1-hour window), so interval joins cannot pair across replicas
+    dec = pathlib.Path(OUT_DECOUPLED)
+    dec.mkdir(parents=True, exist_ok=True)
+    ev_sel = []
+    for c in [
+        c[0]
+        for c in con.execute(
+            f"DESCRIBE SELECT * FROM '{SRC}/events.parquet'"
+        ).fetchall()
+    ]:
+        if c in KEYED["events"]:
+            ev_sel.append(f"{c} + __i * {OFF} AS {c}")
+        elif c == "ts":
+            ev_sel.append(
+                "CAST(ts + __i * INTERVAL 40 DAY AS TIMESTAMP_NS) AS ts"
+            )
+        else:
+            ev_sel.append(c)
+    con.execute(
+        f"COPY (SELECT {', '.join(ev_sel)} FROM '{SRC}/events.parquet' "
+        f"CROSS JOIN {rep}) TO '{OUT_DECOUPLED}/events.parquet' "
+        f"(FORMAT PARQUET)"
+    )
 
 
 def main() -> None:
-    if "--regen" in sys.argv or not pathlib.Path(f"{OUT}/lineitem.parquet").exists():
+    if (
+        "--regen" in sys.argv
+        or not pathlib.Path(f"{OUT}/lineitem.parquet").exists()
+        or not pathlib.Path(f"{OUT_DECOUPLED}/events.parquet").exists()
+    ):
         t0 = time.time()
-        generate()
+        generate(force="--regen" in sys.argv)
         print(f"# generated {OUT} in {time.time() - t0:.1f}s", flush=True)
 
     from redshift_etl_spark import queries as Q
@@ -155,6 +216,25 @@ def main() -> None:
         slope = round(times["sfbig"] / max(times["sf0.1"], 1e-9), 2)
         report[name] = {**times, "slope_at_10x": slope}
         print(f"# {name}: {times}  (10x data -> {slope}x time)", flush=True)
+
+    # density-decoupled range-join: replicas shifted +40 days apart so
+    # true pairs scale linearly — this isolates the ENGINE's slope from
+    # the shared-window workload growth the coupled probe measures
+    fn = all_q["range_join_incidents"]
+    times = {}
+    for label, d in (("sf0.1", SRC), ("sfbig_decoupled", OUT_DECOUPLED)):
+        t0 = time.time()
+        fn(spark, d).count()
+        times[label] = round(time.time() - t0, 3)
+    slope = round(times["sfbig_decoupled"] / max(times["sf0.1"], 1e-9), 2)
+    report["range_join_incidents_decoupled"] = {
+        **times, "slope_at_10x": slope
+    }
+    print(
+        f"# range_join_incidents_decoupled: {times} "
+        f"(10x data, ~10x pairs -> {slope}x time)",
+        flush=True,
+    )
     print(json.dumps({"metric": "scale_rehearsal", "replicas": REPLICAS,
                       "queries": report}))
 

@@ -13,8 +13,12 @@ filtered fact aggregate that a skewed catalog can blow up) was exactly
 the anti-pattern; it now lets AQE decide (asserted below).
 
 The sweep is a SNAPSHOT allowlist: adding a new `F.broadcast` site
-requires adding its (file, function) here, i.e. writing down why the
-frame is bounded. Entries group by boundedness argument:
+requires adding its (file, function) here WITH a justification string
+naming what bounds the broadcast side — the dict value is enforced by
+`test_every_broadcast_allowlist_entry_documents_its_bound` (r08; the
+r07 mining pair showed how a "contracted baseline" broadcast silently
+becomes the only path when nothing records the bound). The historical
+boundedness groups:
 
 - 1-row / O(1) aggregates: stats denominators, drift norms, chi-square
   totals, quantile-edge frames (percentile_disc_edges, rfm_segments,
@@ -46,84 +50,162 @@ from .conftest import SF_ORACLE
 SRC_ROOT = pathlib.Path(__file__).resolve().parents[1] / "redshift_etl_spark"
 
 ALLOWED = {
-    ("operators/bpe.py", "_apply_rule"),
-    ("operators/bpe.py", "bpe_encode"),
-    ("operators/dedup.py", "contamination"),
-    ("operators/distsort.py", "percentile_disc_edges"),
-    ("operators/distsort.py", "weighted_percentile_disc_edges"),
-    ("operators/distsort.py", "pr_curve"),
-    ("operators/distsort.py", "ranked_cumsums"),
-    ("operators/distsort.py", "ks_drift"),
-    ("operators/dsir.py", "_delta_table"),
-    ("operators/dsir.py", "dsir_scores"),
-    ("operators/similarity.py", "hard_negatives"),
-    ("operators/similarity.py", "margin_mined_pairs"),
-    ("operators/funnel.py", "retention_cohorts"),
-    ("operators/funnel.py", "transition_matrix"),
-    ("operators/graph.py", "_pagerank_loop"),
-    ("operators/heavy.py", "heavy_hitters"),
-    ("operators/ngramlm.py", "perplexity_scores"),
-    ("operators/pq.py", "_assign"),
-    ("operators/pq.py", "pq_adc_topk"),
-    ("operators/quality.py", "_entropy"),
-    ("operators/quality.py", "audit"),
-    ("operators/quality.py", "mutual_information"),
-    ("operators/sampling.py", "mixture_sample"),
-    ("operators/sampling.py", "temperature_mixture"),
-    ("queries/curation.py", "leakage_safe_split"),
-    ("operators/sampling.py", "token_budget_sample"),
-    ("operators/sampling.py", "winsorize"),
-    ("operators/similarity.py", "ann_topk_lsh"),
-    ("operators/similarity.py", "assign_clusters"),
-    ("operators/similarity.py", "assign_clusters_multi"),
-    ("operators/similarity.py", "cosine_topk"),
-    ("operators/similarity.py", "farthest_point_sample"),
-    ("operators/similarity.py", "int8_topk"),
-    ("operators/similarity.py", "ivf_topk"),
-    ("operators/skew.py", "skew_report"),
-    ("operators/text.py", "bigram_likelihood"),
-    ("operators/text.py", "bm25_scores"),
-    ("operators/text.py", "encode_ids"),
-    ("operators/text.py", "tfidf_top_terms"),
-    ("operators/web.py", "blocklist_filter"),
-    ("operators/web.py", "domain_share"),
-    ("queries/agent_metrics.py", "_events_star"),
-    ("queries/curation.py", "domain_lorenz"),
-    ("queries/curation.py", "fold_source_balance"),
-    ("queries/curation.py", "int8_quantize_stats"),
-    ("queries/curation.py", "length_trim"),
-    ("queries/llm_data.py", "ccnet_buckets"),
-    ("queries/llm_data.py", "corpus_datacard"),
-    ("queries/llm_data.py", "doc_length_cdf"),
-    ("queries/llm_data.py", "doremi_weights"),
-    ("queries/llm_data.py", "embedding_drift"),
-    ("queries/llm_data.py", "semdedup"),
-    ("queries/llm_data.py", "quality_decile_lift"),
-    ("queries/llm_data.py", "token_pmi_top"),
-    ("queries/relational.py", "basket_part_pairs"),
-    ("queries/relational.py", "customer_pareto"),
-    ("queries/relational.py", "dormant_customers"),
-    ("queries/relational.py", "event_type_independence"),
-    ("queries/relational.py", "gap_fill_daily"),
-    ("queries/relational.py", "large_orders"),
-    ("queries/relational.py", "rfm_segments"),
-    ("queries/relational.py", "shipping_priority"),
-    ("queries/relational.py", "small_qty_revenue"),
-    ("queries/relational.py", "star_filter_project"),
-    ("queries/tpch_shapes.py", "idle_rich_customers"),
-    ("queries/tpch_shapes.py", "market_share"),
-    ("queries/tpch_shapes.py", "min_cost_supplier"),
-    ("queries/tpch_shapes.py", "nation_balance_share"),
-    ("queries/tpch_shapes.py", "profit_by_nation_year"),
-    ("queries/tpch_shapes.py", "promotion_suppliers"),
-    ("queries/tpch_shapes.py", "regional_revenue"),
-    ("queries/tpch_shapes.py", "returned_top_customers"),
-    ("queries/tpch_shapes.py", "supplier_part_variety"),
-    ("queries/tpch_shapes.py", "top_supplier"),
-    ("queries/tpch_shapes.py", "volume_shipping"),
-    ("queries/tpch_shapes.py", "waiting_suppliers"),
-    ("queries/llm_data.py", "mixture_drift"),
-    ("streaming/topk.py", "topk_similarity_stream"),
+    ("operators/bpe.py", "_apply_rule"):
+        "1-row frame: the single merge rule applied this round",
+    ("operators/bpe.py", "bpe_encode"):
+        "merge-rule mapping: <= n_merges rows by construction",
+    ("operators/dedup.py", "contamination"):
+        "benchmark shingle set — contracted small side (eval suites are constant-sized vs the corpus)",
+    ("operators/distsort.py", "percentile_disc_edges"):
+        "1-row total-count aggregate",
+    ("operators/distsort.py", "weighted_percentile_disc_edges"):
+        "1-row total-weight aggregate",
+    ("operators/distsort.py", "pr_curve"):
+        "1-row positives/negatives totals",
+    ("operators/distsort.py", "ranked_cumsums"):
+        "one row per shuffle partition (cluster config)",
+    ("operators/distsort.py", "ks_drift"):
+        "1-row (n_a, n_b) totals",
+    ("operators/dsir.py", "_delta_table"):
+        "1-row totals folded into the 2^k-bucket hashed table",
+    ("operators/dsir.py", "dsir_scores"):
+        "hashed delta model: <= 2^hash-bucket cells by construction",
+    ("operators/similarity.py", "hard_negatives"):
+        "whole corpus by CONTRACT — exact baseline; fits one executor or use hard_negatives_bucketed",
+    ("operators/similarity.py", "margin_mined_pairs"):
+        "side B by CONTRACT — exact baseline; use margin_mined_pairs_bucketed at corpus scale",
+    ("operators/funnel.py", "retention_cohorts"):
+        "cohort-size frame: one row per cohort week (time-bounded)",
+    ("operators/funnel.py", "transition_matrix"):
+        "per-type totals: one row per event type (enum-bounded)",
+    ("operators/graph.py", "_pagerank_loop"):
+        "guarded: hint only when node count is under the documented small cap, else AQE decides",
+    ("operators/heavy.py", "heavy_hitters"):
+        "1-row total + <= d-1 Misra-Gries finalists (MG guarantee)",
+    ("operators/ngramlm.py", "perplexity_scores"):
+        "hashed bigram LM: <= ctx_buckets x word_buckets = 4096 cells by construction",
+    ("operators/pq.py", "_assign"):
+        "PQ codebook: m x k centroid rows, constant by construction",
+    ("operators/pq.py", "pq_adc_topk"):
+        "codebook (m x k) and per-query ADC tables — query set is the contracted small side",
+    ("operators/quality.py", "_entropy"):
+        "1-row grand-total frame",
+    ("operators/quality.py", "audit"):
+        "1-row orphan-count aggregate",
+    ("operators/quality.py", "mutual_information"):
+        "1-row total and 1-row marginal-entropy scalars",
+    ("operators/sampling.py", "mixture_sample"):
+        "per-group quota edges: one row per mixture group (caller's weights)",
+    ("operators/sampling.py", "temperature_mixture"):
+        "1-row total-weight aggregate",
+    ("queries/curation.py", "leakage_safe_split"):
+        "1-row leak-count aggregate",
+    ("operators/sampling.py", "token_budget_sample"):
+        "per-group budget frame: one row per group (caller's budgets)",
+    ("operators/sampling.py", "winsorize"):
+        "1-row (lo, hi) quantile bounds",
+    ("operators/similarity.py", "ann_topk_lsh"):
+        "query set — contracted small side of an ANN search",
+    ("operators/similarity.py", "assign_clusters"):
+        "k-row centroid codebook",
+    ("operators/similarity.py", "assign_clusters_multi"):
+        "k-row centroid codebook",
+    ("operators/similarity.py", "cosine_topk"):
+        "query set — contracted small side by construction",
+    ("operators/similarity.py", "farthest_point_sample"):
+        "1-row newest-pick frame per round",
+    ("operators/similarity.py", "int8_topk"):
+        "query set — contracted small side",
+    ("operators/similarity.py", "ivf_topk"):
+        "query set + probed centroids — contracted small side",
+    ("operators/skew.py", "skew_report"):
+        "one row per shuffle partition + 1-row total (cluster config)",
+    ("operators/text.py", "bigram_likelihood"):
+        "bounded vocab + its context/bigram count frames (vocab-cap construction)",
+    ("operators/text.py", "bm25_scores"):
+        "1-row corpus stats + doc frequencies for the QUERY's terms only",
+    ("operators/text.py", "encode_ids"):
+        "token->id vocab: <= vocab_size rows by construction",
+    ("operators/text.py", "tfidf_top_terms"):
+        "distinct-term vocabulary — sublinear in corpus size (Heaps), the documented skew-free trade",
+    ("operators/web.py", "blocklist_filter"):
+        "caller-supplied deny list — small by contract",
+    ("operators/web.py", "domain_share"):
+        "1-row total aggregate",
+    ("queries/agent_metrics.py", "_events_star"):
+        "region (5) / nation (25) fixed by TPC-H; customer dim bounded at committed scale (documented cap, plan-tested)",
+    ("queries/curation.py", "domain_lorenz"):
+        "top-50 LIMIT head + 1-row totals",
+    ("queries/curation.py", "fold_source_balance"):
+        "1-row dof/total + enum-bounded fold/source marginals",
+    ("queries/curation.py", "int8_quantize_stats"):
+        "per-dimension stats: dims rows by construction",
+    ("queries/curation.py", "length_trim"):
+        "1-row (lo, hi) trim bounds",
+    ("queries/llm_data.py", "ccnet_buckets"):
+        "1-row percentile-edge frame",
+    ("queries/llm_data.py", "corpus_datacard"):
+        "1-row keep-share / top-source / top-lang scalars",
+    ("queries/llm_data.py", "doc_length_cdf"):
+        "1-row total aggregate",
+    ("queries/llm_data.py", "doremi_weights"):
+        "hashed bigram LM: 4096 cells by construction (see perplexity_scores)",
+    ("queries/llm_data.py", "embedding_drift"):
+        "per-period centroid frame: one row per period (time-bounded)",
+    ("queries/llm_data.py", "semdedup"):
+        "k-row cluster-centroid codebook",
+    ("queries/llm_data.py", "quality_decile_lift"):
+        "1-row decile-edge frame",
+    ("queries/llm_data.py", "token_pmi_top"):
+        "1-row unigram/bigram totals",
+    ("queries/relational.py", "basket_part_pairs"):
+        "1-row total aggregate",
+    ("queries/relational.py", "customer_pareto"):
+        "1-row total aggregate",
+    ("queries/relational.py", "dormant_customers"):
+        "1-row threshold scalar",
+    ("queries/relational.py", "event_type_independence"):
+        "1-row dof/total + enum-bounded marginals",
+    ("queries/relational.py", "gap_fill_daily"):
+        "calendar spine: one row per day (time-bounded) + per-(priority, day) daily agg",
+    ("queries/relational.py", "large_orders"):
+        "customer dim at committed scale (documented cap) + filtered survivor keys (plan-tested)",
+    ("queries/relational.py", "rfm_segments"):
+        "1-row percentile-edge frame",
+    ("queries/relational.py", "shipping_priority"):
+        "customer segment slice — dim bounded at committed scale (documented cap)",
+    ("queries/relational.py", "small_qty_revenue"):
+        "brand+container part slice — selective dim slice (documented cap)",
+    ("queries/relational.py", "star_filter_project"):
+        "part/supplier dims bounded at committed scale (documented cap)",
+    ("queries/tpch_shapes.py", "idle_rich_customers"):
+        "1-row segment-average scalar",
+    ("queries/tpch_shapes.py", "market_share"):
+        "nation (25 rows, fixed) + filtered supplier/part dim slices (documented caps)",
+    ("queries/tpch_shapes.py", "min_cost_supplier"):
+        "region-filtered supplier + type/size part slice (documented caps)",
+    ("queries/tpch_shapes.py", "nation_balance_share"):
+        "1-row total + nation dim (25 rows, fixed)",
+    ("queries/tpch_shapes.py", "profit_by_nation_year"):
+        "nation (25, fixed) + name-filtered part slice + supplier dim (documented caps)",
+    ("queries/tpch_shapes.py", "promotion_suppliers"):
+        "promo part slice + top-mover LIMIT head (documented caps)",
+    ("queries/tpch_shapes.py", "regional_revenue"):
+        "region-filtered nation (<= 25) + its supplier slice (documented caps)",
+    ("queries/tpch_shapes.py", "returned_top_customers"):
+        "nation dim (25 rows, fixed by TPC-H)",
+    ("queries/tpch_shapes.py", "supplier_part_variety"):
+        "size-filtered part slice + 1-row deficit scalar (documented caps)",
+    ("queries/tpch_shapes.py", "top_supplier"):
+        "supplier dim at committed scale + 1-row max scalar",
+    ("queries/tpch_shapes.py", "volume_shipping"):
+        "nation pair frame (25 rows, fixed) + supplier dim (documented cap)",
+    ("queries/tpch_shapes.py", "waiting_suppliers"):
+        "nation-filtered supplier slice (documented cap)",
+    ("queries/llm_data.py", "mixture_drift"):
+        "per-source weight frame (enum-bounded) + 1-row total",
+    ("streaming/topk.py", "topk_similarity_stream"):
+        "query set — contracted small side, constant per stream",
 }
 
 
@@ -167,7 +249,7 @@ def test_broadcast_hints_only_on_allowlisted_sites():
 
 def test_broadcast_allowlist_has_no_dead_entries():
     live = {(s[0], s[1]) for s in _broadcast_sites()}
-    dead = ALLOWED - live
+    dead = set(ALLOWED) - live
     assert not dead, f"stale allowlist entries: {dead}"
 
 
@@ -188,3 +270,40 @@ def test_sole_source_parts_aqe_broadcasts_at_committed_sf(spark):
     assert rows  # non-vacuous (r4 lesson)
     final_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final_plan, final_plan
+
+
+# --- bound-documentation sweep (r08) ---------------------------------------
+# The mining pair (r07 verdict) showed how a "contracted baseline"
+# broadcast silently becomes the only path: nothing forced anyone to
+# write down WHAT bounds the broadcast side. The allowlist is now a
+# dict whose value is that bound, and this sweep keeps every entry's
+# justification non-empty and in recognizable bound vocabulary — an
+# entry that cannot name its bound does not belong on the allowlist.
+
+_BOUND_WORDS = (
+    "bound",                       # "bounded by construction/…"
+    "1-row", "one row", "one-row",  # scalar aggregates
+    "row per", "rows by",          # per-key/enum/partition frames
+    "top-", "limit", "head",       # LIMIT / top-k heads
+    "codebook", "model", "vocab", "cells",  # trained artifacts
+    "constant", "cap", "fixed",
+    "per shuffle partition",
+    "small", "slice", "scalar",
+    "contract",                    # "contracted baseline: caller …"
+    "query set", "queries",        # query side of an ANN search
+    "guarded",                     # conditional hints
+)
+
+
+def test_every_broadcast_allowlist_entry_documents_its_bound():
+    offenders = []
+    for (rel, fn), why in sorted(ALLOWED.items()):
+        low = (why or "").lower()
+        if not low or not any(w in low for w in _BOUND_WORDS):
+            offenders.append((rel, fn, why))
+    assert not offenders, (
+        "allowlist entries whose justification does not name what "
+        f"bounds the broadcast side: {offenders} — state the bound "
+        "(1-row aggregate, top-k head, codebook, contracted small "
+        "side, …) in the ALLOWED dict value."
+    )
