@@ -781,3 +781,137 @@ def best_f1_threshold(
         ).alias("b")
     )
     return best.select("b.*")
+
+
+def reciprocal_rank(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group reciprocal rank of a retrieval ranking: items rank by
+    (score desc, id asc) within each group (query), and RR = 1 / rank
+    of the FIRST relevant item — the per-query ingredient of MRR, the
+    standard first-hit retrieval metric.
+
+    Returns one row per group: (group, n_items, n_rel, first_rel_rank,
+    rr). Groups with no relevant item get NULL rank/rr (absence of a
+    hit is not a rank — averaging callers decide how to treat it).
+    Determinism: the rank is a pure integer (deterministic tiebreak on
+    the id), and rr is ONE IEEE 1/bigint division — engine- and
+    partitioning-exact.
+
+    Plan: one group hash exchange feeds both the rank window and the
+    final per-group aggregate (same partitioning, no second shuffle);
+    no global sort, state bounded by group size like any rank window.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col(label_col).cast("int")).cast("long").alias("n_rel"),
+            F.min(
+                F.when(F.col(label_col).cast("int") == 1, F.col("__rk"))
+            ).cast("long").alias("first_rel_rank"),
+        )
+        .withColumn("rr", F.lit(1.0) / F.col("first_rel_rank"))
+    )
+
+
+def ndcg_discounts(k: int) -> list[float]:
+    """1/log2(i+1) for ranks i = 1..k, computed ONCE in Python and
+    injected as literals into BOTH the Spark expression and any SQL
+    oracle — log2 is libm-territory, so sharing the constants (not the
+    computation) is what keeps the metric engine-exact."""
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-group nDCG@k of a retrieval ranking with graded relevance:
+
+        DCG@k  = Σ_{i≤k} (2^rel_i − 1) / log2(i+1)   (ranked by score)
+        IDCG@k = the same sum over the k highest relevances
+        nDCG   = DCG / IDCG
+
+    Returns one row per group: (group, n_items, dcg_micro, idcg_micro,
+    ndcg); groups with no relevant item (IDCG = 0) get NULL ndcg.
+
+    Determinism contract: the discount table comes from
+    :func:`ndcg_discounts` (shared Python literals, never an engine's
+    own log2); each position's gain ``(2^rel − 1)·discount`` is
+    micro-rounded to BIGINT before summing — a raw double SUM's
+    accumulation order is partition-dependent, bigint addition is
+    associative — and nDCG is ONE IEEE bigint/bigint division.
+    ``rel`` must be a small non-negative integer grade (2^rel in
+    int64, i.e. rel < 62 — real grading scales stop at 4).
+
+    Plan: ONE group hash exchange feeds the score-order rank window,
+    the relevance-order (ideal) rank window, and the final per-group
+    aggregate — same partitioning throughout, no global sort."""
+    from pyspark.sql import Window
+
+    disc = F.array(*[F.lit(d) for d in ndcg_discounts(k)])
+    w_score = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    w_ideal = Window.partitionBy(group_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col).asc()
+    )
+    # SQL shiftleft accepts a column exponent (the Python wrapper
+    # doesn't): (1 << rel) − 1 stays exact int64 before the cast
+    gain = F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), CAST({rel_col} AS INT)) - 1 "
+        f"AS DOUBLE)"
+    )
+    ranked = df.select(
+        F.col(group_col),
+        gain.alias("__g"),
+        F.row_number().over(w_score).alias("__rk"),
+        F.row_number().over(w_ideal).alias("__irk"),
+    )
+    micro = ranked.select(
+        group_col,
+        F.when(
+            F.col("__rk") <= k,
+            F.round(
+                F.col("__g") * F.element_at(disc, F.col("__rk")) * 1e6, 0
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("__dcg_term"),
+        F.when(
+            F.col("__irk") <= k,
+            F.round(
+                F.col("__g") * F.element_at(disc, F.col("__irk")) * 1e6, 0
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("__idcg_term"),
+    )
+    return (
+        micro.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("__dcg_term").cast("long").alias("dcg_micro"),
+            F.sum("__idcg_term").cast("long").alias("idcg_micro"),
+        )
+        .withColumn(
+            "ndcg",
+            F.when(
+                F.col("idcg_micro") > 0,
+                F.col("dcg_micro") / F.col("idcg_micro"),
+            ),
+        )
+    )

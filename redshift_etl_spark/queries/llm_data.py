@@ -5111,3 +5111,131 @@ def lang_marker_best_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("y"),
     )
     return DSORT9.best_f1_threshold(scored, "s", "y")
+
+
+# ---------------------------------------------------------------------------
+# Ranking-eval metrics (operators/distsort.reciprocal_rank / ndcg_at_k)
+# — the retrieval side of the eval family: does ranking documents by
+# English-marker hits put English documents first? Per-source rankings
+# give the grouped (multi-query) shape MRR/nDCG are defined over.
+# ---------------------------------------------------------------------------
+
+def _rr_oracle() -> str:
+    en = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(str_split(text, ' '),
+              w -> w IN ({en}))) AS BIGINT) AS s,
+         CAST(lang = 'en' AS INT) AS y
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY s DESC, doc_id ASC
+  ) AS rk
+  FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(y) AS BIGINT) AS n_rel,
+       CAST(MIN(CASE WHEN y = 1 THEN rk END) AS BIGINT) AS first_rel_rank,
+       1.0 / MIN(CASE WHEN y = 1 THEN rk END) AS rr
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@_q("lang_marker_rr", _rr_oracle())
+def lang_marker_rr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reciprocal rank of the English-marker ranking
+    against the `lang = 'en'` label (`distsort.reciprocal_rank`) —
+    the first-hit retrieval metric, one row per source/query group.
+    Integer ranks with a doc_id tiebreak; rr is one IEEE 1/bigint
+    division. One source hash exchange shared by the rank window and
+    the aggregate."""
+    from ..operators import distsort as DSORT10
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        TX.marker_hits("text", TX.LANG_MARKERS["en"]).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return DSORT10.reciprocal_rank(
+        scored, "source", "s", "doc_id", "y"
+    ).orderBy("source")
+
+
+def _ndcg_oracle(k: int = 10) -> str:
+    from ..operators.distsort import ndcg_discounts
+
+    en = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS["en"])
+    disc = "[" + ", ".join(repr(d) for d in ndcg_discounts(k)) + "]"
+    return f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(str_split(text, ' '),
+              w -> w IN ({en}))) AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 2 WHEN lang = 'de' THEN 1 ELSE 0 END
+           AS rel
+  FROM documents
+),
+ranked AS (
+  SELECT source,
+         CAST((CAST(1 AS BIGINT) << rel) - 1 AS DOUBLE) AS g,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY s DESC, doc_id ASC
+         ) AS rk,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY rel DESC, doc_id ASC
+         ) AS irk
+  FROM scored
+),
+micro AS (
+  SELECT source,
+         CASE WHEN rk <= {k}
+           THEN CAST(ROUND(g * ({disc})[rk] * 1e6, 0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS dcg_term,
+         CASE WHEN irk <= {k}
+           THEN CAST(ROUND(g * ({disc})[irk] * 1e6, 0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS idcg_term
+  FROM ranked
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(dcg_term) AS BIGINT) AS dcg_micro,
+       CAST(SUM(idcg_term) AS BIGINT) AS idcg_micro,
+       CASE WHEN SUM(idcg_term) > 0
+         THEN CAST(SUM(dcg_term) AS DOUBLE) / SUM(idcg_term) END AS ndcg
+FROM micro
+GROUP BY source
+ORDER BY source
+"""
+
+
+@_q("lang_marker_ndcg", _ndcg_oracle())
+def lang_marker_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source nDCG@10 of the English-marker ranking with graded
+    relevance (en = 2, the related-Germanic de = 1, else 0) —
+    `distsort.ndcg_at_k`. The discount table is a shared Python
+    literal family (log2 never computed inside an engine), each
+    position's gain is micro-rounded BIGINT before the associative
+    sum, and nDCG is one IEEE bigint/bigint division."""
+    from ..operators import distsort as DSORT10
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        TX.marker_hits("text", TX.LANG_MARKERS["en"]).alias("s"),
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang") == "de", 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return DSORT10.ndcg_at_k(
+        scored, "source", "s", "doc_id", "rel", k=10
+    ).orderBy("source")
