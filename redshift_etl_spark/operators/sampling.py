@@ -689,3 +689,99 @@ def pack_sequences(
             F.lit(0).cast("long"), F.col("__start") - shard_start
         ).alias("shard_offset"),
     )
+
+
+def budget_waterfill(
+    counts: DataFrame,
+    group_col: str,
+    n_col: str,
+    budget: int | None = None,
+    budget_frac: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Exact integer water-filling of a token budget across groups —
+    the allocation step every mixture pipeline runs after weighting:
+    give every group min(n_g, λ) tokens where the level λ exhausts the
+    budget, i.e. small groups keep everything and large groups are
+    capped at a common level (max-min fairness; the same solution as
+    capped proportional-fairness for uniform weights).
+
+    ``budget`` is an absolute token count, or ``budget_frac=(num,
+    den)`` spends ``total·num div den`` (data-derived, so the call is
+    scale-free). Exact-integer semantics, deterministic everywhere:
+    groups sort by (n asc, group asc); the fully-funded set is the
+    maximal affordable prefix (its cost ``S_{i−1} + n_i·(m−i+1)`` is
+    nondecreasing, so prefix-maximality is well-defined); the capped
+    groups get ``λ = (B − S_j) div (m−j)`` each and the FIRST
+    ``(B − S_j) mod (m−j)`` of them IN THE SAME SORT ORDER get one
+    extra token — no float level, no largest-remainder re-sort, the
+    one global rank the cumsum already assigned decides everything.
+    Σ alloc = min(B, Σn) exactly.
+
+    Scale shape: one :func:`~.distsort.ranked_cumsum` range exchange
+    over the per-group counts (NOT the corpus — callers aggregate
+    first), a 1-row level frame folded back by broadcast cross join,
+    and a pure projection for the allocation. No global window, no
+    driver loop. Returns (group, n, alloc, capped)."""
+    from .distsort import ranked_cumsum
+
+    if (budget is None) == (budget_frac is None):
+        raise ValueError("pass exactly one of budget / budget_frac")
+    ranked = ranked_cumsum(
+        counts.select(F.col(group_col), F.col(n_col).cast("long")),
+        [F.col(n_col).asc(), F.col(group_col).asc()],
+        n_col,
+        rank_name="__i",
+        cumsum_name="__s",
+    )
+    b_expr = (
+        F.lit(int(budget)).cast("long")
+        if budget is not None
+        else F.expr(
+            f"CAST(SUM({n_col}) * {int(budget_frac[0])} "
+            f"div {int(budget_frac[1])} AS BIGINT)"
+        )
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        b_expr.alias("__b"),
+    )
+    # affordable-prefix head: cost(i) = S_{i-1} + n_i*(m-i+1) <= B,
+    # nondecreasing in i -> j = max affordable i (0 when none)
+    with_tot = ranked.crossJoin(F.broadcast(totals))
+    afford = (F.col("__s") - F.col(n_col)) + F.col(n_col) * (
+        F.col("__m") - F.col("__i") + 1
+    ) <= F.col("__b")
+    level = with_tot.agg(
+        F.coalesce(F.max(F.when(afford, F.col("__i"))), F.lit(0))
+        .cast("long")
+        .alias("__j"),
+        F.coalesce(F.max(F.when(afford, F.col("__s"))), F.lit(0))
+        .cast("long")
+        .alias("__sj"),
+        F.first("__m").alias("__m2"),
+        F.first("__b").alias("__b2"),
+    ).select(
+        "__j",
+        F.when(
+            F.col("__m2") > F.col("__j"),
+            F.expr("(__b2 - __sj) div (__m2 - __j)"),
+        ).cast("long").alias("__lvl"),
+        F.when(
+            F.col("__m2") > F.col("__j"),
+            (F.col("__b2") - F.col("__sj"))
+            % (F.col("__m2") - F.col("__j")),
+        ).cast("long").alias("__rem"),
+    )
+    out = ranked.crossJoin(F.broadcast(level))
+    alloc = F.when(F.col("__i") <= F.col("__j"), F.col(n_col)).otherwise(
+        F.col("__lvl")
+        + F.when(
+            F.col("__i") <= F.col("__j") + F.col("__rem"), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return out.select(
+        group_col,
+        F.col(n_col),
+        alloc.cast("long").alias("alloc"),
+        (F.col("__i") > F.col("__j")).alias("capped"),
+    )

@@ -5239,3 +5239,70 @@ def lang_marker_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DSORT10.ndcg_at_k(
         scored, "source", "s", "doc_id", "rel", k=10
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Water-filling token-budget allocation (operators/sampling.
+# budget_waterfill) — the allocation step after mixture weighting:
+# spend 60% of the corpus's tokens with small sources kept whole and
+# large sources capped at a common exact-integer level.
+# ---------------------------------------------------------------------------
+
+_WATERFILL_ORACLE = """
+WITH n AS (
+  SELECT source,
+         CAST(SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(n_tokens) * 6 // 10 AS BIGINT) AS b
+  FROM n
+),
+r AS (
+  SELECT source, n_tokens,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source) AS BIGINT) AS s
+  FROM n
+),
+lvl AS (
+  SELECT
+    COALESCE(MAX(CASE WHEN (s - n_tokens) + n_tokens * (m - i + 1) <= b
+                      THEN i END), 0) AS j,
+    COALESCE(MAX(CASE WHEN (s - n_tokens) + n_tokens * (m - i + 1) <= b
+                      THEN s END), 0) AS sj,
+    ANY_VALUE(m) AS m, ANY_VALUE(b) AS b
+  FROM r CROSS JOIN tot
+)
+SELECT source, n_tokens,
+       CAST(CASE WHEN i <= j THEN n_tokens
+            ELSE (b - sj) // (m - j)
+                 + (CASE WHEN i <= j + (b - sj) % (m - j)
+                         THEN 1 ELSE 0 END)
+       END AS BIGINT) AS alloc,
+       i > j AS capped
+FROM r CROSS JOIN lvl
+ORDER BY source
+"""
+
+
+@_q("token_budget_waterfill", _WATERFILL_ORACLE)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate 60% of the corpus's whitespace tokens across sources
+    by exact integer water-filling (`sampling.budget_waterfill`):
+    sources below the level keep everything, the rest cap at a common
+    level, and the mod-remainder goes to the first capped sources in
+    the one global (n, source) order the cumsum already assigned —
+    Σ alloc = min(budget, total) exactly. Plan: one doc→source hash
+    agg, one ranked_cumsum range exchange over the PER-SOURCE counts
+    (never the corpus), two 1-row broadcast folds, pure projection."""
+    from ..operators.sampling import budget_waterfill
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(TX.token_count("text")).cast("long").alias("n_tokens")
+    )
+    return budget_waterfill(
+        counts, "source", "n_tokens", budget_frac=(6, 10)
+    ).orderBy("source")

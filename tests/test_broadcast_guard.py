@@ -102,6 +102,8 @@ ALLOWED = {
         "1-row leak-count aggregate",
     ("operators/sampling.py", "token_budget_sample"):
         "per-group budget frame: one row per group (caller's budgets)",
+    ("operators/sampling.py", "budget_waterfill"):
+        "1-row totals and 1-row waterfill-level frames",
     ("operators/sampling.py", "winsorize"):
         "1-row (lo, hi) quantile bounds",
     ("operators/similarity.py", "ann_topk_lsh"):

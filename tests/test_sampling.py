@@ -321,3 +321,86 @@ def test_pack_sequences_matches_python_reference(spark):
                 want.append((sid, i, seq, ts, te, max(0, start - sid * cap)))
             pos += t
         assert got == sorted(want), (cap, sizes)
+
+
+def test_budget_waterfill_exact_allocation(spark):
+    from redshift_etl_spark.operators.sampling import budget_waterfill
+
+    counts = spark.createDataFrame(
+        [("a", 100), ("b", 10), ("c", 50), ("d", 7)],
+        "g string, n long",
+    )
+    out = {
+        r["g"]: r.asDict()
+        for r in budget_waterfill(counts, "g", "n", budget=80).collect()
+    }
+    # sorted (n, g): d(7) b(10) c(50) a(100); prefix 7,17,67,167
+    # fund d,b fully (17); level = (80-17) div 2 = 31 rem 1 -> c gets
+    # 32 (first capped in order), a gets 31
+    assert out["d"]["alloc"] == 7 and not out["d"]["capped"]
+    assert out["b"]["alloc"] == 10 and not out["b"]["capped"]
+    assert out["c"]["alloc"] == 32 and out["c"]["capped"]
+    assert out["a"]["alloc"] == 31 and out["a"]["capped"]
+    assert sum(r["alloc"] for r in out.values()) == 80
+
+
+def test_budget_waterfill_budget_exceeds_total(spark):
+    from redshift_etl_spark.operators.sampling import budget_waterfill
+
+    counts = spark.createDataFrame(
+        [("a", 5), ("b", 3)], "g string, n long"
+    )
+    out = {
+        r["g"]: r.asDict()
+        for r in budget_waterfill(counts, "g", "n", budget=1000).collect()
+    }
+    assert out["a"]["alloc"] == 5 and out["b"]["alloc"] == 3
+    assert not any(r["capped"] for r in out.values())
+
+
+def test_budget_waterfill_tiny_budget_and_frac(spark):
+    from redshift_etl_spark.operators.sampling import budget_waterfill
+
+    counts = spark.createDataFrame(
+        [("a", 100), ("b", 100), ("c", 100)], "g string, n long"
+    )
+    # budget below m * min(n): nobody fully funded, level = 7 div 3
+    out = {
+        r["g"]: r.asDict()
+        for r in budget_waterfill(counts, "g", "n", budget=7).collect()
+    }
+    assert sorted(r["alloc"] for r in out.values()) == [2, 2, 3]
+    assert all(r["capped"] for r in out.values())
+    # the extra token goes to the FIRST capped group in (n, g) order
+    assert out["a"]["alloc"] == 3
+    # fraction form: 50% of 300
+    half = budget_waterfill(
+        counts, "g", "n", budget_frac=(1, 2)
+    ).collect()
+    assert sum(r["alloc"] for r in half) == 150
+
+
+def test_budget_waterfill_partition_invariance_and_args(spark):
+    import pytest
+
+    from redshift_etl_spark.operators.sampling import budget_waterfill
+
+    counts = spark.createDataFrame(
+        [(f"g{i:02d}", (i * 13) % 47 + 1) for i in range(30)],
+        "g string, n long",
+    )
+    one = sorted(
+        map(tuple, budget_waterfill(counts.coalesce(1), "g", "n", 200).collect())
+    )
+    many = sorted(
+        map(
+            tuple,
+            budget_waterfill(counts.repartition(7), "g", "n", 200).collect(),
+        )
+    )
+    assert one == many
+    assert sum(r[2] for r in one) == 200
+    with pytest.raises(ValueError):
+        budget_waterfill(counts, "g", "n")
+    with pytest.raises(ValueError):
+        budget_waterfill(counts, "g", "n", budget=5, budget_frac=(1, 2))
