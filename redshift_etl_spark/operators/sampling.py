@@ -726,13 +726,17 @@ def budget_waterfill(
 
     if (budget is None) == (budget_frac is None):
         raise ValueError("pass exactly one of budget / budget_frac")
+    # persist the ranked per-group frame: totals, the level aggregate
+    # and the final projection all read it, and without the persist
+    # each consumer would re-run the CALLER's corpus aggregation that
+    # produced `counts` (three full corpus scans for a tiny frame)
     ranked = ranked_cumsum(
         counts.select(F.col(group_col), F.col(n_col).cast("long")),
         [F.col(n_col).asc(), F.col(group_col).asc()],
         n_col,
         rank_name="__i",
         cumsum_name="__s",
-    )
+    ).persist()
     b_expr = (
         F.lit(int(budget)).cast("long")
         if budget is not None
@@ -741,7 +745,7 @@ def budget_waterfill(
             f"div {int(budget_frac[1])} AS BIGINT)"
         )
     )
-    totals = counts.agg(
+    totals = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("__m"),
         b_expr.alias("__b"),
     )

@@ -373,6 +373,13 @@ def test_merge_scd1_write_delta_backend(spark, tmp_path):
     import pytest
 
     if not _delta_runtime() or not M.delta_available(spark):
+        # Vendoring was attempted in r08 and is NOT possible in this
+        # sandbox: `pip download delta-spark` reaches no index ("No
+        # matching distribution found"), and the runtime jars come
+        # from Maven (network) even when the wheel is present. The
+        # loud-failure probe test above covers the no-runtime
+        # contract; this suite activates unmodified on any
+        # delta-enabled cluster.
         pytest.skip("delta-spark runtime not on this classpath")
     path = str(tmp_path / "t")
     t = spark.createDataFrame(
