@@ -46,6 +46,9 @@ ALLOWED = {
     ("queries/relational.py", "weekly_active_users"),
     ("queries/curation.py", "domain_lorenz"),
     ("operators/distsort.py", "ranked_cumsums"),
+    # lag over the one-row-per-epoch metrics frame: bounded by the
+    # number of stream epochs, never by data volume (r08)
+    ("streaming/monitor.py", "quality_trend"),
 }
 
 _WINDOW_MODULES = {"pyspark.sql", "pyspark.sql.window"}
