@@ -77,6 +77,8 @@ HEADLINE = (
     "hard_negatives_bucketed",  # mining over LSH candidates — the
                             # 100 TB path for hard_negative_mining (r8)
     "bitext_margin_bucketed",  # bipartite-LSH bitext mining (r8)
+    "token_budget_waterfill",  # exact integer water-filling (r8)
+    "corpus_quality_trend",  # per-epoch Gopher metrics + drift (r8)
 )
 
 

@@ -366,3 +366,74 @@ def mutual_information(
         hy_d.alias("h_y"),
         (mi_d / F.sqrt(hx_d * hy_d)).alias("nmi"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Cohen's kappa between two categorical columns — chance-corrected
+    agreement, the scalar eval a labeling pipeline reports next to its
+    confusion matrix (rater A = ground truth, rater B = the model, or
+    any two annotators).
+
+    Exactness: with n items, ``agree`` the diagonal count and
+    ``pe_num = Σ_k row_k·col_k`` the marginal-product sum, kappa
+    reduces to ONE IEEE division of exact BIGINTs:
+
+        kappa = (n·agree − pe_num) / (n² − pe_num)
+
+    — algebraically identical to (p_o − p_e)/(1 − p_e) but with no
+    intermediate float, so the statistic is engine- and partitioning-
+    exact. Degenerate marginals (n² = pe_num, e.g. a single category)
+    report NULL. NULL categories on either side are dropped (pairwise
+    agreement has no place for them). p_o and p_e are reported as
+    presentation doubles.
+
+    Scale shape: one hash agg to the ≤ |A|·|B| cell matrix, marginal
+    sums over the CELLS (never the rows again), a category equi-join
+    of the two marginal frames for pe_num, and 1-row broadcast folds —
+    after the first aggregate nothing data-sized moves. Returns one
+    row: (n_items, n_agree, pe_num, po, pe, kappa)."""
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    row_m = cells.groupBy("__a").agg(
+        F.sum("__n").cast("long").alias("__ra")
+    )
+    col_m = cells.groupBy("__b").agg(
+        F.sum("__n").cast("long").alias("__cb")
+    )
+    pe = row_m.join(col_m, F.col("__a") == F.col("__b")).agg(
+        F.coalesce(F.sum(F.col("__ra") * F.col("__cb")), F.lit(0))
+        .cast("long")
+        .alias("pe_num")
+    )
+    totals = cells.agg(
+        F.sum("__n").cast("long").alias("n_items"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    out = totals.crossJoin(F.broadcast(pe))
+    denom = F.col("n_items") * F.col("n_items") - F.col("pe_num")
+    return out.select(
+        "n_items",
+        "n_agree",
+        "pe_num",
+        (F.col("n_agree") / F.col("n_items").cast("double")).alias("po"),
+        (
+            F.col("pe_num")
+            / (F.col("n_items") * F.col("n_items")).cast("double")
+        ).alias("pe"),
+        F.when(
+            denom != 0,
+            (
+                F.col("n_items") * F.col("n_agree") - F.col("pe_num")
+            ) / denom.cast("double"),
+        ).alias("kappa"),
+    )

@@ -5306,3 +5306,71 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_waterfill(
         counts, "source", "n_tokens", budget_frac=(6, 10)
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa of the marker-argmax language ID vs the labeled lang
+# (operators/quality.cohens_kappa) — the chance-corrected scalar next
+# to lang_id_confusion's matrix, one exact-integer division.
+# ---------------------------------------------------------------------------
+
+def _lang_kappa_oracle() -> str:
+    hit_cols = ",\n  ".join(
+        "CAST(len(list_filter(str_split(text, ' '), w -> w IN ({}))) AS BIGINT)"
+        " AS hits_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in TX.LANG_MARKERS.items()
+    )
+    prev_b, prev_n = "'unknown'", "0"
+    for lang in sorted(TX.LANG_MARKERS):
+        b = f"CASE WHEN hits_{lang} > {prev_n} THEN '{lang}' ELSE {prev_b} END"
+        n = f"CASE WHEN hits_{lang} > {prev_n} THEN hits_{lang} ELSE {prev_n} END"
+        prev_b, prev_n = b, n
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+  {hit_cols}
+  FROM documents
+),
+pred AS (
+  SELECT lang AS a, {prev_b} AS b FROM h
+),
+cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2
+),
+row_m AS (SELECT a, CAST(SUM(n) AS BIGINT) AS ra FROM cells GROUP BY 1),
+col_m AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cb FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+         CAST(COALESCE(SUM(CASE WHEN a = b THEN n END), 0) AS BIGINT)
+           AS n_agree
+  FROM cells
+),
+pe AS (
+  SELECT CAST(COALESCE(SUM(ra * cb), 0) AS BIGINT) AS pe_num
+  FROM row_m JOIN col_m ON a = b
+)
+SELECT n_items, n_agree, pe_num,
+       n_agree / CAST(n_items AS DOUBLE) AS po,
+       pe_num / CAST(n_items * n_items AS DOUBLE) AS pe,
+       CASE WHEN n_items * n_items - pe_num <> 0 THEN
+         (n_items * n_agree - pe_num)
+           / CAST(n_items * n_items - pe_num AS DOUBLE)
+       END AS kappa
+FROM tot CROSS JOIN pe
+"""
+
+
+@_q("lang_id_kappa", _lang_kappa_oracle())
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement of the marker-argmax language ID
+    with the labeled lang column (`quality.cohens_kappa`): kappa as
+    one IEEE division of exact BIGINTs — (n·agree − Σ row·col) /
+    (n² − Σ row·col). One projection + one cell hash agg; everything
+    after is marginal math over the ≤|langs|² matrix."""
+    from ..operators.quality import cohens_kappa
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    pred = TX.lang_scores(docs, "text").select("lang", "predicted_lang")
+    return cohens_kappa(pred, "lang", "predicted_lang")

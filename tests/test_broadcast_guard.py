@@ -92,6 +92,8 @@ ALLOWED = {
         "1-row grand-total frame",
     ("operators/quality.py", "audit"):
         "1-row orphan-count aggregate",
+    ("operators/quality.py", "cohens_kappa"):
+        "1-row totals and 1-row marginal-product (pe) frames",
     ("operators/quality.py", "mutual_information"):
         "1-row total and 1-row marginal-entropy scalars",
     ("operators/sampling.py", "mixture_sample"):

@@ -224,3 +224,47 @@ def test_mutual_information_null_is_a_level(spark):
     r = mutual_information(df, "x", "y").collect()[0]
     assert r["n"] == 20
     assert r["nmi"] > 0.99  # NULL level perfectly predicted by x
+
+
+def test_cohens_kappa_hand_computed(spark):
+    from redshift_etl_spark.operators.quality import cohens_kappa
+
+    # classic 2x2 example: n=50, agree=35, rowA=(25,25), colB=(30,20)
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n_items"] == 50 and r["n_agree"] == 35
+    # pe_num = 25*30 + 25*20 = 1250; kappa = (50*35-1250)/(2500-1250)
+    assert r["pe_num"] == 1250
+    assert abs(r["kappa"] - 500 / 1250) < 1e-15
+    assert abs(r["po"] - 0.7) < 1e-15 and abs(r["pe"] - 0.5) < 1e-15
+
+
+def test_cohens_kappa_degenerate_and_nulls(spark):
+    from redshift_etl_spark.operators.quality import cohens_kappa
+
+    # single category on both sides: pe_num = n^2 -> NULL kappa
+    df = spark.createDataFrame([("x", "x")] * 7, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["kappa"] is None and r["n_agree"] == 7
+    # NULLs dropped; disjoint categories -> pe_num 0, kappa = agree/n
+    df2 = spark.createDataFrame(
+        [("x", "y"), ("x", None), (None, "y"), ("y", "x")],
+        "a string, b string",
+    )
+    r2 = cohens_kappa(df2, "a", "b").collect()[0]
+    assert r2["n_items"] == 2 and r2["pe_num"] == 2  # x:1*1 + y:1*1
+    assert r2["n_agree"] == 0
+
+
+def test_cohens_kappa_partition_invariance(spark):
+    from redshift_etl_spark.operators.quality import cohens_kappa
+
+    rows = [(f"c{i % 4}", f"c{(i * 7) % 4}") for i in range(100)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    one = cohens_kappa(df.coalesce(1), "a", "b").collect()
+    many = cohens_kappa(df.repartition(9), "a", "b").collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
