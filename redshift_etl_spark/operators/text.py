@@ -1045,3 +1045,59 @@ def gopher_rules(
         *[c.cast("int").alias(name) for name, c in flags.items()],
         keep.cast("int").alias("keep"),
     )
+
+
+def vocab_richness(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group vocabulary-richness diagnostics — the corpus
+    linguistics a data card quotes per source: token/type counts,
+    hapax (f1) / doubleton (f2) frequencies, the bias-corrected Chao1
+    richness estimate, and Simpson token concentration.
+
+        chao1   = types + f1·(f1−1) / (2·(f2+1))     (Chao 1984,
+                  bias-corrected form — defined even when f2 = 0)
+        simpson = Σ_t tf_t·(tf_t−1) / (N·(N−1))      (prob. two random
+                  tokens are the same type; NULL when N < 2)
+
+    Both are single IEEE divisions of exact BIGINT sums, so every
+    reported value is engine- and partitioning-exact.
+
+    Scale shape: one (group, term) hash aggregate (map-side combined —
+    the per-term counts are the only vocabulary-sized frame and it
+    never leaves the aggregation), then one group-level aggregate.
+    No window, no join, nothing broadcast."""
+    tf = (
+        df.select(
+            F.col(group_col),
+            F.explode(tokens_col(text_col)).alias("__term"),
+        )
+        .groupBy(group_col, "__term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    agg = tf.groupBy(group_col).agg(
+        F.sum("__tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("__tf") == 1).cast("int")).cast("long").alias("f1"),
+        F.sum((F.col("__tf") == 2).cast("int")).cast("long").alias("f2"),
+        F.sum(F.col("__tf") * (F.col("__tf") - 1))
+        .cast("long")
+        .alias("__rep2"),
+    )
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        (
+            F.col("n_types")
+            + (F.col("f1") * (F.col("f1") - 1))
+            / (2 * (F.col("f2") + 1)).cast("double")
+        ).alias("chao1"),
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.col("__rep2")
+            / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"),
+        ).alias("simpson"),
+    )

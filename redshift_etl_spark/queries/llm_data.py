@@ -5374,3 +5374,49 @@ def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("lang", "text")
     pred = TX.lang_scores(docs, "text").select("lang", "predicted_lang")
     return cohens_kappa(pred, "lang", "predicted_lang")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness per source (operators/text.vocab_richness) —
+# Chao1 + Simpson concentration, the data-card linguistics row.
+# ---------------------------------------------------------------------------
+
+_VOCAB_RICHNESS_ORACLE = """
+WITH tf AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT source, unnest(str_split(text, ' ')) AS term FROM documents
+  )
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(SUM(tf * (tf - 1)) AS BIGINT) AS rep2
+  FROM tf GROUP BY 1
+)
+SELECT source, n_tokens, n_types, f1, f2,
+       n_types + (f1 * (f1 - 1)) / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+       CASE WHEN n_tokens >= 2 THEN
+         rep2 / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+       END AS simpson
+FROM agg
+ORDER BY source
+"""
+
+
+@_q("vocab_richness", _VOCAB_RICHNESS_ORACLE)
+def vocab_richness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary richness (`text.vocab_richness`): token/
+    type counts, hapax/doubleton frequencies, bias-corrected Chao1,
+    Simpson token concentration — exact BIGINT sums, one IEEE division
+    per statistic. One map-side-combined (source, term) aggregate and
+    one source aggregate; the vocabulary-sized frame never leaves the
+    aggregation."""
+    from ..operators.text import vocab_richness
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_richness(docs, "source", "text").orderBy("source")

@@ -1,0 +1,26 @@
+
+
+def test_vocab_richness_hand_computed(spark):
+    from redshift_etl_spark.operators.text import vocab_richness
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "a a a b b c"),      # tf: a=3 b=2 c=1
+            ("s2", "x y"),              # tf: x=1 y=1
+        ],
+        "source string, text string",
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in vocab_richness(df, "source", "text").collect()
+    }
+    s1 = out["s1"]
+    assert (s1["n_tokens"], s1["n_types"], s1["f1"], s1["f2"]) == (6, 3, 1, 1)
+    # chao1 = 3 + 1*0/(2*2) = 3.0 ; simpson = (3*2 + 2*1)/ (6*5)
+    assert s1["chao1"] == 3.0
+    assert abs(s1["simpson"] - 8 / 30) < 1e-15
+    s2 = out["s2"]
+    # all hapax: chao1 = 2 + 1*0/2 = 2? f1=2 -> 2 + 2*1/(2*1) = 3.0
+    assert (s2["f1"], s2["f2"]) == (2, 0)
+    assert s2["chao1"] == 2 + (2 * 1) / 2.0
+    assert s2["simpson"] == 0.0
