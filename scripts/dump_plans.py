@@ -154,6 +154,27 @@ NOTES = {
         "one vector agg) -> ADC: exploded codes join the broadcast "
         "m*k query table, integer sums, bounded top-k window"
     ),
+    "hard_negatives_bucketed": (
+        "100 TB mining path: banded-LSH candidate tiles (grouped "
+        "sweep, no BNLJ/Cartesian) -> mirrored pairs persist -> two "
+        "id hash joins for labels -> ONE a_id exchange shared by the "
+        "ceiling and rank windows"
+    ),
+    "bitext_margin_bucketed": (
+        "bipartite banded-LSH: band-bucket shuffle equi-join (AQE "
+        "skew-splittable) -> persisted 3-col candidate frame -> "
+        "margin stage windows/joins; no full-table broadcast"
+    ),
+    "token_budget_waterfill": (
+        "exact water-filling: source hash agg -> ranked_cumsum range "
+        "exchange over PER-SOURCE counts -> 1-row level broadcasts -> "
+        "pure projection"
+    ),
+    "corpus_quality_trend": (
+        "zero-shuffle Gopher projection with epoch carried -> one "
+        "epoch hash agg -> lag window over the 8-row frame (bounded "
+        "by epoch count)"
+    ),
 }
 
 
