@@ -724,3 +724,61 @@ def delta_join_refresh(
         .unionByName(left_delta.join(right_delta, on))
     )
     return view.unionByName(dj.select(*view.columns))
+
+
+def half_life_scores(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    asof_date: str,
+    half_life_days: int,
+    scale: int = 100,
+) -> DataFrame:
+    """Recency-weighted engagement score per key with EXACT
+    halving-bucket decay — the "exponential decay" every
+    activity/recommendation scorer wants, made engine-exact: instead
+    of ``value·2^(−age/λ)`` (a libm pow whose last ulp differs across
+    runtimes), age quantizes to whole half-lives and the value's
+    integer cents halve by bit-shift:
+
+        k        = age_days div half_life_days        (integer)
+        decayed  = cents div 2^k                      (exact BIGINT)
+        score    = Σ decayed                          (associative)
+
+    Same decay curve sampled at half-life boundaries; every number is
+    an exact integer, so the score is identical in any engine and
+    under any partitioning. Events after ``asof_date`` are excluded
+    (a score "as of" a date cannot see the future); k caps at 62
+    (past ~62 half-lives a cent is 0 anyway). Values must be
+    non-negative (truncating vs flooring integer division diverges on
+    negatives across engines — the cents contract rejects them).
+
+    Returns (key, n_events, last_age_days, score_cents): one
+    projection + one key hash agg — scan-speed at corpus scale.
+    """
+    age = F.datediff(
+        F.lit(asof_date).cast("date"), F.col(ts_col).cast("date")
+    )
+    staged = (
+        df.filter(F.col(ts_col).cast("date") <= F.lit(asof_date).cast("date"))
+        .select(
+            F.col(key_col),
+            F.round(F.col(value_col) * scale, 0).cast("long").alias("__c"),
+            F.least(
+                F.expr(
+                    f"CAST(datediff(DATE'{asof_date}', "
+                    f"CAST({ts_col} AS DATE)) div {int(half_life_days)} "
+                    f"AS INT)"
+                ),
+                F.lit(62),
+            ).alias("__k"),
+            age.cast("long").alias("__age"),
+        )
+    )
+    decayed = F.expr("__c div shiftleft(CAST(1 AS BIGINT), __k)")
+    return staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("__age").cast("long").alias("last_age_days"),
+        F.sum(decayed).cast("long").alias("score_cents"),
+    )

@@ -4849,3 +4849,45 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("robust_z")).desc(), "event_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Recency-weighted engagement (operators/rollup.half_life_scores) —
+# exponential decay made engine-exact by halving buckets: integer
+# cents shift right one bit per whole half-life of age.
+# ---------------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+WITH staged AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         LEAST(CAST(datediff('day', CAST(ts AS DATE), DATE '2024-02-15')
+                    // 7 AS INT), 62) AS k,
+         CAST(datediff('day', CAST(ts AS DATE), DATE '2024-02-15')
+              AS BIGINT) AS age
+  FROM events
+  WHERE CAST(ts AS DATE) <= DATE '2024-02-15'
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(age) AS BIGINT) AS last_age_days,
+       CAST(SUM(c // (CAST(1 AS BIGINT) << k)) AS BIGINT) AS score_cents
+FROM staged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@_q("engagement_decay", _DECAY_ORACLE)
+def engagement_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-weighted engagement as of 2024-02-15 with a
+    7-day half-life (`rollup.half_life_scores`): integer cents halve
+    by bit-shift per whole half-life of age, so the 'exponential
+    decay' score is exact BIGINT arithmetic end to end — no libm pow,
+    no float accumulation. One projection + one user hash agg."""
+    from ..operators.rollup import half_life_scores
+
+    events = load(spark, sf_dir, "events")
+    return half_life_scores(
+        events, "user_id", "value", "ts", "2024-02-15", 7
+    ).orderBy("user_id")

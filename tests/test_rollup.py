@@ -387,3 +387,57 @@ def test_delta_join_refresh_equals_full_recompute(spark):
         .collect()
     )
     assert got == full and len(got) > len(view.collect())
+
+
+def test_half_life_scores_exact_halving(spark):
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators.rollup import half_life_scores
+
+    df = spark.createDataFrame(
+        [
+            # ages vs 2024-03-01: 0d, 7d, 14d, 15d, future (excluded)
+            ("u1", 10.00, "2024-03-01 10:00:00"),
+            ("u1", 10.00, "2024-02-23 00:00:00"),
+            ("u1", 10.00, "2024-02-16 23:59:59"),
+            ("u1", 10.01, "2024-02-15 00:00:00"),
+            ("u1", 99.99, "2024-03-02 00:00:00"),
+            ("u2", 0.03, "2024-01-01 00:00:00"),
+        ],
+        "user_id string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["user_id"]: r.asDict()
+        for r in half_life_scores(
+            df, "user_id", "value", "ts", "2024-03-01", 7
+        ).collect()
+    }
+    u1 = out["u1"]
+    # k = 0,1,2,2 -> 1000 + 500 + 250 + 1001 div 4 = 1000+500+250+250
+    assert u1["n_events"] == 4  # future event excluded
+    assert u1["score_cents"] == 1000 + 500 + 250 + 250
+    assert u1["last_age_days"] == 0
+    # u2: age 60d -> k=8, 3 div 256 = 0
+    assert out["u2"]["score_cents"] == 0
+    assert out["u2"]["n_events"] == 1
+
+
+def test_half_life_scores_partition_invariance(spark):
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators.rollup import half_life_scores
+
+    rows = [
+        (f"u{i % 5}", float(i) + 0.25, f"2024-01-{(i % 28) + 1:02d} 12:00:00")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    one = sorted(map(tuple, half_life_scores(
+        df.coalesce(1), "user_id", "value", "ts", "2024-02-15", 7
+    ).collect()))
+    many = sorted(map(tuple, half_life_scores(
+        df.repartition(9), "user_id", "value", "ts", "2024-02-15", 7
+    ).collect()))
+    assert one == many
