@@ -174,3 +174,54 @@ def bucket_width_advisor(
             F.lit(1.0), F.percentile(length, F.lit(0.5))
         ).alias("recommended_width"),
     )
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: Column | str,
+    l_end: Column | str,
+    r_start: Column | str,
+    r_end: Column | str,
+    bucket_width: float,
+) -> DataFrame:
+    """Join every left interval to every right interval it OVERLAPS —
+    half-open semantics: ``l_start < r_end AND r_start < l_end`` (the
+    sessions × incidents / campaigns × outages shape `range_join`'s
+    point-in-interval form can't express).
+
+    Scale shape: both sides explode to the buckets their span covers
+    (fan-out = span/width + 1 per row, bounded by the caller's width
+    choice), then one shuffle equi-join on the bucket key. Every
+    overlapping pair shares the bucket of ``max(l_start, r_start)`` —
+    the later start lies inside both intervals, so both sides cover
+    that bucket — and the pair is emitted ONLY from it: deduplication
+    by arithmetic ownership, no dropDuplicates shuffle, no pair ever
+    built twice. Output columns = left ⧺ right; names must not
+    collide (select/alias beforehand)."""
+    ls, le = _c(l_start), _c(l_end)
+    rs, re_ = _c(r_start), _c(r_end)
+    lb = left.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(ls / F.lit(bucket_width)),
+                F.floor(le / F.lit(bucket_width)),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(rs / F.lit(bucket_width)),
+                F.floor(re_ / F.lit(bucket_width)),
+            )
+        ),
+    )
+    overlap = (ls < re_) & (rs < le)
+    owner = F.floor(F.greatest(ls, rs) / F.lit(bucket_width)) == F.col(
+        _BUCKET
+    )
+    return lb.join(rb, [_BUCKET], "inner").where(overlap & owner).drop(
+        _BUCKET
+    )

@@ -4891,3 +4891,73 @@ def engagement_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return half_life_scores(
         events, "user_id", "value", "ts", "2024-02-15", 7
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Interval-interval overlap join (operators/rangejoin.
+# interval_overlap_join) — campaigns x incidents: which purchase
+# campaign windows were marred by overlapping error incidents?
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH inc AS (
+  SELECT event_id AS incident_id,
+         CAST(epoch(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS i_start,
+         CAST(epoch(CAST(ts AS TIMESTAMP)) + 3600 AS DOUBLE) AS i_end
+  FROM events WHERE event_type = 'error'
+),
+camp AS (
+  SELECT event_id AS campaign_id,
+         CAST(epoch(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS c_start,
+         CAST(epoch(CAST(ts AS TIMESTAMP)) + 7200 AS DOUBLE) AS c_end
+  FROM events WHERE event_type = 'purchase' AND value >= 400
+)
+SELECT campaign_id,
+       CAST(COUNT(*) AS BIGINT) AS n_incidents,
+       CAST(MIN(incident_id) AS BIGINT) AS first_incident_id
+FROM camp JOIN inc
+  ON c_start < i_end AND i_start < c_end
+GROUP BY campaign_id
+ORDER BY campaign_id
+"""
+
+
+@_q("campaign_incident_overlap", _OVERLAP_ORACLE)
+def campaign_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (`rangejoin.interval_overlap_
+    join`): high-value purchase 'campaign' windows (2 h) overlapped by
+    error incident windows (1 h). Bucketed on a 1 h grid with
+    arithmetic-ownership dedup — every pair emitted from exactly the
+    bucket of max(start, start), so there is no dropDuplicates
+    shuffle and no cross product anywhere; the oracle is the plain
+    theta join."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    ev = load(spark, sf_dir, "events")
+
+    def _epoch_s(c: F.Column) -> F.Column:
+        return c.cast("timestamp").cast("double")
+
+    inc = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        _epoch_s(F.col("ts")).alias("i_start"),
+        (_epoch_s(F.col("ts")) + 3600).alias("i_end"),
+    )
+    camp = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 400)
+    ).select(
+        F.col("event_id").alias("campaign_id"),
+        _epoch_s(F.col("ts")).alias("c_start"),
+        (_epoch_s(F.col("ts")) + 7200).alias("c_end"),
+    )
+    joined = interval_overlap_join(
+        camp, inc, "c_start", "c_end", "i_start", "i_end", 3600
+    )
+    return (
+        joined.groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_incidents"),
+            F.min("incident_id").cast("long").alias("first_incident_id"),
+        )
+        .orderBy("campaign_id")
+    )

@@ -128,3 +128,58 @@ def test_bucket_width_advisor_recommends_median(spark):
         if ls < re and rs < le
     )
     assert got == want
+
+
+def test_interval_overlap_join_exact_and_once(spark):
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 50.0, 60.0), (3, 95.0, 105.0)],
+        "lid long, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 5.0, 7.0),     # inside 1
+            (11, 9.0, 55.0),    # spans 1 and 2, many buckets
+            (12, 60.0, 70.0),   # touches 2 only at the open end -> no
+            (13, 100.0, 101.0), # inside 3
+            (14, 200.0, 300.0), # no partner
+        ],
+        "rid long, rs double, re double",
+    )
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=7.0
+    ).select("lid", "rid")
+    got = sorted(map(tuple, out.collect()))
+    # half-open: [50,60) x [60,70) do NOT overlap
+    assert got == [(1, 10), (1, 11), (2, 11), (3, 13)]
+    # arithmetic ownership: no pair emitted twice even when the pair
+    # shares many buckets (interval 11 spans ~7 buckets of both sides)
+    assert out.count() == len(set(got))
+
+
+def test_interval_overlap_join_width_invariance(spark):
+    from redshift_etl_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(i, float(i * 3), float(i * 3 + 5)) for i in range(40)],
+        "lid long, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, float(i * 4), float(i * 4 + 2)) for i in range(30)],
+        "rid long, rs double, re double",
+    )
+    outs = [
+        sorted(
+            map(
+                tuple,
+                interval_overlap_join(
+                    left, right, "ls", "le", "rs", "re", w
+                ).select("lid", "rid").collect(),
+            )
+        )
+        for w in (1.0, 3.0, 17.0)
+    ]
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
