@@ -915,3 +915,57 @@ def ndcg_at_k(
             ),
         )
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative value distribution —
+    the inequality scalar next to a Lorenz curve (token mass across
+    sources, spend across customers):
+
+        G = Σ_i (2i − n − 1)·x_(i)  /  (n · Σ x)
+
+    over values sorted ascending. Everything integer until the final
+    division: values fix to BIGINT at ``scale`` (cents by default),
+    the global rank i comes from one :func:`ranked_cumsum` range
+    exchange (ties get distinct ranks — the formula is tie-invariant:
+    equal values contribute the same total for any rank order within
+    the tie, since Σ(2i−n−1) over a rank run is rank-set-symmetric),
+    and the weighted sum stays BIGINT. One row: (n, total, gini);
+    NULL gini when n·Σx = 0. NULL/negative values are the caller's
+    job to filter (Gini is undefined on negatives — document the
+    population, don't guess)."""
+    vals = df.select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("__v")
+    )
+    ranked = ranked_cumsum(
+        vals,
+        [F.col("__v").asc()],
+        "__v",
+        rank_name="__i",
+        cumsum_name="__cum",
+        num_partitions=num_partitions,
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").cast("long").alias("total_scaled"),
+        F.sum(
+            (2 * F.col("__i") - F.lit(1)) * F.col("__v")
+        ).cast("long").alias("__wsum_part"),
+    )
+    # Σ(2i−n−1)x = Σ(2i−1)x − n·Σx  (n unknown until the agg, so the
+    # per-row weight uses (2i−1) and the n·Σx term folds in here)
+    return agg.select(
+        "n",
+        "total_scaled",
+        F.when(
+            (F.col("n") > 0) & (F.col("total_scaled") > 0),
+            (
+                F.col("__wsum_part") - F.col("n") * F.col("total_scaled")
+            ) / (F.col("n") * F.col("total_scaled")).cast("double"),
+        ).alias("gini"),
+    )

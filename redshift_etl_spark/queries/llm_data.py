@@ -5420,3 +5420,48 @@ def vocab_richness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return vocab_richness(docs, "source", "text").orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# m-estimate target encoding (operators/features.m_estimate_encode) —
+# smoothed per-source English share, the high-cardinality categorical
+# feature recipe (Micci-Barreca 2001).
+# ---------------------------------------------------------------------------
+
+_MEST_ORACLE = """
+WITH lab AS (
+  SELECT source, CAST(lang = 'en' AS INT) AS y FROM documents
+),
+per_cat AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM lab GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(y) AS BIGINT) AS pp
+  FROM lab
+)
+SELECT source, n, pos,
+       (pos + 20 * (pp / CAST(nn AS DOUBLE))) / CAST(n + 20 AS DOUBLE)
+         AS enc
+FROM per_cat CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@_q("source_english_encoding", _MEST_ORACLE)
+def source_english_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed per-source English share by m-estimate target encoding
+    (`features.m_estimate_encode`, m=20): small sources shrink toward
+    the corpus prior, large ones approach their raw rate. Exact BIGINT
+    counts; the prior ratio and blend are single fixed-order IEEE
+    expressions mirrored in the oracle. One category hash agg + a
+    1-row prior fold."""
+    from ..operators.features import m_estimate_encode
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", (F.col("lang") == "en").alias("is_en")
+    )
+    return m_estimate_encode(docs, "source", "is_en", m=20).orderBy(
+        "source"
+    )

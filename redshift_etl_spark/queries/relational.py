@@ -4961,3 +4961,54 @@ def campaign_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("campaign_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Gini coefficient (operators/distsort.gini_coefficient) —
+# customer-spend inequality, the scalar next to customer_pareto's
+# Lorenz curve.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents) AS BIGINT) AS i
+  FROM spend
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total_scaled,
+         CAST(SUM((2 * i - 1) * cents) AS BIGINT) AS wsum
+  FROM r
+)
+SELECT n, total_scaled,
+       CASE WHEN n > 0 AND total_scaled > 0 THEN
+         (wsum - n * total_scaled) / CAST(n * total_scaled AS DOUBLE)
+       END AS gini
+FROM agg
+"""
+
+
+@_q("customer_spend_gini", _GINI_ORACLE)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-customer total spend
+    (`distsort.gini_coefficient`): integer cents, one ranked_cumsum
+    range exchange for the global ranks (tie-invariant — equal spends
+    contribute a rank-set-symmetric sum), one IEEE division at the
+    end. The inequality scalar beside customer_pareto's Lorenz
+    curve."""
+    from ..operators.distsort import gini_coefficient
+
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    return gini_coefficient(spend, "cents", scale=1)
