@@ -246,7 +246,11 @@ def clean_text(text: Column | str) -> Column:
 
 
 def tfidf_top_terms(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    hot_terms: int | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF·IDF.
 
@@ -254,28 +258,43 @@ def tfidf_top_terms(
     exact integers is bit-identical on every engine, whereas ``ln`` is
     libm-dependent (last-ulp divergence across runtimes — same reason
     the math oracle suite excludes exp/ln). Ranking is deterministic:
-    score desc, then term asc.
+    score desc, then term asc. Both plans below produce identical
+    rows (pytest-asserted); the parameter only picks the physical
+    strategy.
 
     Scale shape — the skew question decides the plan. Doc-frequency
-    must reach every (doc, term) row; the three candidates:
+    must reach every (doc, term) row; a plain shuffle join (or
+    COUNT() OVER (PARTITION BY term)) sends every occurrence of a hot
+    term ("the" ≈ one row per doc) to ONE reducer — unbounded skew.
 
-    - COUNT() OVER (PARTITION BY term) window, or a shuffle join on
-      term: every occurrence of a hot term ("the" ≈ one row per doc)
-      lands on ONE reducer — unbounded skew at corpus scale. Rejected
-      (measured too: the window's partition sort also loses at sf0.1).
-    - persist the TF relation across the two branches: pays a
-      corpus-wide cache materialization to save one map-side pass —
-      measured strictly slower at bench scale, and a memory cliff at
-      100 TB. Rejected.
-    - recompute: the doc-frequency branch re-tokenizes the corpus
-      (map-side CPU, embarrassingly parallel, no bottleneck) into a
-      term-keyed partial agg whose network traffic is vocabulary-sized,
-      then the vocab table BROADCASTS back onto TF — the TF relation
-      itself never moves. Skew-free, no memory cliff. Chosen.
+    Default (``hot_terms=None``): the vocabulary table BROADCASTS
+    back onto TF — skew-free, no second shuffle, and the cheapest
+    plan whenever the distinct-term vocabulary fits an executor.
+    That IS a contract: whitespace/BPE vocabularies of curated
+    corpora are 10⁵–10⁷ rows, but a raw web crawl's distinct-token
+    set is effectively unbounded — broadcasting it OOMs.
 
-    (Exchange reuse cannot merge the branches: Catalyst's
-    RemoveRedundantAggregates strips the count from the dfreq branch,
-    making the subtrees structurally different.)
+    Hybrid (``hot_terms=N``) — the unbounded-vocabulary path, the
+    standard skew-join split with the split chosen by the very
+    statistic being joined:
+
+    - the N highest-df terms (a TakeOrdered head — bounded by the
+      parameter, not the data) BROADCAST onto TF: exactly the rows
+      that would have skewed a shuffle never shuffle at all;
+    - the long tail anti-joins that same head and computes its
+      doc-frequency with a term-partitioned count window over the
+      COLD ROWS THEMSELVES (every occurrence of a tail term is a
+      cold row, so the local count IS the global df): one term
+      shuffle whose largest partition is bounded by the head's
+      minimum df — skew bounded by construction, and nothing
+      vocabulary-sized is ever broadcast.
+
+    The doc-frequency branch re-tokenizes the corpus rather than
+    persisting TF (map-side CPU, embarrassingly parallel) — measured
+    faster than a corpus-wide cache at bench scale, and no memory
+    cliff at 100 TB. (Exchange reuse cannot merge the branches:
+    Catalyst's RemoveRedundantAggregates strips the count from the
+    dfreq branch, making the subtrees structurally different.)
     """
     from pyspark.sql import Window
 
@@ -285,13 +304,19 @@ def tfidf_top_terms(
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "score",
-            F.col("tf") * (F.col("__n").cast("double") / F.col("__df")),
-        )
+    if hot_terms is None:
+        scored = tf.join(F.broadcast(dfreq), "term")
+    else:
+        hot = dfreq.orderBy(F.desc("__df"), F.asc("term")).limit(hot_terms)
+        scored_hot = tf.join(F.broadcast(hot), "term")
+        w_term = Window.partitionBy("term")
+        scored_cold = tf.join(
+            F.broadcast(hot.select("term")), "term", "left_anti"
+        ).withColumn("__df", F.count(F.lit(1)).over(w_term))
+        scored = scored_hot.unionByName(scored_cold)
+    scored = scored.crossJoin(F.broadcast(n_docs)).withColumn(
+        "score",
+        F.col("tf") * (F.col("__n").cast("double") / F.col("__df")),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (

@@ -131,7 +131,7 @@ ALLOWED = {
     ("operators/text.py", "encode_ids"):
         "token->id vocab: <= vocab_size rows by construction",
     ("operators/text.py", "tfidf_top_terms"):
-        "distinct-term vocabulary — sublinear in corpus size (Heaps), the documented skew-free trade",
+        "default: vocab broadcast under the bounded-vocabulary contract (1e5-1e7 rows for curated corpora); hot_terms=N switches to the bounded top-N head + windowed tail for unbounded web vocabularies",
     ("operators/web.py", "blocklist_filter"):
         "caller-supplied deny list — small by contract",
     ("operators/web.py", "domain_share"):

@@ -124,10 +124,32 @@ def test_sequence_packing_single_shuffle(spark):
 
 
 def test_tfidf_broadcasts_vocab(spark):
-    # doc-frequency and corpus-size side inputs broadcast; the data
-    # path shuffles only for the (doc,term) agg and the per-doc window
+    # default plan: doc-frequency and corpus-size side inputs
+    # broadcast; the data path shuffles only for the (doc,term) agg
+    # and the per-doc window (bounded-vocabulary contract)
     df = Q.all_queries()["tfidf_top_terms"](spark, SF_ORACLE)
     assert P.tree_count(df, "BroadcastExchange") >= 2
+
+
+def test_tfidf_hybrid_skew_split_plan_and_equivalence(spark):
+    # hot_terms=N (the unbounded-vocabulary path): a bounded
+    # TakeOrdered head broadcasts onto TF; the cold tail anti-joins
+    # that head and gets its df from a term-partitioned count window
+    # over the cold rows (largest partition bounded by the head's
+    # minimum df). No full-vocabulary broadcast anywhere — and the
+    # rows are identical to the default plan's.
+    from redshift_etl_spark.operators.text import tfidf_top_terms
+    from redshift_etl_spark.queries.tables import load
+
+    docs = load(spark, SF_ORACLE, "documents")
+    hyb = tfidf_top_terms(docs, "doc_id", "text", k=3, hot_terms=50)
+    plan = P.physical_plan(hyb)
+    assert "TakeOrderedAndProject" in plan  # the bounded hot head
+    assert "windowspecdefinition(term" in plan  # tail df via window
+    default = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    assert sorted(map(tuple, hyb.collect())) == sorted(
+        map(tuple, default.collect())
+    )
 
 
 def test_zscore_moments_via_hash_agg_not_window(spark):
