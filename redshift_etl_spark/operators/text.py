@@ -346,6 +346,7 @@ def bigram_likelihood(
     id_col: str = "doc_id",
     text_col: str = "text",
     scale: int = 10**6,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """CCNet-style LM quality scoring: train a Laplace-smoothed bigram
     model ON the corpus itself, score each document by its average
@@ -369,6 +370,14 @@ def bigram_likelihood(
     model on (w1,w2) — Zipf-head keys are exactly what AQE skew-split
     handles (see test_aqe_skew) — and the vocab size rides a 1-row
     broadcast. One final hash agg per doc.
+
+    ``broadcast_model`` names the default's CONTRACT: the trained
+    bigram/context tables must fit an executor — true for curated
+    corpora (the CCNet use), NOT for a raw web crawl whose distinct
+    bigrams are effectively unbounded. Pass False there: the hints
+    drop, the scoring joins shuffle, and AQE's runtime sizing (plus
+    its skew-split on the Zipf-head keys) picks the strategy. Results
+    are identical either way (pytest-asserted).
     """
     bg = bigram_pairs(df, id_col, text_col)
     bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
@@ -376,15 +385,13 @@ def bigram_likelihood(
     vocab = df.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).agg(F.count_distinct("w").alias("v"))
-    # model relations broadcast: they are vocab-bounded (≤ distinct
-    # bigrams), not corpus-sized, so the bigram stream itself never
-    # shuffles for scoring — only the two model-building aggregates and
-    # the final per-doc agg move data. If a trained model ever outgrows
-    # the broadcast threshold, drop these hints: the join keys are
-    # Zipf-skewed and AQE's skew-split (test_aqe_skew) takes over.
+    if broadcast_model:
+        bg_side, ctx_side = F.broadcast(bg_counts), F.broadcast(ctx_counts)
+    else:
+        bg_side, ctx_side = bg_counts, ctx_counts
     scored = (
-        bg.join(F.broadcast(bg_counts), ["w1", "w2"])
-        .join(F.broadcast(ctx_counts), ["w1"])
+        bg.join(bg_side, ["w1", "w2"])
+        .join(ctx_side, ["w1"])
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "p",

@@ -125,7 +125,7 @@ ALLOWED = {
     ("operators/skew.py", "skew_report"):
         "one row per shuffle partition + 1-row total (cluster config)",
     ("operators/text.py", "bigram_likelihood"):
-        "bounded vocab + its context/bigram count frames (vocab-cap construction)",
+        "default: model tables broadcast under the fits-an-executor contract (curated-corpus bigram counts) + a 1-row vocab scalar; broadcast_model=False drops the hints for unbounded web bigram sets (AQE skew-split takes over)",
     ("operators/text.py", "bm25_scores"):
         "1-row corpus stats + doc frequencies for the QUERY's terms only",
     ("operators/text.py", "encode_ids"):

@@ -24,3 +24,19 @@ def test_vocab_richness_hand_computed(spark):
     assert (s2["f1"], s2["f2"]) == (2, 0)
     assert s2["chao1"] == 2 + (2 * 1) / 2.0
     assert s2["simpson"] == 0.0
+
+
+def test_bigram_likelihood_hint_free_equivalence(spark):
+    """broadcast_model=False (the unbounded-web-vocabulary path) must
+    produce identical rows — the hint is strategy, not semantics."""
+    from redshift_etl_spark.operators.text import bigram_likelihood
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} w{(i * 2) % 5} w{i % 3} end") for i in range(30)],
+        "doc_id long, text string",
+    )
+    hinted = sorted(map(tuple, bigram_likelihood(docs).collect()))
+    free = sorted(
+        map(tuple, bigram_likelihood(docs, broadcast_model=False).collect())
+    )
+    assert hinted == free and len(hinted) == 30
