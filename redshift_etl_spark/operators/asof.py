@@ -84,3 +84,113 @@ def asof_join(
         + [F.col(f"__m_{c}").alias(c) for c in value_cols]
     )
     return carried.filter(is_left).select(*out_cols)
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    matched_time: str = "matched_time",
+) -> DataFrame:
+    """NEAREST as-of join: for each left row, the right row minimizing
+    |t_left − t_right| per key — pandas ``merge_asof(direction=
+    'nearest')``, which neither Spark nor DuckDB has natively. The
+    matched right time is returned as ``matched_time`` (NULL when the
+    key has no right rows at all).
+
+    Same single-shuffle merge as :func:`asof_join`: both sides union
+    into one key partitioning, and the backward candidate
+    (``last ignorenulls`` over unbounded-preceding) and forward
+    candidate (``first ignorenulls`` over unbounded-following) ride
+    the SAME sort order — two frames, one window exchange, no second
+    sort. A left row then picks whichever candidate is closer.
+
+    Determinism: distances compare in epoch-seconds doubles (exact
+    casts of the same timestamps in any engine); an equal-distance
+    tie goes to the BACKWARD (at-or-before) candidate — and an
+    equal-TIME right row sorts before the left row, so it is the
+    backward candidate at distance zero. Right rows must be unique
+    per (key, time) — the same determinism contract asof_join and
+    DuckDB's ASOF impose."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = left.columns
+
+    l_side = left.select(
+        *keys,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols if c not in keys],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__rt"),
+    )
+    r_side = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in keys
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_time).alias("__rt"),
+    )
+    unioned = l_side.unionByName(r_side)
+
+    order = [F.col("__t").asc(), F.col("__side").asc()]
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        *unioned.columns,
+        F.last("__rt", ignorenulls=True).over(w_back).alias("__b_rt"),
+        F.first("__rt", ignorenulls=True).over(w_fwd).alias("__f_rt"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True)
+            .over(w_back)
+            .alias(f"__b_{c}")
+            for c in value_cols
+        ],
+        *[
+            F.first(f"__r_{c}", ignorenulls=True)
+            .over(w_fwd)
+            .alias(f"__f_{c}")
+            for c in value_cols
+        ],
+    )
+    tn = F.col("__t").cast("timestamp").cast("double")
+    b_tn = F.col("__b_rt").cast("timestamp").cast("double")
+    f_tn = F.col("__f_rt").cast("timestamp").cast("double")
+    pick_back = F.col("__b_rt").isNotNull() & (
+        F.col("__f_rt").isNull() | ((tn - b_tn) <= (f_tn - tn))
+    )
+    out_cols = (
+        [F.col(k) for k in keys]
+        + [F.col("__t").alias(left_time)]
+        + [F.col(c) for c in lcols if c not in keys and c != left_time]
+        + [
+            F.when(pick_back, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(c)
+            for c in value_cols
+        ]
+        + [
+            F.when(pick_back, F.col("__b_rt"))
+            .otherwise(F.col("__f_rt"))
+            .alias(matched_time)
+        ]
+    )
+    return carried.filter(F.col("__side") == 1).select(*out_cols)

@@ -5012,3 +5012,85 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     return gini_coefficient(spend, "cents", scale=1)
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (operators/asof.asof_nearest_join) — error
+# diagnostics: the click nearest in time to each error, per user.
+# ---------------------------------------------------------------------------
+
+_NEAREST_ORACLE = """
+WITH err AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+),
+clk AS (
+  -- the operator's determinism contract: unique (key, time) on the
+  -- right side — keep the lowest click id per (user, ts)
+  SELECT user_id, click_id, click_cents, ts FROM (
+    SELECT user_id, event_id AS click_id,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS click_cents, ts,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id, ts ORDER BY event_id
+           ) AS dup_rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE dup_rn = 1
+),
+pairs AS (
+  SELECT e.user_id, e.event_id, e.ts, c.click_id, c.click_cents,
+         c.ts AS matched_time,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY ABS(epoch(CAST(e.ts AS TIMESTAMP))
+                        - epoch(CAST(c.ts AS TIMESTAMP))),
+                    CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END
+         ) AS rn
+  FROM err e JOIN clk c USING (user_id)
+)
+SELECT user_id, event_id, click_id, click_cents, matched_time
+FROM pairs WHERE rn = 1
+ORDER BY user_id, event_id
+"""
+
+
+@_q("nearest_click_to_error", _NEAREST_ORACLE)
+def nearest_click_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (`asof.asof_nearest_join`): per user, the
+    click closest in time to each error (backward wins distance
+    ties). Single union shuffle; the backward and forward candidates
+    share one window exchange and sort order. Errors for users with
+    no clicks carry NULLs — the oracle's inner theta-join drops them,
+    so this query filters to matched rows (the operator's NULL
+    contract is pytest-covered)."""
+    from ..operators.asof import asof_nearest_join
+
+    ev = load(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    from pyspark.sql import Window as W
+
+    dup_w = W.partitionBy("user_id", "ts").orderBy("click_id")
+    clk = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.round(F.col("value") * 100, 0)
+            .cast("long")
+            .alias("click_cents"),
+            "ts",
+        )
+        .withColumn("__dup", F.row_number().over(dup_w))
+        .filter(F.col("__dup") == 1)
+        .drop("__dup")
+    )
+    return (
+        asof_nearest_join(
+            err, clk, "user_id", "ts", "ts", ["click_id", "click_cents"]
+        )
+        .filter(F.col("click_id").isNotNull())
+        .select(
+            "user_id", "event_id", "click_id", "click_cents", "matched_time"
+        )
+        .orderBy("user_id", "event_id")
+    )

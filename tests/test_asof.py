@@ -49,3 +49,89 @@ def test_asof_carries_latest_not_any(spark):
     )
     out = asof_join(left, right, "k", "ts", "rts", ["price"]).first()
     assert out["price"] == 8.0  # latest at-or-before, not first, not future
+
+
+def test_nearest_join_picks_closer_side_and_tie_goes_back(spark):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators.asof import asof_nearest_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            ("k", 1, T("2024-01-01 10:00:00")),  # back at 9:59, fwd 10:03
+            ("k", 2, T("2024-01-01 10:05:00")),  # equidistant 10:03/10:07
+            ("k", 3, T("2024-01-01 09:00:00")),  # before all -> fwd only
+            ("q", 4, T("2024-01-01 00:00:00")),  # key with no right rows
+        ],
+        "kk string, lid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", 100, T("2024-01-01 09:59:00")),
+            ("k", 101, T("2024-01-01 10:03:00")),
+            ("k", 102, T("2024-01-01 10:07:00")),
+        ],
+        "kk string, rid long, rts timestamp",
+    )
+    out = {
+        r["lid"]: r.asDict()
+        for r in asof_nearest_join(
+            left, right, "kk", "ts", "rts", ["rid"]
+        ).collect()
+    }
+    assert out[1]["rid"] == 100  # 1 min back beats 3 min fwd
+    assert out[2]["rid"] == 101  # 2 min either way -> backward wins
+    assert out[3]["rid"] == 100  # nothing before -> nearest forward
+    assert out[4]["rid"] is None and out[4]["matched_time"] is None
+
+
+def test_nearest_equal_time_is_distance_zero_backward(spark):
+    import datetime as dt
+
+    from redshift_etl_spark.operators.asof import asof_nearest_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("k", 1, T("2024-01-01 10:00:00"))], "kk string, lid long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", 100, T("2024-01-01 10:00:00")),
+            ("k", 101, T("2024-01-01 10:00:01")),
+        ],
+        "kk string, rid long, rts timestamp",
+    )
+    r = asof_nearest_join(left, right, "kk", "ts", "rts", ["rid"]).collect()[0]
+    assert r["rid"] == 100
+
+
+def test_nearest_join_partition_invariance(spark):
+    import datetime as dt
+
+    from redshift_etl_spark.operators.asof import asof_nearest_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [
+            (f"k{i % 7}", i, base + dt.timedelta(minutes=i * 3))
+            for i in range(100)
+        ],
+        "kk string, lid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (f"k{i % 7}", 1000 + i, base + dt.timedelta(minutes=i * 5 + 1))
+            for i in range(60)
+        ],
+        "kk string, rid long, rts timestamp",
+    )
+    one = sorted(map(tuple, asof_nearest_join(
+        left.coalesce(1), right.coalesce(1), "kk", "ts", "rts", ["rid"]
+    ).collect()))
+    many = sorted(map(tuple, asof_nearest_join(
+        left.repartition(8), right.repartition(5), "kk", "ts", "rts", ["rid"]
+    ).collect()))
+    assert one == many
