@@ -79,6 +79,8 @@ HEADLINE = (
     "bitext_margin_bucketed",  # bipartite-LSH bitext mining (r8)
     "token_budget_waterfill",  # exact integer water-filling (r8)
     "corpus_quality_trend",  # per-epoch Gopher metrics + drift (r8)
+    "customer_spend_gini",  # exact Gini off one range exchange (r8)
+    "nearest_click_to_error",  # nearest as-of join, one shuffle (r8)
 )
 
 

@@ -5094,3 +5094,125 @@ def nearest_click_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top user journeys — the product-analytics path report: each user's
+# first five event types in time order, counted across users.
+# ---------------------------------------------------------------------------
+
+_JOURNEY_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         array_to_string(
+           list_slice(list(event_type ORDER BY epoch_us(ts), event_id),
+                      1, 5),
+           '>'
+         ) AS journey
+  FROM events GROUP BY 1
+)
+SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM seq
+GROUP BY 1
+ORDER BY n_users DESC, journey
+LIMIT 20
+"""
+
+
+@_q("user_journeys", _JOURNEY_ORACLE)
+def user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 five-step user journeys: per user, the first five event
+    types in (ts, event_id) order rendered as a path string, counted
+    across users. One user hash agg builds the in-row sorted sequence
+    (collect_list of structs + array_sort — no window, ties broken by
+    event_id), one path hash agg counts it, TakeOrdered emits the
+    head. The per-user state is the user's event count — bounded like
+    any sessionization."""
+    ev = load(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("event_type").alias("y"),
+            ).alias("__s"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("__s")).alias("__seq"))
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.slice("__seq", 1, 5), lambda s: s.getField("y")
+                ),
+            ).alias("journey")
+        )
+    )
+    return (
+        seq.groupBy("journey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("journey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-node triangle census (operators/graph.triangle_count) over the
+# frequent co-purchase graph — the catalog row for the degree-oriented
+# wedge-join triangle algorithm (previously pytest-only).
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS c
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+),
+e AS (SELECT pa, pb FROM pairs WHERE c >= 2),
+tri AS (
+  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+  FROM e e1
+  JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+),
+nodes AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM nodes GROUP BY 1 ORDER BY node
+"""
+
+
+@_q("copurchase_triangles", _TRIANGLE_ORACLE)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the frequent co-purchase graph
+    (parts co-ordered ≥2 times). `graph.triangle_count` orients edges
+    low-degree → high-degree (the standard skew bound: out-degree ≤
+    O(√m), wedge fan-out O(m^1.5) even on power-law graphs); the
+    oracle enumerates by plain id order — per-node counts are
+    orientation-independent (every triangle credits its three nodes
+    exactly once under ANY acyclic orientation), so the two
+    strategies must agree value-for-value."""
+    from ..operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.toDF("ok", "src")
+    b = items.toDF("ok", "dst")
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges).orderBy("node")

@@ -88,6 +88,17 @@ REHEARSAL = (
     # the suffix design trades for exact-dup realism.
     "cross_source_dup_matrix",  # minhash-LSH pairs x source join
     "incremental_near_dups",  # stored-index LSH probe of an increment
+    # r08 second wave (new operators, all linear-shape):
+    "token_budget_waterfill",  # ranked_cumsum over per-source counts
+    "customer_spend_gini",    # cents ranked_cumsum + 1-row agg
+    "engagement_decay",       # projection + user hash agg
+    "nearest_click_to_error",  # single union shuffle, two window frames
+    "campaign_incident_overlap",  # bucketed interval-overlap join
+    "lang_marker_ndcg",       # per-source rank windows, micro gains
+    "vocab_richness",         # (source, term) map-side-combined agg
+    "corpus_quality_trend",   # Gopher projection + epoch agg
+    "lang_id_kappa",          # cell matrix + marginal math
+    "source_english_encoding",  # category agg + 1-row prior
     # DENSITY-COUPLED (measured r08: 22.8x): replica embeddings are
     # EXACT copies (vec_id offset only) and the codebook k stays fixed
     # here, so every cluster densifies 10x and the per-cluster
