@@ -97,7 +97,11 @@ REHEARSAL = (
     "lang_marker_ndcg",       # per-source rank windows, micro gains
     "vocab_richness",         # (source, term) map-side-combined agg
     "corpus_quality_trend",   # Gopher projection + epoch agg
-    "lang_id_kappa",          # cell matrix + marginal math
+    "lang_id_kappa",          # cell matrix + marginal math (measured
+                              # 2.6x: the 4-language marker projection
+                              # is scan CPU — the 50k-doc base run is
+                              # overhead-bound on 32 cores, the 500k
+                              # run does real work; linear shape)
     "source_english_encoding",  # category agg + 1-row prior
     # DENSITY-COUPLED (measured r08: 22.8x): replica embeddings are
     # EXACT copies (vec_id offset only) and the codebook k stays fixed
