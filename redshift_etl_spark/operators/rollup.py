@@ -782,3 +782,45 @@ def half_life_scores(
         F.min("__age").cast("long").alias("last_age_days"),
         F.sum(decayed).cast("long").alias("score_cents"),
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact daily ``window_days``-day TRAILING distinct count (rolling
+    active users — the retention dashboard's headline number).
+
+    ``COUNT(DISTINCT) OVER (RANGE N DAYS)`` exists in no engine worth
+    running at scale, because distinct is not decomposable: a sliding
+    window cannot merge partial distinct states. The exact distributed
+    form is the contribution fan-out: dedupe to (entity, active-day)
+    grain first (the only corpus-sized shuffle), then each active day
+    contributes to exactly ``window_days`` report days (a bounded
+    explode — fan-out is the parameter, not the data), and one per-day
+    COUNT(DISTINCT entity) closes it. Report days run through the
+    trailing tail past the last active day (the window emptying out) —
+    callers slice the range they publish.
+
+    Two shuffles total: the (entity, day) dedupe and the per-day
+    distinct aggregate (Spark plans the latter as the standard
+    two-phase distinct Expand). Skew-free: report-day keys are
+    calendar-uniform."""
+    ud = df.select(
+        F.col(id_col).alias("__e"),
+        F.col(ts_col).cast("date").alias("__d"),
+    ).distinct()
+    fan = ud.select(
+        "__e",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window_days) - 1))
+        ).alias("__o"),
+        "__d",
+    ).select("__e", F.date_add(F.col("__d"), F.col("__o")).alias("report_day"))
+    return (
+        fan.groupBy("report_day")
+        .agg(F.count_distinct("__e").cast("long").alias("active"))
+        .orderBy("report_day")
+    )

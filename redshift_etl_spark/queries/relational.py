@@ -5216,3 +5216,35 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_count(edges).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (operators/rollup.rolling_distinct) —
+# the exact sliding COUNT(DISTINCT), which no engine's window frame
+# can express (distinct is not decomposable).
+# ---------------------------------------------------------------------------
+
+_ROLLING_DAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+fan AS (
+  SELECT user_id, d + CAST(x AS INT) AS report_day
+  FROM ud, (SELECT unnest(range(7)) AS x)
+)
+SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active
+FROM fan GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("rolling_active_users", _ROLLING_DAU_ORACLE)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily trailing-7-day distinct active users
+    (`rollup.rolling_distinct`): exact sliding COUNT(DISTINCT) via the
+    bounded contribution fan-out — dedupe to (user, day), explode each
+    active day to the 7 report days it serves, one per-day distinct
+    aggregate. Fan-out is the window parameter, never the data."""
+    from ..operators.rollup import rolling_distinct
+
+    ev = load(spark, sf_dir, "events")
+    return rolling_distinct(ev, "ts", "user_id", 7)

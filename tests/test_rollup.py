@@ -441,3 +441,49 @@ def test_half_life_scores_partition_invariance(spark):
         df.repartition(9), "user_id", "value", "ts", "2024-02-15", 7
     ).collect()))
     assert one == many
+
+
+def test_rolling_distinct_exact_window(spark):
+    import datetime as dt
+
+    from redshift_etl_spark.operators.rollup import rolling_distinct
+
+    rows = [
+        # u1 active on day 1 and day 10; u2 on days 1,2; u3 on day 3
+        ("u1", dt.datetime(2024, 1, 1, 5)),
+        ("u1", dt.datetime(2024, 1, 1, 9)),   # same day dupe
+        ("u1", dt.datetime(2024, 1, 10, 1)),
+        ("u2", dt.datetime(2024, 1, 1, 2)),
+        ("u2", dt.datetime(2024, 1, 2, 2)),
+        ("u3", dt.datetime(2024, 1, 3, 2)),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = {
+        r["report_day"].isoformat(): r["active"]
+        for r in rolling_distinct(df, "ts", "user", 3).collect()
+    }
+    # day1: u1,u2 ; day2: +u2(d2) -> still {u1,u2} ; day3: windows d1-3
+    assert out["2024-01-01"] == 2
+    assert out["2024-01-02"] == 2
+    assert out["2024-01-03"] == 3
+    # day4: d2-4 -> u2(d2), u3(d3)
+    assert out["2024-01-04"] == 2
+    # day5: d3-5 -> u3 only
+    assert out["2024-01-05"] == 1
+    # trailing tail past the last active day
+    assert out["2024-01-12"] == 1 and "2024-01-13" not in out
+
+
+def test_rolling_distinct_partition_invariance(spark):
+    import datetime as dt
+
+    from redshift_etl_spark.operators.rollup import rolling_distinct
+
+    rows = [
+        (f"u{i % 17}", dt.datetime(2024, 1, 1 + (i % 25), i % 24))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    one = sorted(map(tuple, rolling_distinct(df.coalesce(1), "ts", "user").collect()))
+    many = sorted(map(tuple, rolling_distinct(df.repartition(9), "ts", "user").collect()))
+    assert one == many
