@@ -404,3 +404,43 @@ def test_budget_waterfill_partition_invariance_and_args(spark):
         budget_waterfill(counts, "g", "n")
     with pytest.raises(ValueError):
         budget_waterfill(counts, "g", "n", budget=5, budget_frac=(1, 2))
+
+
+def test_budget_waterfill_properties(spark):
+    """Property sweep: Σalloc = min(B, Σn) exactly, 0 ≤ alloc ≤ n,
+    allocation monotone in n (a bigger group never receives less),
+    and uncapped ⇔ alloc = n."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from redshift_etl_spark.operators.sampling import budget_waterfill
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ns=st.lists(st.integers(0, 10_000), min_size=1, max_size=12),
+        budget=st.integers(0, 60_000),
+    )
+    def run(ns, budget):
+        counts = spark.createDataFrame(
+            [(f"g{i:02d}", n) for i, n in enumerate(ns)],
+            "g string, n long",
+        )
+        rows = budget_waterfill(counts, "g", "n", budget=budget).collect()
+        total = sum(ns)
+        assert sum(r["alloc"] for r in rows) == min(budget, total)
+        by_g = {r["g"]: r for r in rows}
+        for i, n in enumerate(ns):
+            r = by_g[f"g{i:02d}"]
+            assert 0 <= r["alloc"] <= n
+            assert r["capped"] == (r["alloc"] < n) or r["alloc"] == n
+        # monotone: sort by n; allocations must be non-decreasing in n
+        # except the +1 remainder granularity
+        srt = sorted(rows, key=lambda r: (r["n"], r["g"]))
+        for a, b in zip(srt, srt[1:]):
+            assert b["alloc"] >= a["alloc"] - 1
+
+    run()
