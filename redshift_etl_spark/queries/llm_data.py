@@ -5465,3 +5465,80 @@ def source_english_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m_estimate_encode(docs, "source", "is_en", m=20).orderBy(
         "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold-tuning curve — how many near-dup pairs (and how many
+# documents) a given est-Jaccard cutoff would implicate, per candidate
+# threshold. The artifact you read BEFORE committing a dedup τ.
+# ---------------------------------------------------------------------------
+
+def _dedup_curve_oracle() -> str:
+    return f"""
+WITH p AS ({_minhash_oracle()}),
+lv AS (
+  SELECT doc_a, doc_b, CAST(x AS INT) AS thr
+  FROM (SELECT doc_a, doc_b, CAST(ROUND(est_jaccard * 8, 0) AS INT) AS a8
+        FROM p),
+       (SELECT unnest(range(1, 9)) AS x)
+  WHERE x <= a8
+),
+np AS (
+  SELECT thr, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM lv GROUP BY 1
+),
+nd AS (
+  SELECT thr, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_touched
+  FROM (
+    SELECT thr, doc_a AS d FROM lv
+    UNION ALL SELECT thr, doc_b FROM lv
+  ) GROUP BY 1
+)
+SELECT np.thr AS agree_eighths,
+       np.thr / 8.0 AS est_threshold,
+       np.n_pairs, nd.n_docs_touched
+FROM np JOIN nd ON np.thr = nd.thr
+ORDER BY agree_eighths
+"""
+
+
+@_q("dedup_threshold_curve", _dedup_curve_oracle())
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve over the committed minhash-LSH candidate
+    pairs: for each candidate est-Jaccard cutoff k/8, the pairs and
+    distinct documents a dedup pass at that τ would implicate
+    (cumulative by construction — a pair at agreement k serves every
+    threshold ≤ k, a BOUNDED ≤8-way fan-out). Two 8-row aggregates
+    joined on the threshold; the exploded pair frame is PERSISTED
+    because both aggregates read it — without the pin each would
+    re-run the whole shingle/signature pipeline over the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=2, shingle_n=3
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("est_jaccard") * 8, 0).cast("int").alias("__a8"),
+    )
+    lv = pairs.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.sequence(F.lit(1), F.col("__a8"))).alias("thr"),
+    ).persist()
+    np_ = lv.groupBy("thr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    nd = (
+        lv.select("thr", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("thr")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs_touched"))
+    )
+    return (
+        np_.join(nd, "thr")
+        .select(
+            F.col("thr").alias("agree_eighths"),
+            (F.col("thr") / 8.0).alias("est_threshold"),
+            "n_pairs",
+            "n_docs_touched",
+        )
+        .orderBy("agree_eighths")
+    )
