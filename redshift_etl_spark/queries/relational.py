@@ -4910,7 +4910,7 @@ camp AS (
   SELECT event_id AS campaign_id,
          CAST(epoch(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS c_start,
          CAST(epoch(CAST(ts AS TIMESTAMP)) + 7200 AS DOUBLE) AS c_end
-  FROM events WHERE event_type = 'purchase' AND value >= 400
+  FROM events WHERE event_type = 'purchase' AND value >= 200
 )
 SELECT campaign_id,
        CAST(COUNT(*) AS BIGINT) AS n_incidents,
@@ -4944,7 +4944,7 @@ def campaign_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_epoch_s(F.col("ts")) + 3600).alias("i_end"),
     )
     camp = ev.where(
-        (F.col("event_type") == "purchase") & (F.col("value") >= 400)
+        (F.col("event_type") == "purchase") & (F.col("value") >= 200)
     ).select(
         F.col("event_id").alias("campaign_id"),
         _epoch_s(F.col("ts")).alias("c_start"),
