@@ -5542,3 +5542,63 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("agree_eighths")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Spearman rank correlation (operators/distsort.spearman_corr) —
+# marker hits vs document length: the monotone-association eval.
+# ---------------------------------------------------------------------------
+
+def _spearman_oracle() -> str:
+    en = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS["en"])
+    return f"""
+WITH r AS (
+  SELECT CAST(len(list_filter(str_split(text, ' '),
+              w -> w IN ({en}))) AS BIGINT) AS x,
+         CAST(n_chars AS BIGINT) AS y
+  FROM documents
+),
+cx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1),
+mx AS (
+  SELECT x, 2 * SUM(cnt) OVER (ORDER BY x) - cnt + 1 AS rx FROM cx
+),
+cy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1),
+my AS (
+  SELECT y, 2 * SUM(cnt) OVER (ORDER BY y) - cnt + 1 AS ry FROM cy
+),
+j AS (
+  SELECT CAST(rx AS HUGEINT) AS rx, CAST(ry AS HUGEINT) AS ry
+  FROM r JOIN mx USING (x) JOIN my USING (y)
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+         SUM(rx * ry) AS sxy
+  FROM j
+)
+SELECT n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS rho
+FROM agg
+"""
+
+
+@_q("lang_marker_spearman", _spearman_oracle())
+def lang_marker_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware Spearman correlation between English-marker hit
+    counts and document length (`distsort.spearman_corr`): doubled
+    midranks off one range exchange per variable, DECIMAL(38,0)
+    moment sums (associative), one double cast per exact integer and
+    two CORRECTLY-ROUNDED IEEE sqrts — engine-exact end to end."""
+    from ..operators.distsort import spearman_corr
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        TX.marker_hits("text", TX.LANG_MARKERS["en"]).alias("s"),
+        F.col("n_chars").cast("long").alias("len"),
+    )
+    return spearman_corr(scored, "s", "len")

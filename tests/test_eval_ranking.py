@@ -115,3 +115,56 @@ def test_partition_invariance(spark):
         )
     )
     assert one_rr == many_rr
+
+
+def test_spearman_hand_computed_and_brute_force(spark):
+    from redshift_etl_spark.operators.distsort import spearman_corr
+
+    # perfect monotone -> 1 ; perfect inverse -> -1
+    up = spark.createDataFrame(
+        [(i, i * 10 + 3) for i in range(20)], "x long, y long"
+    )
+    assert abs(spearman_corr(up, "x", "y").collect()[0]["rho"] - 1.0) < 1e-12
+    dn = spark.createDataFrame(
+        [(i, -i) for i in range(20)], "x long, y long"
+    )
+    assert abs(spearman_corr(dn, "x", "y").collect()[0]["rho"] + 1.0) < 1e-12
+    # tie-aware: compare to scipy-free brute force (midrank Pearson)
+    rows = [(i % 5, (i * 7) % 11) for i in range(40)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = spearman_corr(df, "x", "y").collect()[0]["rho"]
+
+    def midranks(vals):
+        from collections import Counter
+
+        c = Counter(vals)
+        cum, mid = 0, {}
+        for v in sorted(c):
+            mid[v] = cum + (c[v] + 1) / 2
+            cum += c[v]
+        return [mid[v] for v in vals]
+
+    rx, ry = midranks([r[0] for r in rows]), midranks([r[1] for r in rows])
+    n = len(rows)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(a * a for a in rx)
+    syy = sum(a * a for a in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    want = (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5
+    )
+    assert abs(got - want) < 1e-12
+
+
+def test_spearman_constant_column_is_null_and_partition_invariant(spark):
+    from redshift_etl_spark.operators.distsort import spearman_corr
+
+    const = spark.createDataFrame(
+        [(1, i) for i in range(10)], "x long, y long"
+    )
+    assert spearman_corr(const, "x", "y").collect()[0]["rho"] is None
+    rows = [((i * 13) % 7, (i * 5) % 9) for i in range(200)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    one = spearman_corr(df.coalesce(1), "x", "y").collect()[0]
+    many = spearman_corr(df.repartition(9), "x", "y").collect()[0]
+    assert one == many
