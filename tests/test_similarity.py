@@ -424,3 +424,40 @@ def test_farthest_point_sample_edges(spark, emb):
     assert S.farthest_point_sample(empty, k=3).count() == 0
     one = S.farthest_point_sample(df.limit(1), k=5)
     assert one.count() == 1 and one.first()["pick_order"] == 0
+
+
+def test_lsh_bucketed_adversarial_single_bucket_skew(spark):
+    """Worst-case skew: near-identical vectors all land in ONE band
+    bucket. The adaptive blocking must still produce the complete,
+    exact pair set (C(n,2) pairs at cosine ~1) while splitting the hot
+    bucket into bounded tiles — the grouped-kernel analog of an AQE
+    skew split, which applyInPandas cannot get from AQE itself."""
+    import pyspark.sql.functions as F
+
+    n, dims = 120, 8
+    base = [1.0, 0.3, 0.2, 0.1, 0.05, 0.0, 0.0, 0.0]
+    rows = [
+        (i, [round(b + 1e-9 * i * (j + 1), 12) for j, b in enumerate(base)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.lsh_bucketed_cosine_pairs(
+        df,
+        dims=dims,
+        bands=4,
+        planes_per_band=3,
+        threshold=0.99,
+        target_block_rows=16,
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert len(pairs) == n * (n - 1) // 2  # complete despite the skew
+    assert all(a < b for a, b in pairs)
+    # invariant vs a static-block run — blocking is routing only
+    static = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.lsh_bucketed_cosine_pairs(
+            df, dims=dims, bands=4, planes_per_band=3,
+            threshold=0.99, n_blocks=2,
+        ).collect()
+    }
+    assert pairs == static
