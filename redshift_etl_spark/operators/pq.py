@@ -314,3 +314,81 @@ FROM (
 ORDER BY query_id, rank
 """
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    d: int = 8,
+    topk: int = 3,
+) -> DataFrame:
+    """IVF-PQ composite search — the standard production ANN index
+    (FAISS ``IVFx,PQy``): the IVF routing table restricts the ADC scan
+    to each query's cell, so the per-query work is cell-sized, not
+    corpus-sized, and the scanned payload is PQ codes, not raw
+    vectors. ``cells`` is the corpus's (id, cluster) IVF assignment
+    (a build artifact, like ``codes``/``codebooks``).
+
+    Plan: the per-query ADC lookup table joins the query's OWN cell id
+    and broadcasts (query-bounded side, same contract as
+    `pq_adc_topk`); corpus codes join their cell id once (corpus-sized
+    hash join — in a real deployment codes and cells are stored
+    co-partitioned) and the ADC join keys on (subspace, code, CELL) —
+    cross-cell candidates never materialize. Scores, ranking and
+    determinism are exactly `pq_adc_topk`'s (integer scaled dots,
+    (score DESC, id ASC) total order); only the candidate set shrinks
+    to the probed cell, the IVF recall trade `ann_topk_ivf` already
+    contracts."""
+    qsub = _subspaces(queries, id_col, vec_col, m, d)
+    qcell = cells.select(
+        F.col(id_col).alias("vid"), F.col("cluster").alias("cell")
+    )
+    qtable = (
+        qsub.join(F.broadcast(codebooks), "s")
+        .join(qcell, "vid")
+        .select(
+            F.col("vid").alias("qid"),
+            "s",
+            F.col("cent_id").alias("code_val"),
+            "cell",
+            _dot_scaled(F.col("sv"), F.col("cv")).alias("ds"),
+        )
+    )
+    ncodes = (
+        codes.select(
+            F.col("vid").alias("nid"),
+            F.posexplode(F.split("code", "-")).alias("s", "c"),
+        )
+        .select("nid", "s", F.col("c").cast("long").alias("code_val"))
+        .join(
+            cells.select(
+                F.col(id_col).alias("nid"), F.col("cluster").alias("cell")
+            ),
+            "nid",
+        )
+    )
+    scored = (
+        ncodes.join(F.broadcast(qtable), ["s", "code_val", "cell"])
+        .groupBy("qid", "nid")
+        .agg(F.sum("ds").alias("approx_dot_scaled"))
+        .filter(F.col("qid") != F.col("nid"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("approx_dot_scaled"), F.asc("nid")
+    )
+    return (
+        scored.select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "approx_dot_scaled",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= topk)
+    )

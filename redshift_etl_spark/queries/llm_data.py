@@ -5602,3 +5602,85 @@ def lang_marker_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("len"),
     )
     return spearman_corr(scored, "s", "len")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite search (operators/pq.ivf_pq_topk) — the standard
+# production ANN index: IVF cell routing x PQ ADC scoring. Oracle
+# composes the committed IVF Lloyd's chain with the committed PQ
+# training chain (PQ CTE names prefixed to avoid collisions).
+# ---------------------------------------------------------------------------
+
+def _ivf_pq_oracle(topk: int = 3) -> str:
+    import re as _re
+
+    from ..operators import pq as PQ
+
+    ivf_parts = _ivf_train_ctes()  # c, cent0..2, assign0/1, assignF
+    pq_parts = PQ.pq_training_sql_prefix()  # WITH c, sub, lowk, cent*, a*
+    # drop PQ's duplicate `c` CTE (identical to the IVF chain's) and
+    # prefix its cent* family (per-subspace seeds ≠ IVF centroids)
+    pq_parts = pq_parts[1:]
+    pq_parts = [
+        _re.sub(r"\bcent(\d+)\b", r"pcent\1", p) for p in pq_parts
+    ]
+    scale = PQ.SCALE
+    parts = ivf_parts + pq_parts
+    parts[0] = "WITH " + parts[0]
+    parts.append(
+        "q AS (SELECT vec_id, cluster AS qcl FROM assignF WHERE vec_id < 5)"
+    )
+    parts.append(f"""qtab AS (
+  SELECT qs.vid AS qid, qs.s, pcent1.cent_id AS code_val, q.qcl AS cell,
+         CAST(ROUND(list_dot_product(qs.sv, pcent1.cv) * {scale})
+              AS BIGINT) AS ds
+  FROM sub qs
+  JOIN pcent1 ON qs.s = pcent1.s
+  JOIN q ON q.vec_id = qs.vid
+)""")
+    parts.append("""ncode AS (
+  SELECT aF.vid AS nid, aF.s, aF.cluster AS code_val,
+         av.cluster AS cell
+  FROM aF JOIN assignF av ON av.vec_id = aF.vid
+)""")
+    parts.append("""scored AS (
+  SELECT qid, nid, CAST(SUM(ds) AS BIGINT) AS approx_dot_scaled
+  FROM ncode JOIN qtab ON ncode.s = qtab.s
+                      AND ncode.code_val = qtab.code_val
+                      AND ncode.cell = qtab.cell
+  WHERE qid <> nid GROUP BY qid, nid
+)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT qid AS query_id, nid AS neighbor_id, approx_dot_scaled, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY approx_dot_scaled DESC, nid ASC
+  ) AS rank FROM scored
+) WHERE rank <= {topk}
+ORDER BY query_id, rank
+"""
+    )
+
+
+@_q("ivf_pq_topk", _ivf_pq_oracle())
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (`pq.ivf_pq_topk`): queries route to their
+    IVF cell (committed train-once codebook fixtures for BOTH index
+    parts) and the ADC scan keys on (subspace, code, cell) — per-query
+    work is cell-sized codes, never corpus vectors. The oracle
+    retrains both chains from scratch in SQL, so stale fixtures
+    hash-mismatch immediately."""
+    from ..operators import pq as PQ
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb_pq = pq_codebook_fixture(spark, sf_dir)
+    codes = PQ.pq_encode(emb, cb_pq)
+    cells = S.assign_clusters(
+        emb, ivf_codebook(spark, sf_dir), "vec_id", "embedding"
+    ).select("vec_id", "cluster")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return PQ.ivf_pq_topk(queries, codes, cb_pq, cells).orderBy(
+        "query_id", "rank"
+    )

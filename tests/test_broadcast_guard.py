@@ -86,6 +86,8 @@ ALLOWED = {
         "hashed bigram LM: <= ctx_buckets x word_buckets = 4096 cells by construction",
     ("operators/pq.py", "_assign"):
         "PQ codebook: m x k centroid rows, constant by construction",
+    ("operators/pq.py", "ivf_pq_topk"):
+        "codebooks (m x k) + per-query cell-tagged ADC tables — query set is the contracted small side",
     ("operators/pq.py", "pq_adc_topk"):
         "codebook (m x k) and per-query ADC tables — query set is the contracted small side",
     ("operators/quality.py", "_entropy"):

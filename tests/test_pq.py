@@ -88,3 +88,39 @@ def test_dimension_mismatch_raises(spark):
     )
     with _pt.raises(Exception, match="vector length must be m\\*d"):
         PQ.pq_codebooks(bad).collect()
+
+
+def test_ivf_pq_subset_of_full_adc_and_cell_scoped(spark):
+    """IVF-PQ = full-ADC scores restricted to the query's cell: every
+    (query, neighbor) it returns must carry the full scan's EXACT
+    score, and every neighbor must share the query's IVF cell."""
+    import pyspark.sql.functions as F
+
+    from redshift_etl_spark.operators import pq as PQ
+    from redshift_etl_spark.operators import similarity as S
+    from redshift_etl_spark.queries.llm_data import (
+        ivf_codebook,
+        pq_codebook_fixture,
+    )
+    from redshift_etl_spark.queries.tables import load
+
+    from .conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    cb = pq_codebook_fixture(spark, SF_SMOKE)
+    codes = PQ.pq_encode(emb, cb)
+    cells = S.assign_clusters(
+        emb, ivf_codebook(spark, SF_SMOKE), "vec_id", "embedding"
+    ).select("vec_id", "cluster")
+    queries = emb.filter(F.col("vec_id") < 5)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["approx_dot_scaled"]
+        for r in PQ.pq_adc_topk(queries, codes, cb, topk=10**6).collect()
+    }
+    ivfpq = PQ.ivf_pq_topk(queries, codes, cb, cells, topk=3).collect()
+    cell_of = {r["vec_id"]: r["cluster"] for r in cells.collect()}
+    assert ivfpq
+    for r in ivfpq:
+        q, n = r["query_id"], r["neighbor_id"]
+        assert cell_of[q] == cell_of[n]  # cell-scoped candidates only
+        assert full[(q, n)] == r["approx_dot_scaled"]  # identical score
