@@ -81,6 +81,7 @@ HEADLINE = (
     "corpus_quality_trend",  # per-epoch Gopher metrics + drift (r8)
     "customer_spend_gini",  # exact Gini off one range exchange (r8)
     "nearest_click_to_error",  # nearest as-of join, one shuffle (r8)
+    "ivf_pq_topk",          # IVF-PQ composite ANN (cell-keyed ADC, r8)
 )
 
 
