@@ -437,3 +437,128 @@ def cohens_kappa(
             ) / denom.cast("double"),
         ).alias("kappa"),
     )
+
+
+def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Cramér's V — the [0,1]-normalized effect size of an X×Y
+    association (chi-square alone grows with n; V is what you compare
+    across tables):
+
+        V = √( χ² / (n · (min(r, c) − 1)) )
+
+    Exactness: observed/marginal counts are exact BIGINTs; each cell's
+    χ² term ``(obs·N − row·col)² / (N·row·col)`` is deterministic
+    double arithmetic over those ints, the cross-cell sum micro-rounds
+    to BIGINT before adding (cell order cannot matter), and the final
+    sqrt is IEEE-correctly-rounded (engine-safe, unlike ln/pow).
+    NULL categories drop. One row: (n, n_rows, n_cols, chi2, v);
+    NULL v for degenerate tables (min(r,c) < 2).
+
+    Scale shape: one hash agg to the ≤ r·c cell matrix; everything
+    after is marginal math over cells — nothing data-sized moves."""
+    # the committed _CHI_CONTRIB discipline (queries/relational.py):
+    # factors cast to DOUBLE before multiplying — int64 obs·N products
+    # overflow past ~3e9 rows; double products are exact below 2^53
+    chi_contrib = (
+        "(CAST(obs AS DOUBLE) * CAST(n_tot AS DOUBLE)"
+        "  - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))"
+        " * (CAST(obs AS DOUBLE) * CAST(n_tot AS DOUBLE)"
+        "  - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))"
+        " / (CAST(n_tot AS DOUBLE) * row_tot * col_tot)"
+    )
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    rows_m = cells.groupBy("__x").agg(
+        F.sum("obs").cast("long").alias("row_tot")
+    )
+    cols_m = cells.groupBy("__y").agg(
+        F.sum("obs").cast("long").alias("col_tot")
+    )
+    tot = cells.agg(
+        F.sum("obs").cast("long").alias("n_tot"),
+        F.count_distinct("__x").cast("long").alias("n_rows"),
+        F.count_distinct("__y").cast("long").alias("n_cols"),
+    )
+    joined = (
+        cells.join(rows_m, "__x")
+        .join(cols_m, "__y")
+        .crossJoin(F.broadcast(tot))
+    )
+    # structurally-ZERO cells (an (x, y) pair that never co-occurs)
+    # are absent from the cells frame but still owe chi² their
+    # expected mass row·col/N. Densifying r·c cells is wasteful; the
+    # closed form folds them in: Σ_all r·c = (Σr)(Σc) = N², so
+    # Σ_missing r·c/N = N − Σ_observed r·c/N — one more micro-rounded
+    # sum over the SAME observed-cells frame.
+    rc_over_n = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    agg = joined.agg(
+        F.first("n_tot").alias("n"),
+        F.first("n_rows").alias("n_rows"),
+        F.first("n_cols").alias("n_cols"),
+        F.sum(
+            F.round(F.expr(chi_contrib) * 1e6, 0).cast("long")
+        ).cast("long").alias("__chi_obs_micro"),
+        F.sum(F.round(rc_over_n * 1e6, 0).cast("long"))
+        .cast("long")
+        .alias("__rc_micro"),
+    )
+    chi2 = (
+        F.col("__chi_obs_micro")
+        + F.col("n") * F.lit(1_000_000)
+        - F.col("__rc_micro")
+    ).cast("double") / 1e6
+    dof_den = F.least(F.col("n_rows"), F.col("n_cols")) - 1
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        chi2.alias("chi2"),
+        F.when(
+            dof_den > 0,
+            F.sqrt(chi2 / (F.col("n") * dof_den).cast("double")),
+        ).alias("v"),
+    )
+
+
+def wilson_lower_bounds(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-group Wilson score lower bound on a success rate — the
+    rank-by-confidence statistic (sort sources/variants by the WORST
+    rate the data still supports, so small samples can't fake
+    quality):
+
+        lb = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    Exactness: n and successes are exact BIGINTs; the bound is a fixed
+    single expression of IEEE ops on those ints and the z literal
+    (default = the double nearest the 97.5% normal quantile), with a
+    correctly-rounded sqrt — identical in any engine that mirrors the
+    spelling. Empty groups can't occur (a group exists only with
+    rows); n ≥ 1 always. Returns (group, n, successes, p_hat, lb)."""
+    y = F.col(success_col).cast("int")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes") / n
+    z2 = F.lit(z * z)
+    lb = (
+        p
+        + z2 / (2 * n)
+        - F.lit(z) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    ) / (1 + z2 / n)
+    return agg.select(
+        group_col, "n", "successes", p.alias("p_hat"), lb.alias("lb")
+    )

@@ -1077,12 +1077,18 @@ contrib AS (
         - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
        * (CAST(obs AS DOUBLE) * CAST(n_tot AS DOUBLE)
         - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
-       / (CAST(n_tot AS DOUBLE) * row_tot * col_tot) AS c
+       / (CAST(n_tot AS DOUBLE) * row_tot * col_tot) AS c,
+         CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+           / CAST(n_tot AS DOUBLE) AS rc_over_n,
+         n_tot
   FROM cells JOIN rows_ USING (fold) JOIN cols_ USING (source)
   CROSS JOIN tot
 )
 SELECT
-  CAST(SUM(CAST(ROUND(c * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+  CAST(SUM(CAST(ROUND(c * 1000000) AS BIGINT))
+       + ANY_VALUE(n_tot) * 1000000
+       - SUM(CAST(ROUND(rc_over_n * 1000000) AS BIGINT))
+       AS DOUBLE) / 1000000.0
     AS chi_square,
   (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM rows_)
     * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM cols_) AS dof
@@ -1135,14 +1141,27 @@ def fold_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.col("row_tot")
                     * F.col("col_tot")
                 )
-            ).alias("c")
+            ).alias("c"),
+            # structurally-zero cells owe their expected mass
+            # row*col/N (Σ_all r*c = N² closed form — see
+            # quality.cramers_v); dense grids make this a no-op
+            (
+                F.col("row_tot").cast("double")
+                * F.col("col_tot").cast("double")
+                / F.col("n_tot").cast("double")
+            ).alias("rc_over_n"),
+            "n_tot",
         )
     )
     chi = contrib.agg(
         (
-            F.sum(F.round(F.col("c") * 1000000, 0).cast("long")).cast(
-                "double"
-            )
+            (
+                F.sum(F.round(F.col("c") * 1000000, 0).cast("long"))
+                + F.first("n_tot") * F.lit(1_000_000)
+                - F.sum(
+                    F.round(F.col("rc_over_n") * 1000000, 0).cast("long")
+                )
+            ).cast("double")
             / 1000000.0
         ).alias("chi_square")
     )

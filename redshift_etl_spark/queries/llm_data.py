@@ -5684,3 +5684,128 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.ivf_pq_topk(queries, codes, cb_pq, cells).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (operators/quality.cramers_v) — source × lang association
+# strength, the normalized effect size next to the chi-square tests.
+# ---------------------------------------------------------------------------
+
+_CRAMERS_ORACLE = """
+WITH cells AS (
+  SELECT source AS x, lang AS y, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM documents GROUP BY 1, 2
+),
+rows_ AS (SELECT x, CAST(SUM(obs) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+cols_ AS (SELECT y, CAST(SUM(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(obs) AS BIGINT) AS n_tot,
+         CAST(COUNT(DISTINCT x) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT y) AS BIGINT) AS n_cols
+  FROM cells
+),
+contrib AS (
+  SELECT (CAST(obs AS DOUBLE) * CAST(n_tot AS DOUBLE)
+           - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+         * (CAST(obs AS DOUBLE) * CAST(n_tot AS DOUBLE)
+           - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE))
+         / (CAST(n_tot AS DOUBLE) * row_tot * col_tot) AS c,
+         CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+           / CAST(n_tot AS DOUBLE) AS rc_over_n,
+         n_tot, n_rows, n_cols
+  FROM cells JOIN rows_ USING (x) JOIN cols_ USING (y) CROSS JOIN tot
+)
+SELECT ANY_VALUE(n_tot) AS n,
+       ANY_VALUE(n_rows) AS n_rows,
+       ANY_VALUE(n_cols) AS n_cols,
+       CAST(SUM(CAST(ROUND(c * 1e6, 0) AS BIGINT))
+            + ANY_VALUE(n_tot) * 1000000
+            - SUM(CAST(ROUND(rc_over_n * 1e6, 0) AS BIGINT))
+            AS DOUBLE) / 1e6 AS chi2,
+       CASE WHEN LEAST(ANY_VALUE(n_rows), ANY_VALUE(n_cols)) > 1 THEN
+         sqrt(CAST(SUM(CAST(ROUND(c * 1e6, 0) AS BIGINT))
+                   + ANY_VALUE(n_tot) * 1000000
+                   - SUM(CAST(ROUND(rc_over_n * 1e6, 0) AS BIGINT))
+                   AS DOUBLE) / 1e6
+              / CAST(ANY_VALUE(n_tot)
+                     * (LEAST(ANY_VALUE(n_rows), ANY_VALUE(n_cols)) - 1)
+                     AS DOUBLE))
+       END AS v
+FROM contrib
+"""
+
+
+@_q("lang_source_cramers_v", _CRAMERS_ORACLE)
+def lang_source_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V of the source × lang contingency
+    (`quality.cramers_v`): the committed chi-square contribution
+    spelling (double-cast factors, micro-rounded cross-cell sum) plus
+    one correctly-rounded sqrt for the normalized effect size."""
+    from ..operators.quality import cramers_v
+
+    docs = load(spark, sf_dir, "documents")
+    return cramers_v(docs, "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower bounds (operators/quality.wilson_lower_bounds) — rank
+# sources by the WORST Gopher keep rate the data still supports.
+# ---------------------------------------------------------------------------
+
+def _wilson_oracle() -> str:
+    z = 1.959963984540054
+    # string-cast double literals: a bare decimal literal parses as
+    # DECIMAL in DuckDB and its decimal->double conversion is NOT the
+    # shortest-repr round-trip (one-ulp drift measured); CAST('..' AS
+    # DOUBLE) is exact. Success flag = the committed text quality
+    # score (the all-screens Gopher conjunction keeps 0 synthetic
+    # docs — a degenerate Wilson demo).
+    zl = f"CAST('{z}' AS DOUBLE)"
+    zz = f"CAST('{z * z}' AS DOUBLE)"
+    quality = f"""CASE WHEN len(str_split(text, ' ')) >= 20
+        AND len(str_split(text, ' ')) <= 95
+        AND CAST(len(list_filter(str_split(text, ' '), w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+              / len(str_split(text, ' ')) < 0.5
+        AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / len(str_split(text, ' ')) >= 2.0
+       THEN 1 ELSE 0 END"""
+    return f"""
+WITH lab AS (
+  SELECT source, {quality} AS keep FROM documents
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(keep) AS BIGINT) AS successes
+  FROM lab GROUP BY 1
+)
+SELECT source, n, successes,
+       successes / CAST(n AS DOUBLE) AS p_hat,
+       (successes / CAST(n AS DOUBLE)
+         + {zz} / (2 * CAST(n AS DOUBLE))
+         - {zl} * sqrt(successes / CAST(n AS DOUBLE)
+                      * (1 - successes / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + {zz}
+                        / (4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       / (1 + {zz} / CAST(n AS DOUBLE)) AS lb
+FROM agg
+ORDER BY source
+"""
+
+
+@_q("source_keep_wilson", _wilson_oracle())
+def source_keep_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Wilson lower bound on the text quality-score rate
+    (`quality.wilson_lower_bounds`): the rank-by-confidence quality
+    report — a small source with a lucky streak can't outrank a large
+    one. Exact counts; the bound is one fixed IEEE expression with a
+    correctly-rounded sqrt, mirrored literally in the oracle (double
+    constants injected as string-casts — DuckDB parses bare decimal
+    literals as DECIMAL and drifts an ulp on conversion)."""
+    from ..operators.quality import wilson_lower_bounds
+
+    docs = load(spark, sf_dir, "documents")
+    keep = docs.select(
+        "source", (TX.quality_score("text") == 1).alias("kept")
+    )
+    return wilson_lower_bounds(keep, "source", "kept").orderBy("source")

@@ -3416,12 +3416,18 @@ cols_ AS (
 ),
 tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n_tot FROM cells),
 contrib AS (
-  SELECT {_CHI_CONTRIB} AS c
+  SELECT {_CHI_CONTRIB} AS c,
+         CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+           / CAST(n_tot AS DOUBLE) AS rc_over_n,
+         n_tot
   FROM cells JOIN rows_ USING (event_type) JOIN cols_ USING (bucket)
   CROSS JOIN tot
 )
 SELECT
-  CAST(SUM(CAST(ROUND(c * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+  CAST(SUM(CAST(ROUND(c * 1000000) AS BIGINT))
+       + ANY_VALUE(n_tot) * 1000000
+       - SUM(CAST(ROUND(rc_over_n * 1000000) AS BIGINT))
+       AS DOUBLE) / 1000000.0
     AS chi_square,
   (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM rows_)
     * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM cols_) AS dof
@@ -3454,17 +3460,35 @@ def event_type_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof")
         )
     )
+    # structurally-zero cells (a (type, bucket) pair never observed —
+    # sf0.001 has four) still owe chi-square their expected mass
+    # row*col/N; Σ_all r*c = N² folds them in without densifying:
+    # chi² = Σ_obs contrib + N − Σ_obs r*c/N (same fix as
+    # quality.cramers_v, which this query predates)
+    rc_over_n = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n_tot").cast("double")
+    )
     contrib = (
         cells.join(F.broadcast(rows_), "event_type")
         .join(F.broadcast(cols_), "bucket")
         .crossJoin(F.broadcast(tot))
-        .select(F.expr(_CHI_CONTRIB).alias("c"))
+        .select(
+            F.expr(_CHI_CONTRIB).alias("c"),
+            rc_over_n.alias("rc_over_n"),
+            "n_tot",
+        )
     )
     chi = contrib.agg(
         (
-            F.sum(F.round(F.col("c") * 1000000, 0).cast("long")).cast(
-                "double"
-            )
+            (
+                F.sum(F.round(F.col("c") * 1000000, 0).cast("long"))
+                + F.first("n_tot") * F.lit(1_000_000)
+                - F.sum(
+                    F.round(F.col("rc_over_n") * 1000000, 0).cast("long")
+                )
+            ).cast("double")
             / 1000000.0
         ).alias("chi_square")
     )

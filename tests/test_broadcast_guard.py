@@ -94,6 +94,8 @@ ALLOWED = {
         "1-row grand-total frame",
     ("operators/quality.py", "audit"):
         "1-row orphan-count aggregate",
+    ("operators/quality.py", "cramers_v"):
+        "1-row totals frame (n, n_rows, n_cols)",
     ("operators/quality.py", "cohens_kappa"):
         "1-row totals and 1-row marginal-product (pe) frames",
     ("operators/quality.py", "mutual_information"):

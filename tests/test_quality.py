@@ -268,3 +268,42 @@ def test_cohens_kappa_partition_invariance(spark):
     one = cohens_kappa(df.coalesce(1), "a", "b").collect()
     many = cohens_kappa(df.repartition(9), "a", "b").collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_cramers_v_hand_computed_and_degenerate(spark):
+    from redshift_etl_spark.operators.quality import cramers_v
+
+    # perfect association: x fully determines y -> V = 1
+    rows = [("a", "p")] * 10 + [("b", "q")] * 10
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = cramers_v(df, "x", "y").collect()[0]
+    assert abs(r["v"] - 1.0) < 1e-6 and r["n"] == 20
+    # independence: uniform cross product -> chi2 = 0, V = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "ab" for b in "pq" for _ in range(5)],
+        "x string, y string",
+    )
+    r2 = cramers_v(ind, "x", "y").collect()[0]
+    assert r2["chi2"] == 0.0 and r2["v"] == 0.0
+    # degenerate: one column constant -> NULL v
+    const = spark.createDataFrame([("a", "p")] * 5, "x string, y string")
+    assert cramers_v(const, "x", "y").collect()[0]["v"] is None
+
+
+def test_wilson_bounds_properties(spark):
+    from redshift_etl_spark.operators.quality import wilson_lower_bounds
+
+    rows = (
+        [("big", True)] * 90 + [("big", False)] * 10  # 90% over n=100
+        + [("small", True)] * 3                        # 100% over n=3
+    )
+    df = spark.createDataFrame(rows, "g string, y boolean")
+    out = {r["g"]: r.asDict() for r in wilson_lower_bounds(df, "g", "y").collect()}
+    # the bound is strictly below the point estimate and within [0, 1]
+    for r in out.values():
+        assert 0.0 <= r["lb"] < r["p_hat"] + 1e-12
+    # rank-by-confidence: the big 90% source must outrank the tiny
+    # perfect one (the whole point of the statistic)
+    assert out["big"]["lb"] > out["small"]["lb"]
+    # hand value: n=100, p=.9 (python mirror of the same spelling)
+    assert abs(out["big"]["lb"] - 0.8256343384950866) < 1e-12
