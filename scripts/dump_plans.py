@@ -170,6 +170,11 @@ NOTES = {
         "exchange over PER-SOURCE counts -> 1-row level broadcasts -> "
         "pure projection"
     ),
+    "ivf_pq_topk": (
+        "IVF-PQ composite: cell-keyed ADC join (s, code, cell) -> "
+        "per-query work is cell-sized codes; both index parts are "
+        "train-once fixtures"
+    ),
     "corpus_quality_trend": (
         "zero-shuffle Gopher projection with epoch carried -> one "
         "epoch hash agg -> lag window over the 8-row frame (bounded "
