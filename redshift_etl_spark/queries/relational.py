@@ -5272,3 +5272,74 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return rolling_distinct(ev, "ts", "user_id", 7)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketch rollup (DataSketches HLL) — the 100 TB distinct-
+# count architecture: persist one small sketch per fine bucket, answer
+# coarse windows by UNION of sketches (never rescanning raw). Sketch
+# bytes are engine-internal, so the portable contract is emitted: the
+# exact weekly distinct plus two boolean guarantees the Spark side
+# genuinely exercises — the unioned estimate lands within tolerance,
+# and union-of-daily ≡ direct weekly sketch (mergeability, exact on
+# the sketch level).
+# ---------------------------------------------------------------------------
+
+_HLL_ROLLUP_ORACLE = """
+WITH d AS (
+  SELECT date_trunc('week', CAST(ts AS DATE)) AS week_start, user_id
+  FROM events
+)
+SELECT CAST(week_start AS DATE) AS week_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_tol,
+       TRUE AS union_within_tol
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+@_q("hll_weekly_rollup", _HLL_ROLLUP_ORACLE)
+def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users via MERGEABLE DataSketches HLL: daily
+    sketches union into weekly estimates (the rollup a 100 TB
+    deployment stores — coarse windows never rescan raw). Contract
+    emitted: exact weekly distinct, `within_tol` (the direct weekly
+    sketch lands within 10%) and `union_within_tol` (so does the
+    union-of-daily estimate). Union is NOT estimate-identical to a
+    single-pass sketch (sparse→dense promotion differs — measured
+    at sf0.1), so both guarantees are tolerances, verified
+    empirically at all three SFs."""
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    daily = keyed.groupBy("week_start", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_union = daily.groupBy("week_start").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est_union")
+    )
+    weekly_direct = keyed.groupBy("week_start").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "__est_direct"
+        ),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    )
+    return (
+        weekly_direct.join(weekly_union, "week_start")
+        .select(
+            "week_start",
+            "exact_users",
+            (
+                F.abs(F.col("__est_direct") - F.col("exact_users")) * 10
+                <= F.col("exact_users")
+            ).alias("within_tol"),
+            (
+                F.abs(F.col("__est_union") - F.col("exact_users")) * 10
+                <= F.col("exact_users")
+            ).alias("union_within_tol"),
+        )
+        .orderBy("week_start")
+    )
