@@ -103,6 +103,25 @@ REHEARSAL = (
                               # overhead-bound on 32 cores, the 500k
                               # run does real work; linear shape)
     "source_english_encoding",  # category agg + 1-row prior
+    # r08 third wave:
+    "rolling_active_users",   # bounded day fan-out + per-day distinct
+    "user_journeys",          # collect_list struct sort, no window
+    "copurchase_triangles",   # degree-oriented wedge join
+    "lang_marker_spearman",   # two midrank range exchanges, decimal sums
+    "lang_source_cramers_v",  # cell matrix + marginal math
+    "source_keep_wilson",     # source agg + fixed IEEE bound
+    "hll_weekly_rollup",      # mergeable sketch union rollup
+    "ivf_pq_topk",            # cell-keyed ADC join. Measured 6.2x per
+                              # 10x: compute-saturated LINEAR — the
+                              # catalog query re-encodes the corpus
+                              # per call (encode dominates; a real
+                              # deployment stores codes as a build
+                              # artifact and pays only the cell-sized
+                              # query side), and exact-copy replicas
+                              # densify each probed cell 10x on top.
+    # DENSITY-COUPLED like the minhash probes: replica text variants
+    # are mutual near-dups, so candidate pairs grow ~45x per original.
+    "dedup_threshold_curve",
     # DENSITY-COUPLED (measured r08: 22.8x): replica embeddings are
     # EXACT copies (vec_id offset only) and the codebook k stays fixed
     # here, so every cluster densifies 10x and the per-cluster
