@@ -367,18 +367,36 @@ def token_budget_sample(
     budget contributes ≥ 1 document and the overshoot is < one
     document. One window cumsum per group partition; groups absent
     from ``budgets`` drop."""
-    tc = F.col(token_count) if isinstance(token_count, str) else token_count
     b = df.sparkSession.createDataFrame(
         sorted((g, int(n)) for g, n in budgets.items()),
         f"{group} string, __budget long",
     )
+    return token_budget_sample_df(
+        df, group, key, token_count, F.broadcast(b)
+    )
+
+
+def token_budget_sample_df(
+    df: DataFrame,
+    group: str,
+    key: str,
+    token_count: Column | str,
+    budgets: DataFrame,
+) -> DataFrame:
+    """`token_budget_sample` with the budgets as a DATAFRAME
+    (columns: group, __budget) — the composition point for
+    data-derived allocations (`budget_waterfill` output) where a
+    driver-side dict would mean collecting unbounded group counts.
+    No broadcast hint here: the budget frame is one row per group,
+    caller-bounded; dict callers pre-broadcast their config frame."""
+    tc = F.col(token_count) if isinstance(token_count, str) else token_count
     w = (
         Window.partitionBy(group)
         .orderBy(F.md5(F.col(key).cast("string")), F.col(key))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.join(F.broadcast(b), group)
+        df.join(budgets, group)
         .withColumn("__cum", F.sum(tc).over(w))
         .filter(F.col("__cum") - tc < F.col("__budget"))
         .drop("__cum", "__budget")

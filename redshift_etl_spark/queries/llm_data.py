@@ -5809,3 +5809,110 @@ def source_keep_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", (TX.quality_score("text") == 1).alias("kept")
     )
     return wilson_lower_bounds(keep, "source", "kept").orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end budgeted corpus: water-filled per-source token quotas
+# DRAWN (budget_waterfill ∘ token_budget_sample_df) — the full "spend
+# 60% of the corpus optimally" pipeline, reported at source grain.
+# ---------------------------------------------------------------------------
+
+_WATERFILL_DRAW_ORACLE = """
+WITH n AS (
+  SELECT source,
+         CAST(SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(n_tokens) * 6 // 10 AS BIGINT) AS b
+  FROM n
+),
+r AS (
+  SELECT source, n_tokens,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source) AS BIGINT) AS s
+  FROM n
+),
+lvl AS (
+  SELECT
+    COALESCE(MAX(CASE WHEN (s - n_tokens) + n_tokens * (m - i + 1) <= b
+                      THEN i END), 0) AS j,
+    COALESCE(MAX(CASE WHEN (s - n_tokens) + n_tokens * (m - i + 1) <= b
+                      THEN s END), 0) AS sj,
+    ANY_VALUE(m) AS m, ANY_VALUE(b) AS b
+  FROM r CROSS JOIN tot
+),
+alloc AS (
+  SELECT source,
+         CAST(CASE WHEN i <= j THEN n_tokens
+              ELSE (b - sj) // (m - j)
+                   + (CASE WHEN i <= j + (b - sj) % (m - j)
+                           THEN 1 ELSE 0 END)
+         END AS BIGINT) AS budget
+  FROM r CROSS JOIN lvl
+),
+docs AS (
+  SELECT source, doc_id,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS tc,
+         SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS cum
+  FROM documents
+),
+kept AS (
+  SELECT d.source, d.tc
+  FROM docs d JOIN alloc a USING (source)
+  WHERE d.cum - d.tc < a.budget
+)
+SELECT a.source, a.budget,
+       CAST(COUNT(k.tc) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(SUM(k.tc), 0) AS BIGINT) AS tokens_kept
+FROM alloc a LEFT JOIN kept k USING (source)
+GROUP BY 1, 2
+ORDER BY a.source
+"""
+
+
+@_q("waterfill_sampled_corpus", _WATERFILL_DRAW_ORACLE)
+def waterfill_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full budgeted-corpus pipeline: water-fill 60% of the
+    corpus's tokens across sources (`sampling.budget_waterfill`),
+    then DRAW each source's quota in the deterministic md5 order
+    (`sampling.token_budget_sample_df` — the frame-based composition
+    point, no driver-side dict). Reported at source grain: quota,
+    documents kept, tokens kept (boundary doc included, so overshoot
+    < one document)."""
+    from ..operators.sampling import budget_waterfill, token_budget_sample_df
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", TX.token_count("text").alias("__tc")
+    )
+    counts = docs.groupBy("source").agg(
+        F.sum("__tc").cast("long").alias("n_tokens")
+    )
+    quotas = budget_waterfill(
+        counts, "source", "n_tokens", budget_frac=(6, 10)
+    ).select("source", F.col("alloc").alias("__budget"))
+    kept = token_budget_sample_df(docs, "source", "doc_id", "__tc", quotas)
+    per_src = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("__tc").cast("long").alias("tokens_kept"),
+    )
+    return (
+        quotas.select("source", F.col("__budget").alias("budget"))
+        .join(per_src, "source", "left")
+        .select(
+            "source",
+            "budget",
+            F.coalesce("n_docs_kept", F.lit(0).cast("long")).alias(
+                "n_docs_kept"
+            ),
+            F.coalesce("tokens_kept", F.lit(0).cast("long")).alias(
+                "tokens_kept"
+            ),
+        )
+        .orderBy("source")
+    )
