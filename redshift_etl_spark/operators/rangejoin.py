@@ -88,64 +88,6 @@ def range_join(
     return hits.unionByName(misses, allowMissingColumns=True)
 
 
-def interval_overlap_join(
-    left: DataFrame,
-    right: DataFrame,
-    l_start: Column | str,
-    l_end: Column | str,
-    r_start: Column | str,
-    r_end: Column | str,
-    bucket_width: float,
-) -> DataFrame:
-    """Join every left interval to every right interval it OVERLAPS
-    (half-open: ``l_start < r_end AND r_start < l_end``) — the
-    interval×interval companion to `range_join`'s point×interval. Same
-    anti-Cartesian rewrite: both sides explode into the fixed-width
-    buckets they span, candidates meet on a bucket equi-join, the exact
-    predicate filters.
-
-    No post-join dedup despite both sides exploding: a pair is emitted
-    only in the FIRST bucket where both are present —
-    ``greatest(floor(l_start/w), floor(r_start/w))`` — which every
-    overlapping pair shares exactly once (the later-starting interval's
-    first bucket; it is ≤ both ends' buckets whenever the intervals
-    overlap). That filter is a projection-level predicate, so the plan
-    stays one shuffle join, no DISTINCT shuffle.
-
-    Output columns = left ⧺ right (alias collisions are the caller's
-    to avoid). Pick ``bucket_width`` near the typical interval length,
-    exactly as for `range_join`."""
-    ls, le = _c(l_start), _c(l_end)
-    rs, re_ = _c(r_start), _c(r_end)
-    lb = left.withColumn(
-        _BUCKET,
-        F.explode(
-            F.sequence(
-                F.floor(ls / F.lit(bucket_width)),
-                F.floor(le / F.lit(bucket_width)),
-            )
-        ),
-    ).withColumn("__lsb", F.floor(ls / F.lit(bucket_width)))
-    rb = right.withColumn(
-        _BUCKET,
-        F.explode(
-            F.sequence(
-                F.floor(rs / F.lit(bucket_width)),
-                F.floor(re_ / F.lit(bucket_width)),
-            )
-        ),
-    ).withColumn("__rsb", F.floor(rs / F.lit(bucket_width)))
-    overlap = (ls < re_) & (rs < le)
-    first_shared = F.col(_BUCKET) == F.greatest(
-        F.col("__lsb"), F.col("__rsb")
-    )
-    return (
-        lb.join(rb, _BUCKET)
-        .filter(overlap & first_shared)
-        .drop(_BUCKET, "__lsb", "__rsb")
-    )
-
-
 def bucket_width_advisor(
     intervals: DataFrame,
     start_on: Column | str,
@@ -174,6 +116,7 @@ def bucket_width_advisor(
             F.lit(1.0), F.percentile(length, F.lit(0.5))
         ).alias("recommended_width"),
     )
+
 
 def interval_overlap_join(
     left: DataFrame,

@@ -150,15 +150,21 @@ def _prioritized(merged: dict) -> dict:
     return {n: merged[n] for n in names}
 
 
-def all_queries() -> dict:
-    out = {}
+def _merge(attr: str) -> dict:
+    # Cross-module collisions are as silent as in-module ones under a
+    # bare dict.update — assert here so the catalog can never shadow.
+    out: dict = {}
     for m in _MODULES:
-        out.update(m.QUERIES)
-    return _prioritized(out)
+        d = getattr(m, attr)
+        dup = out.keys() & d.keys()
+        assert not dup, f"cross-module query collision: {sorted(dup)}"
+        out.update(d)
+    return out
+
+
+def all_queries() -> dict:
+    return _prioritized(_merge("QUERIES"))
 
 
 def all_oracles() -> dict:
-    out = {}
-    for m in _MODULES:
-        out.update(m.ORACLES)
-    return _prioritized(out)
+    return _prioritized(_merge("ORACLES"))

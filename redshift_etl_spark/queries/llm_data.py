@@ -23,7 +23,11 @@ ORACLES = {}
 
 
 def _q(name: str, oracle: str | None):
+    # Bare dict writes silently shadow an earlier same-name query (this
+    # bit three rounds running: shard_manifest, cdc_apply, and two dead
+    # module-level defs) — collisions must fail at import time.
     def deco(fn):
+        assert name not in QUERIES, f"duplicate query registration: {name}"
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -4941,7 +4945,7 @@ def lang_marker_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diagonal). Reuses the committed argmax-fold spelling.
 # ---------------------------------------------------------------------------
 
-def _lang_confusion_oracle() -> str:
+def _lang_id_confusion_oracle() -> str:
     hit_cols = ",\n  ".join(
         "CAST(len(list_filter(str_split(text, ' '), w -> w IN ({}))) AS BIGINT)"
         " AS hits_{}".format(
@@ -4977,7 +4981,7 @@ ORDER BY c.lang, c.predicted_lang
 """
 
 
-@_q("lang_id_confusion", _lang_confusion_oracle())
+@_q("lang_id_confusion", _lang_id_confusion_oracle())
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the marker-argmax language ID against the
     labeled lang column: (true, predicted, n, within-true share). One

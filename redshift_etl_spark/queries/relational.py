@@ -26,7 +26,11 @@ ORACLES = {}
 
 
 def _q(name: str, oracle: str | None):
+    # Bare dict writes silently shadow an earlier same-name query (this
+    # bit three rounds running: shard_manifest, cdc_apply, and two dead
+    # module-level defs) — collisions must fail at import time.
     def deco(fn):
+        assert name not in QUERIES, f"duplicate query registration: {name}"
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -2456,69 +2460,6 @@ def rollup_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored = RU.finest_rollup(base, "ts", ["event_type"], "value")
     refreshed = RU.apply_delta(stored, delta, "ts", ["event_type"], "value")
     return RU.finish_rollup(refreshed)
-
-
-# ---------------------------------------------------------------------------
-# CDC apply with deletes (I/U/D feed): latest change per key wins, a
-# winning D removes the key. Fixture makes keys ≡ 0 (mod 10) carry BOTH
-# a delete and a newer update — the update must win; keys ≡ 5 (mod 10)
-# carry only the delete and must vanish.
-# ---------------------------------------------------------------------------
-
-_CDC_ORACLE = """
-WITH tgt AS (
-  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-         o_orderpriority
-  FROM orders WHERE o_orderkey % 3 <> 0
-), changes AS (
-  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-         o_orderdate + INTERVAL 1 DAY AS o_orderdate, o_orderpriority,
-         'D' AS op
-  FROM orders WHERE o_orderkey % 5 = 0
-  UNION ALL
-  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-         ROUND(o_totalprice + 5.0, 2), o_orderdate + INTERVAL 2 DAY,
-         o_orderpriority, 'U' AS op
-  FROM orders WHERE o_orderkey % 2 = 0
-), latest AS (
-  SELECT * FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY o_orderkey ORDER BY o_orderdate DESC, op DESC
-    ) AS rn
-    FROM changes
-  ) WHERE rn = 1
-)
-SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-       o_orderpriority
-FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
-UNION ALL
-SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
-       o_orderpriority
-FROM latest WHERE op <> 'D'
-"""
-
-
-@_q("cdc_apply", _CDC_ORACLE)
-def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority",
-    )
-    target = orders.filter(F.col("o_orderkey") % 3 != 0)
-    dels = orders.filter(F.col("o_orderkey") % 5 == 0).select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("o_orderdate"),
-        "o_orderpriority", F.lit("D").alias("op"),
-    )
-    upds = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "o_custkey", F.lit("U").alias("o_orderstatus"),
-        F.round(F.col("o_totalprice") + 5.0, 2).alias("o_totalprice"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")).alias("o_orderdate"),
-        "o_orderpriority", F.lit("U").alias("op"),
-    )
-    return M.apply_cdc(
-        target, dels.unionByName(upds), "o_orderkey", "o_orderdate"
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,11 @@ ORACLES = {}
 
 
 def _q(name: str, oracle: str | None):
+    # Bare dict writes silently shadow an earlier same-name query (this
+    # bit three rounds running: shard_manifest, cdc_apply, and two dead
+    # module-level defs) — collisions must fail at import time.
     def deco(fn):
+        assert name not in QUERIES, f"duplicate query registration: {name}"
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
