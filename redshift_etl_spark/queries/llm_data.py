@@ -2011,6 +2011,57 @@ def pq_codebook_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(path))
 
 
+def _build_fixture(spark, sf_dir: str, name: str, build) -> DataFrame:
+    """Shared train-once fixture posture (`ivf_codebook` /
+    `pq_codebook_fixture` pattern): committed parquet per SF under
+    ``fixtures/<name>/``, built on the fly when absent. Longs/strings
+    and double parquet round-trips are bit-exact, so loading ≡
+    rebuilding — and every consumer's oracle rebuilds from scratch in
+    SQL, so a stale fixture hash-mismatches immediately."""
+    import os
+    from pathlib import Path
+
+    fix_dir = Path(__file__).resolve().parents[2] / "fixtures" / name
+    path = fix_dir / f"{os.path.basename(os.path.normpath(sf_dir))}.parquet"
+    if not path.exists():
+        df = build()
+        try:
+            fix_dir.mkdir(parents=True, exist_ok=True)
+            df.coalesce(1).write.mode("overwrite").parquet(str(path))
+        except Exception:  # read-only checkout: build-only fallback
+            return df
+    return spark.read.parquet(str(path))
+
+
+def pq_codes_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once PQ code table (vid, code) — at 100 TB the encoded
+    corpus is the stored index, not per-query work; re-encoding every
+    search is exactly the rehearsal-measured 6.2×/10× trap the r08
+    verdict flagged. Built from the committed codebook fixture."""
+    from ..operators import pq as PQ
+
+    return _build_fixture(
+        spark, sf_dir, "pq_codes",
+        lambda: PQ.pq_encode(
+            load(spark, sf_dir, "embeddings"),
+            pq_codebook_fixture(spark, sf_dir),
+        ),
+    )
+
+
+def ivf_cells_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once IVF routing table (vec_id, cluster) — the corpus
+    side of the IVF index is a build artifact exactly like the
+    codebook; only QUERY vectors are assigned at search time."""
+    return _build_fixture(
+        spark, sf_dir, "ivf_cells",
+        lambda: S.assign_clusters(
+            load(spark, sf_dir, "embeddings"),
+            ivf_codebook(spark, sf_dir), "vec_id", "embedding",
+        ).select("vec_id", "cluster"),
+    )
+
+
 @_q("pq_codes", _PQ_CODES_SQL)
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import pq as PQ
@@ -5675,15 +5726,17 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts) and the ADC scan keys on (subspace, code, cell) — per-query
     work is cell-sized codes, never corpus vectors. The oracle
     retrains both chains from scratch in SQL, so stale fixtures
-    hash-mismatch immediately."""
+    hash-mismatch immediately. SEARCH-ONLY path: codes and cells come
+    from committed fixtures (`pq_codes_fixture` / `ivf_cells_fixture`)
+    — the r08 rehearsal's 6.2×/10× slope was this query re-encoding
+    the corpus per call; with the index as a build artifact the
+    per-call work is query-cell-sized."""
     from ..operators import pq as PQ
 
     emb = load(spark, sf_dir, "embeddings")
     cb_pq = pq_codebook_fixture(spark, sf_dir)
-    codes = PQ.pq_encode(emb, cb_pq)
-    cells = S.assign_clusters(
-        emb, ivf_codebook(spark, sf_dir), "vec_id", "embedding"
-    ).select("vec_id", "cluster")
+    codes = pq_codes_fixture(spark, sf_dir)
+    cells = ivf_cells_fixture(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return PQ.ivf_pq_topk(queries, codes, cb_pq, cells).orderBy(
         "query_id", "rank"
