@@ -378,10 +378,14 @@ def kmeans_codebook(
     iters: int = 2,
     dims: int | None = None,
     scale: int = 10**6,
+    seed_order: list | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means codebook for IVF coarse
     quantization. Returns (id_col, vec_col) — k (or fewer, see below)
     centroids usable anywhere a centroid DataFrame is expected.
+    ``seed_order`` overrides the seed ordering (default lowest-id):
+    pass e.g. ``[md5(cast(id)), id]`` to decorrelate seed choice from
+    id locality — still RNG-free and replicable in SQL.
 
     Every step is reproducible bit-for-bit across engines AND across
     Spark partitionings — the property that lets an external SQL oracle
@@ -405,7 +409,8 @@ def kmeans_codebook(
     iteration (the (cluster, pos) aggregate over a dims-wide explode);
     the codebook itself stays tiny and broadcasts everywhere it's used.
     """
-    cent = corpus.orderBy(F.col(id_col).asc()).limit(k).select(id_col, vec_col)
+    seed_order = seed_order or [F.col(id_col).asc()]
+    cent = corpus.orderBy(*seed_order).limit(k).select(id_col, vec_col)
     for _ in range(iters):
         assigned = assign_clusters(corpus, cent, id_col, vec_col, dims)
         comp = (
@@ -433,6 +438,46 @@ def kmeans_codebook(
             .select(F.col("cluster").alias(id_col), vec_col)
         )
     return cent
+
+
+def adaptive_kmeans_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cluster_rows: int = 125,
+    iters: int = 2,
+    dims: int | None = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """`kmeans_codebook` with k derived from the corpus size —
+    ``k = ceil(n / target_cluster_rows)`` — the SemDeDup posture
+    (Abbas et al. 2023): cluster POPULATIONS stay bounded as the
+    corpus grows, so every within-cluster quadratic tile stays
+    ~target² and total pair work stays linear in n. A fixed k is the
+    opposite: 10× data ⇒ 10× rows per cluster ⇒ 100× tiles (the r08
+    rehearsal's 19.75× semdedup slope).
+
+    Seeds are the k lowest-``md5(cast(id as string))`` vectors (id
+    tiebreak): deterministic and oracle-replicable like lowest-id
+    seeding, but decorrelated from id locality, so the extra centroids
+    a larger corpus earns spread over the data instead of packing the
+    low-id region. n comes from one COUNT aggregate (a scalar, not a
+    data-sized collect).
+
+    Scale note: training cost is one O(n·k) assignment per iteration —
+    with k ∝ n this is a BUILD-time cost (train once, persist the
+    codebook as an artifact; consumers load it), and past ~10⁷ rows
+    you'd train on a deterministic hash-sample (`hash_sample`) or go
+    hierarchical (`assign_clusters_multi`) rather than sharpen the
+    full-corpus argmax."""
+    import math
+
+    n = corpus.count()
+    k = max(1, math.ceil(n / target_cluster_rows))
+    return kmeans_codebook(
+        corpus, id_col, vec_col, k=k, iters=iters, dims=dims, scale=scale,
+        seed_order=[F.md5(F.col(id_col).cast("string")), F.col(id_col)],
+    )
 
 
 def assign_clusters_multi(

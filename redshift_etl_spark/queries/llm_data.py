@@ -704,23 +704,10 @@ def _duck_assign(out: str, cent: str) -> str:
 )"""
 
 
-def _ivf_train_ctes(
-    k: int = 8, iters: int = 2, scale: int = 10**6
-) -> list[str]:
-    """The deterministic-Lloyd's training chain as CTE fragments —
-    ends with ``assignF`` (vec_id, v, cluster) and ``cent{iters}``
-    (cent_id, cv). Shared by the IVF probe oracle and semdedup."""
-    parts = [
-        "c AS "
-        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM c "
-        f"ORDER BY vec_id LIMIT {k})",
-    ]
-    for i in range(iters):
-        parts.append(_duck_assign(f"assign{i}", f"cent{i}"))
-        # scaled-integer mean: SUM over BIGINT is order-exact, so the
-        # centroid bits match Spark's partitioned aggregation
-        parts.append(f"""cent{i + 1} AS (
+def _duck_cent_mean(i: int, scale: int) -> str:
+    # scaled-integer mean: SUM over BIGINT is order-exact, so the
+    # centroid bits match Spark's partitioned aggregation
+    return f"""cent{i + 1} AS (
   SELECT cluster AS cent_id, list(cval ORDER BY pos) AS cv FROM (
     SELECT cluster, pos,
            CAST(SUM(CAST(ROUND(val * {scale}) AS BIGINT)) AS DOUBLE)
@@ -730,7 +717,51 @@ def _ivf_train_ctes(
           FROM assign{i})
     GROUP BY cluster, pos
   ) GROUP BY cluster
-)""")
+)"""
+
+
+def _ivf_train_ctes(
+    k: int = 8, iters: int = 2, scale: int = 10**6
+) -> list[str]:
+    """The deterministic-Lloyd's training chain as CTE fragments —
+    ends with ``assignF`` (vec_id, v, cluster) and ``cent{iters}``
+    (cent_id, cv). Shared by the IVF probe oracle and IVF-PQ."""
+    parts = [
+        "c AS "
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cent_id, v AS cv FROM c "
+        f"ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(iters):
+        parts.append(_duck_assign(f"assign{i}", f"cent{i}"))
+        parts.append(_duck_cent_mean(i, scale))
+    parts.append(_duck_assign("assignF", f"cent{iters}"))
+    return parts
+
+
+def _adaptive_train_ctes(
+    target_cluster_rows: int, iters: int = 2, scale: int = 10**6
+) -> list[str]:
+    """`similarity.adaptive_kmeans_codebook`'s training chain in SQL:
+    k = ceil(n / target) from a COUNT, seeds = the k lowest
+    md5(cast(id)) vectors (id tiebreak), then the same scaled-integer
+    Lloyd's iterations as `_ivf_train_ctes`."""
+    parts = [
+        "c AS "
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"kk AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) "
+        f"/ {target_cluster_rows}.0) AS BIGINT)) AS kv FROM c)",
+        """cent0 AS (
+  SELECT vec_id AS cent_id, v AS cv FROM (
+    SELECT vec_id, v, row_number() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    ) AS rn FROM c
+  ) CROSS JOIN kk WHERE rn <= kv
+)""",
+    ]
+    for i in range(iters):
+        parts.append(_duck_assign(f"assign{i}", f"cent{i}"))
+        parts.append(_duck_cent_mean(i, scale))
     parts.append(_duck_assign("assignF", f"cent{iters}"))
     return parts
 
@@ -4291,19 +4322,43 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # SemDeDup (Abbas et al. 2023): semantic dedup scoped to k-means
-# clusters — candidate pairs come from the SAME deterministic codebook
-# the IVF index trains, so at corpus scale the quadratic tile is
-# bounded per cluster (k grows with the corpus), never global. Keep
-# rule per duplicate group: the member FARTHEST from its centroid
-# (lowest centroid cosine; ties to lowest id) — the paper's choice,
-# which preserves the cluster's outer shell.
+# clusters. k is ADAPTIVE — ceil(n / SEMDEDUP_TARGET_ROWS) via
+# `similarity.adaptive_kmeans_codebook` — so cluster populations (and
+# therefore every quadratic within-cluster tile) stay ~target-bounded
+# as the corpus grows; a fixed k was the r08 rehearsal's 19.75×/10×
+# slope. Codebook and routing table are train-once fixtures like the
+# IVF/PQ index artifacts. Keep rule per duplicate group: the member
+# FARTHEST from its centroid (lowest centroid cosine; ties to lowest
+# id) — the paper's choice, which preserves the cluster's outer shell.
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_TAU = 0.45
+SEMDEDUP_TARGET_ROWS = 125
+
+
+def semdedup_codebook_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _build_fixture(
+        spark, sf_dir, "semdedup_codebook",
+        lambda: S.adaptive_kmeans_codebook(
+            load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            target_cluster_rows=SEMDEDUP_TARGET_ROWS,
+        ),
+    )
+
+
+def semdedup_cells_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _build_fixture(
+        spark, sf_dir, "semdedup_cells",
+        lambda: S.assign_clusters(
+            load(spark, sf_dir, "embeddings"),
+            semdedup_codebook_fixture(spark, sf_dir),
+            "vec_id", "embedding",
+        ).select("vec_id", "cluster"),
+    )
 
 
 def _semdedup_oracle() -> str:
-    ctes = ",\n".join(_ivf_train_ctes())
+    ctes = ",\n".join(_adaptive_train_ctes(SEMDEDUP_TARGET_ROWS))
     return f"""
 WITH RECURSIVE {ctes},
 withcos AS (
@@ -4355,25 +4410,26 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per duplicate group: (component, n_members, n_dropped,
     keep_id).
 
-    Plan: broadcast-codebook assignment (hash agg argmax, no window)
-    → cluster-keyed self-join whose quadratic tile is bounded PER
-    CLUSTER (SemDeDup's contract: k scales with the corpus, so
-    cluster populations stay bounded; no global pair tile) →
-    hash-min/pointer-jump connected components → one hash agg per
-    group with a struct-ordered min_by keep rule. Cosines compare at
-    the committed rounded-6 spelling, so the oracle (which retrains
-    the codebook relationally) is bit-identical."""
+    Plan: codebook AND routing table are committed train-once fixtures
+    (`semdedup_codebook_fixture` / `semdedup_cells_fixture`, k =
+    ⌈n / SEMDEDUP_TARGET_ROWS⌉) → cluster-keyed self-join whose
+    quadratic tile is bounded PER CLUSTER by construction (k scales
+    with the corpus, so populations stay ~target; no global pair tile)
+    → hash-min/pointer-jump connected components → one hash agg per
+    group with a struct-ordered min_by keep rule. The centroid join
+    carries NO broadcast hint: k ∝ n is unbounded, so AQE decides
+    (it will broadcast at any committed SF). Cosines compare at the
+    committed rounded-6 spelling, so the oracle (which retrains the
+    adaptive codebook relationally) is bit-identical."""
     emb = load(spark, sf_dir, "embeddings")
-    cb = ivf_codebook(spark, sf_dir)
-    assigned = S.assign_clusters(emb, cb, "vec_id", "embedding")
+    cb = semdedup_codebook_fixture(spark, sf_dir)
+    assigned = semdedup_cells_fixture(spark, sf_dir).join(emb, "vec_id")
     cent = cb.select(
         F.col("vec_id").alias("__cent_id"),
         F.col("embedding").alias("__cent_vec"),
     )
     withcos = (
-        assigned.join(
-            F.broadcast(cent), F.col("cluster") == F.col("__cent_id")
-        )
+        assigned.join(cent, F.col("cluster") == F.col("__cent_id"))
         .select(
             "vec_id",
             "cluster",

@@ -160,8 +160,6 @@ ALLOWED = {
         "hashed bigram LM: 4096 cells by construction (see perplexity_scores)",
     ("queries/llm_data.py", "embedding_drift"):
         "per-period centroid frame: one row per period (time-bounded)",
-    ("queries/llm_data.py", "semdedup"):
-        "k-row cluster-centroid codebook",
     ("queries/llm_data.py", "quality_decile_lift"):
         "1-row decile-edge frame",
     ("queries/llm_data.py", "token_pmi_top"):
