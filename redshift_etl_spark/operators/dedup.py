@@ -422,6 +422,89 @@ def contamination(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau_micro: int = 850000,
+    dims: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 3,
+) -> DataFrame:
+    """Embedding-space decontamination — the companion `contamination`
+    (n-gram) misses: paraphrased benchmark leakage, where the training
+    doc rewords an eval item so no n-gram survives but the embedding
+    cosine stays high.
+
+    Contract (deterministic, oracle-replicable like every LSH kernel
+    here): a corpus item is CONTAMINATED iff it shares at least one of
+    the md5-derived band buckets with some benchmark vector AND their
+    micro-rounded cosine ≥ ``tau_micro``. Banding is the recall dial —
+    candidates-only semantics, the same approximation Faiss-backed
+    decontamination makes with ANN search, but with a literally
+    checkable candidate set. Returns one row per contaminated corpus
+    item: (id, n_bench_hits, max_cos_micro, nearest_bench_id) — hits
+    counted over qualifying candidates, nearest = highest cosine with
+    lowest-benchmark-id tiebreak.
+
+    Scale shape (`similarity.lsh_bucketed_cross_pairs`): banded
+    explode on both sides, shuffle equi-join on the bucket key, one
+    hash agg on corpus id. The benchmark being small next to a 100 TB
+    corpus makes the bucket join effectively a benchmark-bucket lookup
+    — but nothing here *requires* it to fit in memory (no broadcast
+    hint; AQE will choose one when it does fit)."""
+    from .similarity import lsh_bucketed_cross_pairs
+
+    pairs = lsh_bucketed_cross_pairs(
+        corpus,
+        benchmark,
+        id_col,
+        vec_col,
+        dims=dims,
+        bands=bands,
+        planes_per_band=planes_per_band,
+        threshold_micro=tau_micro,
+        out_a="__cid",
+        out_b="__bid",
+    )
+    return (
+        pairs.groupBy("__cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            F.max("cos_micro").alias("max_cos_micro"),
+            F.max_by(
+                F.col("__bid"),
+                F.struct(
+                    F.col("cos_micro"), (-F.col("__bid")).alias("n")
+                ),
+            ).alias("nearest_bench_id"),
+        )
+        .withColumnRenamed("__cid", id_col)
+    )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau_micro: int = 850000,
+    dims: int = 64,
+    bands: int = 8,
+    planes_per_band: int = 3,
+) -> DataFrame:
+    """The keep-set form: drop every `semantic_contamination`-flagged
+    item from the corpus (left anti-join on the flagged ids — one
+    hash join keyed on the corpus id, no second scoring pass)."""
+    flagged = semantic_contamination(
+        corpus, benchmark, id_col, vec_col,
+        tau_micro=tau_micro, dims=dims, bands=bands,
+        planes_per_band=planes_per_band,
+    ).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,

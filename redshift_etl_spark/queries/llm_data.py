@@ -3976,6 +3976,77 @@ def bitext_margin_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-space decontamination (operators/dedup.semantic_contamination)
+# — the paraphrase-leakage companion to the n-gram `decontaminate`
+# query: corpus × benchmark bipartite LSH buckets → cosine threshold.
+# τ = 0.30 is the synthetic-data dial (near-uniform random vectors top
+# out near cos 0.5; real sentence embeddings would use ~0.85): 185 /
+# 169 / 2352 qualifying pairs at sf0.001/0.01/0.1 — nonvacuous at
+# every committed SF.
+# ---------------------------------------------------------------------------
+
+SEMANTIC_DECON_TAU_MICRO = 300000
+
+
+def _semantic_decon_oracle(tau_micro: int = SEMANTIC_DECON_TAU_MICRO) -> str:
+    sigc_body, match = _band_sig_sql("vec_id AS c_id", "ec")
+    sigb_body, _ = _band_sig_sql("vec_id AS b_id", "eb")
+    return f"""
+WITH ec AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label <> 9
+),
+eb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label = 9
+),
+sigc AS ({sigc_body}),
+sigb AS ({sigb_body}),
+pairs AS (
+  SELECT c_id, b_id,
+         CAST(ROUND(
+           list_dot_product(c.v, b.v)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(b.v, b.v)))
+           * 1e6, 0) AS BIGINT) AS cos_micro
+  FROM sigc c JOIN sigb b ON ({match('c', 'b')})
+),
+qual AS (SELECT * FROM pairs WHERE cos_micro >= {tau_micro}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_id ORDER BY cos_micro DESC, b_id
+  ) AS rn FROM qual
+)
+SELECT c_id AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+       MAX(cos_micro) AS max_cos_micro,
+       MIN(CASE WHEN rn = 1 THEN b_id END) AS nearest_bench_id
+FROM ranked GROUP BY c_id
+ORDER BY vec_id
+"""
+
+
+@_q("decontaminate_semantic", _semantic_decon_oracle())
+def decontaminate_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination report: every corpus vector
+    (labels 0-8) that shares an LSH band bucket with a benchmark
+    vector (label 9) at cosine ≥ τ, with hit count and nearest
+    benchmark item. Plan (`dedup.semantic_contamination` →
+    `similarity.lsh_bucketed_cross_pairs`): banded-explode both sides
+    → ONE shuffle equi-join on the bucket key → hash agg on corpus
+    id. No broadcast hint, no BNLJ, no Cartesian — the benchmark side
+    is small but nothing requires it to fit in memory."""
+    emb = load(spark, sf_dir, "embeddings")
+    return D.semantic_contamination(
+        emb.filter(F.col("label") != 9),
+        emb.filter(F.col("label") == 9),
+        "vec_id",
+        "embedding",
+        tau_micro=SEMANTIC_DECON_TAU_MICRO,
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # Gopher / C4 quality rules (operators/text.gopher_rules)
 # ---------------------------------------------------------------------------
 

@@ -203,6 +203,8 @@ def test_no_cross_product_in_scale_path_entry_points(spark):
         "dedup_simhash",
         "dedup_simhash_pairs",
         "decontaminate",
+        "decontaminate_semantic",
+        "semdedup",
         "ann_topk_lsh",
         "ann_topk_ivf",
         "dedup_embedding_cosine",
