@@ -378,16 +378,21 @@ def cohens_kappa(
 
     Exactness: with n items, ``agree`` the diagonal count and
     ``pe_num = Σ_k row_k·col_k`` the marginal-product sum, kappa
-    reduces to ONE IEEE division of exact BIGINTs:
+    reduces to ONE IEEE division of exact integers:
 
         kappa = (n·agree − pe_num) / (n² − pe_num)
 
     — algebraically identical to (p_o − p_e)/(1 − p_e) but with no
     intermediate float, so the statistic is engine- and partitioning-
-    exact. Degenerate marginals (n² = pe_num, e.g. a single category)
-    report NULL. NULL categories on either side are dropped (pairwise
-    agreement has no place for them). p_o and p_e are reported as
-    presentation doubles.
+    exact. The products n², n·agree and every row·col term are
+    computed in DECIMAL(38,0) (exact to 10³⁸ — n up to ~10¹⁹, i.e.
+    any corpus), not int64: long·long silently wraps past n ≈ 3·10⁹
+    under non-ANSI Spark (the cramers_v obs·N lesson). ``pe_num`` is
+    reported as DECIMAL(38,0) for the same reason. Degenerate
+    marginals (n² = pe_num, e.g. a single category) report NULL. NULL
+    categories on either side are dropped (pairwise agreement has no
+    place for them). p_o and p_e are reported as presentation
+    doubles.
 
     Scale shape: one hash agg to the ≤ |A|·|B| cell matrix, marginal
     sums over the CELLS (never the rows again), a category equi-join
@@ -405,9 +410,13 @@ def cohens_kappa(
     col_m = cells.groupBy("__b").agg(
         F.sum("__n").cast("long").alias("__cb")
     )
+    dec = "decimal(38,0)"
     pe = row_m.join(col_m, F.col("__a") == F.col("__b")).agg(
-        F.coalesce(F.sum(F.col("__ra") * F.col("__cb")), F.lit(0))
-        .cast("long")
+        F.coalesce(
+            F.sum(F.col("__ra").cast(dec) * F.col("__cb")),
+            F.lit(0),
+        )
+        .cast(dec)
         .alias("pe_num")
     )
     totals = cells.agg(
@@ -420,21 +429,22 @@ def cohens_kappa(
         .alias("n_agree"),
     )
     out = totals.crossJoin(F.broadcast(pe))
-    denom = F.col("n_items") * F.col("n_items") - F.col("pe_num")
+    n_sq = F.col("n_items").cast(dec) * F.col("n_items")
+    denom = n_sq - F.col("pe_num")
+    numer = (
+        F.col("n_items").cast(dec) * F.col("n_agree") - F.col("pe_num")
+    )
     return out.select(
         "n_items",
         "n_agree",
         "pe_num",
         (F.col("n_agree") / F.col("n_items").cast("double")).alias("po"),
         (
-            F.col("pe_num")
-            / (F.col("n_items") * F.col("n_items")).cast("double")
+            F.col("pe_num").cast("double") / n_sq.cast("double")
         ).alias("pe"),
         F.when(
-            denom != 0,
-            (
-                F.col("n_items") * F.col("n_agree") - F.col("pe_num")
-            ) / denom.cast("double"),
+            denom != F.lit(0),
+            numer.cast("double") / denom.cast("double"),
         ).alias("kappa"),
     )
 

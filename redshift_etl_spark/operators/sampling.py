@@ -747,7 +747,10 @@ def budget_waterfill(
     # persist the ranked per-group frame: totals, the level aggregate
     # and the final projection all read it, and without the persist
     # each consumer would re-run the CALLER's corpus aggregation that
-    # produced `counts` (three full corpus scans for a tiny frame)
+    # produced `counts` (three full corpus scans for a tiny frame).
+    # Cache lifecycle: the consumers live in the RETURNED lazy plan, so
+    # unpersisting here would defeat the pin — the session owner drops
+    # it (clearCache between queries, as driver_sim/bench do) or GC does
     ranked = ranked_cumsum(
         counts.select(F.col(group_col), F.col(n_col).cast("long")),
         [F.col(n_col).asc(), F.col(group_col).asc()],

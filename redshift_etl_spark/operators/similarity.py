@@ -1395,6 +1395,8 @@ def hard_negatives_bucketed(
     ).filter(
         F.col("cos_micro") >= F.lit(int(round(threshold * 1e6)))
     ).persist()
+    # cache lifecycle: consumers are in the returned lazy plan —
+    # session owner unpersists (clearCache between queries) or GC
     sym = micro.select(
         F.col("__pa").alias("a_id"), F.col("__pb").alias("b_id"), "cos_micro"
     ).unionByName(
@@ -1439,6 +1441,8 @@ def margin_mining_stage(pairs: DataFrame, k: int = 4) -> DataFrame:
     when they are actually small."""
     from pyspark.sql import Window
 
+    # cache lifecycle: consumers are in the returned lazy plan —
+    # session owner unpersists (clearCache between queries) or GC
     pairs = pairs.persist()
     wa = Window.partitionBy("a_id").orderBy(
         F.col("cos_micro").desc(), F.col("b_id")

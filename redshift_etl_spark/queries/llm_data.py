@@ -5530,15 +5530,22 @@ tot AS (
   FROM cells
 ),
 pe AS (
-  SELECT CAST(COALESCE(SUM(ra * cb), 0) AS BIGINT) AS pe_num
+  -- DECIMAL(38,0) products, mirroring the operator's overflow-safe
+  -- spelling (HUGEINT intermediates are exact; the cast fixes the
+  -- output type so both engines emit Decimal)
+  SELECT CAST(COALESCE(SUM(ra * cb), 0) AS DECIMAL(38,0)) AS pe_num
   FROM row_m JOIN col_m ON a = b
 )
 SELECT n_items, n_agree, pe_num,
        n_agree / CAST(n_items AS DOUBLE) AS po,
-       pe_num / CAST(n_items * n_items AS DOUBLE) AS pe,
-       CASE WHEN n_items * n_items - pe_num <> 0 THEN
-         (n_items * n_agree - pe_num)
-           / CAST(n_items * n_items - pe_num AS DOUBLE)
+       CAST(pe_num AS DOUBLE)
+         / CAST(CAST(n_items AS HUGEINT) * n_items AS DOUBLE) AS pe,
+       CASE WHEN CAST(n_items AS HUGEINT) * n_items
+                 - CAST(pe_num AS HUGEINT) <> 0 THEN
+         CAST(CAST(n_items AS HUGEINT) * n_agree
+              - CAST(pe_num AS HUGEINT) AS DOUBLE)
+           / CAST(CAST(n_items AS HUGEINT) * n_items
+                  - CAST(pe_num AS HUGEINT) AS DOUBLE)
        END AS kappa
 FROM tot CROSS JOIN pe
 """
@@ -5705,6 +5712,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         "doc_b",
         F.explode(F.sequence(F.lit(1), F.col("__a8"))).alias("thr"),
+        # lifecycle: driver clears cache between queries (driver_sim/bench)
     ).persist()
     np_ = lv.groupBy("thr").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")

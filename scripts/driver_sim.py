@@ -71,6 +71,11 @@ def main() -> None:
         sp_cols = [c.lower() for c in df.columns]
         sp_rows = [tuple(r) for r in df.collect()]
         times[name] = time.monotonic() - t0
+        # operators persist multi-consumer frames whose consumers live
+        # in the returned lazy plan, so they can't unpersist themselves
+        # — the session owner drops the cache between queries or blocks
+        # accumulate over a 256-query sweep (bench.py does the same)
+        spark.catalog.clearCache()
         if name not in oracles:
             print(f"  {name}: rows-only check, {len(sp_rows)} rows "
                   f"[{times[name]:.2f}s]")
