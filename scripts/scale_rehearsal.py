@@ -66,7 +66,12 @@ REHEARSAL = (
     "dsir_select",            # 64-row model + doc agg + top-k
     "token_weighted_length",  # weighted + plain percentile edges
     "mad_outliers",           # two grouped-percentile passes
-    "bm25_search",            # filtered explode + broadcast stats
+    "bm25_search",            # token explode, map-side-combined aggs
+                              # (r09 A/B: in-row HOF tf 3.8s, dl-
+                              # projection 2.2s, this form 1.4s at
+                              # 10x — see bm25_scores docstring;
+                              # r08's 1.75x reading was load, warm
+                              # slope ~1.3x)
     "text_stats",             # pure projection over documents
     "asof_prev_order",        # union + window merge_asof
     # DENSITY-COUPLED: replicas share the 30-day time range, so both
@@ -111,24 +116,24 @@ REHEARSAL = (
     "lang_source_cramers_v",  # cell matrix + marginal math
     "source_keep_wilson",     # source agg + fixed IEEE bound
     "hll_weekly_rollup",      # mergeable sketch union rollup
-    "ivf_pq_topk",            # cell-keyed ADC join. Measured 6.2x per
-                              # 10x: compute-saturated LINEAR — the
-                              # catalog query re-encodes the corpus
-                              # per call (encode dominates; a real
-                              # deployment stores codes as a build
-                              # artifact and pays only the cell-sized
-                              # query side), and exact-copy replicas
-                              # densify each probed cell 10x on top.
+    "ivf_pq_topk",            # cell-keyed ADC join over COMMITTED
+                              # codes/cells fixtures (r09: search-only
+                              # — r08's 6.2x was per-call corpus
+                              # re-encode, now a build artifact).
+                              # Exact-copy replicas still densify each
+                              # probed cell 10x (workload, annotated).
     # DENSITY-COUPLED like the minhash probes: replica text variants
     # are mutual near-dups, so candidate pairs grow ~45x per original.
     "dedup_threshold_curve",
-    # DENSITY-COUPLED (measured r08: 22.8x): replica embeddings are
-    # EXACT copies (vec_id offset only) and the codebook k stays fixed
-    # here, so every cluster densifies 10x and the per-cluster
-    # quadratic tile pays ~100x. The operator's documented contract is
-    # k scaling with the corpus (SemDeDup), under which cluster
-    # populations — hence the tile — stay bounded.
-    "semdedup",               # cluster-scoped embedding dedup
+    # r09: k is now ADAPTIVE (ceil(n/125), committed codebook/cells
+    # fixtures) so cluster populations — hence the quadratic tiles —
+    # stay ~target-bounded as data grows (r08's 22.8x was the fixed-k
+    # fixture densifying every cluster 10x). Replica embeddings are
+    # still EXACT copies, so duplicate GROUPS grow with the data —
+    # that part is workload, not engine.
+    "semdedup",               # adaptive-k cluster-scoped dedup
+    # r08 fourth wave composition probes (both agg-shaped):
+    "waterfill_sampled_corpus",  # budget -> quotas -> draw chain
 )
 
 # Density-DECOUPLED range-join variant (r08): the same query probed
@@ -238,6 +243,21 @@ def main() -> None:
 
     spark = get_spark(app_name="scale_rehearsal")
     spark.range(1).count()
+
+    # Build-artifact prewarm: index fixtures (IVF/PQ codebooks, codes,
+    # cells, semdedup codebook/cells) are train-once builds — at scale
+    # they're written by an offline job, not the query — so they must
+    # exist BEFORE the timed runs or the first probe pays a training
+    # pass the contract says isn't query work.
+    from redshift_etl_spark.queries import llm_data as L
+
+    t0 = time.time()
+    for d in (SRC, OUT):
+        L.pq_codes_fixture(spark, d).count()
+        L.ivf_cells_fixture(spark, d).count()
+        L.semdedup_cells_fixture(spark, d).count()
+    print(f"# index fixtures ready in {time.time() - t0:.1f}s", flush=True)
+
     all_q = Q.all_queries()
     report: dict[str, dict[str, float]] = {}
     for name in REHEARSAL:
