@@ -82,6 +82,10 @@ HEADLINE = (
     "customer_spend_gini",  # exact Gini off one range exchange (r8)
     "nearest_click_to_error",  # nearest as-of join, one shuffle (r8)
     "ivf_pq_topk",          # IVF-PQ composite ANN (cell-keyed ADC, r8)
+    "decontaminate_semantic",  # embedding-space decontamination via
+                            # bipartite LSH buckets (r9)
+    "semdedup",             # adaptive-k cluster-scoped embedding
+                            # dedup, fixture index (r9)
 )
 
 

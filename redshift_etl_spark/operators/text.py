@@ -1146,3 +1146,71 @@ def vocab_richness(
             / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"),
         ).alias("simpson"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    vocab_sizes: tuple[int, ...] = (1000, 4000, 16000, 64000),
+) -> DataFrame:
+    """Token-coverage curve for vocabulary truncation — the tokenizer
+    sizing question: "what share of all corpus tokens does a top-V
+    vocabulary cover?" One row per requested V: (vocab_size,
+    n_terms_in_vocab, covered_tokens, total_tokens, coverage).
+    Terms rank by (frequency DESC, term ASC) — the tiebreak makes the
+    cut deterministic; V larger than the vocabulary clamps
+    (n_terms_in_vocab = min(V, |vocab|), coverage = 1.0).
+
+    Exactness: covered/total are exact BIGINT sums off the cumulative
+    frequency; coverage is their single IEEE division.
+
+    Scale shape: one map-side-combined term hash agg (the only
+    vocabulary-sized frame), ONE `ranked_cumsum` range exchange over
+    the term-frequency table (never the corpus), then one 1-row
+    conditional aggregate emitting every checkpoint — the curve
+    points are projections of the same cumsum, not separate passes;
+    the final unpivot is over |V| literals."""
+    from .distsort import ranked_cumsum
+
+    tf = (
+        df.select(F.explode(tokens_col(text_col)).alias("__term"))
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    ranked = ranked_cumsum(
+        tf,
+        [F.col("__tf").desc(), F.col("__term").asc()],
+        "__tf",
+        rank_name="__r",
+        cumsum_name="__c",
+    )
+    folded = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("__n_terms"),
+        F.sum("__tf").cast("long").alias("total_tokens"),
+        *[
+            F.max(F.when(F.col("__r") <= v, F.col("__c")))
+            .cast("long")
+            .alias(f"__cov{v}")
+            for v in vocab_sizes
+        ],
+    )
+    rows = ", ".join(
+        f"{v}L, least(CAST({v} AS BIGINT), __n_terms), __cov{v}"
+        for v in vocab_sizes
+    )
+    return folded.select(
+        F.expr(
+            f"stack({len(vocab_sizes)}, {rows}) AS "
+            "(vocab_size, n_terms_in_vocab, covered_tokens)"
+        ),
+        "total_tokens",
+    ).select(
+        "vocab_size",
+        "n_terms_in_vocab",
+        "covered_tokens",
+        "total_tokens",
+        (
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("coverage"),
+    )

@@ -5612,6 +5612,62 @@ def vocab_richness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary truncation coverage curve (operators/text.vocab_coverage)
+# — the tokenizer-sizing diagnostic: share of corpus tokens a top-V
+# vocabulary covers. Checkpoints (5, 10, 20, 50) bracket the synthetic
+# 31-type vocabulary so the curve bends AND the V > |vocab| clamp is
+# exercised at every SF.
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_SIZES = (5, 10, 20, 50)
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1
+),
+r AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, term ASC) AS rn,
+         SUM(tf) OVER (ORDER BY tf DESC, term ASC) AS cum
+  FROM tf
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(tf) AS BIGINT) AS total
+  FROM tf
+)
+SELECT CAST(v AS BIGINT) AS vocab_size,
+       LEAST(CAST(v AS BIGINT), n_terms) AS n_terms_in_vocab,
+       CAST(MAX(CASE WHEN rn <= v THEN cum END) AS BIGINT)
+         AS covered_tokens,
+       total AS total_tokens,
+       CAST(MAX(CASE WHEN rn <= v THEN cum END) AS DOUBLE)
+         / CAST(total AS DOUBLE) AS coverage
+FROM r CROSS JOIN tot
+CROSS JOIN (VALUES {", ".join(f"({v})" for v in VOCAB_COVERAGE_SIZES)})
+  AS vv(v)
+GROUP BY v, n_terms, total
+ORDER BY vocab_size
+"""
+
+
+@_q("vocab_coverage_curve", _VOCAB_COVERAGE_ORACLE)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve at fixed vocab checkpoints
+    (`text.vocab_coverage`): one term hash agg, ONE ranked_cumsum
+    range exchange over the VOCABULARY (never the corpus), one 1-row
+    conditional fold emitting every checkpoint, |V|-literal unpivot.
+    Coverage is a single IEEE division of exact BIGINTs."""
+    from ..operators.text import vocab_coverage
+
+    docs = load(spark, sf_dir, "documents")
+    return vocab_coverage(
+        docs, "text", vocab_sizes=VOCAB_COVERAGE_SIZES
+    ).orderBy("vocab_size")
+
+
+# ---------------------------------------------------------------------------
 # m-estimate target encoding (operators/features.m_estimate_encode) —
 # smoothed per-source English share, the high-cardinality categorical
 # feature recipe (Micci-Barreca 2001).
