@@ -126,11 +126,14 @@ REHEARSAL = (
     # are mutual near-dups, so candidate pairs grow ~45x per original.
     "dedup_threshold_curve",
     # r09: k is now ADAPTIVE (ceil(n/125), committed codebook/cells
-    # fixtures) so cluster populations — hence the quadratic tiles —
+    # fixtures) so cluster populations — hence the candidate tiles —
     # stay ~target-bounded as data grows (r08's 22.8x was the fixed-k
-    # fixture densifying every cluster 10x). Replica embeddings are
-    # still EXACT copies, so duplicate GROUPS grow with the data —
-    # that part is workload, not engine.
+    # fixture densifying every cluster 10x; measured 7.6x after).
+    # The residual slope is PURE fixture-copy density: replica
+    # embeddings are EXACT copies, so each original's 10 replicas are
+    # a 45-edge clique — measured true dup edges >= tau grow 40 ->
+    # 93,100 (~2300x) at 10x data, and the engine absorbs that in
+    # 7.6x wall. Workload, not engine.
     "semdedup",               # adaptive-k cluster-scoped dedup
     # r08 fourth wave composition probes (both agg-shaped):
     "waterfill_sampled_corpus",  # budget -> quotas -> draw chain
