@@ -620,6 +620,64 @@ def grouped_split(
     )
 
 
+def stratified_exact_split(
+    df: DataFrame,
+    stratum_col: str,
+    key: str,
+    weights: tuple[tuple[str, int], ...] = (
+        ("train", 8), ("val", 1), ("test", 1),
+    ),
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment with EXACT per-stratum counts — the
+    complement of the hash splits: `deterministic_split` is stable
+    under growth but only ~proportional (a 256-bucket binomial), and
+    for a small or skewed stratum the realized ratio can be far off.
+    Here every stratum g gets exactly ⌊n_g·w₁/W⌋ rows of the first
+    split, ⌊n_g·(w₁+w₂)/W⌋−⌊n_g·w₁/W⌋ of the second, …, remainder to
+    the last — integer boundaries, no float edge.
+
+    Rows rank within their stratum by (md5(salt‖':'‖key), key) — the
+    `training_shuffle` order: deterministic, engine-portable,
+    uncorrelated with any data column. The trade documented against
+    the hash splits: adding rows RESHUFFLES assignments inside a
+    stratum (exactness and growth-stability are mutually exclusive);
+    use this for frozen snapshots (eval-set construction), the hash
+    splits for growing corpora.
+
+    Scale shape: ONE exchange on the stratum key; row_number and the
+    stratum count ride the same window frame. A stratum's rows sort
+    within its partitions — fine for the many-moderate-strata shape
+    (sources, languages); a single giant stratum degenerates to a
+    one-partition sort, exactly like any per-group window."""
+    from pyspark.sql import Window
+
+    total = sum(w for _, w in weights)
+    h = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(key).cast("string"))
+    )
+    wrk = Window.partitionBy(stratum_col).orderBy(h, F.col(key))
+    wct = Window.partitionBy(stratum_col)
+    ranked = df.withColumn("__rk", F.row_number().over(wrk)).withColumn(
+        "__n", F.count(F.lit(1)).over(wct)
+    )
+    expr = None
+    cum = 0
+    for name, w in weights[:-1]:
+        cum += w
+        # bigint `div`, never `/`: Spark's `/` on longs is DOUBLE
+        # division — a float boundary can move a row between splits
+        cond = F.col("__rk") <= F.expr(f"(__n * {cum}) div {total}")
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = expr.otherwise(F.lit(weights[-1][0]))
+    return ranked.withColumn(out_col, expr).drop("__rk", "__n")
+
+
 def pack_sequences(
     df: DataFrame,
     key: str,

@@ -995,6 +995,127 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Leakage-free eval split — the unit of correlation is the NEAR-DUP
+# CLUSTER, not the document: a row-level split puts near-identical
+# documents on both sides of train/eval and inflates held-out scores.
+# Composition showcase: jaccard pairs → connected components →
+# grouped_split keyed on the component (singletons = own doc_id).
+# ---------------------------------------------------------------------------
+
+def _leakage_free_split_oracle() -> str:
+    from ..operators.sampling import grouped_split_edges, oracle_bucket_sql
+
+    lo, hi = grouped_split_edges()
+    bucket = oracle_bucket_sql("component")
+    return f"""
+WITH RECURSIVE
+sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+assign AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, component,
+       CASE WHEN {bucket} < {lo} THEN 'train'
+            WHEN {bucket} < {hi} THEN 'val'
+            ELSE 'test' END AS split
+FROM assign
+ORDER BY doc_id
+"""
+
+
+@_q("leakage_free_split", _leakage_free_split_oracle())
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level train/val/test split: every member of a near-dup
+    cluster lands in the SAME split (component = the correlation
+    unit; `sampling.grouped_split`'s domain argument generalized to
+    the dedup graph). Plan: the committed jaccard-pair kernel →
+    hash-min/pointer-jump components → left join back to the corpus
+    (singletons default to their own id) → pure-projection md5-bucket
+    assignment. One extra key join over the row-level split — the
+    price of leak-freedom."""
+    from ..operators import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3
+    )
+    cc = D.connected_components(pairs, "doc_a", "doc_b")
+    assign = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "component"
+            ),
+        )
+    )
+    return SA.grouped_split(assign, "component").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact stratified split (operators/sampling.stratified_exact_split) —
+# frozen-snapshot eval construction: exactly floor(n_g·w/W) rows per
+# (stratum, split), integer boundaries, md5 within-stratum order. The
+# hash splits stay the growing-corpus tool (documented trade).
+# ---------------------------------------------------------------------------
+
+_STRAT_SPLIT_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN rk <= (n * 8) // 10 THEN 'train'
+            WHEN rk <= (n * 9) // 10 THEN 'val'
+            ELSE 'test' END AS split
+FROM r ORDER BY doc_id
+"""
+
+
+@_q("stratified_split_exact", _STRAT_SPLIT_ORACLE)
+def stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 80/10/10 per source (`sampling.stratified_exact_split`):
+    one stratum exchange carrying both the rank window and the
+    stratum count; boundaries by bigint `div` (never float). Use for
+    frozen snapshots — growth reshuffles within a stratum, which is
+    the documented trade against the stable hash splits."""
+    from ..operators.sampling import stratified_exact_split
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_exact_split(docs, "source", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # The actionable output of text dedup: the KEEP SET. Every document
 # survives except non-representative members of a near-dup cluster
 # (min id keeps) — one anti-join of the corpus against the drop set,
