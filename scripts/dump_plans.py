@@ -180,6 +180,33 @@ NOTES = {
         "epoch hash agg -> lag window over the 8-row frame (bounded "
         "by epoch count)"
     ),
+    "semdedup": (
+        "adaptive-k SemDeDup, index from committed fixtures: cells "
+        "join corpus (no training in the plan) -> cluster-keyed "
+        "self-join (tiles ~target-bounded by k = ceil(n/125)) -> "
+        "checkpointed connected components -> one group agg; "
+        "centroid join carries NO broadcast hint (k ∝ n — AQE "
+        "decides)"
+    ),
+    "decontaminate_semantic": (
+        "bipartite banded-LSH: constant-fan-out Generates on both "
+        "sides -> ONE bucket equi-join -> corpus-id hash agg; no "
+        "broadcast hint, no BNLJ/Cartesian (plan-tested)"
+    ),
+    "leakage_free_split": (
+        "jaccard pairs -> pinned-edge connected components -> one "
+        "left key join back to the corpus -> pure-projection "
+        "md5-bucket split (cluster = the correlation unit)"
+    ),
+    "stratified_split_exact": (
+        "ONE stratum exchange carrying rank window + stratum count; "
+        "split boundaries are bigint div projections"
+    ),
+    "vocab_coverage_curve": (
+        "term hash agg (map-side combined) -> ranked_cumsum range "
+        "exchange over the VOCABULARY -> 1-row conditional fold -> "
+        "|V|-literal stack unpivot"
+    ),
 }
 
 
