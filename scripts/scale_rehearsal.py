@@ -229,6 +229,22 @@ def _generate_decoupled(con, rep) -> None:
         f"CROSS JOIN {rep}) TO '{OUT_DECOUPLED}/events.parquet' "
         f"(FORMAT PARQUET)"
     )
+    # decoupled-embeddings fixture: each replica's vectors are the
+    # original CIRCULARLY SHIFTED by the replica index. A shift
+    # preserves inner products WITHIN a replica (every replica
+    # reproduces the original's dup-pair structure exactly — edges
+    # scale linearly with data) while cross-replica cosines are
+    # decorrelated (no exact-copy cliques) — the embedding analog of
+    # the +40-day event shift.
+    con.execute(
+        f"""COPY (SELECT vec_id + __i * {OFF} AS vec_id,
+       CAST(list_transform(range(1, len(embedding) + 1),
+         d -> embedding[((d - 1 + __i) % len(embedding)) + 1])
+         AS FLOAT[]) AS embedding,
+       label
+       FROM '{SRC}/embeddings.parquet' CROSS JOIN {rep})
+       TO '{OUT_DECOUPLED}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
 
 
 def main() -> None:
@@ -236,6 +252,9 @@ def main() -> None:
         "--regen" in sys.argv
         or not pathlib.Path(f"{OUT}/lineitem.parquet").exists()
         or not pathlib.Path(f"{OUT_DECOUPLED}/events.parquet").exists()
+        or not pathlib.Path(
+            f"{OUT_DECOUPLED}/embeddings.parquet"
+        ).exists()
     ):
         t0 = time.time()
         generate(force="--regen" in sys.argv)
@@ -290,6 +309,27 @@ def main() -> None:
     print(
         f"# range_join_incidents_decoupled: {times} "
         f"(10x data, ~10x pairs -> {slope}x time)",
+        flush=True,
+    )
+
+    # density-decoupled semdedup: replica embeddings are dimension-
+    # rotated (inner products preserved WITHIN a replica, decorrelated
+    # across), so true dup edges grow ~linearly instead of the
+    # exact-copy fixture's ~2300x clique growth — the engine's slope,
+    # not the workload's. Index fixtures prewarm first (build
+    # artifacts, same as the main probes).
+    L.semdedup_cells_fixture(spark, OUT_DECOUPLED).count()
+    fn = all_q["semdedup"]
+    times = {}
+    for label, d in (("sf0.1", SRC), ("sfbig_decoupled", OUT_DECOUPLED)):
+        t0 = time.time()
+        fn(spark, d).count()
+        times[label] = round(time.time() - t0, 3)
+    slope = round(times["sfbig_decoupled"] / max(times["sf0.1"], 1e-9), 2)
+    report["semdedup_decoupled"] = {**times, "slope_at_10x": slope}
+    print(
+        f"# semdedup_decoupled: {times} "
+        f"(10x data, ~10x dup edges -> {slope}x time)",
         flush=True,
     )
     print(json.dumps({"metric": "scale_rehearsal", "replicas": REPLICAS,
