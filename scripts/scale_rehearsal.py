@@ -132,8 +132,11 @@ REHEARSAL = (
     # The residual slope is PURE fixture-copy density: replica
     # embeddings are EXACT copies, so each original's 10 replicas are
     # a 45-edge clique — measured true dup edges >= tau grow 40 ->
-    # 93,100 (~2300x) at 10x data, and the engine absorbs that in
-    # 7.6x wall. Workload, not engine.
+    # 93,100 (~2300x) at 10x data, absorbed in 7.6-9x wall. The
+    # DECOUPLED probe below (dimension-rotated replicas, edges ~34x:
+    # 39 -> 1316 groups incl. chance collisions at 125-row clusters)
+    # reads 3.5x — the engine is sublinear in edges; the coupled
+    # number is the workload.
     "semdedup",               # adaptive-k cluster-scoped dedup
     # r08 fourth wave composition probes (both agg-shaped):
     "waterfill_sampled_corpus",  # budget -> quotas -> draw chain
