@@ -1148,6 +1148,126 @@ def vocab_richness(
     )
 
 
+def readability_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic readability screens a web-corpus quality pipeline reports
+    next to the Gopher rules. Syllables are approximated as vowel
+    GROUPS (``[aeiouy]+`` runs, the standard regex proxy); sentences
+    as ``[.!?]+`` runs; both floored at 1 so degenerate texts score
+    instead of dividing by zero.
+
+        flesch   = 206.835 − 1.015·(words/sentences)
+                           − 84.6·(syllables/words)
+        fk_grade = 0.39·(words/sentences) + 11.8·(syllables/words)
+                   − 15.59
+
+    Exactness: counts are exact BIGINTs; the scores are fixed-order
+    IEEE expressions over them (constants injected as string-cast
+    doubles in the oracle — DuckDB parses bare decimal literals as
+    DECIMAL and drifts an ulp on conversion), rounded at 6.
+
+    Scale shape: pure projection — three regexp counts per row at
+    scan speed, zero Python, zero shuffle."""
+    w = token_count(text_col).alias("n_words")
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    s = F.greatest(
+        F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syl = F.greatest(
+        F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+")), F.lit(1)
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        w,
+        s.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    )
+    wps = F.col("n_words") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables") / F.col("n_words").cast("double")
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )
+
+
+def source_unigram_kl(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """KL divergence (nats) of each group's unigram distribution from
+    the corpus distribution — "how lexically atypical is this source"
+    (domain-shift screening; the per-source companion of
+    `quality.mutual_information`).
+
+        KL(p_g ‖ q) = Σ_t p_g(t) · ln(p_g(t) / q(t)),
+        p_g(t) = tf_gt / N_g,   q(t) = tf_t / N
+
+    Absolute continuity holds by construction (a group's term is in
+    the corpus), so every term a group has contributes a finite term;
+    corpus terms absent from the group contribute 0.
+
+    Exactness (the ngramlm libm policy): counts are exact BIGINTs,
+    the ONLY libm calls are one micro-rounded ``ln`` per
+    (group, term) CELL (vocabulary-bounded, never per token), each
+    tf-weighted and summed as BIGINT; the final value is one IEEE
+    division. The ln argument is computed with DOUBLE products
+    (tf·N ratios) — long products would overflow at 100 TB token
+    counts, the cramers_v lesson.
+
+    Scale shape: one map-side-combined (group, term) agg, term and
+    group marginals over the CELLS, equi-joins on the vocabulary-
+    sized frames, one group agg. Nothing token-sized shuffles twice.
+    Returns (group, n_tokens, n_types, kl_nats)."""
+    SCALE = 1_000_000
+    cells = (
+        df.select(
+            F.col(group_col), F.explode(tokens_col(text_col)).alias("__t")
+        )
+        .groupBy(group_col, "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf_gt"))
+    )
+    term_m = cells.groupBy("__t").agg(
+        F.sum("__tf_gt").cast("long").alias("__tf_t")
+    )
+    grp_m = cells.groupBy(group_col).agg(
+        F.sum("__tf_gt").cast("long").alias("__n_g"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    tot = term_m.agg(F.sum("__tf_t").cast("long").alias("__n"))
+    ratio = (
+        F.col("__tf_gt").cast("double") * F.col("__n").cast("double")
+    ) / (F.col("__n_g").cast("double") * F.col("__tf_t").cast("double"))
+    ln_micro = F.round(F.log(ratio) * SCALE, 0).cast("long")
+    j = (
+        cells.join(term_m, "__t")
+        .join(grp_m, group_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = j.groupBy(group_col).agg(
+        F.first("__n_g").alias("__n_g"),
+        F.first("n_types").alias("n_types"),
+        F.sum(F.col("__tf_gt") * ln_micro).cast("long").alias("__kl_num"),
+    )
+    return agg.select(
+        group_col,
+        F.col("__n_g").alias("n_tokens"),
+        "n_types",
+        (
+            F.col("__kl_num")
+            / (F.col("__n_g").cast("double") * SCALE)
+        ).alias("kl_nats"),
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     text_col: str,

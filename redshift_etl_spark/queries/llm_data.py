@@ -5789,6 +5789,92 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Readability screens (operators/text.readability_scores) — Flesch
+# reading ease + FK grade, vowel-group syllable proxy; constants
+# string-cast in the oracle (bare decimal literals parse as DECIMAL in
+# DuckDB and drift an ulp on conversion).
+# ---------------------------------------------------------------------------
+
+_READABILITY_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+         GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                   AS BIGINT), 1) AS n_sentences,
+         GREATEST(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT), 1) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(CAST('206.835' AS DOUBLE)
+             - CAST('1.015' AS DOUBLE)
+               * (n_words / CAST(n_sentences AS DOUBLE))
+             - CAST('84.6' AS DOUBLE)
+               * (n_syllables / CAST(n_words AS DOUBLE)), 6) AS flesch,
+       ROUND(CAST('0.39' AS DOUBLE)
+               * (n_words / CAST(n_sentences AS DOUBLE))
+             + CAST('11.8' AS DOUBLE)
+               * (n_syllables / CAST(n_words AS DOUBLE))
+             - CAST('15.59' AS DOUBLE), 6) AS fk_grade
+FROM base ORDER BY doc_id
+"""
+
+
+@_q("readability_scores", _READABILITY_ORACLE)
+def readability_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Flesch / FK-grade (`text.readability_scores`): three
+    regexp counts per row, fixed-order IEEE score expressions — pure
+    projection, zero shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.readability_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram KL divergence (operators/text.source_unigram_kl)
+# — lexical atypicality vs the corpus; ngramlm libm policy (one
+# micro-rounded ln per vocabulary cell).
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_KL_ORACLE = """
+WITH cells AS (
+  SELECT source AS g, term, CAST(COUNT(*) AS BIGINT) AS tf_gt
+  FROM (SELECT source, unnest(str_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY 1, 2
+),
+tm AS (SELECT term, CAST(SUM(tf_gt) AS BIGINT) AS tf_t
+       FROM cells GROUP BY 1),
+gm AS (SELECT g, CAST(SUM(tf_gt) AS BIGINT) AS n_g,
+              CAST(COUNT(*) AS BIGINT) AS n_types
+       FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(tf_t) AS BIGINT) AS n FROM tm),
+terms AS (
+  SELECT g, n_g, n_types,
+         tf_gt * CAST(ROUND(ln(
+           (CAST(tf_gt AS DOUBLE) * CAST(n AS DOUBLE))
+           / (CAST(n_g AS DOUBLE) * CAST(tf_t AS DOUBLE))
+         ) * 1000000) AS BIGINT) AS contrib
+  FROM cells JOIN tm USING (term) JOIN gm USING (g) CROSS JOIN tot
+)
+SELECT g AS source, n_g AS n_tokens, n_types,
+       CAST(SUM(contrib) AS BIGINT)
+         / (CAST(n_g AS DOUBLE) * 1000000) AS kl_nats
+FROM terms GROUP BY g, n_g, n_types
+ORDER BY source
+"""
+
+
+@_q("source_unigram_kl", _UNIGRAM_KL_ORACLE)
+def source_unigram_kl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram distributions
+    (`text.source_unigram_kl`): one (source, term) map-side-combined
+    agg, vocabulary-sized marginal joins, one micro-rounded ln per
+    cell (libm policy), one IEEE division per source."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.source_unigram_kl(docs, "source", "text").orderBy("source")
+
+
+# ---------------------------------------------------------------------------
 # m-estimate target encoding (operators/features.m_estimate_encode) —
 # smoothed per-source English share, the high-cardinality categorical
 # feature recipe (Micci-Barreca 2001).

@@ -128,6 +128,8 @@ ALLOWED = {
         "query set + probed centroids — contracted small side",
     ("operators/skew.py", "skew_report"):
         "one row per shuffle partition + 1-row total (cluster config)",
+    ("operators/text.py", "source_unigram_kl"):
+        "1-row corpus-token-total fold",
     ("operators/text.py", "bigram_likelihood"):
         "default: model tables broadcast under the fits-an-executor contract (curated-corpus bigram counts) + a 1-row vocab scalar; broadcast_model=False drops the hints for unbounded web bigram sets (AQE skew-split takes over)",
     ("operators/text.py", "bm25_scores"):
