@@ -537,6 +537,49 @@ def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def matthews_corr(
+    df: DataFrame, true_col: str, pred_col: str
+) -> DataFrame:
+    """Matthews correlation coefficient for a binary classifier — the
+    single-number eval robust to class imbalance (accuracy and F1 are
+    not), completing the binary family next to kappa/AUC/F1:
+
+        MCC = (TP·TN − FP·FN)
+              / √((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+
+    Inputs are boolean columns (rows with a NULL on either side are
+    dropped — same rule as kappa). Exactness: the four confusion
+    counts are exact BIGINTs (reported); the products are computed in
+    DOUBLE in a fixed order (long·long wraps past n ≈ 3·10⁹ — the
+    kappa/cramers_v lesson) and the sqrt is correctly-rounded IEEE,
+    so the statistic is engine- and partitioning-exact. Any zero
+    marginal → NULL (MCC undefined).
+
+    Scale shape: ONE map-side-combined aggregate over the corpus —
+    four conditional counts — then a 1-row projection."""
+    t = F.col(true_col).cast("boolean")
+    p = F.col(pred_col).cast("boolean")
+    counts = df.filter(t.isNotNull() & p.isNotNull()).agg(
+        F.sum((t & p).cast("long")).cast("long").alias("tp"),
+        F.sum(((~t) & (~p)).cast("long")).cast("long").alias("tn"),
+        F.sum(((~t) & p).cast("long")).cast("long").alias("fp"),
+        F.sum((t & (~p)).cast("long")).cast("long").alias("fn"),
+    )
+    tp, tn = F.col("tp").cast("double"), F.col("tn").cast("double")
+    fp, fn = F.col("fp").cast("double"), F.col("fn").cast("double")
+    denom_sq = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    return counts.select(
+        "tp",
+        "tn",
+        "fp",
+        "fn",
+        F.when(
+            denom_sq > 0,
+            (tp * tn - fp * fn) / F.sqrt(denom_sq),
+        ).alias("mcc"),
+    )
+
+
 def wilson_lower_bounds(
     df: DataFrame,
     group_col: str,

@@ -5617,7 +5617,10 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to lang_id_confusion's matrix, one exact-integer division.
 # ---------------------------------------------------------------------------
 
-def _lang_kappa_oracle() -> str:
+def _lang_argmax_fold_sql() -> tuple[str, str]:
+    """(hit-count column list, argmax-fold CASE expression) — the
+    committed marker-argmax prediction spelling, shared by the kappa,
+    confusion and MCC oracles."""
     hit_cols = ",\n  ".join(
         "CAST(len(list_filter(str_split(text, ' '), w -> w IN ({}))) AS BIGINT)"
         " AS hits_{}".format(
@@ -5630,6 +5633,11 @@ def _lang_kappa_oracle() -> str:
         b = f"CASE WHEN hits_{lang} > {prev_n} THEN '{lang}' ELSE {prev_b} END"
         n = f"CASE WHEN hits_{lang} > {prev_n} THEN hits_{lang} ELSE {prev_n} END"
         prev_b, prev_n = b, n
+    return hit_cols, prev_b
+
+
+def _lang_kappa_oracle() -> str:
+    hit_cols, prev_b = _lang_argmax_fold_sql()
     return f"""
 WITH h AS (
   SELECT doc_id, lang,
@@ -5684,6 +5692,58 @@ def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("lang", "text")
     pred = TX.lang_scores(docs, "text").select("lang", "predicted_lang")
     return cohens_kappa(pred, "lang", "predicted_lang")
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation (operators/quality.matthews_corr) — the
+# imbalance-robust binary eval, on the is-English detector.
+# ---------------------------------------------------------------------------
+
+def _lang_mcc_oracle() -> str:
+    hit_cols, prev_b = _lang_argmax_fold_sql()
+    d = lambda c: f"CAST({c} AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+  {hit_cols}
+  FROM documents
+),
+pred AS (
+  SELECT (lang = 'en') AS t, ({prev_b} = 'en') AS p FROM h
+),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM pred
+)
+SELECT tp, tn, fp, fn,
+       CASE WHEN ({d('tp')} + {d('fp')}) * ({d('tp')} + {d('fn')})
+                 * ({d('tn')} + {d('fp')}) * ({d('tn')} + {d('fn')}) > 0
+       THEN ({d('tp')} * {d('tn')} - {d('fp')} * {d('fn')})
+            / sqrt(({d('tp')} + {d('fp')}) * ({d('tp')} + {d('fn')})
+                   * ({d('tn')} + {d('fp')}) * ({d('tn')} + {d('fn')}))
+       END AS mcc
+FROM c
+"""
+
+
+@_q("lang_id_mcc", _lang_mcc_oracle())
+def lang_id_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCC of the is-English detector (`quality.matthews_corr`):
+    exact BIGINT confusion counts from ONE map-side-combined
+    aggregate, products in fixed-order doubles (long·long wraps past
+    n ≈ 3·10⁹), one correctly-rounded IEEE sqrt."""
+    from ..operators.quality import matthews_corr
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    pred = TX.lang_scores(docs, "text").select(
+        (F.col("lang") == "en").alias("t"),
+        (F.col("predicted_lang") == "en").alias("p"),
+    )
+    return matthews_corr(pred, "t", "p")
 
 
 # ---------------------------------------------------------------------------
