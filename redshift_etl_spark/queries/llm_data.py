@@ -4674,12 +4674,14 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines compute identically (bigint/bigint divisions).
 # ---------------------------------------------------------------------------
 
-def _ccnet_buckets_oracle() -> str:
+def _ccnet_rated_ctes() -> str:
+    """The ccnet scoring chain up to ``rated`` (doc_id, n_bigrams,
+    nll_per_tok) + ``edges`` (e30, e70) — shared by the bucket report
+    and the curriculum order."""
     bc = NG.token_bucket_sql("w1", NG.CTX_BUCKETS)
     bw = NG.token_bucket_sql("w2", NG.WORD_BUCKETS)
     model = NG.nll_table_sql("refbg")
-    return f"""
-WITH sp AS (
+    return f"""sp AS (
   SELECT doc_id, source, str_split(text, ' ') AS sp FROM documents
 ),
 ps AS (
@@ -4718,7 +4720,12 @@ edges AS (
   SELECT percentile_disc(0.3) WITHIN GROUP (ORDER BY nll_per_tok) AS e30,
          percentile_disc(0.7) WITHIN GROUP (ORDER BY nll_per_tok) AS e70
   FROM rated
-)
+)"""
+
+
+def _ccnet_buckets_oracle() -> str:
+    return f"""
+WITH {_ccnet_rated_ctes()}
 SELECT CASE WHEN nll_per_tok <= e30 THEN 'head'
             WHEN nll_per_tok <= e70 THEN 'middle'
             ELSE 'tail' END AS bucket,
@@ -4728,6 +4735,65 @@ FROM rated, edges
 GROUP BY 1
 ORDER BY bucket
 """
+
+
+_CURRICULUM_ORACLE_TAIL = """
+SELECT doc_id,
+       CASE WHEN nll_per_tok <= e30 THEN 1
+            WHEN nll_per_tok <= e70 THEN 2
+            ELSE 3 END AS phase,
+       md5('curr:' || CAST(doc_id AS VARCHAR)) AS order_key
+FROM rated, edges
+ORDER BY doc_id
+"""
+
+
+@_q(
+    "curriculum_order",
+    "WITH " + _ccnet_rated_ctes() + _CURRICULUM_ORACLE_TAIL,
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy-first curriculum for training order: phase 1/2/3 =
+    CCNet head/middle/tail perplexity terciles (train on the cleanest
+    text first — the standard curriculum/annealing recipe), plus a
+    deterministic pseudo-random ORDER KEY (md5-salted doc id) for the
+    within-phase shuffle. Deliberately emits key COLUMNS, not ranks:
+    the traversal order is (phase, order_key, doc_id), and the shard
+    writer's repartitionByRange does the actual sorting — a
+    per-phase rank window would be 3 giant single-group sorts at
+    100 TB. Pure projection after the shared ccnet scoring chain +
+    1-row edge broadcast."""
+    from ..operators import distsort as DSORT2
+
+    docs = load(spark, sf_dir, "documents")
+    scores = NG.perplexity_scores(
+        docs, "doc_id", "text", F.col("source") == "src0"
+    )
+    rated = scores.select(
+        "doc_id",
+        (F.col("nll_micro").cast("double") / F.col("n_bigrams")).alias(
+            "nll_per_tok"
+        ),
+    ).persist()  # edges + final projection both read it; driver
+    # clears the cache between queries (lifecycle note, dedup.py rule)
+    edges = DSORT2.percentile_disc_edges(
+        rated, "nll_per_tok", [0.3, 0.7], prefix="e"
+    )
+    return (
+        rated.crossJoin(F.broadcast(edges))
+        .select(
+            "doc_id",
+            F.when(F.col("nll_per_tok") <= F.col("e30"), 1)
+            .when(F.col("nll_per_tok") <= F.col("e70"), 2)
+            .otherwise(3)
+            .cast("int")
+            .alias("phase"),
+            F.md5(
+                F.concat(F.lit("curr:"), F.col("doc_id").cast("string"))
+            ).alias("order_key"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @_q("ccnet_buckets", _ccnet_buckets_oracle())

@@ -154,6 +154,8 @@ ALLOWED = {
         "1-row (lo, hi) trim bounds",
     ("queries/llm_data.py", "ccnet_buckets"):
         "1-row percentile-edge frame",
+    ("queries/llm_data.py", "curriculum_order"):
+        "1-row percentile-edge frame",
     ("queries/llm_data.py", "corpus_datacard"):
         "1-row keep-share / top-source / top-lang scalars",
     ("queries/llm_data.py", "doc_length_cdf"):
