@@ -1268,6 +1268,45 @@ def source_unigram_kl(
     )
 
 
+def phrase_match_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: tuple[str, ...],
+) -> DataFrame:
+    """Exact consecutive-token PHRASE retrieval — the positional-index
+    capability BM25's bag-of-words scoring can't express ("spark
+    merge" as adjacent tokens, not two independent terms). Returns
+    one row per matching document: (id, n_matches, first_pos)
+    (0-based token position; overlapping matches all count — a
+    position-set intersection, not a regex).
+
+    Plan: posexplode filtered to the PHRASE'S OWN tokens before any
+    shuffle (at 100 TB only those postings move — same contract as
+    `bm25_scores`), then len(phrase)−1 hash equi-joins on
+    (doc, start): token i at position p supports start p−i, and a
+    start that survives every join saw all tokens adjacent. No
+    window, no regex on the hot path, no full-token shuffle."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 tokens")
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokens_col(text_col)).alias("__pos", "__tok"),
+    ).filter(F.col("__tok").isin(*set(phrase)))
+    cur = toks.filter(F.col("__tok") == phrase[0]).select(
+        "__doc", F.col("__pos").alias("__start")
+    )
+    for i, w in enumerate(phrase[1:], 1):
+        nxt = toks.filter(F.col("__tok") == w).select(
+            "__doc", (F.col("__pos") - i).alias("__start")
+        )
+        cur = cur.join(nxt, ["__doc", "__start"])
+    return cur.groupBy("__doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("__start").cast("long").alias("first_pos"),
+    ).withColumnRenamed("__doc", id_col)
+
+
 def vocab_coverage(
     df: DataFrame,
     text_col: str,

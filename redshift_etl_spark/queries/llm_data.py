@@ -5859,6 +5859,45 @@ def vocab_richness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Positional phrase search (operators/text.phrase_match_counts) — the
+# adjacency retrieval BM25's bag-of-words can't express.
+# ---------------------------------------------------------------------------
+
+PHRASE = ("spark", "merge")
+
+_PHRASE_ORACLE = f"""
+WITH ps AS (
+  SELECT doc_id,
+         generate_subscripts(str_split(text, ' '), 1) AS tpos,
+         unnest(str_split(text, ' ')) AS w
+  FROM documents
+),
+m AS (
+  SELECT a.doc_id, a.tpos - 1 AS start
+  FROM ps a JOIN ps b
+    ON a.doc_id = b.doc_id AND b.tpos = a.tpos + 1
+  WHERE a.w = '{PHRASE[0]}' AND b.w = '{PHRASE[1]}'
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(start) AS BIGINT) AS first_pos
+FROM m GROUP BY 1 ORDER BY doc_id
+"""
+
+
+@_q("phrase_search", _PHRASE_ORACLE)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing the exact consecutive phrase
+    (`text.phrase_match_counts`): filtered posexplode (only the
+    phrase's own postings shuffle) + one (doc, start) hash join per
+    additional token; overlapping matches count."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.phrase_match_counts(
+        docs, "doc_id", "text", PHRASE
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary truncation coverage curve (operators/text.vocab_coverage)
 # — the tokenizer-sizing diagnostic: share of corpus tokens a top-V
 # vocabulary covers. Checkpoints (5, 10, 20, 50) bracket the synthetic
