@@ -66,14 +66,21 @@ def _point(root: str, n: int) -> None:
     os.replace(tmp, os.path.join(root, _PTR))  # atomic on POSIX
 
 
-def write_version(df: DataFrame, root: str) -> int:
+def write_version(
+    df: DataFrame, root: str, partition_by: str | None = None
+) -> int:
     """Land ``df`` as the next version and commit the pointer to it.
     The write happens entirely in the new directory; the commit is the
-    one atomic pointer swap at the end."""
+    one atomic pointer swap at the end. ``partition_by`` lays the
+    snapshot out hive-partitioned — the layout `forget_keys` needs for
+    partition-scoped erasure rewrites."""
     os.makedirs(root, exist_ok=True)
     vs = versions(root)
     n = (vs[-1] + 1) if vs else 0
-    df.write.mode("overwrite").parquet(_vdir(root, n))
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(_vdir(root, n))
     _point(root, n)
     return n
 
@@ -108,6 +115,104 @@ def vacuum(root: str, keep: int = 2) -> list[int]:
     for n in drop:
         shutil.rmtree(_vdir(root, n), ignore_errors=True)
     return drop
+
+
+def forget_keys(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    keys,
+    partition_col: str | None = None,
+) -> dict | None:
+    """Right-to-be-forgotten delete: commit a new snapshot WITHOUT the
+    given keys. ``keys`` is a Python sequence (erasure requests are
+    request-sized) or a 1-column DataFrame (bulk erasure — joined,
+    never collected).
+
+    Rewrite cost is scoped: with ``partition_col`` set (the store's
+    hive partition column), one cheap scan of (key, partition) finds
+    the AFFECTED partition values; untouched partitions are hard-linked
+    into the new version directory (same filesystem ⇒ O(1) per file,
+    no data copied — falls back to copy across devices) and only
+    affected partitions re-run the anti-join — at 100 TB the rewrite
+    is proportional to the partitions containing the keys, not the
+    table. Without ``partition_col``, the whole table rewrites (the
+    correct default for unpartitioned stores).
+
+    Returns a report dict (rows_removed, partitions_rewritten,
+    partitions_linked, version) or None when no key matched (no new
+    version is committed — erasure of an absent key is a no-op, not
+    history churn). HARD delete semantics: prior snapshots still
+    contain the rows until ``vacuum`` drops them — run
+    ``vacuum(root, keep=1)`` after the commit to complete an erasure
+    obligation (the Delta VACUUM story)."""
+    cur = read_current(spark, root)
+    import pyspark.sql.functions as F
+
+    if isinstance(keys, DataFrame):
+        kdf = keys.toDF(key_col)
+        match = cur.join(kdf, key_col, "left_semi")
+        drop = lambda df: df.join(kdf, key_col, "left_anti")  # noqa: E731
+    else:
+        keys = list(keys)
+        match = cur.filter(F.col(key_col).isin(keys))
+        drop = lambda df: df.filter(  # noqa: E731
+            ~F.col(key_col).isin(keys)
+        )
+
+    vs = versions(root)
+    n = vs[-1] + 1
+    new_dir = _vdir(root, n)
+    if partition_col is None:
+        removed = match.count()
+        if removed == 0:
+            return None
+        drop(cur).write.mode("overwrite").parquet(new_dir)
+        _point(root, n)
+        return {
+            "version": n,
+            "rows_removed": removed,
+            "partitions_rewritten": None,
+            "partitions_linked": 0,
+        }
+
+    affected = {
+        str(r[0])
+        for r in match.select(partition_col).distinct().collect()
+    }  # bounded by the erasure request's partition spread
+    if not affected:
+        return None
+    removed = match.count()
+    src_dir = _vdir(root, current_version(root))
+    os.makedirs(new_dir, exist_ok=True)
+    linked = 0
+    for name in os.listdir(src_dir):
+        full = os.path.join(src_dir, name)
+        if not (os.path.isdir(full) and name.startswith(f"{partition_col}=")):
+            continue
+        value = name.split("=", 1)[1]
+        if value in affected:
+            continue
+        dst = os.path.join(new_dir, name)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(full):
+            s, d = os.path.join(full, f), os.path.join(dst, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+        linked += 1
+    kept = drop(
+        cur.filter(F.col(partition_col).isin(sorted(affected)))
+    )
+    kept.write.mode("append").partitionBy(partition_col).parquet(new_dir)
+    _point(root, n)
+    return {
+        "version": n,
+        "rows_removed": removed,
+        "partitions_rewritten": len(affected),
+        "partitions_linked": linked,
+    }
 
 
 def merge_scd1_version(
