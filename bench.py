@@ -86,6 +86,13 @@ HEADLINE = (
                             # bipartite LSH buckets (r9)
     "semdedup",             # adaptive-k cluster-scoped embedding
                             # dedup, fixture index (r9)
+    "phrase_search",        # positional adjacency retrieval (r9)
+    "vocab_coverage_curve",  # top-V token coverage, vocab-sized
+                            # range exchange (r9)
+    "readability_scores",   # Flesch/FK pure projection (r9)
+    "source_unigram_kl",    # per-source lexical KL, ln per cell (r9)
+    "padding_efficiency",   # serving pad-waste A/B, two ranked
+                            # cumsums (r9)
 )
 
 

@@ -678,6 +678,75 @@ def stratified_exact_split(
     return ranked.withColumn(out_col, expr).drop("__rk", "__n")
 
 
+def batch_padding_report(
+    df: DataFrame,
+    id_col: str,
+    length: Column,
+    batch_size: int,
+) -> DataFrame:
+    """Padding-waste report for fixed-size inference batching — the
+    serving-cost twin of `pack_sequences` (training packs a tape;
+    inference pads every sequence in a batch to the batch max). Two
+    strategies over the same corpus:
+
+    - ``arrival``: batch in id order (what a naive server does);
+    - ``length_sorted``: batch in (length, id) order (the standard
+      bucketing fix — near-equal lengths share a batch, so the pad to
+      the batch max is small).
+
+    One row per strategy: (strategy, n_batches, total_tokens,
+    padded_slots, pad_ratio), where a batch's slots are
+    ``max_len · n_rows`` (partial tail batches pad to their own
+    occupancy) and padded_slots = slots − Σ len. Counts are exact
+    BIGINTs; pad_ratio is one IEEE division.
+
+    Scale shape: per strategy, ONE `ranked_cumsum` range exchange
+    builds the global order (never a single-task window), batch_id is
+    a bigint-div projection, and one batch hash agg + one 1-row fold
+    finish. Everything engine-exact, so the A/B is trustworthy at any
+    scale."""
+    from .distsort import ranked_cumsum
+
+    base = df.select(
+        F.col(id_col).alias("__id"), length.cast("long").alias("__len")
+    )
+
+    def one(strategy: str, order: list[Column]) -> DataFrame:
+        ranked = ranked_cumsum(
+            base, order, "__len", rank_name="__r", cumsum_name="__c"
+        )
+        batches = (
+            ranked.withColumn(
+                "__b", F.expr(f"(__r - 1) div {int(batch_size)}")
+            )
+            .groupBy("__b")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("__n"),
+                F.max("__len").alias("__mx"),
+                F.sum("__len").cast("long").alias("__sum"),
+            )
+        )
+        return batches.agg(
+            F.lit(strategy).alias("strategy"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("__sum").cast("long").alias("total_tokens"),
+            F.sum(F.col("__mx") * F.col("__n") - F.col("__sum"))
+            .cast("long")
+            .alias("padded_slots"),
+            (
+                F.sum(F.col("__mx") * F.col("__n") - F.col("__sum"))
+                .cast("double")
+                / F.sum(F.col("__mx") * F.col("__n")).cast("double")
+            ).alias("pad_ratio"),
+        )
+
+    arrival = one("arrival", [F.col("__id").asc()])
+    by_len = one(
+        "length_sorted", [F.col("__len").asc(), F.col("__id").asc()]
+    )
+    return arrival.unionByName(by_len)
+
+
 def pack_sequences(
     df: DataFrame,
     key: str,

@@ -5859,6 +5859,69 @@ def vocab_richness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Inference batching padding waste (operators/sampling.
+# batch_padding_report) — arrival-order vs length-sorted batching.
+# ---------------------------------------------------------------------------
+
+_PADDING_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS id, CAST(len(str_split(text, ' ')) AS BIGINT) AS len
+  FROM documents
+),
+r1 AS (
+  SELECT len, row_number() OVER (ORDER BY id) AS r FROM d
+),
+b1 AS (
+  SELECT (r - 1) // 32 AS b, CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(len) AS mx, CAST(SUM(len) AS BIGINT) AS s
+  FROM r1 GROUP BY 1
+),
+a1 AS (
+  SELECT 'arrival' AS strategy,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(s) AS BIGINT) AS total_tokens,
+         CAST(SUM(mx * n - s) AS BIGINT) AS padded_slots,
+         CAST(SUM(mx * n - s) AS DOUBLE)
+           / CAST(SUM(mx * n) AS DOUBLE) AS pad_ratio
+  FROM b1
+),
+r2 AS (
+  SELECT len, row_number() OVER (ORDER BY len, id) AS r FROM d
+),
+b2 AS (
+  SELECT (r - 1) // 32 AS b, CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(len) AS mx, CAST(SUM(len) AS BIGINT) AS s
+  FROM r2 GROUP BY 1
+),
+a2 AS (
+  SELECT 'length_sorted' AS strategy,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(s) AS BIGINT) AS total_tokens,
+         CAST(SUM(mx * n - s) AS BIGINT) AS padded_slots,
+         CAST(SUM(mx * n - s) AS DOUBLE)
+           / CAST(SUM(mx * n) AS DOUBLE) AS pad_ratio
+  FROM b2
+)
+SELECT * FROM a1 UNION ALL SELECT * FROM a2
+ORDER BY strategy
+"""
+
+
+@_q("padding_efficiency", _PADDING_ORACLE)
+def padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-cost A/B (`sampling.batch_padding_report`): padding
+    waste of fixed-32 batches in arrival order vs length-sorted order.
+    Per strategy ONE ranked_cumsum range exchange + a batch hash agg +
+    a 1-row fold — exact BIGINT slot accounting, one IEEE ratio."""
+    from ..operators.sampling import batch_padding_report
+
+    docs = load(spark, sf_dir, "documents")
+    return batch_padding_report(
+        docs, "doc_id", F.size(F.split(F.col("text"), " ")), 32
+    ).orderBy("strategy")
+
+
+# ---------------------------------------------------------------------------
 # Positional phrase search (operators/text.phrase_match_counts) — the
 # adjacency retrieval BM25's bag-of-words can't express.
 # ---------------------------------------------------------------------------
