@@ -207,6 +207,16 @@ NOTES = {
         "exchange over the VOCABULARY -> 1-row conditional fold -> "
         "|V|-literal stack unpivot"
     ),
+    "phrase_search": (
+        "positional adjacency: posexplode filtered to the phrase's "
+        "own postings -> one (doc, start) hash join per extra token "
+        "-> doc hash agg; no window, no regex on the hot path"
+    ),
+    "padding_efficiency": (
+        "two strategies x (ranked_cumsum range exchange -> bigint-div "
+        "batch ids -> batch hash agg -> 1-row fold); union of two "
+        "1-row frames"
+    ),
 }
 
 
