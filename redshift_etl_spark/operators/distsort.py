@@ -917,6 +917,47 @@ def ndcg_at_k(
     )
 
 
+def diversified_topk(
+    df: DataFrame,
+    group_col: str,
+    order_by: list[Column],
+    k: int,
+    per_group: int,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Global top-k under a PER-GROUP cap — search-result
+    diversification / fairness quota: no group (source, domain,
+    seller…) may occupy more than ``per_group`` of the ``k`` result
+    slots, so one boilerplate-heavy domain can't monopolize a result
+    page. ``order_by`` must be a TOTAL order (include an id tiebreak)
+    so both the within-group cap and the final cut are deterministic.
+
+    Semantics: rank within each group by ``order_by``, keep each
+    group's best ``per_group``, then take the global top-k of the
+    survivors in the same order; ``rank_name`` is the final 1..k
+    position. (Greedy-swap diversifiers differ when a capped item
+    would beat an uncapped one — this is the standard quota form:
+    the result is exactly "best k among per-group bests".)
+
+    Scale shape: one group-keyed exchange for the cap window (groups
+    are the diversity unit — bounded fan-in per group), then a
+    TakeOrderedAndProject for the global cut — the full survivor set
+    is never globally sorted."""
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(group_col).orderBy(*order_by)
+    capped = (
+        df.withColumn("__gr", F.row_number().over(wg))
+        .filter(F.col("__gr") <= per_group)
+        .drop("__gr")
+    )
+    top = capped.orderBy(*order_by).limit(k)
+    w = Window.orderBy(*order_by)  # over <= k rows by construction
+    return top.withColumn(
+        rank_name, F.row_number().over(w).cast("long")
+    )
+
+
 def gini_coefficient(
     df: DataFrame,
     value_col: str,

@@ -321,6 +321,61 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Diversified retrieval — the same BM25 ranking under a per-source
+# result quota (operators/distsort.diversified_topk): no source may
+# hold more than 2 of the 20 slots.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "bm25_search_diversified",
+    f"""
+WITH {_BM25_CTES},
+src AS (SELECT doc_id AS doc, source FROM documents),
+capped AS (
+  SELECT b.doc, s.source, b.n_terms_matched, b.score,
+         row_number() OVER (
+           PARTITION BY s.source ORDER BY b.score DESC, b.doc ASC
+         ) AS gr
+  FROM bm25 b JOIN src s USING (doc)
+)
+SELECT doc AS doc_id, source, n_terms_matched, score, rank
+FROM (
+  SELECT doc, source, n_terms_matched, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc ASC)
+              AS BIGINT) AS rank
+  FROM capped WHERE gr <= 2
+) WHERE rank <= 20
+ORDER BY rank
+""",
+)
+def bm25_search_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BM25 results with at most 2 per source
+    (`distsort.diversified_topk`): a boilerplate-heavy source can't
+    monopolize the page. One source-keyed cap window over the scored
+    frame, then a TakeOrdered global cut — the survivor set is never
+    globally sorted."""
+    from ..operators.distsort import diversified_topk
+
+    docs = load(spark, sf_dir, "documents")
+    scored = TX.bm25_scores(docs, "doc_id", "text", _TERMS).join(
+        docs.select(F.col("doc_id").alias("doc"), "source"), "doc"
+    )
+    return diversified_topk(
+        scored,
+        "source",
+        [F.col("score").desc(), F.col("doc").asc()],
+        k=20,
+        per_group=2,
+    ).select(
+        F.col("doc").alias("doc_id"),
+        "source",
+        "n_terms_matched",
+        "score",
+        "rank",
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
 # Hybrid search: BM25 keyword ranks ⊕ cosine vector ranks via RRF
 # ---------------------------------------------------------------------------
 

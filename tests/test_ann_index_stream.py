@@ -104,6 +104,20 @@ def test_probe_finds_planted_neighbor_in_its_cell(spark, tmp_path):
     assert res[0].rank == 1
 
 
+def test_store_scan_prunes_to_the_probed_cell(spark, tmp_path):
+    # the cell partition column must reach the scan as a partition
+    # filter — a store read that lists every cell defeats the index
+    store = str(tmp_path / "store")
+    cents = _centroids(spark)
+    AX.index_ingest_batch(_emb_df(spark, range(30)), store, cents)
+    one_cell = (
+        spark.read.parquet(store).filter(F.col("cluster") == 101)
+    )
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters")[1][:120]
+
+
 def test_stream_end_to_end(spark, tmp_path):
     indir = tmp_path / "in"
     indir.mkdir()

@@ -11,6 +11,7 @@ frame is bounded by construction:
 
 - build_vocab        — frame is the LIMITed vocab (<= size rows)
 - bm25_topk          — frame is the LIMITed top-k (<= k rows)
+- diversified_topk   — frame is the LIMITed global cut (<= k rows)
 - weekly_active_users — frame is week-grain (bounded by calendar span)
 - domain_lorenz      — frame is the LIMITed top-K domain head (<= 50)
 - ranked_cumsum      — frame is one row per SHUFFLE PARTITION (bounded
@@ -43,6 +44,7 @@ SRC_ROOT = pathlib.Path(__file__).resolve().parents[1] / "redshift_etl_spark"
 ALLOWED = {
     ("operators/text.py", "build_vocab"),
     ("operators/text.py", "bm25_topk"),
+    ("operators/distsort.py", "diversified_topk"),
     ("queries/relational.py", "weekly_active_users"),
     ("queries/curation.py", "domain_lorenz"),
     ("operators/distsort.py", "ranked_cumsums"),
