@@ -181,29 +181,19 @@ def time_canary(spark, runs: int = 3) -> float:
     return round(best, 3)
 
 
-def recorded_canary_floor(repo: str) -> float | None:
-    """Best canary time across recorded rounds AND the verified-idle
-    anchor (CANARY_FLOOR.json, a multi-run idle measurement with
-    provenance — r08). The anchor exists because a streak of loaded
-    rounds would otherwise make the recorded minimum drift upward,
-    silently inflating every budget; min(anchor, recorded) keeps the
-    floor pinned to what an idle run of THIS box demonstrably does."""
-    floor = None
-    for fname in sorted(os.listdir(repo)):
-        if re.fullmatch(r"BENCH_r\d+\.json", fname):
-            with open(os.path.join(repo, fname)) as fh:
-                doc = json.load(fh)
-            doc = doc.get("parsed", doc)
-            c = doc.get("canary_sec")
-            if c is not None:
-                floor = c if floor is None else min(floor, c)
-    anchor_path = os.path.join(repo, "CANARY_FLOOR.json")
-    if os.path.exists(anchor_path):
-        with open(anchor_path) as fh:
-            a = json.load(fh).get("canary_sec")
-        if a is not None:
-            floor = a if floor is None else min(floor, a)
-    return floor
+def _benchlib(repo: str):
+    """scripts/benchlib.py, loaded by path (bench.py lives at the repo
+    root, outside any package). Shared with bench_gate.py so the
+    adaptive re-run budgets and the gate budgets read identical floors,
+    including tail-recovered ones (the r09 parsed:null truncation)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "benchlib", os.path.join(repo, "scripts", "benchlib.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 # A loaded machine inflates the canary and every query alike, so budgets
@@ -228,8 +218,10 @@ def main() -> None:
     spark.range(1).count()
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    benchlib = _benchlib(repo_dir)
+    recorded = benchlib.collect_floors(repo_dir)
     canary = time_canary(spark)
-    canary_floor = recorded_canary_floor(repo_dir)
+    canary_floor = recorded["canary"]
     load_factor = (
         1.0
         if canary_floor is None
@@ -250,14 +242,7 @@ def main() -> None:
     # query with a recorded floor, take up to 2 extra runs before
     # accepting the number — same protocol the judge used to
     # adjudicate, now built in, so the gate needs no manual override.
-    floors: dict[str, float] = {}
-    for fname in sorted(os.listdir(repo_dir)):
-        if re.fullmatch(r"BENCH_r\d+\.json", fname):
-            with open(os.path.join(repo_dir, fname)) as fh:
-                doc = json.load(fh)
-            doc = doc.get("parsed", doc)
-            for qname, t in doc.get("queries", {}).items():
-                floors[qname] = min(t, floors.get(qname, t))
+    floors: dict[str, float] = recorded["queries"]
 
     def _budget(qname: str) -> float | None:
         if qname not in floors:
@@ -307,22 +292,41 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "stream": stream,
-                "canary_sec": canary,
-                "canary_floor_sec": canary_floor,
-                "load_factor": round(load_factor, 3),
-                "sf": sf,
-            }
-        ),
-        flush=True,
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "stream": stream,
+        "canary_sec": canary,
+        "canary_floor_sec": canary_floor,
+        "load_factor": round(load_factor, 3),
+        "sf": sf,
+    }
+    # full per-query record: its own '#' line (human/tail debugging) and
+    # a committed file — the gate reads the file, never a driver tail
+    print("# full: " + json.dumps(full), flush=True)
+    with open(os.path.join(repo_dir, benchlib.FULL_FILE), "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    if sf == 0.1:
+        benchlib.merge_floors_file(repo_dir, timings, stream, canary)
+        print(f"# floors merged into {benchlib.FLOORS_FILE}", flush=True)
+
+    # the FINAL stdout line is what the driver tails (last 2,000 chars)
+    # and must stay parseable no matter how the catalog grows — r09's
+    # 68-query line overflowed the capture and committed parsed:null.
+    # Bounded spelling: totals + canary + stream + top-10 slowest.
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    bounded = dict(full)
+    bounded["queries"] = top10
+    bounded["queries_full_file"] = benchlib.FULL_FILE
+    line = json.dumps(bounded)
+    assert len(line) < 1500, f"final bench line too long ({len(line)})"
+    print(line, flush=True)
     spark.stop()
 
 

@@ -29,6 +29,7 @@ Exit 0 = within budget; exit 1 = regression (named, with ratios).
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import pathlib
 import subprocess
@@ -39,48 +40,30 @@ RATIO = 1.2
 GRACE_SEC = 0.5
 LOAD_FACTOR_CAP = 3.0
 
+_spec = importlib.util.spec_from_file_location(
+    "benchlib", pathlib.Path(__file__).resolve().parent / "benchlib.py"
+)
+benchlib = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(benchlib)
+
+# shared with bench.py (scripts/benchlib.py): driver-wrapper-tolerant
+# unwrap (recovers truncated tails — the r09 parsed:null defect) and
+# the single floor computation both tools must agree on
+floors_from_docs = benchlib.floors_from_docs
+
 
 def _unwrap(doc: dict) -> dict:
-    return doc["parsed"] if "parsed" in doc else doc
-
-
-def floors_from_docs(docs: list[dict]) -> dict:
-    """Committed floors over recorded rounds: per-query minimum
-    seconds, per-stream-metric maximum rows/sec, and the canary
-    minimum (the idle-machine anchor)."""
-    q_floor: dict[str, float] = {}
-    s_floor: dict[str, float] = {}
-    canary_floor: float | None = None
-    for raw in docs:
-        doc = _unwrap(raw)
-        for name, t in doc.get("queries", {}).items():
-            q_floor[name] = min(t, q_floor.get(name, t))
-        for name, v in doc.get("stream", {}).items():
-            if name.endswith("_rows_per_sec"):
-                s_floor[name] = max(v, s_floor.get(name, v))
-        c = doc.get("canary_sec")
-        if c is not None:
-            canary_floor = c if canary_floor is None else min(canary_floor, c)
-    return {"queries": q_floor, "stream": s_floor, "canary": canary_floor}
+    rec = benchlib.unwrap(doc)
+    if rec is None:
+        raise SystemExit(
+            "bench-gate: current bench record is unrecoverable "
+            "(parsed null and no parseable tail) — re-run bench.py"
+        )
+    return rec
 
 
 def _recorded_floors() -> dict:
-    floors = floors_from_docs(
-        [
-            json.loads(p.read_text())
-            for p in sorted(REPO.glob("BENCH_r*.json"))
-        ]
-    )
-    # verified-idle canary anchor (see bench.recorded_canary_floor):
-    # keeps the floor pinned to a demonstrated idle time even if every
-    # recorded round happened to run under load
-    anchor_path = REPO / "CANARY_FLOOR.json"
-    if anchor_path.exists():
-        a = json.loads(anchor_path.read_text()).get("canary_sec")
-        if a is not None:
-            c = floors.get("canary")
-            floors["canary"] = a if c is None else min(c, a)
-    return floors
+    return benchlib.collect_floors(REPO)
 
 
 def load_factor(cur_doc: dict, canary_floor: float | None) -> float:
@@ -177,6 +160,12 @@ def _current() -> dict:
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True, text=True, check=True,
     ).stdout
+    # bench.py's stdout line is bounded (top-10 slowest only, so driver
+    # tails always parse); the FULL per-query record it just wrote is
+    # what a fresh gate run should grade
+    full = REPO / benchlib.FULL_FILE
+    if full.exists():
+        return json.loads(full.read_text())
     line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 

@@ -1,0 +1,175 @@
+"""Shared bench-record plumbing for bench.py and scripts/bench_gate.py.
+
+Three jobs, one module, because round 9 proved they must agree:
+
+1. **Tolerant unwrap.** The driver records each round's bench as
+   ``{"parsed": <json>, "tail": <last 2000 chars of stdout>, ...}``.
+   When bench.py's final stdout line outgrew the tail capture (68
+   headline queries, round 9), the driver committed ``"parsed": null``
+   and every floor reader crashed on ``None.get``. ``unwrap`` now
+   falls back to regex-recovering ``"name": seconds`` pairs plus the
+   canary/stream scalars from the tail — the truncation cuts the
+   START of the line, so the tail's trailing pairs are intact and the
+   one cut-off leading pair has no opening quote and never matches.
+   Unrecoverable docs return ``None`` and are skipped, never fatal.
+
+2. **Committed full-record floors.** The final stdout line is now
+   BOUNDED (top-10 slowest only) so the driver tail always parses, and
+   the FULL per-query record goes to ``BENCH_FULL.json`` (this run)
+   plus a monotone ``BENCH_FLOORS.json`` (per-query min / per-stream
+   max / canary min across every sf0.1 run ever recorded). Floors no
+   longer depend on driver tails at all.
+
+3. **One floor computation.** bench.py's adaptive re-run budgets and
+   bench_gate.py's regression budgets read the same
+   ``collect_floors`` so they cannot drift apart.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+
+FLOORS_FILE = "BENCH_FLOORS.json"
+FULL_FILE = "BENCH_FULL.json"
+
+# a quoted identifier key with a bare numeric value — the shape of
+# every per-query / scalar entry on bench.py's JSON line. String-valued
+# keys ("metric", "unit", "queries_full_file") never match.
+_PAIR = re.compile(r'"([A-Za-z0-9_]+)"\s*:\s*(-?\d+(?:\.\d+)?)')
+
+# scalar fields on the bench line that are NOT query timings
+_SCALARS = ("canary_sec", "canary_floor_sec", "load_factor", "sf")
+_IGNORE = ("value", "n_queries")
+_STREAM_SUFFIXES = ("_rows_per_sec", "_rows", "_batches")
+
+
+def recover_from_tail(tail: str) -> dict | None:
+    """Rebuild a bench record from a driver tail that truncated the
+    final JSON line. Returns the partial record (queries/stream/canary
+    that survived in the tail) or None when nothing recoverable.
+
+    Only trusted when the tail contains the END of the line (a closing
+    brace): the driver tail is a suffix, so a present line-end means
+    every matched pair is complete — a pair cut at the front loses its
+    opening quote and is dropped by the regex, never half-parsed."""
+    if not tail or "}" not in tail:
+        return None
+    doc: dict = {"queries": {}, "stream": {}}
+    for name, val in _PAIR.findall(tail):
+        v = float(val)
+        if name in _IGNORE:
+            continue
+        if name in _SCALARS:
+            doc[name] = v
+        elif name.endswith(_STREAM_SUFFIXES):
+            doc["stream"][name] = v
+        else:
+            doc["queries"][name] = v
+    if not (doc["queries"] or doc["stream"] or "canary_sec" in doc):
+        return None
+    return doc
+
+
+def unwrap(doc: dict) -> dict | None:
+    """Driver-wrapper-tolerant record access: a raw bench record passes
+    through, ``{"parsed": {...}}`` unwraps, and ``{"parsed": null,
+    "tail": ...}`` (the r09 truncation) recovers from the tail.
+    Returns None when the doc carries nothing usable — callers skip."""
+    if "parsed" not in doc:
+        return doc
+    if doc["parsed"] is not None:
+        return doc["parsed"]
+    return recover_from_tail(doc.get("tail", ""))
+
+
+def floors_from_docs(docs: list[dict]) -> dict:
+    """Committed floors over recorded rounds: per-query minimum
+    seconds, per-stream-metric maximum rows/sec, and the canary
+    minimum (the idle-machine anchor). Unrecoverable docs are skipped."""
+    q_floor: dict[str, float] = {}
+    s_floor: dict[str, float] = {}
+    canary_floor: float | None = None
+    for raw in docs:
+        doc = unwrap(raw)
+        if doc is None:
+            continue
+        for name, t in doc.get("queries", {}).items():
+            q_floor[name] = min(t, q_floor.get(name, t))
+        for name, v in doc.get("stream", {}).items():
+            if name.endswith("_rows_per_sec"):
+                s_floor[name] = max(v, s_floor.get(name, v))
+        c = doc.get("canary_sec")
+        if c is not None:
+            canary_floor = c if canary_floor is None else min(canary_floor, c)
+    return {"queries": q_floor, "stream": s_floor, "canary": canary_floor}
+
+
+def collect_floors(repo: str | pathlib.Path) -> dict:
+    """All recorded floors for this repo: every driver-committed
+    BENCH_r*.json (tail-recovered where truncated), the monotone
+    BENCH_FLOORS.json written by bench.py itself, and the verified-idle
+    CANARY_FLOOR.json anchor (keeps the canary floor pinned to a
+    demonstrated idle time even across a streak of loaded rounds)."""
+    repo = pathlib.Path(repo)
+    docs = [
+        json.loads(p.read_text())
+        for p in sorted(repo.glob("BENCH_r*.json"))
+    ]
+    floors_path = repo / FLOORS_FILE
+    if floors_path.exists():
+        f = json.loads(floors_path.read_text())
+        docs.append(
+            {
+                "queries": f.get("queries", {}),
+                "stream": f.get("stream", {}),
+                "canary_sec": f.get("canary_sec"),
+            }
+        )
+    floors = floors_from_docs(docs)
+    anchor_path = repo / "CANARY_FLOOR.json"
+    if anchor_path.exists():
+        a = json.loads(anchor_path.read_text()).get("canary_sec")
+        if a is not None:
+            c = floors.get("canary")
+            floors["canary"] = a if c is None else min(c, a)
+    return floors
+
+
+def merge_floors_file(
+    repo: str | pathlib.Path,
+    queries: dict[str, float],
+    stream: dict[str, float],
+    canary_sec: float | None,
+    note: str = "",
+) -> dict:
+    """Fold one sf0.1 run's timings into the committed monotone floors
+    file (query min / stream-rate max / canary min) and write it back.
+    Loaded runs are safe to fold — a slower time never lowers a min."""
+    repo = pathlib.Path(repo)
+    path = repo / FLOORS_FILE
+    cur = json.loads(path.read_text()) if path.exists() else {}
+    q = dict(cur.get("queries", {}))
+    for name, t in queries.items():
+        q[name] = min(t, q.get(name, t))
+    s = dict(cur.get("stream", {}))
+    for name, v in stream.items():
+        if name.endswith("_rows_per_sec"):
+            s[name] = max(v, s.get(name, v))
+    c = cur.get("canary_sec")
+    if canary_sec is not None:
+        c = canary_sec if c is None else min(c, canary_sec)
+    out = {
+        "queries": dict(sorted(q.items())),
+        "stream": dict(sorted(s.items())),
+        "canary_sec": c,
+        "note": note
+        or cur.get(
+            "note",
+            "monotone floors: per-query min / stream max / canary min "
+            "across every recorded sf0.1 bench run",
+        ),
+    }
+    path.write_text(json.dumps(out, indent=1) + "\n")
+    return out

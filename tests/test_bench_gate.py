@@ -140,6 +140,77 @@ def test_heavy_load_stream_scaled_pass_is_advisory():
     assert _advisory(doc) == ["stream_ctr_rate_rows_per_sec"]
 
 
+def test_truncated_tail_doc_recovers_into_floors():
+    # the r09 defect: the driver tail cut the final JSON line's HEAD,
+    # so parsed committed as null. Floor recovery must take the intact
+    # trailing pairs, drop the cut-off leading pair (no opening quote),
+    # and classify stream/canary fields away from query timings.
+    line = (
+        '{"metric": "headline_queries_total_sec", "value": 9.9, '
+        '"queries": {"q_cut_off": 1.111, "q_mid": 2.0, "q_slow": 4.0}, '
+        '"stream": {"stream_ctr_rate_rows_per_sec": 380000.0, '
+        '"stream_ctr_rate_rows": 1000, "stream_ctr_rate_batches": 3}, '
+        '"canary_sec": 2.0, "canary_floor_sec": 1.9, '
+        '"load_factor": 1.05, "sf": 0.1}'
+    )
+    cut = line.index('"q_cut_off"') + 4  # truncate mid-key, like r09
+    wrapped = {"parsed": None, "tail": line[cut:], "rc": 0}
+    floors = bench_gate.floors_from_docs([wrapped])
+    assert floors["queries"] == {"q_mid": 2.0, "q_slow": 4.0}
+    assert floors["stream"] == {"stream_ctr_rate_rows_per_sec": 380000.0}
+    assert floors["canary"] == 2.0
+    # and a gate run against those floors behaves normally
+    doc = _round_doc()
+    del doc["queries"]["q_fast"]
+    _, reg, adv = bench_gate.gate(doc, floors)
+    assert reg == [] and adv == []
+
+
+def test_unrecoverable_doc_skipped_not_fatal():
+    # tail missing the line END (no closing brace): pairs could be
+    # half-truncated, so the doc contributes nothing — but other docs
+    # in the glob still do
+    bad = {"parsed": None, "tail": '"q_mid": 0.0', "rc": 1}
+    floors = bench_gate.floors_from_docs([bad, _round_doc()])
+    assert floors["queries"] == QUERIES
+
+
+def test_committed_r09_record_recovers():
+    # the actual committed artifact that crashed the r09 gate
+    import json
+
+    p = pathlib.Path(__file__).resolve().parents[1] / "BENCH_r09.json"
+    rec = bench_gate.benchlib.unwrap(json.loads(p.read_text()))
+    assert rec is not None
+    assert rec["canary_sec"] == 0.992
+    assert rec["queries"]["padding_efficiency"] == 0.983
+    assert rec["stream"]["stream_ctr_rate_rows_per_sec"] == 347459.2
+    # the cut-off leading pair (agent_| metrics": 1.699) must NOT
+    # appear under any name
+    assert "metrics" not in rec["queries"]
+    assert "agent_metrics" not in rec["queries"]  # head was truncated
+    assert len(rec["queries"]) >= 60
+
+
+def test_floors_file_merge_is_monotone(tmp_path):
+    bl = bench_gate.benchlib
+    bl.merge_floors_file(
+        tmp_path, {"q_a": 2.0}, {"stream_ctr_rate_rows_per_sec": 100.0}, 1.0
+    )
+    out = bl.merge_floors_file(
+        tmp_path,
+        {"q_a": 3.0, "q_b": 5.0},  # slower q_a must not raise the floor
+        {"stream_ctr_rate_rows_per_sec": 90.0},  # slower rate kept out
+        1.5,
+    )
+    assert out["queries"] == {"q_a": 2.0, "q_b": 5.0}
+    assert out["stream"] == {"stream_ctr_rate_rows_per_sec": 100.0}
+    assert out["canary_sec"] == 1.0
+    # and collect_floors folds the file in
+    floors = bl.collect_floors(tmp_path)
+    assert floors["queries"]["q_a"] == 2.0
+
+
 def test_committed_floor_present_loaded_replay_end_to_end():
     # verdict r06 item 8: the floor-present path with a synthetic
     # loaded-machine replay - floors from a committed round WITH a
