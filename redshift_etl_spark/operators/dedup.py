@@ -473,10 +473,15 @@ def semantic_contamination(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
             F.max("cos_micro").alias("max_cos_micro"),
-            F.max_by(
+            # (cos DESC, b_id ASC) rank = min_by over (-cos, b_id): the
+            # id orders ascending NATIVELY, so any id type works — a
+            # unary-minus-on-id spelling silently casts non-numeric ids
+            # to NULL under non-ANSI Spark, making ties nondeterministic
+            # instead of failing (ADVICE r09)
+            F.min_by(
                 F.col("__bid"),
                 F.struct(
-                    F.col("cos_micro"), (-F.col("__bid")).alias("n")
+                    (-F.col("cos_micro")).alias("neg_cos"), F.col("__bid")
                 ),
             ).alias("nearest_bench_id"),
         )

@@ -152,12 +152,17 @@ def _prioritized(merged: dict) -> dict:
 
 def _merge(attr: str) -> dict:
     # Cross-module collisions are as silent as in-module ones under a
-    # bare dict.update — assert here so the catalog can never shadow.
+    # bare dict.update — raise (not assert: python -O compiles asserts
+    # out, silently restoring the shadowing) so the catalog can never
+    # shadow.
     out: dict = {}
     for m in _MODULES:
         d = getattr(m, attr)
         dup = out.keys() & d.keys()
-        assert not dup, f"cross-module query collision: {sorted(dup)}"
+        if dup:
+            raise ValueError(
+                f"cross-module query collision: {sorted(dup)}"
+            )
         out.update(d)
     return out
 

@@ -27,7 +27,8 @@ def _q(name: str, oracle: str | None):
     # bit three rounds running: shard_manifest, cdc_apply, and two dead
     # module-level defs) — collisions must fail at import time.
     def deco(fn):
-        assert name not in QUERIES, f"duplicate query registration: {name}"
+        if name in QUERIES:  # raise, not assert: -O must not disable this
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -29,11 +29,29 @@ bounds storage at k snapshots.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 _PTR = "_CURRENT"
+
+# Hive's directory spelling for a NULL partition value (Spark writes
+# the same constant — see ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+_HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_hive(value: str) -> str:
+    """Decode Hive partition-path escaping: special characters in a
+    partition VALUE are written as %XX in the directory name ('a/b' →
+    'a%2Fb'); '%' itself is escaped as %25, so every %XX in a directory
+    value is an escape. Matching the raw directory string against
+    str(collected value) silently misses every escaped value — the
+    affected partition would be hard-linked untouched into the new
+    version, a silent right-to-be-forgotten failure (ADVICE r09)."""
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), value
+    )
 
 
 def _vdir(root: str, n: int) -> str:
@@ -176,23 +194,47 @@ def forget_keys(
             "partitions_linked": 0,
         }
 
-    affected = {
-        str(r[0])
-        for r in match.select(partition_col).distinct().collect()
-    }  # bounded by the erasure request's partition spread
-    if not affected:
+    affected_vals = [
+        r[0] for r in match.select(partition_col).distinct().collect()
+    ]  # bounded by the erasure request's partition spread
+    if not affected_vals:
         return None
+    has_null = any(v is None for v in affected_vals)
+    nonnull_vals = [v for v in affected_vals if v is not None]
+    # directory names carry the Hive-ESCAPED string spelling; compare
+    # unescaped-dir against str(value) so escaped and NULL partitions
+    # are rewritten, never silently linked through (ADVICE r09)
+    affected_strs = {str(v) for v in nonnull_vals}
     removed = match.count()
     src_dir = _vdir(root, current_version(root))
+    part_dirs = [
+        name
+        for name in os.listdir(src_dir)
+        if os.path.isdir(os.path.join(src_dir, name))
+        and name.startswith(f"{partition_col}=")
+    ]
+    if not part_dirs:
+        # the snapshot was NOT written hive-partitioned on this column:
+        # there is nothing to link, and proceeding would commit a new
+        # version holding ONLY the affected-partition survivors — every
+        # other row silently dropped with a success report (ADVICE r09)
+        raise ValueError(
+            f"snapshot v={current_version(root)} under {root} has no "
+            f"'{partition_col}=' partition directories — it was not "
+            f"written with partition_by={partition_col!r}; call "
+            "forget_keys without partition_col (full rewrite) or "
+            "rewrite the store partitioned first"
+        )
     os.makedirs(new_dir, exist_ok=True)
     linked = 0
-    for name in os.listdir(src_dir):
+    for name in part_dirs:
+        raw = name.split("=", 1)[1]
+        if raw == _HIVE_NULL_DIR:
+            if has_null:
+                continue  # NULL partition is affected: rewrite, not link
+        elif _unescape_hive(raw) in affected_strs:
+            continue
         full = os.path.join(src_dir, name)
-        if not (os.path.isdir(full) and name.startswith(f"{partition_col}=")):
-            continue
-        value = name.split("=", 1)[1]
-        if value in affected:
-            continue
         dst = os.path.join(new_dir, name)
         os.makedirs(dst, exist_ok=True)
         for f in os.listdir(full):
@@ -202,15 +244,20 @@ def forget_keys(
             except OSError:
                 shutil.copy2(s, d)
         linked += 1
-    kept = drop(
-        cur.filter(F.col(partition_col).isin(sorted(affected)))
+    cond = (
+        F.col(partition_col).isin(nonnull_vals)
+        if nonnull_vals
+        else F.lit(False)
     )
+    if has_null:
+        cond = cond | F.col(partition_col).isNull()
+    kept = drop(cur.filter(cond))
     kept.write.mode("append").partitionBy(partition_col).parquet(new_dir)
     _point(root, n)
     return {
         "version": n,
         "rows_removed": removed,
-        "partitions_rewritten": len(affected),
+        "partitions_rewritten": len(affected_vals),
         "partitions_linked": linked,
     }
 

@@ -11,9 +11,17 @@ Exactly-once without a transaction log: the vector id is the
 idempotence key — each batch anti-joins the store's (cell-pruned) id
 column, so a crash-replayed batch appends nothing. Same
 content-as-ledger argument as `streaming/ingest.dedup_ingest_batch`,
-with the id in place of the fingerprint (embeddings are immutable
-facts keyed by id in this model; an upsert index would need the
-versioned-sink machinery instead).
+with the id in place of the fingerprint.
+
+PRECONDITION — immutable embeddings (ADVICE r09): the anti-join keys
+on (cluster, id) so it stays partition-to-partition against the
+cell-partitioned store; that catches crash REPLAYS (same id, same
+bytes, same cell) but NOT a re-sent id whose embedding changed — the
+new bytes assign to a different cell and a second row for the id
+lands. Embeddings here are immutable facts keyed by id; a mutable
+(upsert) index needs the versioned-sink machinery instead. The
+contract is pinned by `tests/test_ann_index_stream.py`
+(test_mutated_embedding_same_id_is_out_of_contract).
 
 Scale shape per trigger: one broadcast-codebook assignment over the
 BATCH only (the codebook is k rows — bounded by the build, not the
@@ -79,7 +87,13 @@ def start_ann_index_sink(
     """Attach the index-maintenance body to an embedding stream. The
     target is a cell-partitioned vector store in which every id occurs
     exactly once across the stream's lifetime — the corpus side of an
-    IVF index, kept current trigger by trigger."""
+    IVF index, kept current trigger by trigger.
+
+    Requires immutable embeddings per id (see the module docstring):
+    idempotence is guaranteed for replayed batches (same id ⇒ same
+    bytes ⇒ same cell); re-sending an id with DIFFERENT bytes is an
+    upsert, out of this sink's contract, and would append a second
+    row under the id's new cell."""
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         index_ingest_batch(

@@ -57,6 +57,50 @@ def test_batch_ingest_and_replay_idempotence(spark, tmp_path):
     assert got == [1, 2, 3, 4]
 
 
+def test_mutated_embedding_same_id_is_out_of_contract(spark, tmp_path):
+    # ADVICE r09: the anti-join keys on (cluster, id) to stay
+    # partition-to-partition, so idempotence holds under the module's
+    # IMMUTABLE-EMBEDDING precondition — replays carry identical bytes
+    # and land in the same cell. This test pins BOTH sides of that
+    # contract: (a) a same-id row whose embedding re-assigns to the
+    # SAME cell is still deduped; (b) a same-id row whose new embedding
+    # moves cells appends a second row — the documented upsert
+    # exclusion, which needs the versioned-sink machinery instead.
+    store = str(tmp_path / "store")
+    cents = _centroids(spark)
+    AX.index_ingest_batch(_emb_df(spark, [1]), store, cents)
+    cell0 = [r.cluster for r in spark.read.parquet(store).collect()]
+    # (a) same cell, slightly different bytes: still exactly-once on id
+    base = _vec(1)
+    nudged = [v * 0.999 for v in base]  # same direction ⇒ same cell
+    AX.index_ingest_batch(
+        spark.createDataFrame(
+            [(1, nudged)], "vec_id long, embedding array<double>"
+        ),
+        store,
+        cents,
+    )
+    assert spark.read.parquet(store).count() == 1
+    # (b) cell-moving embeddings under the same id: one duplicate row
+    # per NEW cell, as documented. Each centroid's own vector assigns
+    # to its own cell (self-cosine is maximal), so ingesting all four
+    # under id=1 leaves exactly one id-1 row in every cell — three
+    # duplicates beyond the original (cell0 is one of the four).
+    for i in range(4):
+        AX.index_ingest_batch(
+            spark.createDataFrame(
+                [(1, _vec(900 + i * 7))],
+                "vec_id long, embedding array<double>",
+            ),
+            store,
+            cents,
+        )
+    rows = spark.read.parquet(store).collect()
+    assert [r.vec_id for r in rows] == [1, 1, 1, 1]
+    assert len({r.cluster for r in rows}) == 4
+    assert cell0[0] in {r.cluster for r in rows}
+
+
 def test_store_is_cell_partitioned_and_assignment_is_fixed(spark, tmp_path):
     store = str(tmp_path / "store")
     cents = _centroids(spark)

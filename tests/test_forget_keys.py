@@ -75,6 +75,67 @@ def test_forget_dataframe_bulk_form(spark, tmp_path):
     assert cur.filter("id % 2 = 0").count() == 0
 
 
+def test_forget_hive_escaped_partition_values_rewrite(spark, tmp_path):
+    # ADVICE r09: partition values with characters Hive %XX-escapes in
+    # directory names ('a/b' → 'a%2Fb') must still be recognized as
+    # affected — matching raw dir names against str(value) would link
+    # the partition through untouched and the rows would survive
+    root = str(tmp_path / "t")
+    rows = [(1, "a/b", "x"), (2, "a/b", "y"), (3, "plain", "z"),
+            (4, "c:d", "w")]
+    df = spark.createDataFrame(rows, "id long, grp string, body string")
+    V.write_version(df, root, partition_by="grp")
+    src = os.path.join(root, "v=0")
+    dirs = sorted(p for p in os.listdir(src) if p.startswith("grp="))
+    assert "grp=a%2Fb" in dirs  # the escaping is real
+    rep = V.forget_keys(spark, root, "id", [1], partition_col="grp")
+    assert rep["rows_removed"] == 1
+    assert rep["partitions_rewritten"] == 1
+    assert rep["partitions_linked"] == 2  # plain + c:d untouched
+    cur = V.read_current(spark, root)
+    assert cur.filter("id = 1").count() == 0  # actually erased
+    assert cur.filter("grp = 'a/b'").count() == 1  # survivor kept
+    assert cur.count() == 3
+
+
+def test_forget_null_partition_value_rewrites(spark, tmp_path):
+    # NULL partition values land in __HIVE_DEFAULT_PARTITION__; an
+    # erasure key living there must trigger a rewrite of that
+    # directory, and isin() alone never matches NULL
+    root = str(tmp_path / "t")
+    rows = [(1, None, "x"), (2, None, "y"), (3, "g", "z")]
+    df = spark.createDataFrame(rows, "id long, grp string, body string")
+    V.write_version(df, root, partition_by="grp")
+    src = os.path.join(root, "v=0")
+    assert "grp=__HIVE_DEFAULT_PARTITION__" in os.listdir(src)
+    rep = V.forget_keys(spark, root, "id", [1], partition_col="grp")
+    assert rep["rows_removed"] == 1
+    assert rep["partitions_rewritten"] == 1
+    assert rep["partitions_linked"] == 1  # grp=g untouched
+    cur = V.read_current(spark, root)
+    assert cur.filter("id = 1").count() == 0
+    assert cur.filter("grp is null").count() == 1  # null survivor kept
+    assert cur.filter("grp = 'g'").count() == 1
+
+
+def test_forget_partitioned_path_on_unpartitioned_store_raises(
+    spark, tmp_path
+):
+    # ADVICE r09: the snapshot was written WITHOUT partition_by, so no
+    # 'col=' directories exist — proceeding would commit a version
+    # holding only the affected-partition survivors (silent data loss).
+    # It must refuse instead, and the store must be left untouched.
+    import pytest
+
+    root = str(tmp_path / "t")
+    v0 = V.write_version(_df(spark), root)  # NOT partitioned
+    with pytest.raises(ValueError, match="not.*written with partition_by"):
+        V.forget_keys(spark, root, "id", [7], partition_col="user")
+    assert V.current_version(root) == v0
+    assert V.versions(root) == [v0]  # no half-written version committed
+    assert V.read_current(spark, root).count() == 50
+
+
 def test_forget_absent_key_is_a_noop(spark, tmp_path):
     root = str(tmp_path / "t")
     v0 = V.write_version(_df(spark), root, partition_by="user")

@@ -101,3 +101,22 @@ def test_hits_counted_over_qualifying_candidates_only(spark):
     ).collect()[0]
     assert row.n_bench_hits == 2
     assert row.nearest_bench_id == 40
+
+
+def test_tiebreak_works_for_string_ids(spark):
+    # ADVICE r09: the old unary-minus-on-id tiebreak silently cast
+    # string ids to NULL under non-ANSI Spark, making nearest_bench_id
+    # nondeterministic on cosine ties; min_by over (-cos, id) orders
+    # any id type ascending natively
+    corpus = spark.createDataFrame(
+        [("doc1", _vec(5))], "vec_id string, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        [("bZ", _vec(5)), ("bA", _vec(5)), ("bQ", _vec(999))],
+        "vec_id string, embedding array<double>",
+    )
+    row = D.semantic_contamination(
+        corpus, bench, "vec_id", "embedding", tau_micro=990000
+    ).collect()[0]
+    assert row.n_bench_hits == 2
+    assert row.nearest_bench_id == "bA"  # cosine tie → id ASC

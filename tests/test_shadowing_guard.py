@@ -94,15 +94,17 @@ def test_every_allowlist_entry_documents_why():
         )
 
 
-def test_q_registration_asserts_on_collision():
+def test_q_registration_raises_on_collision():
     """The in-module guard itself: re-registering an existing name must
-    raise, not silently overwrite."""
+    raise, not silently overwrite. ValueError, not AssertionError —
+    python -O strips asserts, which would silently restore the exact
+    shadowing the guard exists to prevent (ADVICE r09)."""
     import pytest
 
     from redshift_etl_spark.queries import relational as R
 
     assert "cdc_apply" in R.QUERIES  # the r07 survivor
-    with pytest.raises(AssertionError, match="duplicate query"):
+    with pytest.raises(ValueError, match="duplicate query"):
 
         @R._q("cdc_apply", None)
         def cdc_apply(spark, sf_dir):  # pragma: no cover
