@@ -93,6 +93,9 @@ HEADLINE = (
     "source_unigram_kl",    # per-source lexical KL, ln per cell (r9)
     "padding_efficiency",   # serving pad-waste A/B, two ranked
                             # cumsums (r9)
+    "ann_index_probe",      # probe of the streaming-maintained IVF
+                            # store — search-only over the committed
+                            # fixture (r10)
 )
 
 

@@ -68,3 +68,33 @@ def test_semdedup_fixtures_equal_adaptive_retraining(spark):
     n = emb.count()
     k = semdedup_codebook_fixture(spark, SF_SMOKE).count()
     assert k == -(-n // SEMDEDUP_TARGET_ROWS)
+
+
+def test_ann_index_store_fixture_equals_fresh_two_batch_build(
+    spark, tmp_path
+):
+    # the committed streaming-maintained store ≡ a fresh two-batch
+    # ingest into scratch: every embedding exactly once, same cell
+    from redshift_etl_spark.queries.llm_data import (
+        ann_index_store_fixture,
+        ivf_codebook,
+    )
+    from redshift_etl_spark.queries.tables import load
+    from redshift_etl_spark.streaming import annindex as AX
+
+    from .conftest import SF_SMOKE
+
+    import pyspark.sql.functions as F
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    cb = ivf_codebook(spark, SF_SMOKE)
+    scratch = str(tmp_path / "store")
+    AX.index_ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), scratch, cb)
+    AX.index_ingest_batch(emb, scratch, cb)
+    fresh = spark.read.parquet(scratch)
+    cols = ["vec_id", "cluster"]
+    committed = ann_index_store_fixture(spark, SF_SMOKE)
+    assert _rows(committed.select(*cols)) == _rows(fresh.select(*cols))
+    # exactly-once: one row per embedding id
+    assert committed.count() == emb.count()
+    assert committed.select("vec_id").distinct().count() == emb.count()
