@@ -510,6 +510,131 @@ def decontaminate_semantic(
     return corpus.join(flagged, id_col, "left_anti")
 
 
+def _sliding_gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, start, gh) — md5 of every ``window``-token sliding gram
+    with its 0-based token start (the `exact_substring_dedup` slide,
+    shared with `contamination_spans`). Tokenizes ONCE into a
+    projected attribute — an inline split inside the transform lambda
+    re-splits per window position, O(tokens²) per doc."""
+    base = df.select(
+        F.col(id_col), tokens_col(text_col).alias("__toks")
+    ).filter(F.size("__toks") >= window)
+    return base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - window),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("__toks"), i + 1, window), " "
+                        )
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select(
+        id_col,
+        F.col("g.start").alias("start"),
+        F.col("g.gh").alias("gh"),
+    )
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Span-level exact-substring decontamination: WHICH token spans
+    of each training document literally reproduce benchmark text —
+    not just the doc-level keep/drop of `contamination`. The
+    doc-grain flag is too blunt for long documents (one leaked
+    benchmark question should excise a span, not a book); span grain
+    follows Lee et al.'s ExactSubstr, aimed at eval text instead of
+    corpus self-repeats.
+
+    Composition (verdict r09 item 8): `exact_substring_dedup`'s
+    sliding-gram machinery meets `contamination`'s broadcast-benchmark
+    posture. Benchmark window-gram hashes are distinct'd and BROADCAST
+    (eval suites are MBs against a 100 TB corpus); the corpus gram
+    slide is then a MAP-ONLY probe — unlike exact_substring_dedup's
+    corpus-vs-corpus counting, no CORPUS gram hash ever shuffles (the
+    one gram-keyed exchange is the benchmark-sized distinct). The
+    corpus-scale exchanges are doc-grain only: one agg gathering
+    flagged starts per doc and one join back to the flagged docs'
+    token arrays. Raw text and token grains never move.
+
+    Flagged alignments merge in-row into MAXIMAL spans: equal-length
+    intervals sorted by start merge iff next_start ≤ prev_start +
+    window (overlap or exact adjacency), so the fold here and a SQL
+    gaps-and-islands twin agree exactly.
+
+    Returns one row per merged span: (id, span_start, span_end)
+    token indices (end exclusive), span_tokens, span_text."""
+    grams = _sliding_gram_hashes(corpus, id_col, text_col, window)
+    bgh = (
+        _sliding_gram_hashes(benchmark, id_col, text_col, window)
+        .select("gh")
+        .distinct()
+    )
+    # broadcast bound: distinct window-grams of the benchmark SUITE —
+    # eval sets are MB-scale by construction (same bound as
+    # `contamination`'s shingle broadcast)
+    flagged = grams.join(F.broadcast(bgh), "gh").select(id_col, "start")
+    starts = flagged.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("start")).alias("__starts")
+    )
+    w = F.lit(window)
+    empty = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.col("__starts"),
+        empty,
+        lambda acc, st: F.when(
+            (F.size(acc) > 0)
+            & (st <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (st + w).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(st.alias("s"), (st + w).alias("e"))),
+            )
+        ),
+    )
+    spans = starts.select(
+        F.col(id_col), F.explode(merged).alias("sp")
+    )
+    toks = corpus.select(
+        F.col(id_col), tokens_col(text_col).alias("__toks")
+    )
+    return spans.join(toks, id_col).select(
+        F.col(id_col),
+        F.col("sp.s").cast("long").alias("span_start"),
+        F.col("sp.e").cast("long").alias("span_end"),
+        (F.col("sp.e") - F.col("sp.s")).cast("long").alias("span_tokens"),
+        F.array_join(
+            F.slice(
+                F.col("__toks"),
+                F.col("sp.s") + 1,
+                F.col("sp.e") - F.col("sp.s"),
+            ),
+            " ",
+        ).alias("span_text"),
+    )
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,

@@ -1597,7 +1597,20 @@ def lsh_bucketed_cross_pairs(
     on the bucket key — hot buckets are ordinary join skew, which AQE
     splits (unlike the self-join kernel, no applyInPandas group to
     outgrow). Shuffle is bands·(|A|+|B|); no broadcast, no O(N·M)
-    tile."""
+    tile.
+
+    CAPACITY (r10 rehearsal measurement): the bucket key space is
+    bands·2^planes — a CONSTANT — so expected candidates are
+    ~bands·|A|·|B|/2^planes. When ONE side is fixed (decontamination:
+    eval suites don't grow with the corpus) candidates are linear in
+    the growing side and this shape holds to 100 TB. When BOTH sides
+    grow (bitext mining at matched scale), candidates grow as the
+    PRODUCT — measured 41.8x wall per 10x-on-both-sides at
+    planes_per_band=3 — and ``planes_per_band`` must grow with scale
+    (each +1 plane halves candidates; compensate recall with more
+    bands, or raise ``threshold_micro``). planes/bands are build-time
+    knobs of the DECLARED candidate set, so retuning them is an index
+    rebuild, not a silent behavior change."""
     r = planes_per_band
 
     def banded(side, id_alias, v_alias, n_alias):

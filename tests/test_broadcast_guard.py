@@ -56,6 +56,8 @@ ALLOWED = {
         "merge-rule mapping: <= n_merges rows by construction",
     ("operators/dedup.py", "contamination"):
         "benchmark shingle set — contracted small side (eval suites are constant-sized vs the corpus)",
+    ("operators/dedup.py", "contamination_spans"):
+        "benchmark window-gram hash set — same eval-suite bound as contamination",
     ("operators/distsort.py", "percentile_disc_edges"):
         "1-row total-count aggregate",
     ("operators/distsort.py", "weighted_percentile_disc_edges"):

@@ -77,7 +77,7 @@ def test_ann_index_store_fixture_equals_fresh_two_batch_build(
     # ingest into scratch: every embedding exactly once, same cell
     from redshift_etl_spark.queries.llm_data import (
         ann_index_store_fixture,
-        ivf_codebook,
+        semdedup_codebook_fixture,
     )
     from redshift_etl_spark.queries.tables import load
     from redshift_etl_spark.streaming import annindex as AX
@@ -87,7 +87,9 @@ def test_ann_index_store_fixture_equals_fresh_two_batch_build(
     import pyspark.sql.functions as F
 
     emb = load(spark, SF_SMOKE, "embeddings")
-    cb = ivf_codebook(spark, SF_SMOKE)
+    # the adaptive codebook is the store's BUILD artifact (r10: fixed
+    # k=8 cells densified 10x per 10x data in rehearsal)
+    cb = semdedup_codebook_fixture(spark, SF_SMOKE)
     scratch = str(tmp_path / "store")
     AX.index_ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), scratch, cb)
     AX.index_ingest_batch(emb, scratch, cb)

@@ -204,6 +204,7 @@ def test_no_cross_product_in_scale_path_entry_points(spark):
         "dedup_simhash_pairs",
         "decontaminate",
         "decontaminate_semantic",
+        "decontaminate_spans",
         "semdedup",
         "ann_topk_lsh",
         "ann_topk_ivf",
