@@ -96,6 +96,8 @@ HEADLINE = (
     "ann_index_probe",      # probe of the streaming-maintained IVF
                             # store — search-only over the committed
                             # fixture (r10)
+    "decontaminate_spans",  # span-grain benchmark leakage: broadcast
+                            # bench grams, map-only corpus probe (r10)
 )
 
 

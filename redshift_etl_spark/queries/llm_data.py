@@ -1477,6 +1477,83 @@ def decontaminate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+def _contam_report_oracle() -> str:
+    # pure composition over the span oracle (the cross_source_dup
+    # pattern: reuse the committed SQL verbatim as a subquery)
+    return f"""
+WITH sp2 AS ({_decontam_spans_oracle()}),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS leaked
+  FROM sp2 GROUP BY doc_id
+),
+corpus AS (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS ntok
+  FROM documents WHERE source <> 'src0'
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN leaked IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(SUM(COALESCE(leaked, 0)) AS BIGINT) AS leaked_tokens,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       CAST(SUM(COALESCE(leaked, 0)) AS DOUBLE)
+         / CAST(SUM(ntok) AS BIGINT) AS leaked_share
+FROM corpus LEFT JOIN per_doc USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+
+@_q("contamination_report", _contam_report_oracle())
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source benchmark-leakage report — the aggregate a curation
+    pipeline acts on (quarantine or re-clean the sources whose
+    leaked-token share is high): contaminated docs, leaked tokens, and
+    leaked share per source, from the span-grain decontamination
+    (`dedup.contamination_spans`). Plan: the span query's map-only
+    broadcast probe → doc-grain leaked sums → one left join onto the
+    per-doc token counts → source hash agg (20 rows). The share is
+    one double division of two exact BIGINT sums."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    spans = D.contamination_spans(
+        corpus,
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        window=_DECONTAM_SPANS_W,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("long").alias("leaked")
+    )
+    base = corpus.select(
+        "doc_id",
+        "source",
+        F.size(D.tokens_col("text")).cast("long").alias("ntok"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("leaked").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_contaminated"),
+            F.sum(F.coalesce(F.col("leaked"), F.lit(0)))
+            .cast("long")
+            .alias("leaked_tokens"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            (
+                F.sum(F.coalesce(F.col("leaked"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.sum("ntok").cast("long")
+            ).alias("leaked_share"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing — concat-then-chunk token budgeting per source
 # stream (one window cumsum = one shuffle on source; no global sort).
@@ -4730,6 +4807,78 @@ def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         semdedup_codebook_fixture(spark, sf_dir),
         k=4,
     ).orderBy("query_id", "rank")
+
+
+def _ann_index_recall_oracle(k: int = 4) -> str:
+    # probe chain reused verbatim as a subquery (the cross_source_dup
+    # composition pattern); truth = exact cosine top-k over the corpus
+    return f"""
+WITH probe AS ({_ann_index_probe_oracle(k)}),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qf AS (SELECT vec_id, v FROM c WHERE vec_id < 5),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qf.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY qf.vec_id
+             ORDER BY {_duck_cos("qf.v", "c.v")} DESC, c.vec_id ASC
+           ) AS rk
+    FROM qf JOIN c ON qf.vec_id <> c.vec_id
+  ) WHERE rk <= {k}
+)
+SELECT t.query_id,
+       CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(p.neighbor_id) AS DOUBLE) / {k} AS recall_at_k
+FROM truth t
+LEFT JOIN probe p
+  ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
+@_q("ann_index_recall", _ann_index_recall_oracle())
+def ann_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the streaming-maintained IVF store against exact
+    float cosine — the approximation an IVF index actually makes
+    (neighbors OUTSIDE the probed cell are unreachable; int8 loss is
+    `ann_recall_report`'s axis, whitening `whitened_ann_recall`'s).
+    The report an index maintainer watches trigger over trigger: a
+    recall drop means the fixed codebook has drifted from the data
+    and the index needs a rebuild. Both sides deterministic, so the
+    recall NUMBERS hash-match the oracle. Plan: the cell-pruned probe
+    (bounded cells) + the k-row-per-query exact baseline over 5 fixed
+    queries — the truth side is query-bounded, not corpus-quadratic."""
+    from ..streaming import annindex as AX
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    k = 4
+    truth = S.cosine_topk(
+        emb, queries, "vec_id", "embedding", k=k
+    ).select("query_id", "neighbor_id")
+    probe = AX.probe_index(
+        ann_index_store_fixture(spark, sf_dir),
+        queries,
+        semdedup_codebook_fixture(spark, sf_dir),
+        k=k,
+    ).select("query_id", F.col("neighbor_id").alias("p_neighbor"))
+    joined = truth.join(
+        probe,
+        (truth["query_id"] == probe["query_id"])
+        & (truth["neighbor_id"] == probe["p_neighbor"]),
+        "left",
+    ).select(truth["query_id"], "p_neighbor")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("p_neighbor").cast("long").alias("n_hits"),
+            (F.count("p_neighbor").cast("double") / k).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
 
 
 def _semdedup_oracle() -> str:

@@ -112,7 +112,15 @@ REHEARSAL = (
     "rolling_active_users",   # bounded day fan-out + per-day distinct
     "user_journeys",          # collect_list struct sort, no window
     "copurchase_triangles",   # degree-oriented wedge join
-    "lang_marker_spearman",   # two midrank range exchanges, decimal sums
+    "lang_marker_spearman",   # two midrank range exchanges, decimal
+                              # sums (measured r10, scripts/
+                              # profile_spearman.py: stage slopes are
+                              # UNIFORM at 10x — scan 1.55x, one
+                              # midrank pipeline 1.54x, full 1.77x —
+                              # so no exchange hotspot; the 50k-doc
+                              # base is overhead-bound on 32 cores
+                              # like kappa, and r09's 2.82x reading
+                              # was machine load. No plan change.)
     "lang_source_cramers_v",  # cell matrix + marginal math
     "source_keep_wilson",     # source agg + fixed IEEE bound
     "hll_weekly_rollup",      # mergeable sketch union rollup
