@@ -217,6 +217,27 @@ NOTES = {
         "batch ids -> batch hash agg -> 1-row fold); union of two "
         "1-row frames"
     ),
+    "decontaminate_spans": (
+        "benchmark window-gram md5s distinct'd + BROADCAST -> corpus "
+        "sliding-gram slide is a map-only probe (no corpus-gram "
+        "shuffle) -> doc-grain flagged-start agg -> in-row maximal-"
+        "span merge -> doc-grain token rejoin"
+    ),
+    "ann_index_probe": (
+        "search-only over the committed streaming-maintained store: "
+        "broadcast adaptive-codebook assignment of the 5-query set, "
+        "ONE cluster equi-join against ~125-row cells, bounded "
+        "per-query rank window"
+    ),
+    "ann_index_recall": (
+        "cell-pruned probe (bounded cells) LEFT JOIN exact top-k "
+        "truth (query-bounded, 5 queries x k rows) -> per-query "
+        "hit-count agg; recall numbers hash-match the oracle"
+    ),
+    "contamination_report": (
+        "span probe (map-only broadcast) -> doc-grain leaked sums -> "
+        "one left join onto per-doc token counts -> 20-row source agg"
+    ),
 }
 
 
