@@ -323,14 +323,14 @@ def main() -> None:
     # and must stay parseable no matter how the catalog grows — r09's
     # 68-query line overflowed the capture and committed parsed:null.
     # Bounded spelling: totals + canary + stream + top-10 slowest.
-    top10 = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
-    )
+    by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     bounded = dict(full)
-    bounded["queries"] = top10
     bounded["queries_full_file"] = benchlib.FULL_FILE
-    line = json.dumps(bounded)
-    assert len(line) < 1500, f"final bench line too long ({len(line)})"
+    for n_top in (10, 5, 3, 0):  # degrade, never crash or overflow
+        bounded["queries"] = dict(by_cost[:n_top])
+        line = json.dumps(bounded)
+        if len(line) < 1500:
+            break
     print(line, flush=True)
     spark.stop()
 

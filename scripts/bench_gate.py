@@ -156,15 +156,19 @@ def gate(
 def _current() -> dict:
     if len(sys.argv) > 1:
         return json.loads(pathlib.Path(sys.argv[1]).read_text())
+    import time
+
+    t0 = time.time()
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True, text=True, check=True,
     ).stdout
     # bench.py's stdout line is bounded (top-10 slowest only, so driver
     # tails always parse); the FULL per-query record it just wrote is
-    # what a fresh gate run should grade
+    # what a fresh gate run should grade. mtime-guarded so a leftover
+    # file from an older run is never graded as current.
     full = REPO / benchlib.FULL_FILE
-    if full.exists():
+    if full.exists() and full.stat().st_mtime >= t0:
         return json.loads(full.read_text())
     line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)

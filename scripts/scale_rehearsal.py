@@ -180,6 +180,11 @@ REHEARSAL = (
     "leakage_free_split",
     "readability_scores",     # pure projection (Flesch/FK)
     "source_unigram_kl",      # per-source vocab cells, ln per cell
+                              # (workload note, like vocab_coverage:
+                              # every non-original replica doc adds a
+                              # UNIQUE suffix token, so vocab cells —
+                              # the ln-per-cell unit — grow faster
+                              # than the token stream on this fixture)
     "lang_id_mcc",            # marker projection + confusion math
                               # (kappa's shape: overhead-bound base)
     # r10:
