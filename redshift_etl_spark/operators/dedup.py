@@ -589,29 +589,32 @@ def contamination_spans(
     starts = flagged.groupBy(id_col).agg(
         F.array_sort(F.collect_set("start")).alias("__starts")
     )
+    # Maximal spans in O(starts) per row via island heads/tails (an
+    # aggregate() fold that appends with concat() copies the
+    # accumulator per element — quadratic on a wall-to-wall-leaked
+    # book). With sorted equal-length intervals an island breaks
+    # exactly where the gap to the neighbor exceeds the window, so
+    # heads/tails are two filters and a positional zip. F.get (0-based,
+    # NULL out of bounds) keeps the edge probes ANSI-safe.
     w = F.lit(window)
-    empty = F.array().cast("array<struct<s:int,e:int>>")
-    merged = F.aggregate(
-        F.col("__starts"),
-        empty,
-        lambda acc, st: F.when(
-            (F.size(acc) > 0)
-            & (st <= F.element_at(acc, -1)["e"]),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["s"].alias("s"),
-                        (st + w).alias("e"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(
-                acc,
-                F.array(F.struct(st.alias("s"), (st + w).alias("e"))),
-            )
-        ),
+    arr = F.col("__starts")
+    idx = F.transform(
+        arr, lambda st, i: F.struct(st.alias("s"), i.alias("i"))
+    )
+    heads = F.filter(
+        idx,
+        lambda x: (x["i"] == 0)
+        | ((x["s"] - F.get(arr, x["i"] - 1)) > w),
+    )
+    tails = F.filter(
+        idx,
+        lambda x: (x["i"] == F.size(arr) - 1)
+        | ((F.get(arr, x["i"] + 1) - x["s"]) > w),
+    )
+    merged = F.zip_with(
+        heads,
+        tails,
+        lambda h, t: F.struct(h["s"].alias("s"), (t["s"] + w).alias("e")),
     )
     spans = starts.select(
         F.col(id_col), F.explode(merged).alias("sp")

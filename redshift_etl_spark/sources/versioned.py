@@ -41,6 +41,17 @@ _PTR = "_CURRENT"
 _HIVE_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _hive_value_str(v) -> str:
+    """A collected partition value's Hive directory spelling (before
+    %XX escaping). Python's str() agrees for ints/strings/dates, but
+    booleans differ — str(True) is 'True' while Spark writes
+    'grp=true' — which would silently hard-link an affected boolean
+    partition through untouched (the ADVICE r09 class)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _unescape_hive(value: str) -> str:
     """Decode Hive partition-path escaping: special characters in a
     partition VALUE are written as %XX in the directory name ('a/b' →
@@ -213,7 +224,7 @@ def forget_keys(
     # directory names carry the Hive-ESCAPED string spelling; compare
     # unescaped-dir against str(value) so escaped and NULL partitions
     # are rewritten, never silently linked through (ADVICE r09)
-    affected_strs = {str(v) for v in nonnull_vals}
+    affected_strs = {_hive_value_str(v) for v in nonnull_vals}
     removed = match.count()
     src_dir = _vdir(root, current_version(root))
     part_dirs = [

@@ -143,3 +143,24 @@ def test_forget_absent_key_is_a_noop(spark, tmp_path):
     assert V.forget_keys(spark, root, "id", [999]) is None
     assert V.current_version(root) == v0
     assert V.versions(root) == [v0]  # no history churn
+
+
+def test_forget_boolean_partition_values_rewrite(spark, tmp_path):
+    # str(True) is 'True' but Hive writes 'grp=true' — a boolean
+    # partition value must still be recognized as affected
+    root = str(tmp_path / "t")
+    rows = [(1, True, "x"), (2, True, "y"), (3, False, "z")]
+    df = spark.createDataFrame(rows, "id long, grp boolean, body string")
+    V.write_version(df, root, partition_by="grp")
+    src = os.path.join(root, "v=0")
+    assert "grp=true" in os.listdir(src)  # the lowercase spelling
+    rep = V.forget_keys(spark, root, "id", [1], partition_col="grp")
+    assert rep["rows_removed"] == 1
+    assert rep["partitions_rewritten"] == 1
+    assert rep["partitions_linked"] == 1  # grp=false untouched
+    cur = V.read_current(spark, root)
+    assert cur.filter("id = 1").count() == 0  # actually erased
+    # partition inference reads the bool dirs back as STRING
+    # 'true'/'false' — compare as strings
+    assert cur.filter("grp = 'true'").count() == 1  # survivor kept
+    assert cur.filter("grp = 'false'").count() == 1
