@@ -199,6 +199,58 @@ REHEARSAL = (
                               # only (fixture note: the bench side
                               # also 10x's here, growing the broadcast
                               # — deployment holds it fixed)
+    # r10 completeness wave: every remaining HEADLINE query with a
+    # linear shape gets a probe, so the bench surface and the 10x
+    # surface coincide. (Deliberately still excluded, with their scale
+    # evidence living elsewhere: ann_cosine_topk /
+    # dedup_embedding_cosine / hard_negative_mining /
+    # bitext_margin_pairs are exact all-pairs BASELINES by contract —
+    # their scale paths ann_topk_lsh / lsh_bucketed_cosine /
+    # hard_negatives_bucketed / bitext_margin_bucketed are the real
+    # operators, and the pair-coupled kernels dedup_minhash_lsh /
+    # lsh_bucketed_cosine / embedding_dedup_clusters / span_dedup /
+    # substring_dedup / fuzzy_pairs_lev1 / the bucketed miners are
+    # measured through their density proxies cross_source_dup_matrix,
+    # incremental_near_dups, dedup_threshold_curve, and semdedup — on
+    # THIS fixture every replica is a near-dup of its original, so
+    # their slopes read the synthetic pair growth, not the engine.)
+    "agent_metrics_2",        # rate view over the star join
+    "scd1_merge_wide",        # 250-col codegen width, one key shuffle
+    "dedup_exact",            # content-hash groupBy
+    "ann_topk_lsh",           # banded explode + bucket join, 5 queries
+    "ann_topk_ivf",           # FIXED k=8 by the query's declared
+                              # contract (n_centroids=8) — cells
+                              # densify with the corpus, so expect a
+                              # super-unit slope; the adaptive-cell
+                              # posture is ann_index_probe
+    "shipping_priority",      # TPC-H Q3: joins + agg + top-k
+    "window_frames",          # running/moving frames, one window op
+    "source_quality_report",  # two-level agg, reduced Expand
+    "label_centroid_quality",  # centroid agg + rescore projection
+    "corpus_prep",            # clean -> filter -> dedup -> split
+    "decontaminate",          # bench shingles broadcast, map-only
+                              # probe (fixture grows the broadcast
+                              # 10x too; deployment holds it fixed)
+    "sequence_packing",       # per-source window cumsum
+    "tfidf_top_terms",        # token aggs + per-doc top-3 window
+    "zscore_anomalies",       # rounded moments + per-key screen
+    "lm_quality",             # corpus bigram LM + per-doc score
+                              # (workload note: every replica doc's
+                              # unique suffix token mints new bigram
+                              # types, so the exact — unhashed — LM's
+                              # model side grows ~with the docs here;
+                              # the hashed-LM path ccnet_perplexity,
+                              # 4096 cells by construction, probes
+                              # ~1.2x above)
+    "rollup_cascade",         # minute->hour->day partial-agg chain
+    "heavy_hitter_tokens",    # MG candidates + recount
+    "value_quantile_rollup",  # mergeable fixed-bin quantiles
+    "pq_adc_topk",            # LUT join over committed codes
+    "url_normalize",          # pure projection
+    "hybrid_search_rrf",      # bm25 + vector RRF fusion
+    "ann_topk_int8",          # integer-dot compressed scan
+    "attribution_join",       # interval attribution, batch form
+    "chat_sessions",          # session-cut assembly
 )
 
 # Density-DECOUPLED range-join variant (r08): the same query probed
