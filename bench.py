@@ -98,6 +98,14 @@ HEADLINE = (
                             # fixture (r10)
     "decontaminate_spans",  # span-grain benchmark leakage: broadcast
                             # bench grams, map-only corpus probe (r10)
+    "bloom_prefilter_join",  # Bloom runtime filter: map-side fact
+                            # pruning before the exact join (r10)
+    "krippendorff_lang",    # 3-rater reliability with missing data,
+                            # exact-integer coincidences (r10)
+    "purged_time_split",    # rank-cut time folds + embargo purge (r10)
+    "conformal_lang_threshold",  # finite-sample conformal q-hat +
+                            # held-out coverage (r10)
+    "psi_value_drift",      # binned PSI drift, picounit-exact total (r10)
 )
 
 

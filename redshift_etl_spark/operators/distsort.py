@@ -1089,3 +1089,60 @@ def spearman_corr(
             (dx > 0) & (dy > 0), num / (F.sqrt(dx) * F.sqrt(dy))
         ).alias("rho"),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    alpha_pct: int = 10,
+    tiebreak: Column | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Split-conformal calibration threshold — the finite-sample-exact
+    quantile that turns any nonconformity score into a prediction set
+    with guaranteed >= 1-alpha coverage (Vovk; Angelopoulos & Bates
+    2021):
+
+        qhat = s_(r),   r = ceil((n+1)*(1-alpha))   (r-th smallest score)
+
+    The +1 is the finite-sample correction — a plain (1-alpha)
+    empirical quantile UNDER-covers; this order statistic is the
+    distribution-free guarantee. r > n (tiny calibration sets)
+    degenerates to qhat = NULL (= +inf: every prediction set must
+    include everything), reported rather than clamped so the caller
+    sees the guarantee is vacuous.
+
+    Exactness: alpha enters as an integer PERCENT, n as an exact count,
+    so r = ceil((n+1)*(100-alpha)/100) is exact integer arithmetic (no
+    float quantile fractions), and qhat is an actual data value
+    SELECTED by rank, never interpolated. One :func:`ranked_cumsum`
+    range exchange for the rank (never a single-task window); rank
+    ties broken by ``tiebreak`` for a deterministic pick among equal
+    scores (equal scores => equal qhat, so any tiebreak yields the
+    same threshold). Returns one row: (n_cal, rank_r, qhat)."""
+    base = df.select(F.col(score_col).alias("__s"))
+    order = [F.col("__s").asc()]
+    if tiebreak is not None:
+        base = df.select(F.col(score_col).alias("__s"), tiebreak.alias("__t"))
+        order = [F.col("__s").asc(), F.col("__t").asc()]
+    n = base.count()  # bounded scalar: one count job
+    pct = 100 - int(alpha_pct)
+    rank_r = ((n + 1) * pct + 99) // 100
+    spark = df.sparkSession
+    totals = spark.createDataFrame(
+        [(n, rank_r)], "n_cal: long, rank_r: long"
+    )
+    ranked = global_row_number(
+        base, order, rank_name="__r", num_partitions=num_partitions
+    )
+    picked = (
+        ranked.where(F.col("__r") == rank_r)
+        .select(
+            F.lit(n).cast("long").alias("n_cal"),
+            F.lit(rank_r).cast("long").alias("rank_r"),
+            F.col("__s").alias("qhat"),
+        )
+    )
+    # left join the (<=1-row) picked value onto the 1-row totals so the
+    # degenerate r > n case yields qhat NULL instead of zero rows
+    return totals.join(F.broadcast(picked), ["n_cal", "rank_r"], "left")

@@ -23,6 +23,7 @@ distinct aggregate Spark plans it Expand-free).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -614,4 +615,234 @@ def wilson_lower_bounds(
     ) / (1 + z2 / n)
     return agg.select(
         group_col, "n", "successes", p.alias("p_hat"), lb.alias("lb")
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) — inter-annotator reliability that,
+    unlike Cohen's kappa, handles ANY number of raters and MISSING
+    ratings (an annotator who abstained on an item simply contributes
+    no pairs there). The statistic a labeling campaign reports before
+    trusting its gold data.
+
+    Definition (Krippendorff 2004, coincidence-matrix form): over items
+    with m_u ≥ 2 ratings, alpha = 1 − D_o/D_e with D_o the observed
+    disagreement of the coincidence matrix o_ck = Σ_u pairs_u(c,k)/(m_u−1)
+    and D_e its expected disagreement from the margins.
+
+    Exactness (the cohens_kappa discipline, extended): the margins n_c
+    and n = Σ_u m_u are exact BIGINTs by construction (each rated value
+    contributes exactly 1 to its category margin). The only fractional
+    object is the off-diagonal mass Σ_{c≠k} o_ck = Σ_u d_u/(m_u−1)
+    (d_u = ordered disagreeing pairs in item u); with R distinct raters,
+    m_u−1 ∈ {1..R−1}, so scaling by L = lcm(1..R−1) makes
+    D_L = Σ_u d_u·L/(m_u−1) an exact integer. Then, using
+    Σ_{c≠k} n_c·n_k = n² − Σ_c n_c²:
+
+        alpha = 1 − D_L·(n−1) / (L·(n² − Σ_c n_c²))
+
+    — ONE IEEE division of exact DECIMAL(38,0) products, engine- and
+    partitioning-exact. Degenerate margins (single category → D_e = 0)
+    report NULL.
+
+    Precondition: at most one rating per (item, rater) — reliability
+    data is keyed that way; duplicates would inflate m_u past R.
+
+    Scale shape: one hash agg for m_u, one for the category margins, a
+    self-join on item for disagreeing pairs — each item contributes at
+    most R(R−1) pair rows, so the join output is O(n·R), linear in the
+    data for the bounded rater pool an annotation campaign has. The
+    rater count (for L) is one bounded count-distinct; everything after
+    the aggregates is 1-row math. Returns one row:
+    (n_items, n_values, do_rate, de_rate, alpha)."""
+    vals = df.select(
+        F.col(item_col).alias("__i"),
+        F.col(rater_col).alias("__r"),
+        F.col(val_col).alias("__v"),
+    ).where(
+        F.col(item_col).isNotNull()
+        & F.col(rater_col).isNotNull()
+        & F.col(val_col).isNotNull()
+    )
+    n_raters = vals.select("__r").distinct().count()  # bounded: rater pool
+    lcm = 1
+    for d in range(2, max(2, n_raters)):
+        lcm = math.lcm(lcm, d)
+    m_u = vals.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    pairable = vals.join(m_u.where(F.col("__m") >= 2), "__i")
+
+    dec = "decimal(38,0)"
+    # margins over pairable values only (standard: unpaired items drop)
+    n_c = pairable.groupBy("__v").agg(F.count(F.lit(1)).cast("long").alias("__nc"))
+    marg = n_c.agg(
+        F.sum("__nc").cast("long").alias("n_values"),
+        F.sum(F.col("__nc").cast(dec) * F.col("__nc")).cast(dec).alias("__sum_nc2"),
+    )
+    items = pairable.select("__i").distinct().count()
+
+    a = pairable.select("__i", "__r", "__v", "__m")
+    b = pairable.select(
+        F.col("__i").alias("__i2"),
+        F.col("__r").alias("__r2"),
+        F.col("__v").alias("__v2"),
+    )
+    d_l = (
+        a.join(b, (F.col("__i") == F.col("__i2")) & (F.col("__r") != F.col("__r2")))
+        .where(F.col("__v") != F.col("__v2"))
+        .agg(
+            # DIV: integral division (lcm divides m−1 exactly by
+            # construction; `/` on longs would go through double)
+            F.coalesce(
+                F.sum(F.expr(f"{lcm}L DIV (__m - 1)")).cast(dec),
+                F.lit(0).cast(dec),
+            ).alias("__dl")
+        )
+    )
+    out = marg.crossJoin(F.broadcast(d_l)).select(
+        F.lit(items).cast("long").alias("n_items"),
+        "n_values",
+        "__sum_nc2",
+        "__dl",
+    )
+    n = F.col("n_values").cast(dec)
+    de_num = (n * F.col("n_values") - F.col("__sum_nc2")).cast(dec)
+    do_rate = F.col("__dl").cast("double") / (
+        F.lit(lcm).cast("double") * F.col("n_values").cast("double")
+    )
+    de_rate = de_num.cast("double") / (
+        F.col("n_values").cast("double") * (F.col("n_values") - 1).cast("double")
+    )
+    alpha = F.when(
+        de_num != 0,
+        F.lit(1.0)
+        - (F.col("__dl").cast(dec) * (F.col("n_values") - 1)).cast("double")
+        / (F.lit(lcm).cast(dec) * de_num).cast("double"),
+    )
+    return out.select(
+        "n_items",
+        "n_values",
+        do_rate.alias("do_rate"),
+        de_rate.alias("de_rate"),
+        alpha.alias("alpha"),
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    bin_col: str,
+    bad_col: str,
+) -> DataFrame:
+    """Weight-of-Evidence / Information-Value report per feature bin —
+    the classical screen for how well a binned feature separates a
+    binary label (credit-risk lineage; in a data pipeline: does this
+    quality bucket predict bad documents?).
+
+        woe_b = ln( (good_b/good_tot) / (bad_b/bad_tot) )
+        iv_b  = (good_b/good_tot − bad_b/bad_tot) · woe_b
+
+    Exactness: all counts are exact BIGINTs from one map-side-combined
+    hash agg on the bin; shares, ln and the iv terms are fixed IEEE
+    expressions of those ints — engine-exact in any engine mirroring
+    the spelling. Bins with zero goods or zero bads report NULL woe/iv
+    (the standard "apply smoothing upstream" signal) rather than ±inf.
+
+    Scale shape: ONE aggregate over the data to ≤|bins| rows; the
+    good/bad totals attach via a 1-row broadcast cross join (bounded by
+    construction). Returns (bin, n, n_bad, n_good, woe, iv) sorted by
+    bin."""
+    y = F.col(bad_col).cast("boolean")
+    bins = df.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum(y.cast("long")), F.lit(0)).cast("long").alias("n_bad"),
+    )
+    bins = bins.withColumn("n_good", (F.col("n") - F.col("n_bad")).cast("long"))
+    tot = bins.agg(
+        F.sum("n_bad").cast("long").alias("__tb"),
+        F.sum("n_good").cast("long").alias("__tg"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    g_share = F.col("n_good").cast("double") / F.col("__tg").cast("double")
+    b_share = F.col("n_bad").cast("double") / F.col("__tb").cast("double")
+    ok = (
+        (F.col("n_good") > 0)
+        & (F.col("n_bad") > 0)
+        & (F.col("__tg") > 0)
+        & (F.col("__tb") > 0)
+    )
+    woe = F.when(ok, F.log(g_share / b_share))
+    iv = F.when(ok, (g_share - b_share) * F.log(g_share / b_share))
+    return j.select(
+        "bin", "n", "n_bad", "n_good", woe.alias("woe"), iv.alias("iv")
+    ).orderBy("bin")
+
+
+def psi_report(
+    df: DataFrame,
+    bin_col: str,
+    side_col: str,
+) -> DataFrame:
+    """Population Stability Index between two populations of one binned
+    variable — the industry-standard binned drift screen that sits next
+    to the exact-KS test (`distsort.ks_drift`: exact but unbinned and
+    two-sided-max; PSI localizes WHICH bins moved and by how much):
+
+        psi_b = (p_A − p_B) · ln(p_A / p_B),   psi = Σ_b psi_b
+
+    ``side_col`` (boolean) marks the B population. Per-bin shares come
+    from exact BIGINT counts in ONE map-side-combined hash agg on
+    (bin); the totals attach via a 1-row broadcast. Bins empty on
+    either side report NULL psi_b (the standard re-bin/smooth-upstream
+    signal, not ±inf) and are EXCLUDED from the total — the
+    n_onesided_bins column says how many were.
+
+    Determinism of the total: a double Σ over bins is
+    partition-order-dependent, so each psi_b fixes to the 1e-12 grid
+    in BIGINT picounits first (|psi_b| < 9·10⁶ covered — any real PSI)
+    and the total is ONE exact integer sum, divided once. Returns one
+    row per bin (bin, n_a, n_b, psi_term) plus the repeated exact
+    total columns (psi_total, n_onesided_bins)."""
+    b = F.col(side_col).cast("boolean")
+    cells = df.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.coalesce(F.sum(F.when(~b, 1)), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(F.when(b, 1)), F.lit(0)).cast("long").alias("n_b"),
+    )
+    tot = cells.agg(
+        F.sum("n_a").cast("long").alias("__ta"),
+        F.sum("n_b").cast("long").alias("__tb"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    p_a = F.col("n_a").cast("double") / F.col("__ta").cast("double")
+    p_b = F.col("n_b").cast("double") / F.col("__tb").cast("double")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    term = F.when(ok, (p_a - p_b) * F.log(p_a / p_b))
+    withterm = j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        term.alias("psi_term"),
+        F.when(ok, F.round(term * 1e12).cast("long"))
+        .alias("__pico"),
+    )
+    total = withterm.agg(
+        F.coalesce(F.sum("__pico"), F.lit(0)).cast("long").alias("__pico_sum"),
+        F.coalesce(F.sum(F.when(F.col("__pico").isNull(), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_onesided_bins"),
+    )
+    return (
+        withterm.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            "psi_term",
+            (F.col("__pico_sum").cast("double") / 1e12).alias("psi_total"),
+            "n_onesided_bins",
+        )
+        .orderBy("bin")
     )

@@ -937,3 +937,84 @@ def budget_waterfill(
         alloc.cast("long").alias("alloc"),
         (F.col("__i") > F.col("__j")).alias("capped"),
     )
+
+
+def purged_time_split(
+    df: DataFrame,
+    ts_col: str,
+    tiebreak_col: str,
+    k: int = 5,
+    embargo: str = "INTERVAL 1 DAY",
+) -> DataFrame:
+    """Purged k-fold split for TEMPORAL data with an embargo gap
+    (de Prado's purged CV, the time-series answer to leakage-free
+    splitting): folds are k equal-count contiguous TIME slices, and for
+    each evaluation fold the training set additionally drops every row
+    within ``embargo`` of the fold's span — the rows whose serial
+    correlation with the eval window would leak future information
+    into training. The content/domain-grain leakage splits
+    (`leakage_free_split`, `grouped_split`) can't express this: their
+    leakage unit is identity, not time adjacency.
+
+    Fold assignment is an exact-count rank cut: global rank over
+    (ts, tiebreak) via `distsort.global_row_number` (two-pass range
+    exchange, no single-task window), fold = (rank−1)·k DIV n — exact
+    BIGINT boundaries, no float quantiles, deterministic under ties.
+
+    Scale shape: one range exchange for the rank, one k-row hash agg
+    for the fold spans, then ONE broadcast join of the k-row span
+    frame back onto the rows (fan-out k — bounded by the fold-count
+    config) and a k-row report agg. Returns one row per fold:
+    (fold, n_test, n_train, n_purged, test_start, test_end) with
+    n_test + n_train + n_purged = n for every fold."""
+    from .distsort import global_row_number
+
+    base = df.select(
+        F.col(ts_col).alias("__ts"), F.col(tiebreak_col).alias("__tb")
+    )
+    n = base.count()
+    ranked = global_row_number(
+        base, [F.col("__ts"), F.col("__tb")], rank_name="__rank"
+    )
+    assigned = ranked.withColumn(
+        "__fold",
+        F.expr(f"CAST((__rank - 1) * {int(k)} AS BIGINT) DIV {int(n)}"),
+    )
+    spans = assigned.groupBy("__fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.min("__ts").alias("test_start"),
+        F.max("__ts").alias("test_end"),
+    )
+    # k rows by construction: the fold-count config bounds the frame
+    tagged = assigned.join(
+        F.broadcast(
+            spans.select(
+                F.col("__fold").alias("__f"),
+                "n_test",
+                "test_start",
+                "test_end",
+            )
+        ),
+        F.col("__fold") != F.col("__f"),
+    )
+    lo = F.expr(f"test_start - {embargo}")
+    hi = F.expr(f"test_end + {embargo}")
+    report = tagged.groupBy(F.col("__f").alias("fold")).agg(
+        F.sum(
+            F.when((F.col("__ts") < lo) | (F.col("__ts") > hi), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_train"),
+        F.sum(
+            F.when((F.col("__ts") >= lo) & (F.col("__ts") <= hi), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_purged"),
+    )
+    return (
+        report.join(
+            F.broadcast(spans.withColumnRenamed("__fold", "fold")), "fold"
+        )
+        .select("fold", "n_test", "n_train", "n_purged", "test_start", "test_end")
+        .orderBy("fold")
+    )

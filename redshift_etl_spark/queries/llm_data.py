@@ -6931,3 +6931,194 @@ def waterfill_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha — multi-rater agreement with missing ratings
+# (operators/quality.krippendorff_alpha)
+# ---------------------------------------------------------------------------
+
+def _krippendorff_oracle() -> str:
+    hit_cols, prev_b = _lang_argmax_fold_sql()
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+  {hit_cols}
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, lang, n_chars, {prev_b} AS p FROM h
+),
+ratings AS (
+  SELECT doc_id, 'label' AS rater, lang AS val FROM pred
+  UNION ALL
+  SELECT doc_id, 'markers' AS rater, p AS val FROM pred
+  UNION ALL
+  SELECT doc_id, 'sparse' AS rater, p AS val FROM pred WHERE n_chars >= 400
+),
+v AS (SELECT doc_id, rater, val FROM ratings WHERE val IS NOT NULL),
+m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM v GROUP BY 1),
+p AS (
+  SELECT r.doc_id, r.rater, r.val, m.m
+  FROM v r JOIN m ON r.doc_id = m.doc_id
+  WHERE m.m >= 2
+),
+nc AS (SELECT val, CAST(COUNT(*) AS BIGINT) AS nc FROM p GROUP BY 1),
+marg AS (
+  SELECT CAST(SUM(nc) AS BIGINT) AS n_values,
+         CAST(SUM(CAST(nc AS HUGEINT) * nc) AS HUGEINT) AS sum_nc2
+  FROM nc
+),
+items AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_items FROM p),
+-- L = lcm(1..R-1) = 2 for the R = 3 raters here; 2 // (m-1) is exact
+dl AS (
+  SELECT CAST(COALESCE(SUM(2 // (a.m - 1)), 0) AS HUGEINT) AS dl
+  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.rater <> b.rater
+  WHERE a.val <> b.val
+)
+SELECT n_items, n_values,
+  CAST(dl AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(n_values AS DOUBLE))
+    AS do_rate,
+  CAST(CAST(n_values AS HUGEINT) * n_values - sum_nc2 AS DOUBLE)
+    / (CAST(n_values AS DOUBLE) * CAST(n_values - 1 AS DOUBLE)) AS de_rate,
+  CASE WHEN CAST(n_values AS HUGEINT) * n_values - sum_nc2 <> 0 THEN
+    1.0 - CAST(dl * (n_values - 1) AS DOUBLE)
+        / CAST(2 * (CAST(n_values AS HUGEINT) * n_values - sum_nc2) AS DOUBLE)
+  END AS alpha
+FROM items CROSS JOIN marg CROSS JOIN dl
+"""
+
+
+@_q("krippendorff_lang", _krippendorff_oracle())
+def krippendorff_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability of the language labels measured as Krippendorff's
+    alpha (`quality.krippendorff_alpha`) across THREE raters with
+    missing data — the agreement statistic kappa can't produce: rater
+    'label' is the dataset lang column, 'markers' the canonical
+    marker-argmax classifier, and 'sparse' the same classifier
+    abstaining on short documents (n_chars < 400), so items carry 2 or
+    3 ratings and the coincidence weights 1/(m_u−1) differ per item.
+    Exact-integer pipeline (margins are exact counts; the fractional
+    disagreement mass is scaled by L = lcm(1..R−1) into an integer);
+    one IEEE division at the end."""
+    from ..operators import quality as Q
+
+    pred = TX.lang_scores(load(spark, sf_dir, "documents"), "text").select(
+        "doc_id", "lang", "n_chars", "predicted_lang"
+    )
+    ratings = (
+        pred.select(
+            "doc_id",
+            F.lit("label").alias("rater"),
+            F.col("lang").alias("val"),
+        )
+        .unionByName(
+            pred.select(
+                "doc_id",
+                F.lit("markers").alias("rater"),
+                F.col("predicted_lang").alias("val"),
+            )
+        )
+        .unionByName(
+            pred.where(F.col("n_chars") >= 400).select(
+                "doc_id",
+                F.lit("sparse").alias("rater"),
+                F.col("predicted_lang").alias("val"),
+            )
+        )
+    )
+    return Q.krippendorff_alpha(ratings, "doc_id", "rater", "val")
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal calibration threshold (distsort.conformal_threshold)
+# ---------------------------------------------------------------------------
+
+_CONF_BUCKET_SQL = (
+    "(((instr('0123456789abcdef', substr(md5(':' || doc_id), 1, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(':' || doc_id), 2, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(':' || doc_id), 3, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(':' || doc_id), 4, 1)) - 1"
+)
+
+_CONFORMAL_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+    1.0 - CAST(len(list_filter(str_split(text, ' '),
+                 w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+        / CAST(len(str_split(text, ' ')) + 1 AS DOUBLE) AS score,
+    CAST(({_CONF_BUCKET_SQL}) % 2 AS BIGINT) AS half
+  FROM documents
+  WHERE lang = 'en'
+),
+cal AS (SELECT doc_id, score FROM scored WHERE half = 0),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+r AS (SELECT n_cal, ((n_cal + 1) * 90 + 99) // 100 AS rank_r FROM n),
+ranked AS (
+  SELECT score, row_number() OVER (ORDER BY score, doc_id) AS rn FROM cal
+),
+qhat AS (
+  SELECT r.n_cal, r.rank_r, ranked.score AS qhat
+  FROM r LEFT JOIN ranked ON ranked.rn = r.rank_r
+),
+test AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN s.score <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+  FROM scored s CROSS JOIN qhat q
+  WHERE s.half = 1
+)
+SELECT q.n_cal, CAST(q.rank_r AS BIGINT) AS rank_r, q.qhat,
+       t.n_test, t.n_covered,
+       CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE) AS coverage
+FROM qhat q CROSS JOIN test t
+"""
+
+
+@_q("conformal_lang_threshold", _CONFORMAL_ORACLE)
+def conformal_lang_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the English-marker nonconformity
+    score (`distsort.conformal_threshold`, α = 10%): q̂ is the
+    ⌈(n+1)·0.9⌉-th smallest calibration score — the finite-sample-exact
+    order statistic, never an interpolated quantile — and the held-out
+    half reports its empirical coverage against that single threshold.
+    Calibration/test halves split by the canonical md5 bucket (stable
+    in doc_id). Nonconformity s = 1 − hits_en/(tokens+1): low when the
+    doc looks English, deterministic rational per row."""
+    from ..operators import distsort as DS
+    from ..operators import sampling as SA
+
+    docs = load(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    scored = docs.select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            - TX.marker_hits(F.col("text"), TX.LANG_MARKERS["en"]).cast(
+                "double"
+            )
+            / (TX.token_count(F.col("text")) + 1).cast("double")
+        ).alias("score"),
+        (SA.hash_bucket16("doc_id") % 2).alias("__half"),
+    )
+    cal = scored.where(F.col("__half") == 0)
+    thr = DS.conformal_threshold(
+        cal, "score", alpha_pct=10, tiebreak=F.col("doc_id")
+    )
+    test = scored.where(F.col("__half") == 1).crossJoin(F.broadcast(thr))
+    return test.agg(
+        F.first("n_cal").alias("n_cal"),
+        F.first("rank_r").alias("rank_r"),
+        F.first("qhat").alias("qhat"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("score") <= F.col("qhat"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+    ).select(
+        "n_cal",
+        "rank_r",
+        "qhat",
+        "n_test",
+        "n_covered",
+        (F.col("n_covered").cast("double") / F.col("n_test").cast("double"))
+        .alias("coverage"),
+    )

@@ -5285,3 +5285,229 @@ def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime pre-filter join (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+_BLOOM_JOIN_ORACLE = """
+SELECT l.l_returnflag AS returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+            AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@_q("bloom_prefilter_join", _BLOOM_JOIN_ORACLE)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to URGENT orders, computed through
+    a distributed Bloom runtime filter (`operators/bloom.py`): the
+    urgent-order key set is packed into ~10 bits/key, broadcast, and
+    fact rows are dropped MAP-SIDE before the exact join — the shuffle
+    then carries only (true matches + fpp·rest). The Bloom stage is
+    semantically invisible (no false negatives), so the oracle is the
+    plain join; correctness of the whole pipeline IS the prefilter's
+    no-false-negative property at every SF. Revenue summed on the
+    fixed 1e-4 grid in BIGINT (the pricing_summary discipline) so the
+    total is partitioning-exact."""
+    from ..operators import bloom as B
+
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bf = B.bloom_build(urgent, "o_orderkey", fpp=0.01)
+    fact = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    pre = B.bloom_prefilter(fact, "l_orderkey", bf)
+    joined = pre.join(urgent, pre["l_orderkey"] == urgent["o_orderkey"])
+    rev_micro = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            (F.sum(rev_micro).cast("double") / 10000).alias("revenue"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-Evidence / Information-Value feature screen (quality.woe_iv)
+# ---------------------------------------------------------------------------
+
+_WOE_IV_ORACLE = """
+WITH b AS (
+  SELECT CAST(least(floor((l_quantity - 1) / 10), 4) AS BIGINT) AS bin,
+         (l_returnflag = 'R') AS bad
+  FROM lineitem
+),
+bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN bad THEN 1 END), 0) AS BIGINT) AS n_bad
+  FROM b GROUP BY 1
+),
+g AS (SELECT bin, n, n_bad, CAST(n - n_bad AS BIGINT) AS n_good FROM bins),
+tot AS (
+  SELECT CAST(SUM(n_bad) AS BIGINT) AS tb, CAST(SUM(n_good) AS BIGINT) AS tg
+  FROM g
+)
+SELECT bin, n, n_bad, n_good,
+  CASE WHEN n_good > 0 AND n_bad > 0 AND tg > 0 AND tb > 0 THEN
+    ln((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
+       / (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))) END AS woe,
+  CASE WHEN n_good > 0 AND n_bad > 0 AND tg > 0 AND tb > 0 THEN
+    ((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
+     - (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)))
+    * ln((CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE))
+         / (CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE))) END AS iv
+FROM g CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+@_q("woe_iv_quantity", _WOE_IV_ORACLE)
+def woe_iv_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE/IV screen (`quality.woe_iv`) of quantity bands against the
+    returned-flag label: does the order-size band predict returns? One
+    hash agg to 5 bins (fixed-width bands over l_quantity ∈ [1,50] —
+    value-deterministic, no quantile ties), 1-row totals broadcast,
+    ln/shares as fixed IEEE expressions of exact BIGINT counts."""
+    from ..operators import quality as Q
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.least(F.floor((F.col("l_quantity") - 1) / 10), F.lit(4).cast("long"))
+        .cast("long")
+        .alias("__bin"),
+        (F.col("l_returnflag") == "R").alias("__bad"),
+    )
+    return Q.woe_iv(li, "__bin", "__bad")
+
+
+# ---------------------------------------------------------------------------
+# Purged k-fold time split with embargo (sampling.purged_time_split)
+# ---------------------------------------------------------------------------
+
+_PURGED_SPLIT_ORACLE = """
+WITH ranked AS (
+  SELECT ts, row_number() OVER (ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+),
+assigned AS (
+  SELECT ts, CAST(((rn - 1) * 5) // n AS BIGINT) AS fold FROM ranked
+),
+spans AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+         MIN(ts) AS test_start, MAX(ts) AS test_end
+  FROM assigned GROUP BY 1
+)
+SELECT s.fold, s.n_test,
+  CAST(SUM(CASE WHEN a.ts < s.test_start - INTERVAL 1 DAY
+                  OR a.ts > s.test_end + INTERVAL 1 DAY
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+  CAST(SUM(CASE WHEN a.ts >= s.test_start - INTERVAL 1 DAY
+                 AND a.ts <= s.test_end + INTERVAL 1 DAY
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+  s.test_start, s.test_end
+FROM spans s JOIN assigned a ON a.fold <> s.fold
+GROUP BY s.fold, s.n_test, s.test_start, s.test_end
+ORDER BY s.fold
+"""
+
+
+@_q("purged_time_split", _PURGED_SPLIT_ORACLE)
+def purged_time_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged 5-fold TEMPORAL split of the event stream with a 1-day
+    embargo (`sampling.purged_time_split`): contiguous equal-count time
+    slices by exact rank cut, training rows inside the embargo window
+    around each eval fold counted out as purged — the serial-correlation
+    leakage guard the identity-grain splits can't express."""
+    from ..operators import sampling as SA
+
+    events = load(spark, sf_dir, "events")
+    return SA.purged_time_split(
+        events, "ts", "event_id", k=5, embargo="INTERVAL 1 DAY"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift between event epochs (quality.psi_report)
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH b AS (
+  SELECT CAST(least(floor(value / 50), 9) AS BIGINT) AS bin,
+         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS side
+  FROM events
+),
+cells AS (
+  SELECT bin,
+         CAST(COALESCE(SUM(CASE WHEN NOT side THEN 1 END), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(CASE WHEN side THEN 1 END), 0) AS BIGINT) AS n_b
+  FROM b GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+  FROM cells
+),
+terms AS (
+  SELECT bin, n_a, n_b,
+    CASE WHEN n_a > 0 AND n_b > 0 THEN
+      (CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+       - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+      * ln((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+           / (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))) END AS psi_term
+  FROM cells CROSS JOIN tot
+),
+pico AS (
+  SELECT bin, n_a, n_b, psi_term,
+         CASE WHEN psi_term IS NOT NULL
+              THEN CAST(ROUND(psi_term * 1e12) AS BIGINT) END AS pc
+  FROM terms
+),
+total AS (
+  SELECT CAST(COALESCE(SUM(pc), 0) AS BIGINT) AS pico_sum,
+         CAST(COALESCE(SUM(CASE WHEN pc IS NULL THEN 1 END), 0) AS BIGINT)
+           AS n_onesided_bins
+  FROM pico
+)
+SELECT bin, n_a, n_b, psi_term,
+       CAST(pico_sum AS DOUBLE) / 1e12 AS psi_total,
+       n_onesided_bins
+FROM pico CROSS JOIN total
+ORDER BY bin
+"""
+
+
+@_q("psi_value_drift", _PSI_ORACLE)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution
+    between the first and second half of the month
+    (`quality.psi_report`): the binned drift screen that localizes
+    WHICH value bands moved (the exact-KS twin `ks_drift` gives the
+    max-gap scalar but no per-bin attribution). Exact BIGINT cells;
+    the only doubles are fixed-order share/ln expressions; the total
+    is an integer sum of picounit-fixed terms, so it is
+    partitioning-exact."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events").select(
+        F.least(F.floor(F.col("value") / 50), F.lit(9).cast("long"))
+        .cast("long")
+        .alias("__bin"),
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias(
+            "__side"
+        ),
+    )
+    return Q.psi_report(ev, "__bin", "__side")

@@ -238,6 +238,36 @@ NOTES = {
         "span probe (map-only broadcast) -> doc-grain leaked sums -> "
         "one left join onto per-doc token counts -> 20-row source agg"
     ),
+    "bloom_prefilter_join": (
+        "Bloom runtime filter: config-bounded bitmap (built "
+        "separately: explode k positions -> map-side-combined bit_or "
+        "on pos>>6, driver collects <= m/64 words) -> fact scan -> "
+        "map-side ArrowEval bit test (NO exchange of its own) -> "
+        "exact join sees only true matches + fpp leakage"
+    ),
+    "krippendorff_lang": (
+        "3 rating projections union -> item-keyed self-join (<= "
+        "R(R-1) pair rows per item) -> exact-integer D_L / margin "
+        "aggs -> 1-row alpha fold"
+    ),
+    "woe_iv_quantity": (
+        "ONE map-side-combined hash agg to 5 bins -> 1-row totals "
+        "broadcast -> ln/share projection"
+    ),
+    "purged_time_split": (
+        "one ranked range exchange (exact-count fold cut) -> k-row "
+        "span agg -> k-row broadcast re-join (fan-out k, "
+        "config-bounded) -> k-row embargo report"
+    ),
+    "conformal_lang_threshold": (
+        "score projection -> one ranked range exchange -> rank-r "
+        "order-statistic pick -> 1-row threshold broadcast onto the "
+        "held-out half -> 1-row coverage agg"
+    ),
+    "psi_value_drift": (
+        "ONE hash agg to 10 value bins -> 1-row side totals "
+        "broadcast -> ln terms -> picounit integer total broadcast"
+    ),
 }
 
 

@@ -251,6 +251,19 @@ REHEARSAL = (
     "ann_topk_int8",          # integer-dot compressed scan
     "attribution_join",       # interval attribution, batch form
     "chat_sessions",          # session-cut assembly
+    # r10 second wave:
+    "bloom_prefilter_join",   # config-bounded bitmap build + map-side
+                              # Arrow probe + exact join — bitmap size
+                              # is fpp/n CONFIG, probe is per-row
+                              # constant work
+    "krippendorff_lang",      # 3 projections union + item self-join
+                              # (<= R(R-1) pair rows per item, linear)
+    "woe_iv_quantity",        # one hash agg to 5 bins + 1-row totals
+    "purged_time_split",      # one rank range exchange + k-row span
+                              # broadcast (fan-out k, config-bounded)
+    "conformal_lang_threshold",  # score projection + one rank range
+                              # exchange + 1-row threshold attach
+    "psi_value_drift",        # one hash agg to 10 bins + 1-row totals
 )
 
 # Density-DECOUPLED range-join variant (r08): the same query probed

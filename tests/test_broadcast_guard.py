@@ -102,6 +102,20 @@ ALLOWED = {
         "1-row totals and 1-row marginal-product (pe) frames",
     ("operators/quality.py", "mutual_information"):
         "1-row total and 1-row marginal-entropy scalars",
+    ("operators/bloom.py", "bloom_prefilter"):
+        "sc.broadcast of the packed bitmap: bounded by the max_bits config cap (16 MiB default), data-blind",
+    ("operators/quality.py", "krippendorff_alpha"):
+        "1-row scaled-disagreement (D_L) aggregate",
+    ("operators/quality.py", "woe_iv"):
+        "1-row good/bad totals frame",
+    ("operators/quality.py", "psi_report"):
+        "1-row side-totals frame and 1-row picounit psi-total frame",
+    ("operators/sampling.py", "purged_time_split"):
+        "k-row fold-span frame: bounded by the fold-count config",
+    ("operators/distsort.py", "conformal_threshold"):
+        "<=1-row picked order-statistic frame joined onto the 1-row totals",
+    ("queries/llm_data.py", "conformal_lang_threshold"):
+        "1-row conformal threshold frame attached to the test half",
     ("operators/sampling.py", "mixture_sample"):
         "per-group quota edges: one row per mixture group (caller's weights)",
     ("operators/sampling.py", "temperature_mixture"):
