@@ -1146,3 +1146,69 @@ def conformal_threshold(
     # left join the (<=1-row) picked value onto the 1-row totals so the
     # degenerate r > n case yields qhat NULL instead of zero rows
     return totals.join(F.broadcast(picked), ["n_cal", "rank_r"], "left")
+
+
+def map_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-group Mean-Average-Precision@k of a retrieval ranking with
+    binary relevance — the order-sensitive cousin of nDCG that rewards
+    putting EVERY relevant item early, completing the ranking-eval
+    family (AUC / PR / RR / nDCG / MAP):
+
+        AP@k = Σ_{i≤k, rel_i} P@i  /  min(R, k),   P@i = (#rel in top i)/i
+
+    ranked by (score DESC, id ASC); R = the group's total relevant
+    count (the standard TREC normalization, so a group that can't fill
+    k isn't penalized for it).
+
+    Determinism (the ndcg_at_k discipline): each P@i term is
+    micro-rounded to BIGINT at 1e6 BEFORE the associative integer sum
+    — a raw double Σ is partition-order-dependent — and AP is ONE
+    IEEE division of the exact micro-sum by 1e6·min(R,k). Groups with
+    no relevant item report NULL.
+
+    Plan: ONE group hash exchange feeds a single rank window whose
+    frame also carries the running relevant-count (same partitioning,
+    same order — one Window op), then the per-group aggregate. Returns
+    (group, n_items, n_rel, ap_micro, ap)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    y = F.col(rel_col).cast("long")
+    ranked = df.select(
+        F.col(group_col),
+        y.alias("__y"),
+        F.row_number().over(w).alias("__rk"),
+        F.sum(y).over(w).alias("__cum"),
+    )
+    term = F.when(
+        (F.col("__y") == 1) & (F.col("__rk") <= k),
+        F.round(
+            F.col("__cum").cast("double") / F.col("__rk").cast("double") * 1e6
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__y").cast("long").alias("n_rel"),
+        F.sum(term).cast("long").alias("ap_micro"),
+    )
+    denom = F.least(F.col("n_rel"), F.lit(k).cast("long"))
+    return agg.select(
+        group_col,
+        "n_items",
+        "n_rel",
+        "ap_micro",
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("ap_micro").cast("double")
+            / (denom.cast("double") * 1e6),
+        ).alias("ap"),
+    )

@@ -846,3 +846,45 @@ def psi_report(
         )
         .orderBy("bin")
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit of a quasi-identifier combination
+    — the privacy screen that belongs next to PII redaction and GDPR
+    erasure: a released table is k-anonymous iff every quasi-identifier
+    group holds ≥ k rows, and l-diverse iff every group carries ≥ l
+    distinct sensitive values (a k-large group with ONE sensitive value
+    still discloses the attribute).
+
+    ONE hash agg on the quasi columns (count + one count-distinct —
+    Expand-free with a single distinct aggregate), then a second agg
+    over the GROUPS frame (≤ Π|quasi domains| rows). All counts exact
+    BIGINTs. Returns one row: (n_rows, n_groups, min_group_size,
+    n_small_groups, n_rows_at_risk, min_l_diversity,
+    n_singleton_sensitive_groups) — at_risk = rows in groups below k,
+    the re-identification surface an adversary attacks."""
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.count_distinct(F.col(sensitive_col)).cast("long").alias("__l"),
+    )
+    small = F.col("__n") < k
+    return groups.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("__n").cast("long").alias("min_group_size"),
+        F.coalesce(F.sum(F.when(small, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.coalesce(F.sum(F.when(small, F.col("__n"))), F.lit(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("__l").cast("long").alias("min_l_diversity"),
+        F.coalesce(F.sum(F.when(F.col("__l") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_singleton_sensitive_groups"),
+    )

@@ -7122,3 +7122,67 @@ def conformal_lang_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_covered").cast("double") / F.col("n_test").cast("double"))
         .alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MAP@k — mean average precision (distsort.map_at_k)
+# ---------------------------------------------------------------------------
+
+def _map_oracle(k: int = 10) -> str:
+    en = ", ".join(f"'{m}'" for m in TX.LANG_MARKERS["en"])
+    return f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(str_split(text, ' '),
+              w -> w IN ({en}))) AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+ranked AS (
+  SELECT source, y,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY s DESC, doc_id ASC
+         ) AS rk,
+         SUM(y) OVER (
+           PARTITION BY source ORDER BY s DESC, doc_id ASC
+         ) AS cum
+  FROM scored
+),
+terms AS (
+  SELECT source, y,
+    CASE WHEN y = 1 AND rk <= {k}
+      THEN CAST(ROUND(CAST(cum AS DOUBLE) / CAST(rk AS DOUBLE) * 1e6)
+           AS BIGINT)
+      ELSE CAST(0 AS BIGINT) END AS t
+  FROM ranked
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(y) AS BIGINT) AS n_rel,
+       CAST(SUM(t) AS BIGINT) AS ap_micro,
+       CASE WHEN SUM(y) > 0 THEN
+         CAST(SUM(t) AS DOUBLE)
+           / (CAST(least(SUM(y), {k}) AS DOUBLE) * 1e6) END AS ap
+FROM terms GROUP BY source ORDER BY source
+"""
+
+
+@_q("lang_marker_map", _map_oracle())
+def lang_marker_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source MAP@10 of the English-marker ranking against the
+    `lang = 'en'` label (`distsort.map_at_k`) — the order-sensitive
+    binary-relevance metric completing the ranking-eval family
+    (AUC / PR / RR / nDCG / MAP). Each precision-at-hit term is
+    micro-rounded BIGINT before the associative sum; AP is one IEEE
+    division by the TREC min(R, k) normalizer."""
+    from ..operators import distsort as DSORT11
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        TX.marker_hits("text", TX.LANG_MARKERS["en"]).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return DSORT11.map_at_k(
+        scored, "source", "s", "doc_id", "y", k=10
+    ).orderBy("source")

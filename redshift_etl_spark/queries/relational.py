@@ -5511,3 +5511,48 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return Q.psi_report(ev, "__bin", "__side")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit (quality.k_anonymity)
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+              AS BIGINT) AS l
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(n) AS BIGINT) AS min_group_size,
+       CAST(COALESCE(SUM(CASE WHEN n < 10 THEN 1 END), 0) AS BIGINT)
+         AS n_small_groups,
+       CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(MIN(l) AS BIGINT) AS min_l_diversity,
+       CAST(COALESCE(SUM(CASE WHEN l = 1 THEN 1 END), 0) AS BIGINT)
+         AS n_singleton_sensitive_groups
+FROM g
+"""
+
+
+@_q("k_anonymity_report", _KANON_ORACLE)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the (nation, market segment)
+    quasi-identifier against a banded account balance
+    (`quality.k_anonymity`, k=10) — the release-readiness privacy
+    screen that sits next to PII redaction and GDPR erasure: groups
+    below k are the re-identification surface; k-large groups with one
+    sensitive value still disclose the attribute."""
+    from ..operators import quality as Q
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("__band"),
+    )
+    return Q.k_anonymity(
+        cust, ["c_nationkey", "c_mktsegment"], "__band", k=10
+    )

@@ -268,6 +268,15 @@ NOTES = {
         "ONE hash agg to 10 value bins -> 1-row side totals "
         "broadcast -> ln terms -> picounit integer total broadcast"
     ),
+    "lang_marker_map": (
+        "ONE source hash exchange feeds the rank window + running "
+        "relevant count (one Window op) -> per-source agg; AP terms "
+        "micro-rounded BIGINT before the associative sum"
+    ),
+    "k_anonymity_report": (
+        "ONE quasi-combo hash agg (single count-distinct: "
+        "Expand-free) -> bounded groups-frame summary agg"
+    ),
 }
 
 

@@ -264,6 +264,10 @@ REHEARSAL = (
     "conformal_lang_threshold",  # score projection + one rank range
                               # exchange + 1-row threshold attach
     "psi_value_drift",        # one hash agg to 10 bins + 1-row totals
+    "lang_marker_map",        # one source exchange: rank window +
+                              # running-rel count + group agg
+    "k_anonymity_report",     # one quasi-combo hash agg (single
+                              # distinct: Expand-free) + groups agg
 )
 
 # Density-DECOUPLED range-join variant (r08): the same query probed
