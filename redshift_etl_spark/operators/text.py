@@ -1373,3 +1373,101 @@ def vocab_coverage(
             / F.col("total_tokens").cast("double")
         ).alias("coverage"),
     )
+
+
+def loss_mask_spans(
+    df: DataFrame,
+    conv_col: str,
+    order_cols: list,
+    role_col: str,
+    content_col: str,
+    train_roles: tuple[str, ...],
+    sep_len: int = 1,
+) -> DataFrame:
+    """Per-turn loss-mask offsets for SFT training — the companion to
+    :func:`assemble_conversations`: given the same (conv, turn) rows,
+    compute each turn's [start_char, end_char) span inside the rendered
+    ``<|role|>content``-joined document and whether the loss is MASKED
+    there (only ``train_roles`` turns — the assistant side — contribute
+    loss; the trainer turns these spans into a token mask after
+    tokenization, scaling char offsets by its own alignment).
+
+    Offsets are exact by construction: turn i starts at
+    Σ_{j<i}(len_j + sep_len) — lengths are exact BIGINTs from the same
+    rendering expression the assembler uses, so spans never drift from
+    the assembled text (pytest slices the assembled doc with these
+    offsets and gets the turns back verbatim).
+
+    Shape: ONE conversation hash exchange carries both the row_number
+    and the running-length sum (same window frame, explicit ROWS
+    bounds so ties — excluded by the order_cols total-order contract
+    anyway — can't change the frame). Returns
+    (conv, turn_idx, role, start_char, end_char, masked)."""
+    from pyspark.sql import Window
+
+    rendered_len = F.length(
+        F.concat(F.lit("<|"), F.col(role_col), F.lit("|>"), F.col(content_col))
+    ).cast("long")
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(rendered_len + sep_len).over(wsum)
+    start = cum - (rendered_len + sep_len)
+    return df.select(
+        F.col(conv_col),
+        (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        start.cast("long").alias("start_char"),
+        (start + rendered_len).cast("long").alias("end_char"),
+        (~F.col(role_col).isin(*train_roles)).alias("masked"),
+    )
+
+
+def fim_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_chars: int = 30,
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022) — the
+    code-model data op: split each document at two DETERMINISTIC cut
+    points and render prefix-suffix-middle as
+    ``<PRE>p<SUF>s<MID>m``, so the model learns infilling. Cuts come
+    from the canonical md5 buckets of the id (salts 'fim1'/'fim2') —
+    stable across reruns/engines, no RNG:
+
+        cut1 = 1 + b1 mod (n−2)            ∈ [1, n−2]
+        cut2 = cut1 + 1 + b2 mod (n−cut1−1) ∈ [cut1+1, n−1]
+
+    so all three pieces are non-empty. Documents shorter than
+    ``min_chars`` are FILTERED, not passed through — the trainer mixes
+    FIM docs with plain docs at its own rate; this operator only
+    produces the FIM side. Pure projection: no shuffle, no UDF.
+    Returns (id, n_chars_doc, cut1, cut2, psm_md5) — the md5 pins the
+    full rendered transform row-for-row without shipping the text
+    twice."""
+    from .sampling import hash_bucket16
+
+    n = F.length(F.col(text_col)).cast("long")
+    b1 = hash_bucket16(id_col, "fim1")
+    b2 = hash_bucket16(id_col, "fim2")
+    cut1 = F.lit(1) + (b1 % (n - 2))
+    cut2 = cut1 + 1 + (b2 % (n - cut1 - 1))
+    t = F.col(text_col)
+    prefix = t.substr(F.lit(1), cut1.cast("int"))
+    middle = t.substr((cut1 + 1).cast("int"), (cut2 - cut1).cast("int"))
+    suffix = t.substr((cut2 + 1).cast("int"), (n - cut2).cast("int"))
+    psm = F.concat(
+        F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+    )
+    return (
+        df.where(n >= min_chars)
+        .select(
+            F.col(id_col),
+            n.alias("n_chars_doc"),
+            cut1.cast("long").alias("cut1"),
+            cut2.cast("long").alias("cut2"),
+            F.md5(psm).alias("psm_md5"),
+        )
+    )

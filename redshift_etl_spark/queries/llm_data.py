@@ -7186,3 +7186,198 @@ def lang_marker_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DSORT11.map_at_k(
         scored, "source", "s", "doc_id", "y", k=10
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# SFT loss-mask spans (text.loss_mask_spans)
+# ---------------------------------------------------------------------------
+
+_LOSS_MASK_ORACLE = """
+WITH t AS (
+  SELECT user_id AS conv_id, ts, event_id, event_type,
+         CAST(length('<|' || event_type || '|>' || props) AS BIGINT) AS len
+  FROM events
+)
+SELECT conv_id,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY conv_id ORDER BY ts, event_id) - 1 AS BIGINT) AS turn_idx,
+  event_type AS role,
+  CAST(SUM(len + 1) OVER (
+    PARTITION BY conv_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) - (len + 1) AS BIGINT) AS start_char,
+  CAST(SUM(len + 1) OVER (
+    PARTITION BY conv_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS end_char,
+  event_type NOT IN ('purchase', 'signup') AS masked
+FROM t
+"""
+
+
+@_q("loss_mask_spans", _LOSS_MASK_ORACLE)
+def loss_mask_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn loss-mask char spans for the assembled conversations
+    (`text.loss_mask_spans`): loss only on the 'purchase'/'signup'
+    turns (the assistant-side analog), every other turn masked. The
+    offsets are exact prefix sums of the SAME rendering expression
+    `chat_transcripts` assembles, so a trainer can slice the assembled
+    doc directly (pytest verifies the slices reproduce the turns)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        "event_id",
+        "event_type",
+        "props",
+    )
+    return TX.loss_mask_spans(
+        ev,
+        "conv_id",
+        ["ts", "event_id"],
+        "event_type",
+        "props",
+        train_roles=("purchase", "signup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle transform (text.fim_split)
+# ---------------------------------------------------------------------------
+
+def _fim_bucket_sql(salt: str) -> str:
+    h = f"md5('{salt}:' || doc_id)"
+    return (
+        f"(((instr('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 3, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 4, 1)) - 1"
+    )
+
+
+_FIM_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         CAST(({_fim_bucket_sql("fim1")}) AS BIGINT) AS b1,
+         CAST(({_fim_bucket_sql("fim2")}) AS BIGINT) AS b2
+  FROM documents
+  WHERE length(text) >= 30
+),
+cuts AS (
+  SELECT doc_id, text, n,
+         1 + (b1 % (n - 2)) AS cut1,
+         (1 + (b1 % (n - 2))) + 1 + (b2 % (n - (1 + (b1 % (n - 2))) - 1))
+           AS cut2
+  FROM base
+)
+SELECT doc_id, n AS n_chars_doc,
+       CAST(cut1 AS BIGINT) AS cut1, CAST(cut2 AS BIGINT) AS cut2,
+       md5('<PRE>' || substr(text, 1, CAST(cut1 AS INT))
+           || '<SUF>' || substr(text, CAST(cut2 + 1 AS INT),
+                                 CAST(n - cut2 AS INT))
+           || '<MID>' || substr(text, CAST(cut1 + 1 AS INT),
+                                 CAST(cut2 - cut1 AS INT))) AS psm_md5
+FROM cuts
+"""
+
+
+@_q("fim_transform", _FIM_ORACLE)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (`text.fim_split`):
+    deterministic md5-bucket cut points, prefix-suffix-middle rendering
+    pinned by md5 — the code-model infilling data op as a pure
+    projection."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.fim_split(docs, "doc_id", "text", min_chars=30)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall vs exact Jaccard truth (approximation honesty)
+# ---------------------------------------------------------------------------
+
+def _minhash_recall_oracle() -> str:
+    sig_cols = ",\n    ".join(
+        f"min(substr(md5('{j // 4}:' || shingle), {(j % 4) * 8 + 1}, 8)) AS h{j}"
+        for j in range(8)
+    )
+    return f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+),
+sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+  SELECT *, md5(h0 || h1 || h2 || h3) AS band0,
+            md5(h4 || h5 || h6 || h7) AS band1
+  FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1)
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth),
+ncd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+nh AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM truth t SEMI JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT n_true_pairs, n_candidates, n_hits,
+  CASE WHEN n_true_pairs > 0 THEN
+    CAST(n_hits AS DOUBLE) / CAST(n_true_pairs AS DOUBLE) END AS recall
+FROM nt CROSS JOIN ncd CROSS JOIN nh
+"""
+
+
+@_q("minhash_recall_report", _minhash_recall_oracle())
+def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded MinHash-LSH candidate generator against the
+    EXACT jaccard ≥ 0.5 truth — the approximation-honesty report for
+    the dedup scale path (the ANN family has `ann_recall_report`; this
+    is the lexical twin). Composes the two committed kernels: truth =
+    `jaccard_pairs` (the verification kernel, exact), candidates =
+    `lsh_candidate_pairs` (the 100 TB path); hits via one pair-keyed
+    semi-join; counts exact, recall one IEEE division."""
+    docs = load(spark, sf_dir, "documents")
+    truth = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cands = D.lsh_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=2, shingle_n=3
+    ).select("doc_a", "doc_b")
+    n_true = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs")
+    )
+    n_cand = cands.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    n_hit = truth.join(cands, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+            ).alias("recall"),
+        )
+    )

@@ -277,6 +277,21 @@ NOTES = {
         "ONE quasi-combo hash agg (single count-distinct: "
         "Expand-free) -> bounded groups-frame summary agg"
     ),
+    "loss_mask_spans": (
+        "ONE conversation hash exchange carries row_number + the "
+        "running-length sum (one Window op, explicit ROWS frame); "
+        "offsets are exact prefix sums of the assembler's own "
+        "rendering expression"
+    ),
+    "fim_transform": (
+        "pure projection: md5-bucket cut points + three substr "
+        "slices + md5 of the rendered PSM — no shuffle, no UDF"
+    ),
+    "minhash_recall_report": (
+        "truth = exact jaccard kernel (shingle equi-join), candidates "
+        "= banded LSH; one pair-keyed semi-join; three 1-row count "
+        "folds"
+    ),
 }
 
 

@@ -268,6 +268,15 @@ REHEARSAL = (
                               # running-rel count + group agg
     "k_anonymity_report",     # one quasi-combo hash agg (single
                               # distinct: Expand-free) + groups agg
+    "loss_mask_spans",        # one conversation exchange: rank +
+                              # running-length window
+    "fim_transform",          # pure projection (md5 cuts + substr)
+    # minhash_recall_report deliberately excluded: its truth side IS
+    # the exact all-pairs jaccard kernel, and on this fixture every
+    # replica is a near-dup of its original — the slope would read the
+    # synthetic ~1000x pair growth (see the leakage_free_split note),
+    # not the engine. The candidate side's slope is measured via
+    # dedup_minhash_lsh's density proxies.
 )
 
 # Density-DECOUPLED range-join variant (r08): the same query probed

@@ -116,6 +116,8 @@ ALLOWED = {
         "<=1-row picked order-statistic frame joined onto the 1-row totals",
     ("queries/llm_data.py", "conformal_lang_threshold"):
         "1-row conformal threshold frame attached to the test half",
+    ("queries/llm_data.py", "minhash_recall_report"):
+        "two 1-row count frames (candidates / hits) folded onto the 1-row truth count",
     ("operators/sampling.py", "mixture_sample"):
         "per-group quota edges: one row per mixture group (caller's weights)",
     ("operators/sampling.py", "temperature_mixture"):
