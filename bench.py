@@ -106,6 +106,9 @@ HEADLINE = (
     "conformal_lang_threshold",  # finite-sample conformal q-hat +
                             # held-out coverage (r10)
     "psi_value_drift",      # binned PSI drift, picounit-exact total (r10)
+    "loss_mask_spans",      # SFT mask offsets, one conv window (r10)
+    "fim_transform",        # FIM split, pure projection (r10)
+    "nb_source_confusion",  # in-engine NB classifier fit+score (r10)
 )
 
 

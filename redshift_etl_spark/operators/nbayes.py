@@ -1,0 +1,152 @@
+"""Multinomial naive-Bayes text classifier, trained IN the engine —
+the classifier-based curation step of an LLM data pipeline (CCNet/GPT-3
+style "quality classifier": fit on a labeled slice, score the corpus,
+keep what the classifier likes). fastText fills this role offline;
+this is the Spark-native equivalent whose fit is ONE aggregate pass
+and whose scores are exact integers.
+
+Model (add-one / Laplace smoothing over the train vocabulary V):
+
+    p(tok | c)  = (n_{tok,c} + 1) / (n_c + |V|)
+    score(d, c) = ln p(c) + Σ_{tok ∈ d} ln p(tok | c)
+
+Unseen tokens — whether absent from class c or from the whole train
+vocabulary — share the same smoothed mass 1/(n_c + |V|), so scoring
+needs NO vocabulary membership check: per (doc, class),
+
+    score = prior_c + Σ_{observed (tok,c)} lp(tok,c)
+                    + (len_doc − n_observed) · default_c.
+
+Determinism (the ngramlm libm policy): every ln is computed ONCE per
+model/class CELL and micro-rounded to int64 nano-units; a document
+score is then an EXACT bigint sum — associative, partitioning-proof —
+and argmax ties break by class name ascending (a rank window per doc).
+
+Scale shape: fit = one explode + one (tok, class) hash agg (map-side
+combined) joined to the ≤|C|-row class stats — the model is a DataFrame
+keyed by token, NEVER collected (vocabulary is data-sized; it rides an
+equi-join, not a broadcast). Scoring = one (tok) equi-join with fan-out
+≤ |C| per token occurrence (bounded by the class count), one
+(doc, class) hash agg, a |C|-row broadcast of class constants, and a
+per-doc rank window. |V| is the single collected scalar (one count).
+
+Beyond-reference capability (the reference gates rows with static SQL
+predicates only); public algorithm (McCallum & Nigam 1998).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NANO = 10**9
+
+
+def _tokens(df: DataFrame, text_col: str) -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def nb_fit(
+    train: DataFrame,
+    class_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the classifier. Returns (model, classes):
+
+    - model:   (tok, class, lp_nano) — one row per OBSERVED
+               (token, class) pair, lp = ln p(tok|c) in nano-units.
+    - classes: (class, prior_nano, default_nano) — ≤|C| rows; default
+               is the unseen-token log-mass for that class.
+    """
+    tok = train.select(
+        F.col(class_col).alias("class"),
+        F.explode(_tokens(train, text_col)).alias("tok"),
+    )
+    vocab_size = tok.select("tok").distinct().count()  # the one scalar
+    cstat = tok.groupBy("class").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_tok")
+    )
+    cdocs = train.groupBy(F.col(class_col).alias("class")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_docs")
+    )
+    n_train = train.count()
+    cells = tok.groupBy("tok", "class").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    denom = (F.col("__n_tok") + vocab_size).cast("double")
+    model = cells.join(cstat, "class").select(
+        "tok",
+        "class",
+        F.round(F.log((F.col("__cnt") + 1).cast("double") / denom) * NANO)
+        .cast("long")
+        .alias("lp_nano"),
+    )
+    classes = cdocs.join(cstat, "class").select(
+        "class",
+        F.round(
+            F.log(F.col("__n_docs").cast("double") / F.lit(float(n_train)))
+            * NANO
+        )
+        .cast("long")
+        .alias("prior_nano"),
+        F.round(F.log(F.lit(1.0) / denom) * NANO)
+        .cast("long")
+        .alias("default_nano"),
+    )
+    return model, classes
+
+
+def nb_classify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    classes: DataFrame,
+) -> DataFrame:
+    """Score and argmax: returns (id, predicted, score_nano). Ties in
+    the exact integer score break by class name ascending."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_tokens(df, text_col)).alias("tok"),
+    )
+    doclen = tok.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("__len")
+    )
+    obs = (
+        tok.join(model, "tok")  # fan-out <= |C| per token occurrence
+        .groupBy("__id", "class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_obs"),
+            F.sum("lp_nano").cast("long").alias("__slp"),
+        )
+    )
+    scored = (
+        doclen.crossJoin(F.broadcast(classes))  # <=|C| rows by construction
+        .join(obs, ["__id", "class"], "left")
+        .select(
+            "__id",
+            "class",
+            (
+                F.col("prior_nano")
+                + F.coalesce(F.col("__slp"), F.lit(0))
+                + (F.col("__len") - F.coalesce(F.col("__n_obs"), F.lit(0)))
+                * F.col("default_nano")
+            )
+            .cast("long")
+            .alias("score_nano"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("score_nano").desc(), F.col("class").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("class").alias("predicted"),
+            "score_nano",
+        )
+    )

@@ -7381,3 +7381,149 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine naive-Bayes source classifier (operators/nbayes.py)
+# ---------------------------------------------------------------------------
+
+def _nb_bucket_sql() -> str:
+    h = "md5('nb:' || doc_id)"
+    return (
+        f"(((instr('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 3, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 4, 1)) - 1"
+    )
+
+
+_NB_ORACLE = f"""
+WITH split AS (
+  SELECT doc_id, source, text,
+         CAST(({_nb_bucket_sql()}) % 4 AS BIGINT) = 0 AS is_test
+  FROM documents
+),
+train_tok AS (
+  SELECT source, unnest(str_split(text, ' ')) AS tok
+  FROM split WHERE NOT is_test
+),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz FROM train_tok),
+cstat AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM train_tok GROUP BY 1
+),
+cdocs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM split WHERE NOT is_test GROUP BY 1
+),
+ntr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM split WHERE NOT is_test
+),
+cells AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM train_tok GROUP BY 1, 2
+),
+model AS (
+  SELECT tok, c.source,
+    CAST(ROUND(ln(CAST(cnt + 1 AS DOUBLE)
+                  / CAST(n_tok + vsz AS DOUBLE)) * 1e9) AS BIGINT) AS lp
+  FROM cells c JOIN cstat USING (source) CROSS JOIN v
+),
+classes AS (
+  SELECT d.source,
+    CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / CAST(n_train AS DOUBLE)) * 1e9)
+         AS BIGINT) AS prior,
+    CAST(ROUND(ln(1.0 / CAST(n_tok + vsz AS DOUBLE)) * 1e9) AS BIGINT)
+         AS dflt
+  FROM cdocs d JOIN cstat USING (source) CROSS JOIN ntr CROSS JOIN v
+),
+test_tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+  FROM split WHERE is_test
+),
+doclen AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM test_tok GROUP BY 1
+),
+obs AS (
+  SELECT doc_id, m.source, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(lp) AS BIGINT) AS slp
+  FROM test_tok tt JOIN model m ON tt.tok = m.tok GROUP BY 1, 2
+),
+scores AS (
+  SELECT d.doc_id, c.source,
+         c.prior + COALESCE(o.slp, 0)
+           + (d.len - COALESCE(o.n_obs, 0)) * c.dflt AS sc
+  FROM doclen d CROSS JOIN classes c
+  LEFT JOIN obs o ON o.doc_id = d.doc_id AND o.source = c.source
+),
+pred AS (
+  SELECT doc_id, source AS predicted FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY sc DESC, source ASC) AS rk
+    FROM scores) WHERE rk = 1
+),
+conf AS (
+  SELECT s.source, p.predicted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred p JOIN split s ON p.doc_id = s.doc_id GROUP BY 1, 2
+),
+acc AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN source = predicted THEN n END), 0)
+              AS BIGINT) AS n_correct,
+         CAST(SUM(n) AS BIGINT) AS n_test
+  FROM conf
+)
+SELECT source, predicted, n,
+       CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE) AS accuracy
+FROM conf CROSS JOIN acc
+ORDER BY source, predicted
+"""
+
+
+@_q("nb_source_confusion", _NB_ORACLE)
+def nb_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based curation, in-engine (`operators/nbayes.py`):
+    fit a multinomial naive-Bayes source classifier on the md5-bucket
+    75% train split, classify the held-out 25%, and report the
+    confusion matrix + accuracy — the fastText-style "quality/domain
+    classifier" step of an LLM pipeline with an exact-integer scoring
+    contract (every ln is a micro-rounded model cell; document scores
+    are exact bigint sums; argmax ties break by class name)."""
+    from ..operators import nbayes as NB
+    from ..operators import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    split = docs.withColumn(
+        "__is_test", (SA.hash_bucket16("doc_id", "nb") % 4) == 0
+    )
+    train = split.where(~F.col("__is_test"))
+    test = split.where(F.col("__is_test"))
+    model, classes = NB.nb_fit(train, "source", "text")
+    pred = NB.nb_classify(test, "doc_id", "text", model, classes)
+    conf = (
+        pred.join(test.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    acc = conf.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("source") == F.col("predicted"), F.col("n"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__n_correct"),
+        F.sum("n").cast("long").alias("__n_test"),
+    )
+    return (
+        conf.crossJoin(F.broadcast(acc))
+        .select(
+            "source",
+            "predicted",
+            "n",
+            (
+                F.col("__n_correct").cast("double")
+                / F.col("__n_test").cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("source", "predicted")
+    )

@@ -292,6 +292,13 @@ NOTES = {
         "= banded LSH; one pair-keyed semi-join; three 1-row count "
         "folds"
     ),
+    "nb_source_confusion": (
+        "fit: one (tok,class) hash agg joined to |C|-row class stats "
+        "(model stays a token-keyed DataFrame, never collected); "
+        "score: tok equi-join fan-out <= |C| -> (doc,class) agg -> "
+        "|C|-row class-constants broadcast -> per-doc rank window -> "
+        "confusion cells + 1-row accuracy fold"
+    ),
 }
 
 

@@ -271,6 +271,17 @@ REHEARSAL = (
     "loss_mask_spans",        # one conversation exchange: rank +
                               # running-length window
     "fim_transform",          # pure projection (md5 cuts + substr)
+    "nb_source_confusion",    # NB fit (one tok-class agg) + score
+                              # (tok equi-join, fan-out <= |C|).
+                              # MEASURED workload coupling (r10): the
+                              # 2.64x slope is the fixture's vocab —
+                              # every replica doc's unique suffix
+                              # token is a new type, so train vocab
+                              # goes 31 -> 33,851 and model cells
+                              # 620 -> 34,440 (~55x) at 10x data; a
+                              # real corpus's vocab grows ~log with
+                              # size. Engine stages are one agg + one
+                              # equi-join either way.
     # minhash_recall_report deliberately excluded: its truth side IS
     # the exact all-pairs jaccard kernel, and on this fixture every
     # replica is a near-dup of its original — the slope would read the

@@ -116,6 +116,10 @@ ALLOWED = {
         "<=1-row picked order-statistic frame joined onto the 1-row totals",
     ("queries/llm_data.py", "conformal_lang_threshold"):
         "1-row conformal threshold frame attached to the test half",
+    ("operators/nbayes.py", "nb_classify"):
+        "class-constants frame: <=|C| rows by construction (the class count)",
+    ("queries/llm_data.py", "nb_source_confusion"):
+        "1-row accuracy totals folded onto the <=|C|^2 confusion cells",
     ("queries/llm_data.py", "minhash_recall_report"):
         "two 1-row count frames (candidates / hits) folded onto the 1-row truth count",
     ("operators/sampling.py", "mixture_sample"):
