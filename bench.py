@@ -109,6 +109,8 @@ HEADLINE = (
     "loss_mask_spans",      # SFT mask offsets, one conv window (r10)
     "fim_transform",        # FIM split, pure projection (r10)
     "nb_source_confusion",  # in-engine NB classifier fit+score (r10)
+    "zipf_fit_report",      # corpus power-law OLS, decimal-exact (r10)
+    "stream_drift_probe",   # PSI from the streaming histogram store (r10)
 )
 
 

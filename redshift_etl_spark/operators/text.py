@@ -1471,3 +1471,71 @@ def fim_split(
             F.md5(psm).alias("psm_md5"),
         )
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
+    """Zipf power-law fit of the corpus token-frequency distribution —
+    the corpus-health diagnostic next to vocab_coverage/heaps checks: a
+    natural-language corpus has log-freq ≈ α·log-rank + c with
+    α ≈ −1; a synthetic, templated, or boilerplate-heavy corpus bends
+    away from it. Reports the exact OLS slope over the full
+    (ln rank, ln count) cloud.
+
+    Determinism: one ln per VOCABULARY row (the ngramlm libm policy),
+    nano-rounded to int64; every OLS sum (Σx, Σy, Σxy, Σx²) is then an
+    exact DECIMAL(38,0) aggregate (products of nano-scaled lns overflow
+    int64 — the cramers_v lesson) and the slope is ONE IEEE division of
+    exact decimals: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) — the nano
+    scaling cancels. Ranks are exact and total (count DESC, token ASC)
+    via `distsort.global_row_number` — a range exchange over the
+    VOCABULARY, never a single-task window, never the token stream.
+
+    Scale shape: one explode + one (token) hash agg to the vocab, one
+    vocab-sized range exchange for ranks, one 1-row fold. Returns
+    (n_types, n_tokens, slope); slope NULL when var(x) = 0 (a 1-type
+    corpus)."""
+    from .distsort import global_row_number
+
+    cnt = (
+        df.select(F.explode(tokens_col(text_col)).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    ranked = global_row_number(
+        cnt,
+        [F.col("__c").desc(), F.col("__tok").asc()],
+        rank_name="__r",
+    )
+    nano = 10**9
+    xy = ranked.select(
+        "__c",
+        F.round(F.log(F.col("__r").cast("double")) * nano)
+        .cast("long")
+        .alias("__x"),
+        F.round(F.log(F.col("__c").cast("double")) * nano)
+        .cast("long")
+        .alias("__y"),
+    )
+    dec = "decimal(38,0)"
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.sum(F.col("__x").cast(dec)).cast(dec).alias("__sx"),
+        F.sum(F.col("__y").cast(dec)).cast(dec).alias("__sy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__y")).cast(dec).alias("__sxy"),
+        F.sum(F.col("__x").cast(dec) * F.col("__x")).cast(dec).alias("__sxx"),
+    )
+    n = F.col("n_types").cast(dec)
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "decimal(38,0)"
+    )
+    den = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "decimal(38,0)"
+    )
+    return s.select(
+        "n_types",
+        "n_tokens",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "slope"
+        ),
+    )

@@ -7527,3 +7527,149 @@ def nb_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf power-law fit (text.zipf_fit)
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH tok AS (
+  SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r FROM cnt
+),
+xy AS (
+  SELECT c,
+    CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+    CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS y
+  FROM ranked
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM xy
+)
+SELECT n_types, n_tokens,
+  CASE WHEN CAST(n_types AS HUGEINT) * sxx - sx * sx <> 0 THEN
+    CAST(CAST(n_types AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+      / CAST(CAST(n_types AS HUGEINT) * sxx - sx * sx AS DOUBLE) END
+    AS slope
+FROM s
+"""
+
+
+@_q("zipf_fit_report", _ZIPF_ORACLE)
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus token-frequency distribution
+    (`text.zipf_fit`): OLS over the full (ln rank, ln count) cloud with
+    exact-decimal sums of nano-rounded lns — natural text sits near
+    −1; templated/synthetic corpora bend away. The corpus-shape
+    diagnostic beside vocab_coverage_curve."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.zipf_fit(docs, "text")
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor — stored histograms oracled
+# (streaming/driftmon.py)
+# ---------------------------------------------------------------------------
+
+_DRIFT_BIN = "least(floor(value / 50), 9)"
+
+
+def drift_store_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor's histogram store as a committed
+    fixture: a batch-partitioned (bin, n, batch_id) parquet built by a
+    deterministic ingest — batch 0 = events before 2024-01-16, batch 0
+    REPLAYED (exercising the batch-id exactly-once skip during the
+    build), batch 1 = the rest. The stored histograms are exactly the
+    two populations of `psi_value_drift`, so the probe's SQL twin
+    recomputes them from the raw events and a duplicated/lost batch
+    hash-mismatches immediately (the ann_index_store posture)."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from ..streaming import driftmon as DM
+
+    fix_dir = Path(__file__).resolve().parents[2] / "fixtures" / "drift_store"
+    path = fix_dir / os.path.basename(os.path.normpath(sf_dir))
+
+    def build(target: str) -> None:
+        ev = load(spark, sf_dir, "events")
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        bin_col = F.least(F.floor(F.col("value") / 50), F.lit(9).cast("long")).cast(
+            "long"
+        )
+        DM.drift_ingest_batch(ev.where(F.col("ts") < cut), target, 0, bin_col)
+        DM.drift_ingest_batch(ev.where(F.col("ts") < cut), target, 0, bin_col)
+        DM.drift_ingest_batch(ev.where(F.col("ts") >= cut), target, 1, bin_col)
+
+    if not path.exists():
+        try:
+            fix_dir.mkdir(parents=True, exist_ok=True)
+            build(str(path))
+        except Exception:  # read-only checkout: scratch build
+            tmp = tempfile.mkdtemp(prefix="drift_store_")
+            path = Path(tmp) / "store"
+            build(str(path))
+    return spark.read.parquet(str(path))
+
+
+_DRIFT_PROBE_ORACLE = f"""
+WITH b AS (
+  SELECT CAST({_DRIFT_BIN} AS BIGINT) AS bin,
+         (ts >= TIMESTAMP '2024-01-16 00:00:00') AS side
+  FROM events
+),
+cells AS (
+  SELECT bin,
+         CAST(COALESCE(SUM(CASE WHEN NOT side THEN 1 END), 0) AS BIGINT) AS n_r,
+         CAST(COALESCE(SUM(CASE WHEN side THEN 1 END), 0) AS BIGINT) AS n_c
+  FROM b GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_r) AS BIGINT) AS tr, CAST(SUM(n_c) AS BIGINT) AS tc
+  FROM cells
+),
+terms AS (
+  SELECT bin, n_r, n_c,
+    CASE WHEN n_c > 0 AND n_r > 0 THEN
+      CAST(ROUND((CAST(n_c AS DOUBLE) / CAST(tc AS DOUBLE)
+                  - CAST(n_r AS DOUBLE) / CAST(tr AS DOUBLE))
+        * ln((CAST(n_c AS DOUBLE) / CAST(tc AS DOUBLE))
+             / (CAST(n_r AS DOUBLE) / CAST(tr AS DOUBLE))) * 1e12)
+        AS BIGINT) END AS pc
+  FROM cells CROSS JOIN tot
+  WHERE n_r > 0 OR n_c > 0
+)
+SELECT CAST(1 AS BIGINT) AS batch_id,
+  CAST(COALESCE(SUM(CASE WHEN pc IS NOT NULL THEN 1 END), 0) AS BIGINT)
+    AS n_bins_common,
+  CAST(COALESCE(SUM(CASE WHEN pc IS NULL THEN 1 END), 0) AS BIGINT)
+    AS n_onesided_bins,
+  CAST(COALESCE(SUM(pc), 0) AS DOUBLE) / 1e12 AS psi_total
+FROM terms
+"""
+
+
+@_q("stream_drift_probe", _DRIFT_PROBE_ORACLE)
+def stream_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift read from the STREAMING-MAINTAINED histogram store
+    (`streaming/driftmon.psi_from_store` over the committed two-batch
+    fixture): verifies BOTH the maintained state (a replayed, lost, or
+    double-counted batch shifts the stored histograms and
+    hash-mismatches the from-raw-events twin) and the from-store PSI
+    math — the monitor never re-scans history; the ≤|bins|-row stored
+    histograms are its sufficient statistic."""
+    from ..streaming import driftmon as DM
+
+    store = drift_store_fixture(spark, sf_dir)
+    return DM.psi_from_store(store, ref_batch=0)

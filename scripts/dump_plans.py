@@ -292,6 +292,16 @@ NOTES = {
         "= banded LSH; one pair-keyed semi-join; three 1-row count "
         "folds"
     ),
+    "stream_drift_probe": (
+        "store read (batch-partitioned histograms, <=|bins| rows per "
+        "batch) -> explicit (batch x bin) grid left-joined to stored "
+        "counts -> picounit terms -> one integer sum per batch"
+    ),
+    "zipf_fit_report": (
+        "one token hash agg to the vocab -> vocab-sized ranked range "
+        "exchange -> nano-rounded lns -> exact DECIMAL OLS sums -> "
+        "1-row slope fold"
+    ),
     "nb_source_confusion": (
         "fit: one (tok,class) hash agg joined to |C|-row class stats "
         "(model stays a token-keyed DataFrame, never collected); "

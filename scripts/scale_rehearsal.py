@@ -282,6 +282,14 @@ REHEARSAL = (
                               # real corpus's vocab grows ~log with
                               # size. Engine stages are one agg + one
                               # equi-join either way.
+    "zipf_fit_report",        # one tok agg + vocab-sized range
+                              # exchange + 1-row OLS fold (vocab note:
+                              # replica suffix tokens grow the fixture
+                              # vocab ~with docs, same as the NB note)
+    "stream_drift_probe",     # first call builds the two-batch
+                              # histogram store (one linear agg per
+                              # batch); probe itself joins <=|bins|
+                              # monitoring frames only
     # minhash_recall_report deliberately excluded: its truth side IS
     # the exact all-pairs jaccard kernel, and on this fixture every
     # replica is a near-dup of its original — the slope would read the

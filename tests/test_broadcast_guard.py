@@ -116,6 +116,8 @@ ALLOWED = {
         "<=1-row picked order-statistic frame joined onto the 1-row totals",
     ("queries/llm_data.py", "conformal_lang_threshold"):
         "1-row conformal threshold frame attached to the test half",
+    ("streaming/driftmon.py", "psi_from_store"):
+        "1-row reference-total frame over the bounded histogram store",
     ("operators/nbayes.py", "nb_classify"):
         "class-constants frame: <=|C| rows by construction (the class count)",
     ("queries/llm_data.py", "nb_source_confusion"):
