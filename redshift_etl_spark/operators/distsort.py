@@ -1212,3 +1212,61 @@ def map_at_k(
             / (denom.cast("double") * 1e6),
         ).alias("ap"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Quantile normalization of a per-group score onto the GLOBAL
+    distribution — the cross-source score harmonizer: source A's
+    length/quality scores live on a different scale than source B's,
+    so rank-map each value to the global value at the same quantile
+    before any cross-source threshold or mixing decision.
+
+        q_u        = (r_g − ½) / n_g          (mid-rank quantile in-group)
+        norm_value = global value at rank ⌈q_u · N⌉   (percentile_disc)
+
+    Exactness: both ranks are exact (a per-group rank window and one
+    global :func:`ranked_cumsum` range exchange, ties broken by id),
+    and the target rank is pure integer arithmetic — ⌈q·N⌉ =
+    ((2r−1)·N + 2n_g − 1) DIV (2n_g) — no float quantile ever; the
+    normalized value is an actual data value SELECTED by rank, never
+    interpolated. Engine- and partitioning-exact.
+
+    Scale shape: one group hash exchange (rank + n_g share the window
+    partitioning), one global range exchange for the value ladder, one
+    equi-join on the target rank. Returns
+    (id, group, value, norm_value)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    ranked_g = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).cast("long").alias("__rg"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("__ng"),
+    )
+    ladder = global_row_number(
+        df.select(F.col(value_col).alias("__v"), F.col(id_col).alias("__i")),
+        [F.col("__v").asc(), F.col("__i").asc()],
+        rank_name="__gr",
+        num_partitions=num_partitions,
+    ).select(F.col("__gr"), F.col("__v").alias("norm_value"))
+    n_total = df.count()
+    target = ranked_g.withColumn(
+        "__gr",
+        F.expr(
+            f"((2 * __rg - 1) * {int(n_total)}L + 2 * __ng - 1) DIV (2 * __ng)"
+        ),
+    )
+    return target.join(ladder, "__gr").select(
+        id_col, group_col, value_col, "norm_value"
+    )

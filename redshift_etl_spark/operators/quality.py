@@ -888,3 +888,71 @@ def k_anonymity(
         .cast("long")
         .alias("n_singleton_sensitive_groups"),
     )
+
+
+def ab_test_report(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test between exactly two variants — the
+    experiment-readout scalar beside the per-group Wilson bounds
+    (`wilson_lower_bounds` ranks many variants conservatively; this is
+    the classical A/B significance number for a pair):
+
+        z = (p̂_a − p̂_b) / √( p̂(1−p̂)(1/n_a + 1/n_b) ),  p̂ pooled
+
+    Exactness: all counts from ONE hash agg are exact BIGINTs; z is a
+    fixed single IEEE expression of those ints (correctly-rounded
+    sqrt), engine-identical. Variants order by name ('a' = first by
+    name). The contract is exactly two variants: with any other count
+    the report still lands (n_variants says what arrived, a/b are the
+    name-min/name-max) but z is NULL — a silent third bucket can never
+    masquerade as a significant readout. Degenerate pools (p̂ ∈ {0,1}
+    or an empty variant) also report NULL z. Returns ONE row:
+    (n_variants, variant_a, n_a, x_a, p_a, variant_b, n_b, x_b, p_b,
+    z)."""
+    y = F.col(success_col).cast("long")
+    per = (
+        df.groupBy(F.col(variant_col).alias("__v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.coalesce(F.sum(y), F.lit(0)).cast("long").alias("__x"),
+        )
+    )
+    picked = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min_by(F.col("__v"), F.col("__v")).alias("variant_a"),
+        F.min_by(F.col("__n"), F.col("__v")).cast("long").alias("n_a"),
+        F.min_by(F.col("__x"), F.col("__v")).cast("long").alias("x_a"),
+        F.max_by(F.col("__v"), F.col("__v")).alias("variant_b"),
+        F.max_by(F.col("__n"), F.col("__v")).cast("long").alias("n_b"),
+        F.max_by(F.col("__x"), F.col("__v")).cast("long").alias("x_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("x_a") / na
+    pb = F.col("x_b") / nb
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    ok = (
+        (F.col("n_variants") == 2)
+        & (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (pool > 0)
+        & (pool < 1)
+    )
+    return picked.select(
+        "n_variants",
+        "variant_a",
+        "n_a",
+        "x_a",
+        pa.alias("p_a"),
+        "variant_b",
+        "n_b",
+        "x_b",
+        pb.alias("p_b"),
+        F.when(ok, (pa - pb) / se).alias("z"),
+    )

@@ -7673,3 +7673,42 @@ def stream_drift_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = drift_store_fixture(spark, sf_dir)
     return DM.psi_from_store(store, ref_batch=0)
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (distsort.quantile_normalize)
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH rg AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ng
+  FROM documents
+),
+ladder AS (
+  SELECT n_chars AS v,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM documents)
+SELECT r.doc_id, r.source, r.n_chars, l.v AS norm_value
+FROM rg r CROSS JOIN n
+JOIN ladder l
+  ON l.gr = ((2 * r.r - 1) * nt + 2 * r.ng - 1) // (2 * r.ng)
+"""
+
+
+@_q("quantile_normalize_scores", _QNORM_ORACLE)
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document lengths rank-mapped onto the GLOBAL length
+    distribution (`distsort.quantile_normalize`) — the cross-source
+    score harmonizer: a threshold on the normalized value treats every
+    source's scale identically. Mid-rank quantile to percentile_disc
+    target by pure integer arithmetic (⌈q·N⌉ as a bigint DIV), values
+    SELECTED by rank, never interpolated."""
+    from ..operators import distsort as DSORT12
+
+    docs = load(spark, sf_dir, "documents")
+    return DSORT12.quantile_normalize(docs, "source", "n_chars", "doc_id")

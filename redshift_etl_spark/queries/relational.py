@@ -5556,3 +5556,59 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.k_anonymity(
         cust, ["c_nationkey", "c_mktsegment"], "__band", k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B two-proportion z-test (quality.ab_test_report)
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH t AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         (event_type = 'purchase') AS s
+  FROM events
+),
+per AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CASE WHEN s THEN 1 END), 0) AS BIGINT) AS x
+  FROM t GROUP BY 1
+),
+p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_variants,
+         min_by(v, v) AS variant_a,
+         CAST(min_by(n, v) AS BIGINT) AS n_a,
+         CAST(min_by(x, v) AS BIGINT) AS x_a,
+         max_by(v, v) AS variant_b,
+         CAST(max_by(n, v) AS BIGINT) AS n_b,
+         CAST(max_by(x, v) AS BIGINT) AS x_b
+  FROM per
+)
+SELECT n_variants, variant_a, n_a, x_a,
+       x_a / CAST(n_a AS DOUBLE) AS p_a,
+       variant_b, n_b, x_b,
+       x_b / CAST(n_b AS DOUBLE) AS p_b,
+       CASE WHEN n_variants = 2 AND n_a > 0 AND n_b > 0
+                 AND CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) > 0
+                 AND CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) < 1
+       THEN (x_a / CAST(n_a AS DOUBLE) - x_b / CAST(n_b AS DOUBLE))
+            / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE)))
+       END AS z
+FROM p
+"""
+
+
+@_q("ab_purchase_ztest", _AB_ORACLE)
+def ab_purchase_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of purchase conversion between the
+    user-parity variants (`quality.ab_test_report`) — the classical
+    A/B readout from ONE hash agg of exact BIGINTs; ≠2 variants or a
+    degenerate pool report NULL z rather than a fake significance."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("__v"),
+        (F.col("event_type") == "purchase").alias("__s"),
+    )
+    return Q.ab_test_report(ev, "__v", "__s")

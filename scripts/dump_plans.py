@@ -292,6 +292,15 @@ NOTES = {
         "= banded LSH; one pair-keyed semi-join; three 1-row count "
         "folds"
     ),
+    "quantile_normalize_scores": (
+        "one group hash exchange (rank + n_g share the window "
+        "partitioning) + one global ranked range exchange for the "
+        "value ladder + one equi-join on the integer target rank"
+    ),
+    "ab_purchase_ztest": (
+        "ONE hash agg to the 2-variant frame -> 1-row min_by/max_by "
+        "fold -> fixed IEEE z expression"
+    ),
     "stream_drift_probe": (
         "store read (batch-partitioned histograms, <=|bins| rows per "
         "batch) -> explicit (batch x bin) grid left-joined to stored "

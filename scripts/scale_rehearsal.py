@@ -290,6 +290,10 @@ REHEARSAL = (
                               # histogram store (one linear agg per
                               # batch); probe itself joins <=|bins|
                               # monitoring frames only
+    "quantile_normalize_scores",  # group rank window + global value
+                              # ladder (one range exchange) + rank
+                              # equi-join
+    "ab_purchase_ztest",      # one hash agg to 2 variants + 1-row z
     # minhash_recall_report deliberately excluded: its truth side IS
     # the exact all-pairs jaccard kernel, and on this fixture every
     # replica is a near-dup of its original — the slope would read the
