@@ -534,3 +534,92 @@ def label_propagation_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
         f"SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes\n"
         f"FROM l{iterations} GROUP BY lbl"
     )
+
+
+def negative_edge_sample(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    dst_nodes: DataFrame,
+    k: int = 3,
+    probes: int = 16,
+) -> DataFrame:
+    """Deterministic negative-edge sampling for link-prediction
+    training data — per source node, up to ``k`` destination nodes it
+    has NO edge to, chosen by hashing rather than RNG so the negatives
+    are stable across reruns, engines, and partitionings (the
+    md5-bucket sampling discipline applied to non-edges).
+
+    Mechanism: destinations land in B ≈ |D| hash buckets (B = the next
+    power of two above the destination count, so occupancy ≈ 1); each
+    source probes ``probes`` bucket addresses derived from
+    md5(src, probe_i); bucket hits become candidates, true edges are
+    anti-joined away, and the first ``k`` survivors per source (by
+    probe order, then destination id) are the sample. Misses (empty
+    buckets) and edge hits are WHY probes > k: with occupancy ~1 and
+    sparse graphs, E[hits] ≈ probes·(1−e⁻¹) — size ``probes``
+    accordingly; sources can return fewer than k (reported as absent
+    rows, never padded).
+
+    Scale shape: |D| is the one collected scalar (a count); the
+    bucket table is ~1 row per bucket; probing is an equi-join on the
+    bucket address with ~occupancy fan-out (≈ probes rows per source,
+    LINEAR in sources — never a cross join against the destination
+    set); the anti-join shuffles on the edge key; the final per-source
+    top-k window is probe-bounded. Returns (src, dst, probe_i, rank),
+    rank 1..≤k."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket16
+
+    n_dst = dst_nodes.count()
+    b_bits = max(1, (max(1, n_dst - 1)).bit_length())
+    b = 1 << b_bits
+    # two composed 16-bit md5 buckets = a 32-bit address space; B is a
+    # power of two <= 2^32, so the modulo keeps both halves' bits
+    if b > (1 << 32):
+        raise ValueError(
+            "negative_edge_sample: >2^32 buckets — compose a third hash"
+        )
+
+    def bucket32(key, salt: str):
+        return (
+            hash_bucket16(key, salt) * 65536 + hash_bucket16(key, salt + "2")
+        ) % b
+
+    dst_b = dst_nodes.select(
+        F.col(dst_col).alias("__d"),
+        bucket32(dst_col, "negd").alias("__bkt"),
+    )
+    srcs = edges.select(F.col(src_col).alias("__s")).distinct()
+    probe = srcs.select(
+        "__s", F.explode(F.array(*[F.lit(i) for i in range(probes)])).alias("__i")
+    )
+    probe = probe.withColumn(
+        "__bkt",
+        bucket32(
+            F.concat(F.col("__s").cast("string"), F.lit(":"), F.col("__i")),
+            "negp",
+        ),
+    )
+    cand = probe.join(dst_b, "__bkt").select("__s", "__i", "__d")
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).distinct()
+    non_edges = cand.join(e, ["__s", "__d"], "left_anti")
+    first_probe = non_edges.groupBy("__s", "__d").agg(
+        F.min("__i").cast("long").alias("probe_i")
+    )
+    w = Window.partitionBy("__s").orderBy(
+        F.col("probe_i").asc(), F.col("__d").asc()
+    )
+    return (
+        first_probe.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__s").alias(src_col),
+            F.col("__d").alias(dst_col),
+            "probe_i",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -5612,3 +5612,75 @@ def ab_purchase_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").alias("__s"),
     )
     return Q.ab_test_report(ev, "__v", "__s")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative-edge sampling (graph.negative_edge_sample)
+# ---------------------------------------------------------------------------
+
+def _neg_bucket_sql(salt: str, key: str) -> str:
+    h = f"md5('{salt}:' || {key})"
+    return (
+        f"(((instr('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 3, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 4, 1)) - 1"
+    )
+
+
+_NEG_EDGE_ORACLE = f"""
+WITH np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+bconst AS (
+  SELECT CAST(GREATEST(2, POWER(2, CEIL(LOG2(n)))) AS BIGINT) AS b FROM np
+),
+db AS (
+  SELECT p_partkey AS d,
+         (({_neg_bucket_sql("negd", "p_partkey")}) * 65536
+          + ({_neg_bucket_sql("negd2", "p_partkey")})) % b AS bkt
+  FROM part CROSS JOIN bconst
+),
+e AS (
+  SELECT DISTINCT o_custkey AS s, l_partkey AS d
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+srcs AS (SELECT DISTINCT s FROM e),
+probe AS (
+  SELECT s, i, (({_neg_bucket_sql("negp", "s || ':' || i")}) * 65536
+               + ({_neg_bucket_sql("negp2", "s || ':' || i")})) % b AS bkt
+  FROM srcs CROSS JOIN (SELECT unnest(range(16)) AS i) CROSS JOIN bconst
+),
+cand AS (SELECT p.s, p.i, db.d FROM probe p JOIN db USING (bkt)),
+non AS (
+  SELECT c.s, c.d, CAST(MIN(c.i) AS BIGINT) AS probe_i
+  FROM cand c ANTI JOIN e ON c.s = e.s AND c.d = e.d
+  GROUP BY 1, 2
+)
+SELECT s AS o_custkey, d AS l_partkey, probe_i, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT s, d, probe_i,
+         ROW_NUMBER() OVER (PARTITION BY s ORDER BY probe_i, d) AS rank
+  FROM non
+) WHERE rank <= 3
+"""
+
+
+@_q("negative_edge_sample", _NEG_EDGE_ORACLE)
+def negative_edge_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction training negatives over the customer→part
+    purchase graph (`graph.negative_edge_sample`): per customer, up to
+    3 parts they never bought, chosen by md5-bucket probing (B ≈ \\|parts\\|
+    buckets, 16 probes) — deterministic across engines/reruns, linear
+    in sources, never a cross join against the destination set."""
+    from ..operators import graph as G
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "o_custkey", "l_partkey"
+    )
+    parts = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    return G.negative_edge_sample(
+        edges, "o_custkey", "l_partkey", parts, k=3, probes=16
+    )

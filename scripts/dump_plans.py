@@ -292,6 +292,12 @@ NOTES = {
         "= banded LSH; one pair-keyed semi-join; three 1-row count "
         "folds"
     ),
+    "negative_edge_sample": (
+        "dst nodes -> ~1-row-per-bucket table (B ~ |D|) -> probe "
+        "equi-join on the bucket address (fan-out ~ occupancy, linear "
+        "in sources) -> edge anti-join -> probe-bounded per-source "
+        "top-k window; never a cross join against the destination set"
+    ),
     "quantile_normalize_scores": (
         "one group hash exchange (rank + n_g share the window "
         "partitioning) + one global ranked range exchange for the "

@@ -294,6 +294,9 @@ REHEARSAL = (
                               # ladder (one range exchange) + rank
                               # equi-join
     "ab_purchase_ztest",      # one hash agg to 2 variants + 1-row z
+    "negative_edge_sample",   # B ~ |D| buckets (occupancy ~1), probe
+                              # equi-join linear in sources, edge
+                              # anti-join, probe-bounded top-k window
     # minhash_recall_report deliberately excluded: its truth side IS
     # the exact all-pairs jaccard kernel, and on this fixture every
     # replica is a near-dup of its original — the slope would read the
