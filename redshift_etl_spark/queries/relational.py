@@ -5684,3 +5684,56 @@ def negative_edge_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.negative_edge_sample(
         edges, "o_custkey", "l_partkey", parts, k=3, probes=16
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip fidelity (sources/batch.write_orc_table/read_orc_table)
+# ---------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT)
+         AS value_e4,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@_q("orc_roundtrip_agg", _ORC_ORACLE)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-format fidelity through ORC (`sources/batch`): the events
+    table is written to an ORC lake (bloom filters on user_id) and
+    read back through the ORC scan before aggregating — every value,
+    timestamp (micros truncation preserved), and distinct count must
+    survive the format round-trip bit-for-bit, which is exactly what
+    the parquet-side oracle checks. Value mass on the 1e-4 BIGINT grid
+    (the pricing_summary discipline)."""
+    import os
+    import tempfile
+
+    from ..sources.batch import read_orc_table, write_orc_table
+
+    ev = load(spark, sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"orc_roundtrip_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_orc_table(ev, path, bloom_cols=["user_id"])
+    back = read_orc_table(spark, path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.round(F.col("value") * 10000).cast("long"))
+            .cast("long")
+            .alias("value_e4"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )

@@ -292,6 +292,11 @@ NOTES = {
         "= banded LSH; one pair-keyed semi-join; three 1-row count "
         "folds"
     ),
+    "orc_roundtrip_agg": (
+        "events -> ORC lake write (bloom on user_id) -> ORC "
+        "vectorized scan -> one hash agg; the oracle checks the "
+        "round-trip preserved every value/timestamp bit-for-bit"
+    ),
     "negative_edge_sample": (
         "dst nodes -> ~1-row-per-bucket table (B ~ |D|) -> probe "
         "equi-join on the bucket address (fan-out ~ occupancy, linear "
