@@ -297,6 +297,8 @@ REHEARSAL = (
     "negative_edge_sample",   # B ~ |D| buckets (occupancy ~1), probe
                               # equi-join linear in sources, edge
                               # anti-join, probe-bounded top-k window
+    "orc_roundtrip_agg",      # linear ORC lake write + vectorized
+                              # ORC scan + one hash agg
     # minhash_recall_report deliberately excluded: its truth side IS
     # the exact all-pairs jaccard kernel, and on this fixture every
     # replica is a near-dup of its original — the slope would read the
