@@ -1284,3 +1284,84 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_domains"))
     )
     return per_split.crossJoin(F.broadcast(leak))
+
+
+# ---------------------------------------------------------------------------
+# Truncated-dimension (matryoshka-style) recall: search with only the
+# FIRST half of each embedding and score recall@3 against the full-dim
+# exact top-3 — the dimension-reduction honesty number beside the int8
+# (`ann_recall_report`) and whitening (`whitened_ann_recall`) axes: MRL
+# serving keeps a prefix of the vector, and this is what that costs.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "truncated_dim_recall",
+    """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d2 AS (SELECT CAST(MIN(len(v)) // 2 AS BIGINT) AS h FROM c),
+ct AS (
+  SELECT vec_id, list_slice(v, 1, h) AS v FROM c CROSS JOIN d2
+),
+qf AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+qt AS (SELECT vec_id, v FROM ct WHERE vec_id < 10),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qf.vec_id AS query_id, c.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY qf.vec_id
+        ORDER BY ROUND(list_dot_product(qf.v, c.v)
+          / (sqrt(list_dot_product(qf.v, qf.v))
+             * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+          c.vec_id ASC
+      ) AS rk
+    FROM qf JOIN c ON qf.vec_id <> c.vec_id
+  ) WHERE rk <= 3
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qt.vec_id AS query_id, ct.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY qt.vec_id
+        ORDER BY ROUND(list_dot_product(qt.v, ct.v)
+          / (sqrt(list_dot_product(qt.v, qt.v))
+             * sqrt(list_dot_product(ct.v, ct.v))), 6) DESC,
+          ct.vec_id ASC
+      ) AS rk
+    FROM qt JOIN ct ON qt.vec_id <> ct.vec_id
+  ) WHERE rk <= 3
+)
+SELECT e.query_id,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+  CAST(COUNT(a.neighbor_id) AS DOUBLE) / 3 AS recall_at_3
+FROM exact e
+LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+""",
+)
+def truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of half-dimension (prefix-truncated) cosine search vs
+    the full-dimension exact top-3 — the matryoshka serving trade-off
+    measured on this corpus; both sides deterministic (rounded-cosine
+    rank with id tiebreak), so even the recall numbers hash-match."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").head()[0])
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, d // 2).alias("embedding")
+    )
+    exact = S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=3
+    ).select("query_id", "neighbor_id")
+    approx = S.cosine_topk(
+        trunc, trunc.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=3
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["a_neighbor"]),
+        "left",
+    ).select(exact["query_id"], "a_neighbor")
+    return joined.groupBy("query_id").agg(
+        F.count("a_neighbor").cast("long").alias("n_hits"),
+        (F.count("a_neighbor").cast("double") / 3).alias("recall_at_3"),
+    )
