@@ -5737,3 +5737,83 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen (data-forensics DQ signal)
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice
+         / power(10, floor(log10(o_totalprice)))) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+cells AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+terms AS (
+  SELECT digit, n,
+    CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS share,
+    log10(1.0 + 1.0 / digit) AS expected_share,
+    CAST(ROUND(
+      (CAST(n AS DOUBLE) - CAST(nt AS DOUBLE) * log10(1.0 + 1.0 / digit))
+      * (CAST(n AS DOUBLE) - CAST(nt AS DOUBLE) * log10(1.0 + 1.0 / digit))
+      / (CAST(nt AS DOUBLE) * log10(1.0 + 1.0 / digit)) * 1e9)
+      AS BIGINT) AS chi_nano
+  FROM cells CROSS JOIN tot
+),
+total AS (
+  SELECT CAST(SUM(chi_nano) AS BIGINT) AS chi_sum FROM terms
+)
+SELECT digit, n, share, expected_share,
+       CAST(chi_sum AS DOUBLE) / 1e9 AS chi2_total
+FROM terms CROSS JOIN total
+ORDER BY digit
+"""
+
+
+@_q("benford_screen", _BENFORD_ORACLE)
+def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen over order totals — the
+    data-forensics signal for fabricated or truncated numeric columns
+    (natural multi-magnitude amounts follow log10(1+1/d); synthetic
+    uniform generators flunk visibly, which is itself the point on
+    this testdata). One hash agg to 9 digit cells; the chi-square
+    total is an integer sum of nano-fixed per-digit terms (the psi
+    discipline — a double Σ over cells is partition-order-dependent),
+    one division at the end."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    x = F.col("o_totalprice")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("long")
+    cells = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("__nt"))
+    j = cells.crossJoin(F.broadcast(tot))
+    nt = F.col("__nt").cast("double")
+    nn = F.col("n").cast("double")
+    exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    chi_nano = F.round(
+        (nn - nt * exp_share) * (nn - nt * exp_share) / (nt * exp_share) * 1e9
+    ).cast("long")
+    terms = j.select(
+        "digit",
+        "n",
+        (nn / nt).alias("share"),
+        exp_share.alias("expected_share"),
+        chi_nano.alias("__chi"),
+    )
+    total = terms.agg(F.sum("__chi").cast("long").alias("__chi_sum"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            "share",
+            "expected_share",
+            (F.col("__chi_sum").cast("double") / 1e9).alias("chi2_total"),
+        )
+        .orderBy("digit")
+    )

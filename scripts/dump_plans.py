@@ -292,6 +292,11 @@ NOTES = {
         "= banded LSH; one pair-keyed semi-join; three 1-row count "
         "folds"
     ),
+    "benford_screen": (
+        "one hash agg to 9 first-digit cells -> 1-row total "
+        "broadcast -> nano-fixed chi-square terms -> 1-row integer "
+        "chi2 fold"
+    ),
     "orc_roundtrip_agg": (
         "events -> ORC lake write (bloom on user_id) -> ORC "
         "vectorized scan -> one hash agg; the oracle checks the "

@@ -299,6 +299,10 @@ REHEARSAL = (
                               # anti-join, probe-bounded top-k window
     "orc_roundtrip_agg",      # linear ORC lake write + vectorized
                               # ORC scan + one hash agg
+    "benford_screen",         # one hash agg to 9 digit cells + 1-row
+                              # nano-fixed chi-square fold
+    "truncated_dim_recall",   # two 10-query cosine-topk passes (full
+                              # and half dim) — linear in the corpus
     # minhash_recall_report deliberately excluded: its truth side IS
     # the exact all-pairs jaccard kernel, and on this fixture every
     # replica is a near-dup of its original — the slope would read the
