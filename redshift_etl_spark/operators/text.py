@@ -1539,3 +1539,87 @@ def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
             "slope"
         ),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_tokens: int = 3,
+    rate_per_65536: int = 9830,  # ~15%
+) -> DataFrame:
+    """T5-style span-corruption transform (Raffel et al. 2020) — the
+    denoising pretraining objective beside :func:`fim_split`'s
+    infilling one: token spans are replaced by numbered sentinels in
+    the INPUT, and the TARGET is the sentinel-prefixed original spans.
+
+    Deterministic without RNG: the token stream is cut into
+    ``block_tokens``-aligned blocks and block b of document d corrupts
+    iff md5-bucket16(d:b) < ``rate_per_65536`` — stable across
+    engines, reruns, and partitionings (the FIM discipline). Sentinel
+    numbering is the block's position among the document's corrupted
+    blocks, so inputs/targets pair up exactly.
+
+    Pure in-row projection: array HOFs only (split → per-block
+    corrupt flags → flatten/transform assembly), no shuffle, no UDF.
+    HOF lambdas are interpreted per element (the bm25 A/B lesson:
+    ~2.7x slower than codegen'd explodes) — acceptable here because
+    the transform is once-per-corpus-write, not a hot search path;
+    the rendered input/target are pinned row-for-row by md5 so the
+    whole transform hash-matches cross-engine without shipping text
+    twice. Returns (id, n_tokens, n_corrupt_blocks, inputs_md5,
+    targets_md5)."""
+    from .sampling import hash_bucket16
+
+    L = int(block_tokens)
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    nblocks = F.ceil(n / F.lit(L)).cast("int")
+    doc = F.col(id_col).cast("string")
+
+    def corrupt(b):
+        return (
+            hash_bucket16(F.concat(doc, F.lit(":"), b.cast("string")), "t5")
+            < rate_per_65536
+        )
+
+    blocks = F.sequence(F.lit(0), nblocks - 1)
+    cblocks = F.filter(blocks, corrupt)
+
+    def sentinel(b):
+        return F.concat(
+            F.lit("<X_"),
+            (F.array_position(cblocks, b) - 1).cast("string"),
+            F.lit(">"),
+        )
+
+    def block_toks(b):
+        return F.slice(toks, b * L + 1, L)
+
+    inputs = F.concat_ws(
+        " ",
+        F.flatten(
+            F.transform(
+                blocks,
+                lambda b: F.when(corrupt(b), F.array(sentinel(b))).otherwise(
+                    block_toks(b)
+                ),
+            )
+        ),
+    )
+    targets = F.concat_ws(
+        " ",
+        F.flatten(
+            F.transform(
+                cblocks,
+                lambda b: F.concat(F.array(sentinel(b)), block_toks(b)),
+            )
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.size(cblocks).cast("long").alias("n_corrupt_blocks"),
+        F.md5(inputs).alias("inputs_md5"),
+        F.md5(targets).alias("targets_md5"),
+    )

@@ -7712,3 +7712,55 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return DSORT12.quantile_normalize(docs, "source", "n_chars", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# T5 span-corruption transform (text.span_corruption)
+# ---------------------------------------------------------------------------
+
+def _t5_bucket_sql(key: str) -> str:
+    h = f"md5('t5:' || {key})"
+    return (
+        f"(((instr('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 3, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 4, 1)) - 1"
+    )
+
+
+_T5_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, str_split(text, ' ') AS toks,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+b2 AS (
+  SELECT doc_id, toks, n,
+    list_filter(range((n + 2) // 3),
+      b -> ({_t5_bucket_sql("doc_id || ':' || b")}) < 9830) AS cb,
+    range((n + 2) // 3) AS blocks
+  FROM base
+)
+SELECT doc_id, n AS n_tokens,
+  CAST(len(cb) AS BIGINT) AS n_corrupt_blocks,
+  md5(array_to_string(flatten(list_transform(blocks, b ->
+    CASE WHEN ({_t5_bucket_sql("doc_id || ':' || b")}) < 9830
+      THEN ['<X_' || (list_position(cb, b) - 1) || '>']
+      ELSE list_slice(toks, b * 3 + 1, b * 3 + 3) END)), ' '))
+    AS inputs_md5,
+  md5(COALESCE(array_to_string(flatten(list_transform(cb, b ->
+    list_concat(['<X_' || (list_position(cb, b) - 1) || '>'],
+                list_slice(toks, b * 3 + 1, b * 3 + 3)))), ' '), ''))
+    AS targets_md5
+FROM b2
+"""
+
+
+@_q("span_corruption_transform", _T5_ORACLE)
+def span_corruption_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 denoising objective (`text.span_corruption`, 3-token blocks,
+    ~15% rate): sentinel-masked inputs + sentinel-prefixed targets,
+    both pinned by md5 — the second pretraining-objective transform
+    beside `fim_transform`, deterministic via md5 blocks (no RNG)."""
+    docs = load(spark, sf_dir, "documents")
+    return TX.span_corruption(docs, "doc_id", "text")

@@ -292,6 +292,11 @@ NOTES = {
         "= banded LSH; one pair-keyed semi-join; three 1-row count "
         "folds"
     ),
+    "span_corruption_transform": (
+        "pure in-row projection: split -> per-block md5 corrupt "
+        "flags -> HOF sentinel assembly -> md5 pins; no shuffle, no "
+        "UDF (HOF lambdas interpreted — once-per-corpus-write path)"
+    ),
     "benford_screen": (
         "one hash agg to 9 first-digit cells -> 1-row total "
         "broadcast -> nano-fixed chi-square terms -> 1-row integer "

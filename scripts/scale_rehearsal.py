@@ -303,6 +303,8 @@ REHEARSAL = (
                               # nano-fixed chi-square fold
     "truncated_dim_recall",   # two 10-query cosine-topk passes (full
                               # and half dim) — linear in the corpus
+    "span_corruption_transform",  # pure in-row HOF projection (md5
+                              # blocks, sentinel assembly)
     # minhash_recall_report deliberately excluded: its truth side IS
     # the exact all-pairs jaccard kernel, and on this fixture every
     # replica is a near-dup of its original — the slope would read the
