@@ -396,3 +396,88 @@ def start_versioned_merge_sink(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def commit_group(writes: dict[str, tuple[DataFrame, str | None]]) -> dict[str, int]:
+    """Cross-TABLE atomic commit — a training-data release is several
+    tables that must move together (the corpus and its ANN index, a
+    fact table and its rollup MV): committing them one `write_version`
+    at a time exposes readers to a window where table A is new and
+    table B is old. This stages EVERY table's data first and swaps all
+    pointers only after every write succeeded:
+
+        commit_group({rootA: (dfA, None), rootB: (dfB, "day")})
+
+    Guarantees (single-writer, the module's contract):
+    - any write failure before the swap phase leaves EVERY pointer
+      untouched (staged ``v=N`` directories may remain — they are
+      unreferenced and the next write/vacuum reclaims them: the same
+      garbage story as an aborted Delta commit);
+    - the swap phase is per-table ``os.replace`` (atomic each) in a
+      deterministic (sorted-root) order, so a reader crossing the
+      swap window can see {old,old}, {new,old}, or {new,new} — but
+      never a TORN table, and "B new while A old" is excluded for
+      readers that resolve pointers in the same sorted order.
+    True multi-table isolation needs a shared manifest (one pointer
+    naming every table's version — the Iceberg-catalog shape); this is
+    the two-phase approximation that plain per-table pointers admit,
+    and the staging phase is where all the time goes, so the
+    inconsistency window is microseconds, not write-minutes.
+
+    Returns {root: committed_version}."""
+    staged: dict[str, int] = {}
+    for root in sorted(writes):
+        df, partition_by = writes[root]
+        os.makedirs(root, exist_ok=True)
+        vs = versions(root)
+        n = (vs[-1] + 1) if vs else 0
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(_vdir(root, n))
+        staged[root] = n
+    for root in sorted(staged):
+        _point(root, staged[root])
+    return staged
+
+
+def schema_drift(
+    spark: SparkSession, root: str, old_n: int, new_n: int | None = None
+) -> list[dict]:
+    """Schema drift between two snapshots of a versioned table — the
+    migration tripwire an upstream change trips BEFORE a consumer
+    does: columns added, removed, or type-changed between version
+    ``old_n`` and ``new_n`` (default: the current pointer). Reads only
+    parquet FOOTERS (a LIMIT-0 schema resolve per side, no data scan).
+    Returns a sorted list of {column, change, old_type, new_type}
+    dicts; empty means the schemas are identical."""
+    if new_n is None:
+        new_n = current_version(root)
+    old = {
+        f.name: f.dataType.simpleString()
+        for f in read_version(spark, root, old_n).schema.fields
+    }
+    new = {
+        f.name: f.dataType.simpleString()
+        for f in read_version(spark, root, new_n).schema.fields
+    }
+    out: list[dict] = []
+    for c in sorted(old.keys() | new.keys()):
+        if c not in new:
+            out.append(
+                {"column": c, "change": "removed", "old_type": old[c], "new_type": None}
+            )
+        elif c not in old:
+            out.append(
+                {"column": c, "change": "added", "old_type": None, "new_type": new[c]}
+            )
+        elif old[c] != new[c]:
+            out.append(
+                {
+                    "column": c,
+                    "change": "type_changed",
+                    "old_type": old[c],
+                    "new_type": new[c],
+                }
+            )
+    return out
