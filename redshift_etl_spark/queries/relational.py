@@ -5817,3 +5817,36 @@ def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# spark.sql surface demo (redshift_etl_spark/sql.py)
+# ---------------------------------------------------------------------------
+
+_SQL_SURFACE_TEXT = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+            AS BIGINT)) AS DOUBLE) / 10000 AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+"""
+
+
+@_q("sql_surface_demo", _SQL_SURFACE_TEXT)
+def sql_surface_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL door (`redshift_etl_spark/sql.py`): the reference's
+    users are SQL-first, so this query is executed as LITERAL
+    Spark-SQL text over the registered views — and the oracle is the
+    IDENTICAL text handed to DuckDB (revenue on the 1e-4 BIGINT grid
+    keeps the double sum partitioning-exact in both engines). A
+    reference user's existing SQL migrates by `run_sql(spark, dir,
+    their_query)`."""
+    from ..sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_SURFACE_TEXT)
