@@ -1,1 +1,10 @@
-from . import ctr, heavy, ingest, stateful, topk, trending  # noqa: F401
+from . import (  # noqa: F401
+    annindex,
+    ctr,
+    driftmon,
+    heavy,
+    ingest,
+    stateful,
+    topk,
+    trending,
+)
