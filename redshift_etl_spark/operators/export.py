@@ -222,3 +222,44 @@ def _jsonable(v):
         return v.item()
     except AttributeError:
         return v
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    consistent-placement primitive for shard maps, cache affinity, and
+    writer routing at cluster scale: every key independently picks the
+    shard with the highest hash weight, so adding a shard moves only
+    ~1/(k+1) of the keys (mod-k hashing reshuffles ~all of them — the
+    `shard_manifest` md5-mod sharding is for FROZEN exports; this is
+    the live-topology variant).
+
+    Weight = md5('salt:key:shard') compared LEXICOGRAPHICALLY — a
+    deterministic total order identical in any engine with md5, no
+    numeric conversion needed. Implementation is relational (the
+    engine-portable spelling): a key × shard-literal fan-out (bounded
+    by the shard-count CONFIG) and one max_by per key — one map-side
+    projection + one hash agg, no shuffle beyond the agg.
+
+    Returns (key, shard)."""
+    pairs = df.select(F.col(key_col)).select(
+        key_col,
+        F.explode(
+            F.array(*[F.lit(s) for s in range(int(n_shards))])
+        ).alias("__s"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit(salt), F.lit(":"), F.col(key_col).cast("string"),
+            F.lit(":"), F.col("__s").cast("string"),
+        )
+    )
+    return (
+        pairs.withColumn("__h", h)
+        .groupBy(key_col)
+        .agg(F.max_by("__s", "__h").cast("long").alias("shard"))
+    )

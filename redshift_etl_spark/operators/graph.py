@@ -623,3 +623,71 @@ def negative_edge_sample(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iters: int = 2,
+    scale: int = 10**6,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs & authorities (Kleinberg 1999) — the second classic
+    link-analysis scorer beside :func:`pagerank`: a node is a good
+    AUTHORITY if good hubs point at it, a good HUB if it points at
+    good authorities. On a bipartite interaction graph
+    (customer→product, query→document) the two sides get separately
+    meaningful scores, which PageRank's single score conflates.
+
+    Engine-exact arithmetic (the pagerank discipline, adapted):
+    scores are ``scale``-scaled integers; each half-iteration is an
+    exact integer SUM over edges followed by L∞ normalization
+    ``(x·scale) DIV max`` — integral ops only, so results are
+    bit-identical across engines/partitionings and the DuckDB twin
+    can hash-match. (L∞ instead of the classic L2: normalization
+    choice rescales but never reorders a power iteration, and it
+    keeps the arithmetic integer-exact; float L2 cannot promise
+    cross-engine equality.) Overflow bound: Σ_deg·scale·scale must
+    fit int64 — at the default 1e6 scale that is ~9e6 total weighted
+    degree per node set; raise to the DECIMAL spelling before raising
+    ``scale`` or crossing ~10⁹-edge hubs.
+
+    Per half-iteration: one edge equi-join + one hash agg + a 1-row
+    max (bounded scalar). Returns (hubs, authorities) DataFrames:
+    (node, score) each, scores in [0, scale] with at least one node
+    at exactly ``scale``."""
+    e = edges.select(
+        F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+    ).distinct()
+    h = e.select("__u").distinct().withColumn(
+        "__h", F.lit(int(scale)).cast("long")
+    )
+    a = None
+    for _ in range(int(iters)):
+        a_raw = (
+            e.join(h, "__u")
+            .groupBy("__v")
+            .agg(F.sum("__h").cast("long").alias("__a"))
+        )
+        max_a = a_raw.agg(F.max("__a")).collect()[0][0]
+        a = a_raw.select(
+            "__v",
+            F.expr(f"CAST(__a * {int(scale)}L DIV {int(max_a)}L AS LONG)").alias(
+                "__a"
+            ),
+        ).localCheckpoint()
+        h_raw = (
+            e.join(a, "__v")
+            .groupBy("__u")
+            .agg(F.sum("__a").cast("long").alias("__h"))
+        )
+        max_h = h_raw.agg(F.max("__h")).collect()[0][0]
+        h = h_raw.select(
+            "__u",
+            F.expr(f"CAST(__h * {int(scale)}L DIV {int(max_h)}L AS LONG)").alias(
+                "__h"
+            ),
+        ).localCheckpoint()
+    hubs = h.select(F.col("__u").alias("node"), F.col("__h").alias("score"))
+    auths = a.select(F.col("__v").alias("node"), F.col("__a").alias("score"))
+    return hubs, auths

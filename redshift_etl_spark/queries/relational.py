@@ -5850,3 +5850,115 @@ def sql_surface_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sql import run_sql
 
     return run_sql(spark, sf_dir, _SQL_SURFACE_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous-hash shard stability (export.rendezvous_assign)
+# ---------------------------------------------------------------------------
+
+def _hrw_sql(k: int, alias: str) -> str:
+    rows = " UNION ALL ".join(f"SELECT {s} AS s" for s in range(k))
+    return f"""{alias} AS (
+  SELECT o_custkey, CAST(arg_max(s, md5('hrw:' || o_custkey || ':' || s))
+       AS BIGINT) AS shard
+  FROM (SELECT DISTINCT o_custkey FROM orders) CROSS JOIN ({rows})
+  GROUP BY 1
+)"""
+
+
+_HRW_ORACLE = f"""
+WITH {_hrw_sql(8, "a8")},
+{_hrw_sql(9, "a9")}
+SELECT a8.shard,
+  CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(COALESCE(SUM(CASE WHEN a8.shard <> a9.shard THEN 1 END), 0)
+       AS BIGINT) AS n_moved_out
+FROM a8 JOIN a9 ON a8.o_custkey = a9.o_custkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@_q("rendezvous_shards", _HRW_ORACLE)
+def rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-topology stability under rendezvous hashing
+    (`export.rendezvous_assign`): customer keys assigned at 8 and at 9
+    shards, reporting per-shard membership and how many keys each
+    shard loses on scale-out — HRW's guarantee is ~1/9 total movement
+    where mod-k hashing would reshuffle ~8/9. Fan-out bounded by the
+    shard-count config; one max_by agg per topology."""
+    from ..operators import export as E
+
+    custs = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    a8 = E.rendezvous_assign(custs, "o_custkey", 8)
+    a9 = E.rendezvous_assign(custs, "o_custkey", 9).withColumnRenamed(
+        "shard", "__s9"
+    )
+    return (
+        a8.join(a9, "o_custkey")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.coalesce(
+                F.sum(F.when(F.col("shard") != F.col("__s9"), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_moved_out"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (graph.hits_scores)
+# ---------------------------------------------------------------------------
+
+_HITS_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+a1r AS (SELECT v, CAST(COUNT(*) AS BIGINT) * 1000000 AS x FROM e GROUP BY 1),
+m1 AS (SELECT MAX(x) AS m FROM a1r),
+a1 AS (SELECT v, (x * 1000000) // m AS a FROM a1r CROSS JOIN m1),
+h1r AS (
+  SELECT u, CAST(SUM(a) AS BIGINT) AS x FROM e JOIN a1 USING (v) GROUP BY 1
+),
+m2 AS (SELECT MAX(x) AS m FROM h1r),
+h1 AS (SELECT u, (x * 1000000) // m AS h FROM h1r CROSS JOIN m2),
+a2r AS (
+  SELECT v, CAST(SUM(h) AS BIGINT) AS x FROM e JOIN h1 USING (u) GROUP BY 1
+),
+m3 AS (SELECT MAX(x) AS m FROM a2r),
+a2 AS (SELECT v, (x * 1000000) // m AS a FROM a2r CROSS JOIN m3)
+SELECT v AS node, CAST(a AS BIGINT) AS score, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT v, a, ROW_NUMBER() OVER (ORDER BY a DESC, v ASC) AS rk FROM a2
+) WHERE rk <= 10 ORDER BY rk
+"""
+
+
+@_q("hits_authorities", _HITS_ORACLE)
+def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 authority parts of the customer→part purchase graph
+    under HITS (`graph.hits_scores`, 2 iterations, exact-integer L∞
+    normalization): a part is authoritative when bought by customers
+    who buy authoritative parts — the bipartite link-analysis scorer
+    PageRank's single score conflates. Integer-exact, so even the
+    scores hash-match the unrolled DuckDB twin. Final top-10 by
+    TakeOrdered; the rank window runs over the 10 survivor rows."""
+    from pyspark.sql import Window
+
+    from ..operators import graph as G
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        "o_custkey", "l_partkey"
+    )
+    _hubs, auths = G.hits_scores(edges, "o_custkey", "l_partkey", iters=2)
+    top = auths.orderBy(F.col("score").desc(), F.col("node").asc()).limit(10)
+    w = Window.orderBy(F.col("score").desc(), F.col("node").asc())
+    return top.select(
+        "node", "score", F.row_number().over(w).cast("long").alias("rank")
+    ).orderBy("rank")

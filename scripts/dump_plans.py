@@ -302,6 +302,16 @@ NOTES = {
         "broadcast -> nano-fixed chi-square terms -> 1-row integer "
         "chi2 fold"
     ),
+    "rendezvous_shards": (
+        "key x shard-literal fan-out (bounded by the shard-count "
+        "config) -> one max_by hash agg per topology -> key join + "
+        "per-shard movement agg"
+    ),
+    "hits_authorities": (
+        "2 exact-integer HITS iterations (edge equi-join + hash agg "
+        "+ 1-row L-inf max per half-iteration, localCheckpointed) -> "
+        "TakeOrdered top-10 -> rank window over the 10 survivors"
+    ),
     "orc_roundtrip_agg": (
         "events -> ORC lake write (bloom on user_id) -> ORC "
         "vectorized scan -> one hash agg; the oracle checks the "

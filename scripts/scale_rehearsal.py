@@ -299,6 +299,10 @@ REHEARSAL = (
                               # anti-join, probe-bounded top-k window
     "orc_roundtrip_agg",      # linear ORC lake write + vectorized
                               # ORC scan + one hash agg
+    "rendezvous_shards",      # shard-count-bounded fan-out + one
+                              # max_by agg per topology
+    "hits_authorities",       # 2 HITS iterations: edge join + agg +
+                              # 1-row max per half-iteration
     "benford_screen",         # one hash agg to 9 digit cells + 1-row
                               # nano-fixed chi-square fold
     "truncated_dim_recall",   # two 10-query cosine-topk passes (full
