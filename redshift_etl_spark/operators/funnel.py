@@ -202,3 +202,86 @@ def windowed_funnel(
     return depth.select(
         F.col("__u").alias(user_col), "funnel_depth"
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_pred: Column,
+    censor_ts: str,
+) -> DataFrame:
+    """Kaplan–Meier time-to-event curve with right censoring — the
+    survival statistic behind "how long until a user converts/churns"
+    that a naive conversion rate gets wrong when the observation
+    window truncates (censored users are AT RISK until they leave,
+    not failures):
+
+        S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+    Per user: entry = first observation, event time = first row
+    matching ``event_pred`` (else censored at ``censor_ts``); duration
+    in whole days. Every user leaves the risk set exactly once, so
+    n_at_risk(t) is a SUFFIX sum over the day frame.
+
+    Exactness: all counts are exact BIGINTs; the survival curve is
+    reported as ``ln_s_micro`` — the cumulative sum of per-day
+    micro-rounded ln(1 − d/n) terms, an EXACT integer (each ln is one
+    libm call per DAY CELL, the ngramlm policy; the cumulative sum is
+    integer). exp() is left to the consumer: cross-libm exp of a
+    double is not guaranteed bit-identical, an integer log-scale curve
+    is. Days where d = n (risk set empties through events) report
+    NULL from there on (S = 0, ln undefined).
+
+    Scale shape: one user hash agg, then everything lives on the
+    ≤(study-window-days) day frame — the two unpartitioned windows
+    (suffix risk sum, prefix ln sum) are bounded by that calendar
+    constant, never by the data. Returns
+    (day, n_at_risk, n_events, n_censored, ln_s_micro) ordered."""
+    from pyspark.sql import Window
+
+    per_user = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(F.col(ts_col)).alias("__entry"),
+        F.min(F.when(event_pred, F.col(ts_col))).alias("__ev"),
+    )
+    end = F.coalesce(F.col("__ev"), F.lit(censor_ts).cast("timestamp"))
+    durations = per_user.select(
+        F.datediff(F.to_date(end), F.to_date(F.col("__entry"))).alias("day"),
+        F.col("__ev").isNotNull().cast("long").alias("__e"),
+    )
+    days = durations.groupBy("day").agg(
+        F.sum("__e").cast("long").alias("n_events"),
+        F.sum(1 - F.col("__e")).cast("long").alias("n_censored"),
+    )
+    w_suffix = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prefix = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = days.withColumn(
+        "n_at_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_suffix).cast("long"),
+    )
+    term = F.when(
+        F.col("n_at_risk") > F.col("n_events"),
+        F.round(
+            F.log(
+                (F.col("n_at_risk") - F.col("n_events")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+            * 1e6
+        ).cast("long"),
+    )
+    # a window SUM skips NULLs, which would silently carry the curve
+    # past an S = 0 day — gate on any prior NULL term explicitly
+    dead = F.sum(F.when(term.isNull(), 1).otherwise(0)).over(w_prefix)
+    return (
+        at_risk.withColumn("__t", term)
+        .withColumn(
+            "ln_s_micro",
+            F.when(dead == 0, F.sum("__t").over(w_prefix)).cast("long"),
+        )
+        .select("day", "n_at_risk", "n_events", "n_censored", "ln_s_micro")
+        .orderBy("day")
+    )

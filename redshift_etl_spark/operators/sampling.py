@@ -1018,3 +1018,44 @@ def purged_time_split(
         .select("fold", "n_test", "n_train", "n_purged", "test_start", "test_end")
         .orderBy("fold")
     )
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    k: int,
+    salt: str = "es",
+) -> DataFrame:
+    """EXACT-k weighted sampling without replacement — the
+    Efraimidis–Spirakis A-ES scheme made deterministic: draw
+    u_i ~ Uniform(0,1] from the key's md5 (not an RNG), keep the k
+    rows with the largest u_i^(1/w_i), i.e. the k largest
+    ln(u_i)/w_i. Complements `weighted_sample` (Bernoulli — keeps a
+    RANDOM number of rows) when the budget is a hard k, and
+    `exact_cap_sample` (uniform within groups) when rows carry
+    weights.
+
+    u_i composes two md5 nibbles into a 32-bit uniform,
+    (b32 + 0.5)/2³², never exactly 0; the score is ONE fixed IEEE
+    expression of that rational and the weight, identical cross-
+    engine, with the key as tiebreak (md5 ties are ~2⁻³²; the
+    tiebreak makes even that case deterministic). Selection is
+    TakeOrdered-shaped: per-partition top-k heaps, never a global
+    sort. Non-positive weights are excluded (their inclusion
+    probability is 0 in A-ES).
+
+    Returns the k sampled rows of ``df`` plus ``__es_score``."""
+    c = F.col(key)
+    b32 = (
+        hash_bucket16(c, salt) * 65536 + hash_bucket16(c, salt + "2")
+    ).cast("double")
+    u = (b32 + 0.5) / F.lit(float(1 << 32))
+    w = weight.cast("double")
+    score = F.log(u) / w
+    return (
+        df.where(w > 0)
+        .withColumn("__es_score", score)
+        .orderBy(F.col("__es_score").desc(), c.asc())
+        .limit(int(k))
+    )

@@ -7764,3 +7764,59 @@ def span_corruption_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside `fim_transform`, deterministic via md5 blocks (no RNG)."""
     docs = load(spark, sf_dir, "documents")
     return TX.span_corruption(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Exact-k weighted sampling (sampling.weighted_topk_sample)
+# ---------------------------------------------------------------------------
+
+def _es_bucket32_sql(salt: str) -> str:
+    def b16(s):
+        h = f"md5('{s}:' || doc_id)"
+        return (
+            f"(((instr('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+            f" * 16 + instr('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+            f" * 16 + instr('0123456789abcdef', substr({h}, 3, 1)) - 1)"
+            f" * 16 + instr('0123456789abcdef', substr({h}, 4, 1)) - 1"
+        )
+
+    return f"(({b16(salt)}) * 65536 + ({b16(salt + '2')}))"
+
+
+_ES_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+    ln((CAST({_es_bucket32_sql("es")} AS DOUBLE) + 0.5) / 4294967296.0)
+      / CAST(n_chars AS DOUBLE) AS s
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 50 ORDER BY rk
+"""
+
+
+@_q("weighted_exact_k_sample", _ES_ORACLE)
+def weighted_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY 50 documents sampled without replacement with
+    probability ∝ length (`sampling.weighted_topk_sample`, the
+    deterministic Efraimidis–Spirakis draw): the hard-budget weighted
+    draw that Bernoulli `quality_weighted_sample` can't guarantee.
+    TakeOrdered selection; the rank window runs over the 50 survivor
+    rows."""
+    from pyspark.sql import Window
+
+    from ..operators import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    top = SA.weighted_topk_sample(
+        docs, "doc_id", F.col("n_chars"), k=50
+    )
+    w = Window.orderBy(F.col("__es_score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).orderBy("rank")

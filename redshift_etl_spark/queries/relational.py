@@ -5962,3 +5962,67 @@ def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "node", "score", F.row_number().over(w).cast("long").alias("rank")
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier time-to-purchase (funnel.kaplan_meier)
+# ---------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH pu AS (
+  SELECT user_id, MIN(ts) AS entry,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS ev
+  FROM events GROUP BY 1
+),
+dur AS (
+  SELECT date_diff('day', CAST(entry AS DATE),
+           CAST(COALESCE(ev, TIMESTAMP '2024-01-31 00:00:00') AS DATE))
+           AS day,
+         CASE WHEN ev IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM pu
+),
+days AS (
+  SELECT day, CAST(SUM(e) AS BIGINT) AS n_events,
+         CAST(SUM(1 - e) AS BIGINT) AS n_censored
+  FROM dur GROUP BY 1
+),
+ar AS (
+  SELECT *, CAST(SUM(n_events + n_censored) OVER (
+    ORDER BY day DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+  FROM days
+),
+t AS (
+  SELECT *, CASE WHEN n_at_risk > n_events THEN
+    CAST(ROUND(ln(CAST(n_at_risk - n_events AS DOUBLE)
+                  / CAST(n_at_risk AS DOUBLE)) * 1e6) AS BIGINT) END AS tm
+  FROM ar
+)
+SELECT day, n_at_risk, n_events, n_censored,
+  CASE WHEN SUM(CASE WHEN tm IS NULL THEN 1 ELSE 0 END) OVER (
+         ORDER BY day ASC ROWS UNBOUNDED PRECEDING) = 0
+       THEN CAST(SUM(tm) OVER (
+         ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) END
+    AS ln_s_micro
+FROM t ORDER BY day
+"""
+
+
+@_q("kaplan_meier_purchase", _KM_ORACLE)
+def kaplan_meier_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time from first activity to first purchase, right-
+    censored at the window end (`funnel.kaplan_meier`): the survival
+    curve a naive conversion rate misstates when observation truncates.
+    All-integer output — the curve is the exact cumulative micro-ln
+    column (exp is the consumer's; cross-libm exp isn't bit-stable);
+    the two unpartitioned windows run on the ≤31-row study-day frame
+    (calendar-bounded, never data-sized)."""
+    from ..operators import funnel as FN
+
+    ev = load(spark, sf_dir, "events")
+    return FN.kaplan_meier(
+        ev,
+        "user_id",
+        "ts",
+        F.col("event_type") == "purchase",
+        "2024-01-31 00:00:00",
+    )

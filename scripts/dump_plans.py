@@ -302,6 +302,15 @@ NOTES = {
         "broadcast -> nano-fixed chi-square terms -> 1-row integer "
         "chi2 fold"
     ),
+    "weighted_exact_k_sample": (
+        "deterministic A-ES: md5-uniform + ln score projection -> "
+        "TakeOrderedAndProject k -> rank window over the k survivors"
+    ),
+    "kaplan_meier_purchase": (
+        "one user hash agg (entry/event) -> day-grain agg -> suffix "
+        "risk sum + prefix micro-ln sum on the calendar-bounded day "
+        "frame (<= study-window rows)"
+    ),
     "rendezvous_shards": (
         "key x shard-literal fan-out (bounded by the shard-count "
         "config) -> one max_by hash agg per topology -> key join + "

@@ -303,6 +303,9 @@ REHEARSAL = (
                               # max_by agg per topology
     "hits_authorities",       # 2 HITS iterations: edge join + agg +
                               # 1-row max per half-iteration
+    "weighted_exact_k_sample",  # score projection + TakeOrdered k
+    "kaplan_meier_purchase",  # one user agg + calendar-bounded day
+                              # frame windows
     "benford_screen",         # one hash agg to 9 digit cells + 1-row
                               # nano-fixed chi-square fold
     "truncated_dim_recall",   # two 10-query cosine-topk passes (full
