@@ -680,8 +680,13 @@ def krippendorff_alpha(
     # margins over pairable values only (standard: unpaired items drop)
     n_c = pairable.groupBy("__v").agg(F.count(F.lit(1)).cast("long").alias("__nc"))
     marg = n_c.agg(
-        F.sum("__nc").cast("long").alias("n_values"),
-        F.sum(F.col("__nc").cast(dec) * F.col("__nc")).cast(dec).alias("__sum_nc2"),
+        # COALESCE: with NO pairable item the margins frame is empty and
+        # a bare SUM reports NULL — the degenerate report is all-zeros
+        # with NULL rates/alpha, not a NULL row
+        F.coalesce(F.sum("__nc"), F.lit(0)).cast("long").alias("n_values"),
+        F.coalesce(
+            F.sum(F.col("__nc").cast(dec) * F.col("__nc")), F.lit(0)
+        ).cast(dec).alias("__sum_nc2"),
     )
     items = pairable.select("__i").distinct().count()
 
@@ -711,11 +716,18 @@ def krippendorff_alpha(
     )
     n = F.col("n_values").cast(dec)
     de_num = (n * F.col("n_values") - F.col("__sum_nc2")).cast(dec)
-    do_rate = F.col("__dl").cast("double") / (
-        F.lit(lcm).cast("double") * F.col("n_values").cast("double")
+    do_rate = F.when(
+        F.col("n_values") > 0,
+        F.col("__dl").cast("double")
+        / (F.lit(lcm).cast("double") * F.col("n_values").cast("double")),
     )
-    de_rate = de_num.cast("double") / (
-        F.col("n_values").cast("double") * (F.col("n_values") - 1).cast("double")
+    de_rate = F.when(
+        F.col("n_values") > 1,
+        de_num.cast("double")
+        / (
+            F.col("n_values").cast("double")
+            * (F.col("n_values") - 1).cast("double")
+        ),
     )
     alpha = F.when(
         de_num != 0,
