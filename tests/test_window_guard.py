@@ -51,6 +51,15 @@ ALLOWED = {
     # lag over the one-row-per-epoch metrics frame: bounded by the
     # number of stream epochs, never by data volume (r08)
     ("streaming/monitor.py", "quality_trend"),
+    # suffix risk sum + prefix micro-ln sum over the DAY frame:
+    # bounded by the study-window calendar constant (<= ~31 rows),
+    # never by data volume (r10)
+    ("operators/funnel.py", "kaplan_meier"),
+    # rank over the k TakeOrdered survivors (50 rows by the sample
+    # budget config) (r10)
+    ("queries/llm_data.py", "weighted_exact_k_sample"),
+    # rank over the 10 TakeOrdered survivors (top-k config) (r10)
+    ("queries/relational.py", "hits_authorities"),
 }
 
 _WINDOW_MODULES = {"pyspark.sql", "pyspark.sql.window"}
