@@ -32,12 +32,23 @@ def asof_join(
     right_time: str,
     value_cols: Sequence[str],
     inclusive: bool = True,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join: left columns + ``value_cols`` from the matched
     right row (NULL when no right row precedes).
 
     inclusive=True  → right_time <= left_time (DuckDB ``ON l.t >= r.t``)
     inclusive=False → right_time <  left_time (previous-row semantics)
+
+    ``tolerance`` (pandas merge_asof parity): a SQL expression string
+    — ``"INTERVAL 1 HOUR"`` for timestamps, ``"5"`` for a numeric
+    axis — bounding how STALE the matched right row may be: a match
+    older than ``left_time − tolerance`` is reported as no-match
+    (NULL values), which is what "the last heartbeat, if recent" means
+    operationally. Same single-shuffle plan; the gate is a projection
+    on the carried match time. Callers must ensure right rows are
+    unique per (key, time) — equal-time right rows have no defined
+    winner (dedup with a max_by first, as `asof_prev_order` does).
     """
     keys = [on] if isinstance(on, str) else list(on)
     lcols = left.columns
@@ -69,19 +80,30 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    match_time = F.last(
+        F.when(F.col("__side") == right_tag, F.col("__t")), ignorenulls=True
+    ).over(w)
     carried = unioned.select(
         *unioned.columns,
+        match_time.alias("__mt"),
         *[
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
             for c in value_cols
         ],
     )
     is_left = F.col("__side") == left_tag
+
+    def gated(c: str):
+        if tolerance is None:
+            return F.col(f"__m_{c}")
+        fresh = F.col("__mt") >= F.expr(f"__t - {tolerance}")
+        return F.when(fresh, F.col(f"__m_{c}"))
+
     out_cols = (
         [F.col(k) for k in keys]
         + [F.col("__t").alias(left_time)]
         + [F.col(c) for c in lcols if c not in keys and c != left_time]
-        + [F.col(f"__m_{c}").alias(c) for c in value_cols]
+        + [gated(c).alias(c) for c in value_cols]
     )
     return carried.filter(is_left).select(*out_cols)
 

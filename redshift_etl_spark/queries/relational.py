@@ -6026,3 +6026,58 @@ def kaplan_meier_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase",
         "2024-01-31 00:00:00",
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with staleness tolerance (asof.asof_join tolerance=)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT user_id, ts AS cts, CAST(MAX(event_id) AS BIGINT) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+j AS (
+  SELECT e.user_id, e.ts, e.event_id, c.cts, c.click_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id ORDER BY c.cts DESC) AS rk
+  FROM e LEFT JOIN c ON e.user_id = c.user_id AND c.cts <= e.ts
+)
+SELECT user_id, ts, event_id,
+  CASE WHEN cts >= ts - INTERVAL 1 HOUR THEN click_id END AS click_id
+FROM j WHERE rk = 1
+"""
+
+
+@_q("asof_tolerance_join", _ASOF_TOL_ORACLE)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last click before each error, but ONLY if within the last hour
+    (`asof.asof_join` with ``tolerance`` — pandas merge_asof parity):
+    a stale match is operationally a non-match ("the last heartbeat,
+    if recent"). Clicks pre-deduped to one row per (user, ts) with a
+    max event_id — equal-time as-of winners must be decided BY
+    CONSTRUCTION, not by partition luck. Same single-shuffle union +
+    carry-forward plan; the staleness gate is a projection."""
+    from ..operators import asof as AS
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("cts"))
+        .agg(F.max("event_id").cast("long").alias("click_id"))
+    )
+    return AS.asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="cts",
+        value_cols=["click_id"],
+        tolerance="INTERVAL 1 HOUR",
+    )

@@ -302,6 +302,11 @@ NOTES = {
         "broadcast -> nano-fixed chi-square terms -> 1-row integer "
         "chi2 fold"
     ),
+    "asof_tolerance_join": (
+        "single-shuffle asof union + carry-forward windows; the "
+        "match-time carry and staleness gate are projections on the "
+        "same exchange"
+    ),
     "weighted_exact_k_sample": (
         "deterministic A-ES: md5-uniform + ln score projection -> "
         "TakeOrderedAndProject k -> rank window over the k survivors"

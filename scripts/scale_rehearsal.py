@@ -306,6 +306,8 @@ REHEARSAL = (
     "weighted_exact_k_sample",  # score projection + TakeOrdered k
     "kaplan_meier_purchase",  # one user agg + calendar-bounded day
                               # frame windows
+    "asof_tolerance_join",    # same single-shuffle asof union; the
+                              # staleness gate is a projection
     "benford_screen",         # one hash agg to 9 digit cells + 1-row
                               # nano-fixed chi-square fold
     "truncated_dim_recall",   # two 10-query cosine-topk passes (full

@@ -135,3 +135,35 @@ def test_nearest_join_partition_invariance(spark):
         left.repartition(8), right.repartition(5), "kk", "ts", "rts", ["rid"]
     ).collect()))
     assert one == many
+
+
+def test_tolerance_gates_stale_matches(spark):
+    from datetime import datetime
+
+    from redshift_etl_spark.operators.asof import asof_join
+
+    t = lambda d, h: datetime(2024, 1, d, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(2, 12), "a"), (1, t(5, 12), "b"), (2, t(2, 12), "c")],
+        "k: long, ts: timestamp, tag: string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(2, 11), 100), (2, t(1, 1), 200)],
+        "k: long, rts: timestamp, v: long",
+    )
+    out = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "ts", "rts", ["v"],
+            tolerance="INTERVAL 1 DAY",
+        ).collect()
+    }
+    assert out["a"] == 100      # 1h old: fresh
+    assert out["b"] is None     # 3d old: match exists but stale -> NULL
+    assert out["c"] is None     # 1d11h old: stale
+    # without tolerance the same stale matches carry through
+    out2 = {
+        r["tag"]: r["v"]
+        for r in asof_join(left, right, "k", "ts", "rts", ["v"]).collect()
+    }
+    assert out2 == {"a": 100, "b": 100, "c": 200}
