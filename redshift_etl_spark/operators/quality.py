@@ -968,3 +968,96 @@ def ab_test_report(
         pb.alias("p_b"),
         F.when(ok, (pa - pb) / se).alias("z"),
     )
+
+
+def per_class_prf(
+    conf: DataFrame,
+    truth_col: str,
+    pred_col: str,
+    n_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 from a confusion-cell frame —
+    the class-level readout a single accuracy number hides (a dominant
+    class can carry accuracy while a rare one scores zero). Input is
+    the ≤|C|² cell frame a classifier report produces (e.g.
+    `nb_source_confusion`); everything here is bounded-frame math.
+
+    Per class c over the TRUTH domain: tp = n(c,c),
+    fn = Σ_truth=c − tp, fp = Σ_pred=c − tp; P = tp/(tp+fp),
+    R = tp/(tp+fn), F1 = 2PR/(P+R). All divisions NULL-guarded
+    (tp+fp = 0 ⇒ precision undefined — reported NULL, never 0-faked;
+    ANSI division would otherwise throw). macro_f1 averages the
+    DEFINED F1s as an integer sum of nano-fixed values (a double Σ
+    over class rows is partition-order-dependent) over n_defined,
+    with n_undefined reported beside it. Returns one row per truth
+    class: (class, tp, fp, fn, precision, recall, f1, macro_f1,
+    n_undefined_f1), ordered."""
+    t = F.col(truth_col)
+    p = F.col(pred_col)
+    n = F.col(n_col)
+    truth_m = conf.groupBy(t.alias("class")).agg(
+        F.sum(n).cast("long").alias("__row_n"),
+        F.coalesce(F.sum(F.when(t == p, n)), F.lit(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    pred_m = conf.groupBy(p.alias("class")).agg(
+        F.sum(n).cast("long").alias("__col_n")
+    )
+    j = truth_m.join(pred_m, "class", "left").select(
+        "class",
+        "tp",
+        (F.coalesce(F.col("__col_n"), F.lit(0)) - F.col("tp"))
+        .cast("long")
+        .alias("fp"),
+        (F.col("__row_n") - F.col("tp")).cast("long").alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+    )
+    scored = j.select(
+        "class", "tp", "fp", "fn", prec.alias("precision"), rec.alias("recall")
+    )
+    f1 = F.when(
+        F.col("precision").isNotNull()
+        & F.col("recall").isNotNull()
+        & (F.col("precision") + F.col("recall") > 0),
+        2 * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    )
+    withf1 = scored.withColumn("f1", f1).withColumn(
+        "__f1_nano", F.round(F.col("f1") * 1e9).cast("long")
+    )
+    macro = withf1.agg(
+        F.coalesce(F.sum("__f1_nano"), F.lit(0)).cast("long").alias("__sum"),
+        F.coalesce(F.sum(F.when(F.col("f1").isNotNull(), 1)), F.lit(0))
+        .cast("long")
+        .alias("__n_def"),
+        F.coalesce(F.sum(F.when(F.col("f1").isNull(), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_undefined_f1"),
+    )
+    return (
+        withf1.crossJoin(F.broadcast(macro))
+        .select(
+            "class",
+            "tp",
+            "fp",
+            "fn",
+            "precision",
+            "recall",
+            "f1",
+            F.when(
+                F.col("__n_def") > 0,
+                F.col("__sum").cast("double")
+                / (F.lit(1e9) * F.col("__n_def").cast("double")),
+            ).alias("macro_f1"),
+            "n_undefined_f1",
+        )
+        .orderBy("class")
+    )

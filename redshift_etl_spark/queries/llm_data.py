@@ -7397,8 +7397,7 @@ def _nb_bucket_sql() -> str:
     )
 
 
-_NB_ORACLE = f"""
-WITH split AS (
+_NB_CTES = f"""split AS (
   SELECT doc_id, source, text,
          CAST(({_nb_bucket_sql()}) % 4 AS BIGINT) = 0 AS is_test
   FROM documents
@@ -7472,12 +7471,15 @@ acc AS (
               AS BIGINT) AS n_correct,
          CAST(SUM(n) AS BIGINT) AS n_test
   FROM conf
-)
+)"""
+
+_NB_ORACLE = f"""
+WITH {{_NB_CTES}}
 SELECT source, predicted, n,
        CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE) AS accuracy
 FROM conf CROSS JOIN acc
 ORDER BY source, predicted
-"""
+""".format(_NB_CTES=_NB_CTES)
 
 
 @_q("nb_source_confusion", _NB_ORACLE)
@@ -7820,3 +7822,85 @@ def weighted_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.row_number().over(w).cast("long").alias("rank"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Per-class F1 over the NB confusion (quality.per_class_prf)
+# ---------------------------------------------------------------------------
+
+_NB_F1_ORACLE = f"""
+WITH {{ctes}},
+tm AS (
+  SELECT source AS class, CAST(SUM(n) AS BIGINT) AS row_n,
+         CAST(COALESCE(SUM(CASE WHEN source = predicted THEN n END), 0)
+              AS BIGINT) AS tp
+  FROM conf GROUP BY 1
+),
+pm AS (
+  SELECT predicted AS class, CAST(SUM(n) AS BIGINT) AS col_n
+  FROM conf GROUP BY 1
+),
+cells2 AS (
+  SELECT tm.class, tp,
+         CAST(COALESCE(col_n, 0) - tp AS BIGINT) AS fp,
+         CAST(row_n - tp AS BIGINT) AS fn
+  FROM tm LEFT JOIN pm ON tm.class = pm.class
+),
+sc AS (
+  SELECT class, tp, fp, fn,
+    CASE WHEN tp + fp > 0
+         THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END
+      AS "precision",
+    CASE WHEN tp + fn > 0
+         THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END
+      AS recall
+  FROM cells2
+),
+f AS (
+  SELECT *, CASE WHEN "precision" IS NOT NULL AND recall IS NOT NULL
+                  AND "precision" + recall > 0
+            THEN 2 * "precision" * recall / ("precision" + recall) END AS f1
+  FROM sc
+),
+m AS (
+  SELECT CAST(COALESCE(SUM(CAST(ROUND(f1 * 1e9) AS BIGINT)), 0) AS BIGINT)
+           AS s,
+         CAST(COALESCE(SUM(CASE WHEN f1 IS NOT NULL THEN 1 END), 0)
+              AS BIGINT) AS ndef,
+         CAST(COALESCE(SUM(CASE WHEN f1 IS NULL THEN 1 END), 0) AS BIGINT)
+           AS n_undefined_f1
+  FROM f
+)
+SELECT class, tp, fp, fn, "precision", recall, f1,
+  CASE WHEN ndef > 0
+       THEN CAST(s AS DOUBLE) / (1e9 * CAST(ndef AS DOUBLE)) END AS macro_f1,
+  n_undefined_f1
+FROM f CROSS JOIN m ORDER BY class
+""".format(ctes=_NB_CTES)
+
+
+@_q("nb_class_f1", _NB_F1_ORACLE)
+def nb_class_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the NB source classifier
+    (`quality.per_class_prf` over the same held-out confusion cells as
+    `nb_source_confusion`) — the class-level readout a single accuracy
+    hides; macro-F1 as an integer sum of nano-fixed per-class values,
+    undefined-precision classes reported NULL, never 0-faked."""
+    from ..operators import nbayes as NB
+    from ..operators import quality as Q
+    from ..operators import sampling as SA
+
+    docs = load(spark, sf_dir, "documents")
+    split = docs.withColumn(
+        "__is_test", (SA.hash_bucket16("doc_id", "nb") % 4) == 0
+    )
+    train = split.where(~F.col("__is_test"))
+    test = split.where(F.col("__is_test"))
+    model, classes = NB.nb_fit(train, "source", "text")
+    pred = NB.nb_classify(test, "doc_id", "text", model, classes)
+    conf = (
+        pred.join(test.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return Q.per_class_prf(conf, "source", "predicted", "n")

@@ -302,6 +302,11 @@ NOTES = {
         "broadcast -> nano-fixed chi-square terms -> 1-row integer "
         "chi2 fold"
     ),
+    "nb_class_f1": (
+        "NB confusion cells (bounded <=|C|^2 frame) -> truth/pred "
+        "margins -> NULL-guarded P/R/F1 projections -> nano-fixed "
+        "integer macro fold"
+    ),
     "asof_tolerance_join": (
         "single-shuffle asof union + carry-forward windows; the "
         "match-time carry and staleness gate are projections on the "

@@ -108,6 +108,8 @@ ALLOWED = {
         "1-row scaled-disagreement (D_L) aggregate",
     ("operators/quality.py", "woe_iv"):
         "1-row good/bad totals frame",
+    ("operators/quality.py", "per_class_prf"):
+        "1-row macro-F1 totals over the bounded class frame",
     ("operators/quality.py", "psi_report"):
         "1-row side-totals frame and 1-row picounit psi-total frame",
     ("operators/sampling.py", "purged_time_split"):

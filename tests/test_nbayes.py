@@ -59,3 +59,28 @@ def test_exact_tie_breaks_by_class_name(spark):
     test = spark.createDataFrame([(1, "x")], "id: long, text: string")
     row = nb_classify(test, "id", "text", model, classes).collect()[0]
     assert row["predicted"] == "a"
+
+
+def test_per_class_prf_hand_check(spark):
+    from redshift_etl_spark.operators.quality import per_class_prf
+
+    # conf cells: truth a: (a,a)=8, (a,b)=2 ; truth b: (b,b)=3, (b,a)=1
+    # class c appears in truth only, never predicted -> precision NULL
+    conf = spark.createDataFrame(
+        [("a", "a", 8), ("a", "b", 2), ("b", "b", 3), ("b", "a", 1),
+         ("c", "a", 2)],
+        "t: string, p: string, n: long",
+    )
+    out = {r["class"]: r for r in per_class_prf(conf, "t", "p", "n").collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["tp"], a["fp"], a["fn"]) == (8, 3, 2)
+    assert a["precision"] == 8 / 11 and a["recall"] == 8 / 10
+    assert (b["tp"], b["fp"], b["fn"]) == (3, 2, 1)
+    assert (c["tp"], c["fp"], c["fn"]) == (0, 0, 2)
+    assert c["precision"] is None and c["f1"] is None
+    assert out["a"]["n_undefined_f1"] == 1
+    import math
+    f1a = 2 * (8 / 11) * (8 / 10) / ((8 / 11) + (8 / 10))
+    f1b = 2 * (3 / 5) * (3 / 4) / ((3 / 5) + (3 / 4))
+    expect_macro = (round(f1a * 1e9) + round(f1b * 1e9)) / (1e9 * 2)
+    assert math.isclose(out["a"]["macro_f1"], expect_macro, rel_tol=0, abs_tol=0)
