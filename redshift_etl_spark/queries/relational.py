@@ -6081,3 +6081,70 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["click_id"],
         tolerance="INTERVAL 1 HOUR",
     )
+
+
+# ---------------------------------------------------------------------------
+# Contingency-table adjusted residuals (per-cell independence screen)
+# ---------------------------------------------------------------------------
+
+_RESID_ORACLE = """
+WITH cells AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+rm AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
+cm AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells)
+SELECT c.event_type, c.dow, c.n,
+  CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE) AS expected,
+  (CAST(c.n AS DOUBLE)
+   - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE))
+  / sqrt(CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE)
+         * (1 - CAST(rn AS DOUBLE) / CAST(nt AS DOUBLE))
+         * (1 - CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE))) AS adj_residual
+FROM cells c
+JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN tot
+ORDER BY event_type, dow
+"""
+
+
+@_q("contingency_residuals", _RESID_ORACLE)
+def contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted standardized residuals of the event-type × day-of-week
+    contingency table — WHICH cells drive an independence violation
+    (the chi-square scalar in `event_type_independence` says that one
+    exists; |residual| > 2 says where). Per-cell fixed IEEE
+    expressions of exact BIGINT margins — no double sums anywhere, so
+    no rounding grid is needed; margins attach by enum-bounded joins.
+    Day-of-week spelled as Spark's dayofweek − 1 ≡ DuckDB's dayofweek
+    (both Sunday-based after the shift)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rm = cells.groupBy("event_type").agg(F.sum("n").cast("long").alias("__rn"))
+    cm = cells.groupBy("dow").agg(F.sum("n").cast("long").alias("__cn"))
+    tot = cells.agg(F.sum("n").cast("long").alias("__nt"))
+    j = (
+        cells.join(rm, "event_type")
+        .join(cm, "dow")
+        .crossJoin(F.broadcast(tot))
+    )
+    rn = F.col("__rn").cast("double")
+    cn = F.col("__cn").cast("double")
+    nt = F.col("__nt").cast("double")
+    expected = rn * cn / nt
+    resid = (F.col("n").cast("double") - rn * cn / nt) / F.sqrt(
+        rn * cn / nt * (1 - rn / nt) * (1 - cn / nt)
+    )
+    return j.select(
+        "event_type",
+        "dow",
+        "n",
+        expected.alias("expected"),
+        resid.alias("adj_residual"),
+    ).orderBy("event_type", "dow")

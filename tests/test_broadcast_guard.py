@@ -118,6 +118,8 @@ ALLOWED = {
         "<=1-row picked order-statistic frame joined onto the 1-row totals",
     ("queries/llm_data.py", "conformal_lang_threshold"):
         "1-row conformal threshold frame attached to the test half",
+    ("queries/relational.py", "contingency_residuals"):
+        "1-row grand-total frame (margins join enum-bounded keys)",
     ("queries/relational.py", "benford_screen"):
         "1-row digit-total and 1-row chi-square-total frames",
     ("streaming/driftmon.py", "psi_from_store"):
