@@ -45,8 +45,12 @@ def asof_join(
     axis — bounding how STALE the matched right row may be: a match
     older than ``left_time − tolerance`` is reported as no-match
     (NULL values), which is what "the last heartbeat, if recent" means
-    operationally. Same single-shuffle plan; the gate is a projection
-    on the carried match time. Callers must ensure right rows are
+    operationally. Exact pandas parity: the returned value is the
+    MATCHED row's value — if the newest preceding right row holds NULL
+    in a value column, NULL is returned (not an older non-null value),
+    and the freshness gate judges the matched row's own time. Same
+    single-shuffle plan; the gate is a projection on the carried
+    (time, value) struct. Callers must ensure right rows are
     unique per (key, time) — equal-time right rows have no defined
     winner (dedup with a max_by first, as `asof_prev_order` does).
     """
@@ -80,14 +84,27 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    match_time = F.last(
-        F.when(F.col("__side") == right_tag, F.col("__t")), ignorenulls=True
-    ).over(w)
+    # Carry (time, value) as ONE struct per value column: the struct is
+    # non-null for every right row (even when the value itself is NULL),
+    # so `last ignorenulls` lands on the MATCHED row — pandas merge_asof
+    # returns the matched row's value, NULL included. Carrying the bare
+    # value would skip a newest-but-NULL right row back to an older
+    # non-null one, and the tolerance gate would then judge freshness by
+    # the wrong row's time. All structs share one window spec → still a
+    # single exchange + sort.
     carried = unioned.select(
         *unioned.columns,
-        match_time.alias("__mt"),
         *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            F.last(
+                F.when(
+                    F.col("__side") == right_tag,
+                    F.struct(
+                        F.col("__t").alias("t"),
+                        F.col(f"__r_{c}").alias("v"),
+                    ),
+                ),
+                ignorenulls=True,
+            ).over(w).alias(f"__m_{c}")
             for c in value_cols
         ],
     )
@@ -95,9 +112,9 @@ def asof_join(
 
     def gated(c: str):
         if tolerance is None:
-            return F.col(f"__m_{c}")
-        fresh = F.col("__mt") >= F.expr(f"__t - {tolerance}")
-        return F.when(fresh, F.col(f"__m_{c}"))
+            return F.col(f"__m_{c}.v")
+        fresh = F.col(f"__m_{c}.t") >= F.expr(f"__t - {tolerance}")
+        return F.when(fresh, F.col(f"__m_{c}.v"))
 
     out_cols = (
         [F.col(k) for k in keys]

@@ -246,7 +246,10 @@ def rendezvous_assign(
     projection + one hash agg, no shuffle beyond the agg.
 
     Returns (key, shard)."""
-    pairs = df.select(F.col(key_col)).select(
+    # distinct BEFORE the fan-out: duplicate keys would explode
+    # n_shards× each and collapse again in the agg — same answer,
+    # n_dups× the work (r10 ADVICE)
+    pairs = df.select(F.col(key_col)).distinct().select(
         key_col,
         F.explode(
             F.array(*[F.lit(s) for s in range(int(n_shards))])

@@ -656,9 +656,21 @@ def hits_scores(
     max (bounded scalar). Returns (hubs, authorities) DataFrames:
     (node, score) each, scores in [0, scale] with at least one node
     at exactly ``scale``."""
-    e = edges.select(
-        F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
-    ).distinct()
+    if int(iters) < 1:
+        raise ValueError(f"hits_scores: iters must be >= 1, got {iters}")
+    e = (
+        edges.select(
+            F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+        )
+        # NULL endpoints never match the score equi-joins — they'd leave
+        # phantom nodes whose agg is empty (max=None) — drop them here
+        .where(F.col("__u").isNotNull() & F.col("__v").isNotNull())
+        .distinct()
+    )
+    # empty edge set: max over the agg is None and the DIV literal
+    # would crash with an opaque int(None) — refuse with the real cause
+    if e.isEmpty():
+        raise ValueError("hits_scores: empty edge set (no non-null edges)")
     h = e.select("__u").distinct().withColumn(
         "__h", F.lit(int(scale)).cast("long")
     )

@@ -673,6 +673,15 @@ def krippendorff_alpha(
     lcm = 1
     for d in range(2, max(2, n_raters)):
         lcm = math.lcm(lcm, d)
+        # lcm(1..42) is the last value below 2^63: past it the SQL
+        # literal would silently be an invalid/overflowed long. A rater
+        # pool that large needs a different scaling (per-item rational
+        # folds); refuse loudly rather than emit a wrong literal.
+        if lcm > 0x7FFFFFFFFFFFFFFF:
+            raise ValueError(
+                f"krippendorff_alpha: rater pool {n_raters} needs "
+                f"lcm(1..{n_raters - 1}) > int64; not representable"
+            )
     m_u = vals.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__m"))
     pairable = vals.join(m_u.where(F.col("__m") >= 2), "__i")
 
@@ -701,9 +710,14 @@ def krippendorff_alpha(
         .where(F.col("__v") != F.col("__v2"))
         .agg(
             # DIV: integral division (lcm divides m−1 exactly by
-            # construction; `/` on longs would go through double)
+            # construction; `/` on longs would go through double). The
+            # per-row term is cast to DECIMAL(38,0) BEFORE the SUM — a
+            # long SUM can overflow int64 with a large campaign (the
+            # cramers_v lesson; casting only the result is too late).
             F.coalesce(
-                F.sum(F.expr(f"{lcm}L DIV (__m - 1)")).cast(dec),
+                F.sum(
+                    F.expr(f"CAST({lcm}L DIV (__m - 1) AS {dec})")
+                ),
                 F.lit(0).cast(dec),
             ).alias("__dl")
         )

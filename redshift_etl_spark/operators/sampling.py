@@ -1045,6 +1045,15 @@ def weighted_topk_sample(
     sort. Non-positive weights are excluded (their inclusion
     probability is 0 in A-ES).
 
+    PRECONDITION — ``key`` must be unique in ``df``: the uniform is a
+    pure function of the key, so duplicate-key rows draw IDENTICAL
+    (score, tiebreak) pairs and WHICH duplicates survive the limit(k)
+    cut at the boundary is partition-dependent — the determinism claim
+    holds only for unique keys (same contract as DuckDB's
+    ``reservoir`` with a key-derived seed). Dedup first, or sample a
+    ``df.select(key, weight).distinct()`` projection and semi-join
+    back. All in-repo callers pass a unique key.
+
     Returns the k sampled rows of ``df`` plus ``__es_score``."""
     c = F.col(key)
     b32 = (

@@ -1583,7 +1583,15 @@ def span_corruption(
             < rate_per_65536
         )
 
-    blocks = F.sequence(F.lit(0), nblocks - 1)
+    # Spark's sequence(0, -1) yields the DESCENDING [0, -1] — a
+    # zero-token document would fabricate two phantom blocks where
+    # DuckDB's range() returns empty. tokens_col never emits an empty
+    # array today (split on ' ' of '' is ['']), but guard the degenerate
+    # case so the transform degrades like the oracle if the tokenizer
+    # ever filters empties (r10 ADVICE).
+    blocks = F.when(
+        nblocks > 0, F.sequence(F.lit(0), nblocks - 1)
+    ).otherwise(F.array().cast("array<int>"))
     cblocks = F.filter(blocks, corrupt)
 
     def sentinel(b):

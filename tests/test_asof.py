@@ -167,3 +167,35 @@ def test_tolerance_gates_stale_matches(spark):
         for r in asof_join(left, right, "k", "ts", "rts", ["v"]).collect()
     }
     assert out2 == {"a": 100, "b": 100, "c": 200}
+
+
+def test_tolerance_judges_matched_row_even_when_value_is_null(spark):
+    """pandas merge_asof parity on NULL-valued right rows: the matched
+    row is the newest preceding RIGHT ROW; its value is returned as-is
+    (NULL included), and the tolerance gate judges THAT row's time —
+    an old non-null value must not ride past a newer NULL row and pass
+    the gate on the newer row's freshness (r10 ADVICE, asof.py)."""
+    from datetime import datetime
+
+    from redshift_etl_spark.operators.asof import asof_join
+
+    t = lambda d, h=0: datetime(2024, 1, d, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "e")], "k: long, ts: timestamp, tag: string"
+    )
+    # old non-null value (day 1), newest right row (day 10 −1h) is NULL
+    right = spark.createDataFrame(
+        [(1, t(1), 100), (1, t(9, 23), None)],
+        "k: long, rts: timestamp, v: long",
+    )
+    # no tolerance: matched row is the day-9,23h row -> its NULL value
+    out = asof_join(spark.createDataFrame(
+        [(1, t(10), "e")], "k: long, ts: timestamp, tag: string"
+    ), right, "k", "ts", "rts", ["v"]).first()
+    assert out["v"] is None
+    # with tolerance: the matched (fresh) row's value is still NULL —
+    # the stale day-1 value must NOT be resurrected by the fresh gate
+    out = asof_join(
+        left, right, "k", "ts", "rts", ["v"], tolerance="INTERVAL 1 DAY"
+    ).first()
+    assert out["v"] is None

@@ -34,3 +34,24 @@ def test_deterministic_under_repartitioning(spark):
     h2, a2 = hits_scores(e.repartition(7), "u", "v", iters=2)
     assert sorted(map(tuple, h1.collect())) == sorted(map(tuple, h2.collect()))
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_hits_refuses_empty_edges_and_zero_iters(spark):
+    """Empty or all-NULL edge sets and iters<1 must fail with a clear
+    ValueError, not an opaque int(None) TypeError / a=None return
+    (r10 ADVICE, graph.py)."""
+    import pytest
+
+    from redshift_etl_spark.operators.graph import hits_scores
+
+    empty = spark.createDataFrame([], "s string, d string")
+    with pytest.raises(ValueError, match="empty edge set"):
+        hits_scores(empty, "s", "d")
+    nulls = spark.createDataFrame(
+        [(None, "x"), ("y", None)], "s string, d string"
+    )
+    with pytest.raises(ValueError, match="empty edge set"):
+        hits_scores(nulls, "s", "d")
+    some = spark.createDataFrame([("a", "b")], "s string, d string")
+    with pytest.raises(ValueError, match="iters"):
+        hits_scores(some, "s", "d", iters=0)

@@ -111,3 +111,22 @@ def test_woe_iv_hand_check_and_null_bins(spark):
     assert out["B"]["woe"] == math.log((10 / tg) / (30 / tb))
     assert out["C"]["woe"] is None and out["C"]["iv"] is None
     assert out["A"]["n"] == 40 and out["A"]["n_bad"] == 10 and out["A"]["n_good"] == 30
+
+
+def test_alpha_refuses_rater_pool_past_int64_lcm(spark):
+    """lcm(1..R−1) overflows int64 at R=44: the scaled-integer fold
+    cannot be represented, so the operator must refuse loudly instead
+    of emitting an overflowed SQL literal (r10 ADVICE, quality.py)."""
+    import pytest
+
+    from redshift_etl_spark.operators.quality import krippendorff_alpha
+
+    rows = [("item", f"r{i}", "x") for i in range(44)]
+    df = spark.createDataFrame(rows, "i string, r string, v string")
+    with pytest.raises(ValueError, match="rater pool"):
+        krippendorff_alpha(df, "i", "r", "v").collect()
+    # 43 raters is the last representable pool — must still compute
+    ok = krippendorff_alpha(
+        df.where("r <> 'r43'"), "i", "r", "v"
+    ).first()
+    assert ok["alpha"] is None  # single category: degenerate margins

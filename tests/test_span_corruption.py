@@ -106,3 +106,27 @@ def test_md5_form_matches_rendered(spark):
             hashlib.md5(r["t"].encode()).hexdigest(),
         )
         assert md5s[r["doc_id"]] == want
+
+
+def test_zero_token_stream_yields_no_blocks(spark):
+    """sequence(0, -1) in Spark is the descending [0, -1]; a tokenizer
+    that ever emits an empty token array must produce ZERO blocks (like
+    the oracle's range()), not two phantom ones (r10 ADVICE). Exercised
+    through the real transform by patching tokens to filter empties."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.operators import text as TX
+
+    def filtering_tokens(col):
+        return F.filter(F.split(F.col(col), " "), lambda t: t != "")
+
+    df = spark.createDataFrame([("d1", ""), ("d2", "a b c d")],
+                               "doc_id string, text string")
+    with mock.patch.object(TX, "tokens_col", filtering_tokens):
+        out = {r["doc_id"]: r for r in
+               TX.span_corruption(df, "doc_id", "text").collect()}
+    assert out["d1"]["n_tokens"] == 0
+    assert out["d1"]["n_corrupt_blocks"] == 0
+    assert out["d2"]["n_tokens"] == 4
