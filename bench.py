@@ -220,6 +220,32 @@ def _benchlib(repo: str):
 # gate stops excusing and the round should be re-recorded instead.
 LOAD_FACTOR_CAP = 3.0
 
+# A run recorded above this ambient load is NOT round evidence: the r10
+# round artifact was captured at load 1.76 and 9 of its 80 queries
+# passed only via canary-scaled budgets, which the judge flagged. The
+# record itself now carries the verdict — stamped at emit time so a
+# loaded run can never silently become the committed round artifact —
+# and floors never merge from a stamped run (a loaded "new minimum"
+# would be noise in the wrong direction anyway).
+RECORD_ADVISORY_LOAD = 1.3
+
+
+def stamp_advisory(full: dict) -> dict:
+    """Stamp the bench record with its evidentiary status (in place).
+
+    advisory=True means "numbers recorded under >1.3× ambient load —
+    usable for debugging, NOT as the round's committed evidence".
+    Kept a pure function of the record so the stamp is unit-testable
+    without a SparkSession."""
+    lf = float(full.get("load_factor") or 1.0)
+    full["advisory"] = lf > RECORD_ADVISORY_LOAD
+    if full["advisory"]:
+        full["advisory_reason"] = (
+            f"load_factor {lf:.3f} > {RECORD_ADVISORY_LOAD}: re-run on an "
+            "idle machine before committing as round evidence"
+        )
+    return full
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -322,15 +348,20 @@ def main() -> None:
         "load_factor": round(load_factor, 3),
         "sf": sf,
     }
+    stamp_advisory(full)
+    if full["advisory"]:
+        print(f"# ADVISORY RUN — {full['advisory_reason']}", flush=True)
     # full per-query record: its own '#' line (human/tail debugging) and
     # a committed file — the gate reads the file, never a driver tail
     print("# full: " + json.dumps(full), flush=True)
     with open(os.path.join(repo_dir, benchlib.FULL_FILE), "w") as fh:
         json.dump(full, fh, indent=1)
         fh.write("\n")
-    if sf == 0.1:
+    if sf == 0.1 and not full["advisory"]:
         benchlib.merge_floors_file(repo_dir, timings, stream, canary)
         print(f"# floors merged into {benchlib.FLOORS_FILE}", flush=True)
+    elif sf == 0.1:
+        print("# floors NOT merged (advisory run)", flush=True)
 
     # the FINAL stdout line is what the driver tails (last 2,000 chars)
     # and must stay parseable no matter how the catalog grows — r09's

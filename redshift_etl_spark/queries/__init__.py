@@ -81,15 +81,15 @@ _MUST_RUN_STATIC = frozenset(
 )
 
 
-def _sweep_driver_rounds() -> frozenset:
+def _sweep_driver_rounds() -> tuple[frozenset, frozenset]:
     """Fold every CORRECTNESS_r{N}.json the driver has written (repo
     root, two levels above this package) into _LAST_GREEN, so the
     staleness ordering self-maintains: a query's tier is the newest
     round whose row was fully green (rows+schema+hash). Hash-red rows
     keep their previous tier and therefore re-run at the head of the
     next window.
-    Returns the names still owed a green row from the static must-run
-    head."""
+    Returns (names still owed a green row from the static must-run
+    head, names that have appeared in ANY driver round)."""
     import glob
     import json
     import os
@@ -104,6 +104,7 @@ def _sweep_driver_rounds() -> frozenset:
     # row for the new contract.
     reshaped_in = {"approx_distinct": 7, "compression_signals": 7}
     seen_green: set[str] = set()
+    seen_any: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -119,6 +120,7 @@ def _sweep_driver_rounds() -> frozenset:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            seen_any.add(name)
             ok = (
                 row.get("rows_match")
                 and row.get("schema_match")
@@ -129,10 +131,34 @@ def _sweep_driver_rounds() -> frozenset:
             if ok:
                 _LAST_GREEN[name] = max(_LAST_GREEN.get(name, 0), rnd)
                 seen_green.add(name)
-    return frozenset(_MUST_RUN_STATIC - seen_green)
+    return (
+        frozenset(_MUST_RUN_STATIC - seen_green),
+        frozenset(seen_any),
+    )
 
 
-_MUST_RUN = _sweep_driver_rounds()
+_MUST_RUN, _SEEN_ANY = _sweep_driver_rounds()
+
+
+def _tier(n: str) -> float:
+    """Effective staleness tier (lower runs earlier):
+
+    - driver-green at round N → N (stale evidence refreshes oldest-first)
+    - driver-RAN-but-never-green → 0 (a red row is urgent: re-run at
+      the absolute head)
+    - BRAND-NEW (never in any driver round) → just behind the OLDEST
+      verified cohort (r10 verdict item 4): the driver window is ~50
+      slots, so a tier-0 new query would displace the oldest stale
+      cohort one-for-one and its evidence would silently age past the
+      rotation. New queries are verified at three SFs by driver_sim
+      before commit and swept in full by the judge, so deferring their
+      first DRIVER row one round costs nothing; letting stale evidence
+      decay does."""
+    if n in _LAST_GREEN:
+        return float(_LAST_GREEN[n])
+    if n in _SEEN_ANY:
+        return 0.0
+    return (min(_LAST_GREEN.values()) if _LAST_GREEN else 0) + 0.5
 
 
 def _prioritized(merged: dict) -> dict:
@@ -143,7 +169,7 @@ def _prioritized(merged: dict) -> dict:
         merged,
         key=lambda n: (
             0 if n in _MUST_RUN else 1,
-            _LAST_GREEN.get(n, 0),
+            _tier(n),
             order[n],
         ),
     )
