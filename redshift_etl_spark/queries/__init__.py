@@ -3,11 +3,12 @@ from . import (  # noqa: F401
     curation,
     llm_data,
     relational,
+    sqltext,
     tables,
     tpch_shapes,
 )
 
-_MODULES = (llm_data, tpch_shapes, agent_metrics, relational, curation)
+_MODULES = (llm_data, tpch_shapes, agent_metrics, relational, curation, sqltext)
 
 # Registration order IS the driver's execution order (dicts preserve
 # insertion order), and the driver caps its run at ~50 entries per

@@ -2,12 +2,14 @@
 SparkSession (none of our engine confs), entry() smoke at sf0.001, then
 every queries() entry vs its oracle_sql() twin via DuckDB at sf0.01.
 Usage: python scripts/driver_sim.py [--quick] [--only name1,name2,...]
-                                    [--sf DIR]
+                                    [--sf DIR] [--out FILE]
   --quick  first 4 registry entries only (~2 min)
   --only   comma-separated query names (targeted re-verification)
   --sf     testdata dir (default /root/testdata/sf0.01); running the
            full catalog at a second SF guards against queries that only
            pass on one data distribution
+  --out    write per-query rows in the driver's CORRECTNESS format
+           (committed for second-SF sweeps, e.g. CORRECTNESS_SF01.json)
 """
 
 from __future__ import annotations
@@ -65,11 +67,24 @@ def main() -> None:
         names = names[:4]
     failed = []
     times: dict[str, float] = {}
+    record: dict[str, dict] = {}
     for name in names:
         t0 = time.monotonic()
-        df = queries[name](spark, SF)
-        sp_cols = [c.lower() for c in df.columns]
-        sp_rows = [tuple(r) for r in df.collect()]
+        try:
+            df = queries[name](spark, SF)
+            sp_cols = [c.lower() for c in df.columns]
+            sp_rows = [tuple(r) for r in df.collect()]
+        except Exception as exc:  # record, don't abort the sweep
+            times[name] = time.monotonic() - t0
+            spark.catalog.clearCache()
+            print(f"  {name}: ERROR {exc}")
+            failed.append(name)
+            record[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": str(exc)[:500],
+            }
+            continue
         times[name] = time.monotonic() - t0
         # operators persist multi-consumer frames whose consumers live
         # in the returned lazy plan, so they can't unpersist themselves
@@ -79,19 +94,38 @@ def main() -> None:
         if name not in oracles:
             print(f"  {name}: rows-only check, {len(sp_rows)} rows "
                   f"[{times[name]:.2f}s]")
+            record[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(sp_rows),
+                "oracle_rows": None, "err": None,
+            }
             continue
         rel = con.execute(oracles[name])
         dk_cols = [d[0].lower() for d in rel.description]
         dk_rows = rel.fetchall()
-        ok = (
-            sorted(sp_cols) == sorted(dk_cols)
-            and len(sp_rows) == len(dk_rows)
-            and rows_key(sp_rows, sp_cols) == rows_key(dk_rows, dk_cols)
+        rows_ok = len(sp_rows) == len(dk_rows)
+        schema_ok = sorted(sp_cols) == sorted(dk_cols)
+        hash_ok = schema_ok and rows_key(sp_rows, sp_cols) == rows_key(
+            dk_rows, dk_cols
         )
+        ok = rows_ok and schema_ok and hash_ok
         print(f"  {name}: {'MATCH' if ok else 'MISMATCH'} "
               f"({len(sp_rows)} rows) [{times[name]:.2f}s]")
         if not ok:
             failed.append(name)
+        record[name] = {
+            "rows_match": rows_ok, "schema_match": schema_ok,
+            "hash_match": hash_ok, "spark_rows": len(sp_rows),
+            "oracle_rows": len(dk_rows), "err": None,
+        }
+    if "--out" in sys.argv:
+        import json
+
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        with open(out_path, "w") as fh:
+            json.dump({"sf_dir": SF, "rows": record}, fh, indent=1)
+            fh.write("\n")
+        print(f"wrote {len(record)} rows to {out_path}")
     slow = sorted(times.items(), key=lambda kv: -kv[1])[:10]
     print("slowest:", ", ".join(f"{n}={t:.1f}s" for n, t in slow))
     print(f"total spark-side: {sum(times.values()):.1f}s over {len(times)}")
