@@ -285,3 +285,107 @@ def kaplan_meier(
         .select("day", "n_at_risk", "n_events", "n_censored", "ln_s_micro")
         .orderBy("day")
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_pred: Column,
+    censor_ts: str,
+    group_col: Column,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) — "do these two cohorts
+    convert/churn at the same rate?" asked properly: the standard
+    significance test for comparing the survival curves
+    :func:`kaplan_meier` draws, correct under right censoring where a
+    two-proportion z-test (``ab_test_report``) silently isn't (a user
+    censored early is neither a success nor a failure).
+
+    Per pooled event day t: with n_g at risk and d_g events in group g,
+    group 1's expected events are e_1t = d_t·n_1t/n_t and the
+    hypergeometric variance is
+    v_t = d_t·(n_1t/n_t)·(n_2t/n_t)·(n_t−d_t)/(n_t−1);
+    Z = (O_1 − E_1)/√V with O_1 = Σd_1t, E_1 = Σe_1t, V = Σv_t, and
+    chi² = Z².
+
+    ``group_col`` must evaluate to 0 or 1 per input row and be constant
+    per user (the cohort assignment); the per-user value is taken with
+    MIN. Entry/event/censor semantics match :func:`kaplan_meier`
+    exactly, so the test and the curves it compares share one clock.
+
+    Exactness (the KM discipline): d, c, n per day are exact BIGINTs
+    from suffix sums on the calendar-bounded day frame; each day's
+    e_1t and v_t are nano-rounded to integers (ONE fixed IEEE
+    expression of exact BIGINTs each — the psi/benford chi-square
+    policy) and summed as integers, so O−E and V are engine- and
+    partitioning-exact; Z and chi² are one final IEEE expression.
+    Days with n_t ≤ 1 carry no variance (standard convention).
+    Returns ONE row: (n_g1, n_g2, events_g1, events_g2, o_minus_e,
+    var_sum, z, chi2); z/chi2 are NULL when V = 0 (no comparable
+    event days — e.g. a group is empty)."""
+    from pyspark.sql import Window
+
+    per_user = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(F.col(ts_col)).alias("__entry"),
+        F.min(F.when(event_pred, F.col(ts_col))).alias("__ev"),
+        F.min(group_col.cast("long")).alias("__g"),
+    )
+    end = F.coalesce(F.col("__ev"), F.lit(censor_ts).cast("timestamp"))
+    dur = per_user.select(
+        F.datediff(F.to_date(end), F.to_date(F.col("__entry"))).alias("day"),
+        F.col("__ev").isNotNull().cast("long").alias("__e"),
+        "__g",
+    )
+    g1 = F.col("__g") == 1
+    cells = dur.groupBy("day").agg(
+        F.sum(F.when(g1, F.col("__e")).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(~g1, F.col("__e")).otherwise(0)).cast("long").alias("d2"),
+        F.sum(F.when(g1, 1 - F.col("__e")).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(~g1, 1 - F.col("__e")).otherwise(0)).cast("long").alias("c2"),
+    )
+    w_suffix = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ar = cells.select(
+        "day", "d1", "d2",
+        F.sum(F.col("d1") + F.col("c1")).over(w_suffix).cast("long").alias("n1"),
+        F.sum(F.col("d2") + F.col("c2")).over(w_suffix).cast("long").alias("n2"),
+    )
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    e1_nano = F.when(
+        (F.col("d1") + F.col("d2")) > 0,
+        F.round(d * n1 / n * 1e9).cast("long"),
+    ).otherwise(F.lit(0))
+    v_nano = F.when(
+        ((F.col("d1") + F.col("d2")) > 0) & ((F.col("n1") + F.col("n2")) > 1),
+        F.round(
+            d * n1 * n2 * (n - d) / (n * n * (n - 1.0)) * 1e9
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    sums = ar.agg(
+        F.sum("d1").cast("long").alias("__o1"),
+        F.sum(e1_nano).cast("long").alias("__e1n"),
+        F.sum(v_nano).cast("long").alias("__vn"),
+    )
+    totals = dur.agg(
+        F.sum(F.when(g1, 1).otherwise(0)).cast("long").alias("n_g1"),
+        F.sum(F.when(~g1, 1).otherwise(0)).cast("long").alias("n_g2"),
+        F.sum(F.when(g1, F.col("__e")).otherwise(0)).cast("long")
+        .alias("events_g1"),
+        F.sum(F.when(~g1, F.col("__e")).otherwise(0)).cast("long")
+        .alias("events_g2"),
+    )
+    ome = (F.col("__o1").cast("double") * 1e9 - F.col("__e1n")) / 1e9
+    var = F.col("__vn").cast("double") / 1e9
+    z = F.when(F.col("__vn") > 0, ome / F.sqrt(var))
+    return totals.crossJoin(F.broadcast(sums)).select(
+        "n_g1", "n_g2", "events_g1", "events_g2",
+        ome.alias("o_minus_e"),
+        var.alias("var_sum"),
+        z.alias("z"),
+        (z * z).alias("chi2"),
+    )

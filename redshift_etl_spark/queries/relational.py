@@ -6148,3 +6148,106 @@ def contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected"),
         resid.alias("adj_residual"),
     ).orderBy("event_type", "dow")
+
+
+# ---------------------------------------------------------------------------
+# Two-sample log-rank test (funnel.log_rank_test): do the even- and
+# odd-user cohorts reach first purchase at the same rate, under right
+# censoring? Completes the survival family the r10 Kaplan–Meier curve
+# started (reference analog: the campaign-comparison questions the
+# Salesforce SP_* reports answer with plain rates, stated correctly).
+# ---------------------------------------------------------------------------
+
+_LOGRANK_ORACLE = """
+WITH pu AS (
+  SELECT user_id, MIN(ts) AS entry,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS ev,
+         CAST(MIN(user_id % 2) AS BIGINT) AS g
+  FROM events GROUP BY 1
+),
+dur AS (
+  SELECT date_diff('day', CAST(entry AS DATE),
+           CAST(COALESCE(ev, TIMESTAMP '2024-01-31 00:00:00') AS DATE))
+           AS day,
+         CASE WHEN ev IS NOT NULL THEN 1 ELSE 0 END AS e, g
+  FROM pu
+),
+cells AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN g = 1 THEN e ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN g <> 1 THEN e ELSE 0 END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 - e ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN g <> 1 THEN 1 - e ELSE 0 END) AS BIGINT) AS c2
+  FROM dur GROUP BY 1
+),
+ar AS (
+  SELECT day, d1, d2,
+         CAST(SUM(d1 + c1) OVER (
+           ORDER BY day DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1,
+         CAST(SUM(d2 + c2) OVER (
+           ORDER BY day DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n2
+  FROM cells
+),
+terms AS (
+  SELECT d1,
+    CASE WHEN d1 + d2 > 0 THEN CAST(ROUND(
+      CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+      / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) * 1e9) AS BIGINT)
+      ELSE 0 END AS e1n,
+    CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1 THEN CAST(ROUND(
+      CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)) * 1e9)
+      AS BIGINT) ELSE 0 END AS vn
+  FROM ar
+),
+sums AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(e1n) AS BIGINT) AS e1n,
+         CAST(SUM(vn) AS BIGINT) AS vn
+  FROM terms
+),
+totals AS (
+  SELECT CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_g1,
+         CAST(SUM(CASE WHEN g <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_g2,
+         CAST(SUM(CASE WHEN g = 1 THEN e ELSE 0 END) AS BIGINT) AS events_g1,
+         CAST(SUM(CASE WHEN g <> 1 THEN e ELSE 0 END) AS BIGINT) AS events_g2
+  FROM dur
+)
+SELECT n_g1, n_g2, events_g1, events_g2,
+       (CAST(o1 AS DOUBLE) * 1e9 - e1n) / 1e9 AS o_minus_e,
+       CAST(vn AS DOUBLE) / 1e9 AS var_sum,
+       CASE WHEN vn > 0 THEN
+         ((CAST(o1 AS DOUBLE) * 1e9 - e1n) / 1e9)
+         / sqrt(CAST(vn AS DOUBLE) / 1e9) END AS z,
+       CASE WHEN vn > 0 THEN
+         (((CAST(o1 AS DOUBLE) * 1e9 - e1n) / 1e9)
+          / sqrt(CAST(vn AS DOUBLE) / 1e9))
+         * (((CAST(o1 AS DOUBLE) * 1e9 - e1n) / 1e9)
+            / sqrt(CAST(vn AS DOUBLE) / 1e9)) END AS chi2
+FROM totals CROSS JOIN sums
+"""
+
+
+@_q("survival_logrank", _LOGRANK_ORACLE)
+def survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test of time-to-first-purchase between the even- and
+    odd-user cohorts (`funnel.log_rank_test`): the censoring-correct
+    counterpart of `ab_purchase_ztest` — a user censored early is
+    neither a conversion nor a failure, which a plain two-proportion z
+    misstates. Per-day expected/variance terms are nano-fixed integers
+    off exact BIGINT risk sets (the KM/psi discipline); Z and chi² are
+    one final IEEE expression each."""
+    from ..operators import funnel as FN
+
+    ev = load(spark, sf_dir, "events")
+    return FN.log_rank_test(
+        ev,
+        "user_id",
+        "ts",
+        F.col("event_type") == "purchase",
+        "2024-01-31 00:00:00",
+        F.col("user_id") % 2,
+    )

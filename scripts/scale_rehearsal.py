@@ -320,6 +320,30 @@ REHEARSAL = (
     # synthetic ~1000x pair growth (see the leakage_free_split note),
     # not the engine. The candidate side's slope is measured via
     # dedup_minhash_lsh's density proxies.
+    # r11 (verdict r10 item 5 — the windowed/join shapes among the r10
+    # rotation refreshes that never had probes):
+    "retention_cohorts",      # one user-grain agg + cohort-week cell
+                              # agg + sizes join; cells bounded by
+                              # weeks^2, rows linear
+    "fuzzy_pairs_lev1",       # deletion-variant (lemma) equi-join;
+                              # replicas SHARE p_name so the distinct-
+                              # name projection dedups them — the
+                              # candidate join is bounded by the name
+                              # universe (the adversarial case is a
+                              # hot lemma; deletion variants cap the
+                              # per-lemma bucket at |name|+1)
+    "interval_coverage",      # boundary sweep: 2 points/interval, one
+                              # per-type range exchange + cumsum
+    "peak_concurrency",       # same boundary sweep + 1-row-per-type
+                              # peak join; replicas share the 30-day
+                              # range so per-type point streams
+                              # densify 10x (work linear in points)
+    "ann_index_recall",       # truth side is brute-force cosine of a
+                              # FIXED 5-query set vs the corpus —
+                              # query-count-bounded (5 x n), linear in
+                              # the corpus, never corpus-quadratic;
+                              # probe side reads bounded cells of the
+                              # committed store
 )
 
 # Measured-cause annotations, emitted INTO the report next to the slope
@@ -710,8 +734,67 @@ def main() -> None:
         )
 
     _forget_keys_probe(spark, report, only)
+    _krippendorff_100x_probe(spark, report, only)
     print(json.dumps({"metric": "scale_rehearsal", "replicas": REPLICAS,
                       "queries": report}))
+
+
+OUT_100X_DOCS = "/tmp/spark_graft_sfbig100_docs"
+
+
+def _krippendorff_100x_probe(spark, report: dict, only: set | None) -> None:
+    """Direct 100x witness (verdict r10 item 8): krippendorff_lang's
+    post-scan state is |categories|^2-bounded (the coincidence matrix)
+    and its item self-join emits <= R(R-1) pair rows per item, so at
+    100x data the wall should grow ~linearly with the scan and the
+    statistic's memory footprint not at all. The documents table is the
+    query's only input, so the fixture replicates just it (100 replicas,
+    doc_id offsets, suffix-tagged text — same scheme as the 10x
+    fixture)."""
+    import duckdb
+
+    if only is not None and "krippendorff_lang_100x" not in only:
+        return
+    out = pathlib.Path(OUT_100X_DOCS)
+    if not (out / "documents.parquet").exists():
+        out.mkdir(parents=True, exist_ok=True)
+        con = duckdb.connect()
+        rep100 = "(SELECT unnest(range(100)) AS __i)"
+        con.execute(
+            f"""COPY (SELECT doc_id + __i * {OFF} AS doc_id,
+           CASE WHEN __i = 0 THEN text
+                ELSE text || ' rep' || __i || 'x' || doc_id END AS text,
+           CASE WHEN __i = 0 THEN n_chars ELSE n_chars +
+                length(' rep' || __i || 'x' || doc_id) END AS n_chars,
+           * EXCLUDE (doc_id, text, n_chars)
+           FROM '{SRC}/documents.parquet' CROSS JOIN {rep100})
+           TO '{OUT_100X_DOCS}/documents.parquet' (FORMAT PARQUET)"""
+        )
+    from redshift_etl_spark import queries as Q
+
+    fn = Q.all_queries()["krippendorff_lang"]
+    times = {}
+    for label, d in (("sf0.1", SRC), ("sfbig100", OUT_100X_DOCS)):
+        t0 = time.time()
+        fn(spark, d).count()
+        times[label] = round(time.time() - t0, 3)
+    slope = round(times["sfbig100"] / max(times["sf0.1"], 1e-9), 2)
+    report["krippendorff_lang_100x"] = {
+        **times,
+        "slope_at_100x": slope,
+        "note": (
+            "100x-replica probe (not 10x): the coincidence matrix is "
+            "|categories|^2-bounded and the item self-join emits <= "
+            "R(R-1)=6 pair rows per item, so the slope is the linear "
+            "scan+agg growth only — compare against 100x, not the 2.5x "
+            "bar the 10x probes use."
+        ),
+    }
+    print(
+        f"# krippendorff_lang_100x: {times} "
+        f"(100x docs -> {slope}x time)",
+        flush=True,
+    )
 
 
 def _forget_keys_probe(spark, report: dict, only: set | None) -> None:
