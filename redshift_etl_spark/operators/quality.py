@@ -1075,3 +1075,250 @@ def per_class_prf(
         )
         .orderBy("class")
     )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    variant_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test + Mantel–Haenszel common odds
+    ratio across strata — the Simpson's-paradox-proof A/B readout:
+    `ab_test_report`'s pooled z can reverse sign when a confounder
+    (region, cohort, weekday) is unevenly split across variants; CMH
+    conditions on each stratum's margins and pools only the signal.
+
+    Per stratum k with variant-a successes a_k of n1_k, variant-b
+    successes c_k of n2_k, N_k = n1_k + n2_k, m_k = a_k + c_k:
+
+        chi2 = ( Σ_k (a_k − n1_k·m_k/N_k) )²
+               / Σ_k n1_k·n2_k·m_k·(N_k−m_k) / (N_k²·(N_k−1))
+        OR_MH = Σ_k a_k·d_k/N_k  /  Σ_k b_k·c_k/N_k
+
+    (no continuity correction — the SciPy/R ``correct=False`` form,
+    stated so the twin is unambiguous).
+
+    Exactness: the 2×2 cells per stratum are exact BIGINTs from ONE
+    hash agg; each stratum's expected/variance/OR terms are
+    nano-rounded integers (one fixed IEEE expression of exact ints
+    each — the log-rank/psi discipline) summed exactly; chi2 and OR
+    are one final IEEE expression. Strata with N_k ≤ 1 carry no
+    variance; a stratum missing a variant contributes zeros (its
+    margins fix the cell). The contract is exactly two variants
+    (name-min = a, name-max = b, the ab_test_report rule): any other
+    count reports NULL chi2/OR with n_variants saying what arrived.
+    Scale shape: one (stratum, variant) hash agg, then everything
+    lives on the stratum frame. Returns ONE row: (n_variants,
+    n_strata, variant_a, n_a, x_a, variant_b, n_b, x_b, chi2_cmh,
+    or_mh)."""
+    y = F.col(success_col).cast("long")
+    cells = df.groupBy(
+        F.col(stratum_col).alias("__s"), F.col(variant_col).alias("__v")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.coalesce(F.sum(y), F.lit(0)).cast("long").alias("__x"),
+    )
+    nv = cells.select("__v").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min("__v").alias("variant_a"),
+        F.max("__v").alias("variant_b"),
+    )
+    strata = cells.crossJoin(F.broadcast(nv)).groupBy("__s").agg(
+        F.first("n_variants").alias("n_variants"),
+        F.first("variant_a").alias("variant_a"),
+        F.first("variant_b").alias("variant_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("__v") == F.col("variant_a"), F.col("__n"))),
+            F.lit(0),
+        ).cast("long").alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("__v") == F.col("variant_a"), F.col("__x"))),
+            F.lit(0),
+        ).cast("long").alias("a"),
+        F.coalesce(
+            F.sum(F.when(F.col("__v") == F.col("variant_b"), F.col("__n"))),
+            F.lit(0),
+        ).cast("long").alias("n2"),
+        F.coalesce(
+            F.sum(F.when(F.col("__v") == F.col("variant_b"), F.col("__x"))),
+            F.lit(0),
+        ).cast("long").alias("c"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    a = F.col("a").cast("double")
+    c = F.col("c").cast("double")
+    b = n1 - a
+    d = n2 - c
+    nk = n1 + n2
+    mk = a + c
+    e_nano = F.when(nk > 0, F.round(n1 * mk / nk * 1e9).cast("long")).otherwise(
+        F.lit(0)
+    )
+    v_nano = F.when(
+        nk > 1,
+        F.round(n1 * n2 * mk * (nk - mk) / (nk * nk * (nk - 1.0)) * 1e9)
+        .cast("long"),
+    ).otherwise(F.lit(0))
+    or_num_nano = F.when(nk > 0, F.round(a * d / nk * 1e9).cast("long")).otherwise(
+        F.lit(0)
+    )
+    or_den_nano = F.when(nk > 0, F.round(b * c / nk * 1e9).cast("long")).otherwise(
+        F.lit(0)
+    )
+    sums = strata.agg(
+        F.first("n_variants").alias("n_variants"),
+        F.first("variant_a").alias("variant_a"),
+        F.first("variant_b").alias("variant_b"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("n1").cast("long").alias("n_a"),
+        F.sum("a").cast("long").alias("x_a"),
+        F.sum("n2").cast("long").alias("n_b"),
+        F.sum("c").cast("long").alias("x_b"),
+        F.sum("a").cast("long").alias("__oa"),
+        F.sum(e_nano).cast("long").alias("__en"),
+        F.sum(v_nano).cast("long").alias("__vn"),
+        F.sum(or_num_nano).cast("long").alias("__orn"),
+        F.sum(or_den_nano).cast("long").alias("__ord"),
+    )
+    two = F.col("n_variants") == 2
+    ome = (F.col("__oa").cast("double") * 1e9 - F.col("__en")) / 1e9
+    chi2 = F.when(
+        two & (F.col("__vn") > 0),
+        ome * ome / (F.col("__vn").cast("double") / 1e9),
+    )
+    or_mh = F.when(
+        two & (F.col("__ord") > 0),
+        F.col("__orn").cast("double") / F.col("__ord").cast("double"),
+    )
+    return sums.select(
+        "n_variants", "n_strata", "variant_a", "n_a", "x_a",
+        "variant_b", "n_b", "x_b",
+        chi2.alias("chi2_cmh"), or_mh.alias("or_mh"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a: Column,
+    correct_b: Column,
+) -> DataFrame:
+    """McNemar's test — do two classifiers scored on the SAME items
+    differ? The paired test the eval family was missing: comparing two
+    accuracies with a two-proportion z ignores that the predictions
+    pair on items, wasting the items both get right/wrong and
+    overstating variance. Only the DISCORDANT pairs carry signal:
+
+        b = #(A right, B wrong),  c = #(A wrong, B right)
+        chi2 = (b − c)² / (b + c)
+
+    (no continuity correction — stated for the twin). ``correct_a`` /
+    ``correct_b`` are boolean columns on the item frame. Exactness:
+    b and c are exact BIGINTs from ONE hash agg; chi2 is one IEEE
+    expression; b + c = 0 (no discordant items) reports NULL rather
+    than fake agreement-as-significance. Returns ONE row:
+    (n_items, n_both_right, n_both_wrong, n_a_only, n_b_only, chi2)."""
+    ca = correct_a.cast("boolean")
+    cb = correct_b.cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum((ca & cb).cast("long")).cast("long").alias("n_both_right"),
+        F.sum((~ca & ~cb).cast("long")).cast("long").alias("n_both_wrong"),
+        F.sum((ca & ~cb).cast("long")).cast("long").alias("n_a_only"),
+        F.sum((~ca & cb).cast("long")).cast("long").alias("n_b_only"),
+    )
+    b = F.col("n_a_only").cast("double")
+    c = F.col("n_b_only").cast("double")
+    chi2 = F.when(
+        (F.col("n_a_only") + F.col("n_b_only")) > 0,
+        (b - c) * (b - c) / (b + c),
+    )
+    return agg.select(
+        "n_items", "n_both_right", "n_both_wrong",
+        "n_a_only", "n_b_only", chi2.alias("chi2"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Welch's unequal-variance t-test on a CONTINUOUS outcome — the
+    revenue-per-user counterpart of `ab_test_report`'s conversion z
+    (Student's equal-variance form is never safer; Welch is the
+    default modern texts recommend):
+
+        t  = (m_a − m_b) / √(s²_a/n_a + s²_b/n_b)
+        df = (s²_a/n_a + s²_b/n_b)² /
+             ( (s²_a/n_a)²/(n_a−1) + (s²_b/n_b)²/(n_b−1) )
+
+    Exactness (the moments discipline): values are fixed to the
+    ``scale`` integer grid (default cents) BEFORE aggregation, so n,
+    Σy and Σy² per variant are exact BIGINTs from ONE hash agg —
+    partitioning-exact where a double running sum is not; means,
+    sample variances (n−1), t and df are fixed IEEE expressions of
+    those ints. Overflow bound: Σy² must fit int64 — at cents that is
+    ~9e18, i.e. ~10⁹ rows of |value| ≤ 3e4; raise to the DECIMAL
+    spelling past that. Exactly-two-variants contract (name-min = a):
+    otherwise t/df are NULL with n_variants saying what arrived;
+    n < 2 or zero pooled SE also report NULL. Returns ONE row:
+    (n_variants, variant_a, n_a, mean_a, variant_b, n_b, mean_b,
+    t, df)."""
+    yi = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    per = df.groupBy(F.col(variant_col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.coalesce(F.sum(yi), F.lit(0)).cast("long").alias("__s1"),
+        F.coalesce(F.sum(yi * yi), F.lit(0)).cast("long").alias("__s2"),
+    )
+    picked = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min_by(F.col("__v"), F.col("__v")).alias("variant_a"),
+        F.min_by(F.col("__n"), F.col("__v")).cast("long").alias("n_a"),
+        F.min_by(F.col("__s1"), F.col("__v")).cast("long").alias("__s1a"),
+        F.min_by(F.col("__s2"), F.col("__v")).cast("long").alias("__s2a"),
+        F.max_by(F.col("__v"), F.col("__v")).alias("variant_b"),
+        F.max_by(F.col("__n"), F.col("__v")).cast("long").alias("n_b"),
+        F.max_by(F.col("__s1"), F.col("__v")).cast("long").alias("__s1b"),
+        F.max_by(F.col("__s2"), F.col("__v")).cast("long").alias("__s2b"),
+    )
+    sc = float(scale)
+
+    def _stats(s1, s2, n):
+        nn = n.cast("double")
+        mean = s1.cast("double") / (nn * sc)
+        var = F.when(
+            n > 1,
+            (s2.cast("double") - s1.cast("double") * s1.cast("double") / nn)
+            / ((nn - 1) * sc * sc),
+        )
+        return mean, var
+
+    ma, va = _stats(F.col("__s1a"), F.col("__s2a"), F.col("n_a"))
+    mb, vb = _stats(F.col("__s1b"), F.col("__s2b"), F.col("n_b"))
+    sea = va / F.col("n_a").cast("double")
+    seb = vb / F.col("n_b").cast("double")
+    se2 = sea + seb
+    ok = (
+        (F.col("n_variants") == 2)
+        & (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & (se2 > 0)
+    )
+    t = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        ok,
+        se2 * se2
+        / (
+            sea * sea / (F.col("n_a").cast("double") - 1)
+            + seb * seb / (F.col("n_b").cast("double") - 1)
+        ),
+    )
+    return picked.select(
+        "n_variants",
+        "variant_a", "n_a", ma.alias("mean_a"),
+        "variant_b", "n_b", mb.alias("mean_b"),
+        t.alias("t"), dof.alias("df"),
+    )

@@ -7904,3 +7904,70 @@ def nb_class_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     return Q.per_class_prf(conf, "source", "predicted", "n")
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired-classifier test (quality.mcnemar_test): marker
+# classifier vs the modal-language baseline on the SAME documents —
+# only the discordant items carry signal; comparing two accuracies
+# with a two-proportion z would ignore the pairing.
+# ---------------------------------------------------------------------------
+
+def _mcnemar_oracle() -> str:
+    inner = _lang_id_oracle()
+    return f"""
+WITH per_doc AS ({inner}),
+base AS (
+  SELECT lang AS modal_lang FROM per_doc
+  GROUP BY lang ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+),
+flags AS (
+  SELECT CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END AS ca,
+         CASE WHEN modal_lang = lang THEN 1 ELSE 0 END AS cb
+  FROM per_doc CROSS JOIN base
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CASE WHEN ca = 1 AND cb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_both_right,
+  CAST(SUM(CASE WHEN ca = 0 AND cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_both_wrong,
+  CAST(SUM(CASE WHEN ca = 1 AND cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_a_only,
+  CAST(SUM(CASE WHEN ca = 0 AND cb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_b_only,
+  CASE WHEN SUM(CASE WHEN ca <> cb THEN 1 ELSE 0 END) > 0 THEN
+    (CAST(SUM(CASE WHEN ca = 1 AND cb = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+     - SUM(CASE WHEN ca = 0 AND cb = 1 THEN 1 ELSE 0 END))
+    * (CAST(SUM(CASE WHEN ca = 1 AND cb = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       - SUM(CASE WHEN ca = 0 AND cb = 1 THEN 1 ELSE 0 END))
+    / (CAST(SUM(CASE WHEN ca = 1 AND cb = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       + SUM(CASE WHEN ca = 0 AND cb = 1 THEN 1 ELSE 0 END))
+  END AS chi2
+FROM flags
+"""
+
+
+@_q("mcnemar_lang_baseline", _mcnemar_oracle())
+def mcnemar_lang_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the marker classifier beat the modal-language baseline
+    SIGNIFICANTLY? McNemar on the paired per-document correctness
+    (`quality.mcnemar_test`): b/c discordant counts are exact BIGINTs
+    from one agg; chi² is one IEEE expression; the modal baseline is a
+    1-row broadcast (count-desc, lang-asc tie) so both classifiers
+    score in the same scan."""
+    from ..operators import quality as Q
+
+    scored = lang_id(spark, sf_dir)
+    modal = (
+        scored.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.expr("min_by(lang, struct(-__n, lang))").alias("modal_lang")
+        )
+    )
+    flags = scored.crossJoin(F.broadcast(modal))
+    return Q.mcnemar_test(
+        flags,
+        F.col("predicted_lang") == F.col("lang"),
+        F.col("modal_lang") == F.col("lang"),
+    )

@@ -6251,3 +6251,171 @@ def survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "2024-01-31 00:00:00",
         F.col("user_id") % 2,
     )
+
+
+# ---------------------------------------------------------------------------
+# CMH stratified A/B (quality.cmh_test): purchase conversion per USER
+# between the parity variants, stratified by the weekday each user
+# entered — the Simpson's-paradox-proof readout beside the pooled
+# ab_purchase_ztest. Day-of-week spelled Spark dayofweek−1 ≡ DuckDB
+# dayofweek (the contingency_residuals convention).
+# ---------------------------------------------------------------------------
+
+_CMH_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(dayofweek(CAST(MIN(ts) AS DATE)) AS BIGINT) AS dow,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT dow, v, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(s), 0) AS BIGINT) AS x
+  FROM pu GROUP BY 1, 2
+),
+nv AS (
+  SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS n_variants,
+         MIN(v) AS variant_a, MAX(v) AS variant_b
+  FROM cells
+),
+strata AS (
+  SELECT dow,
+    CAST(COALESCE(SUM(CASE WHEN v = variant_a THEN n END), 0) AS BIGINT) AS n1,
+    CAST(COALESCE(SUM(CASE WHEN v = variant_a THEN x END), 0) AS BIGINT) AS a,
+    CAST(COALESCE(SUM(CASE WHEN v = variant_b THEN n END), 0) AS BIGINT) AS n2,
+    CAST(COALESCE(SUM(CASE WHEN v = variant_b THEN x END), 0) AS BIGINT) AS c
+  FROM cells CROSS JOIN nv GROUP BY dow
+),
+terms AS (
+  SELECT a, n1, n2, c,
+    CASE WHEN n1 + n2 > 0 THEN CAST(ROUND(
+      CAST(n1 AS DOUBLE) * (a + c) / (n1 + n2) * 1e9) AS BIGINT)
+      ELSE 0 END AS en,
+    CASE WHEN n1 + n2 > 1 THEN CAST(ROUND(
+      CAST(n1 AS DOUBLE) * n2 * (a + c) * (n1 + n2 - a - c)
+      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1.0)) * 1e9)
+      AS BIGINT) ELSE 0 END AS vn,
+    CASE WHEN n1 + n2 > 0 THEN CAST(ROUND(
+      CAST(a AS DOUBLE) * (n2 - c) / (n1 + n2) * 1e9) AS BIGINT)
+      ELSE 0 END AS orn,
+    CASE WHEN n1 + n2 > 0 THEN CAST(ROUND(
+      CAST(n1 - a AS DOUBLE) * c / (n1 + n2) * 1e9) AS BIGINT)
+      ELSE 0 END AS ord_
+  FROM strata
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(n1) AS BIGINT) AS n_a, CAST(SUM(a) AS BIGINT) AS x_a,
+         CAST(SUM(n2) AS BIGINT) AS n_b, CAST(SUM(c) AS BIGINT) AS x_b,
+         CAST(SUM(a) AS BIGINT) AS oa,
+         CAST(SUM(en) AS BIGINT) AS en, CAST(SUM(vn) AS BIGINT) AS vn,
+         CAST(SUM(orn) AS BIGINT) AS orn, CAST(SUM(ord_) AS BIGINT) AS ord_
+  FROM terms
+)
+SELECT n_variants, n_strata, variant_a, n_a, x_a, variant_b, n_b, x_b,
+  CASE WHEN n_variants = 2 AND vn > 0 THEN
+    ((CAST(oa AS DOUBLE) * 1e9 - en) / 1e9)
+    * ((CAST(oa AS DOUBLE) * 1e9 - en) / 1e9)
+    / (CAST(vn AS DOUBLE) / 1e9) END AS chi2_cmh,
+  CASE WHEN n_variants = 2 AND ord_ > 0 THEN
+    CAST(orn AS DOUBLE) / ord_ END AS or_mh
+FROM sums CROSS JOIN nv
+"""
+
+
+@_q("cmh_purchase_dow", _CMH_ORACLE)
+def cmh_purchase_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel purchase-conversion test between the
+    user-parity variants, stratified by each user's entry weekday
+    (`quality.cmh_test`): the pooled z can reverse sign when a
+    confounder splits unevenly across variants; CMH conditions on each
+    stratum's margins. Per-stratum expected/variance/odds terms are
+    nano-fixed integers off exact BIGINT cells (the log-rank/psi
+    discipline); chi² and OR_MH are one final IEEE expression each."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        (F.dayofweek(F.to_date(F.min("ts"))) - 1).cast("long").alias("dow"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("s"),
+    ).select(
+        "dow",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("v"),
+        "s",
+    )
+    return Q.cmh_test(pu, "dow", "v", "s")
+
+
+# ---------------------------------------------------------------------------
+# Welch t-test on event VALUE (quality.welch_ttest): the continuous-
+# outcome counterpart of ab_purchase_ztest — revenue per event, not
+# conversion. Moments are exact BIGINTs on the cents grid.
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH t AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         CAST(ROUND(value * 100) AS BIGINT) AS yi
+  FROM events
+),
+per AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(yi), 0) AS BIGINT) AS s1,
+         CAST(COALESCE(SUM(yi * yi), 0) AS BIGINT) AS s2
+  FROM t GROUP BY 1
+),
+p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_variants,
+         min_by(v, v) AS variant_a,
+         CAST(min_by(n, v) AS BIGINT) AS n_a,
+         CAST(min_by(s1, v) AS BIGINT) AS s1a,
+         CAST(min_by(s2, v) AS BIGINT) AS s2a,
+         max_by(v, v) AS variant_b,
+         CAST(max_by(n, v) AS BIGINT) AS n_b,
+         CAST(max_by(s1, v) AS BIGINT) AS s1b,
+         CAST(max_by(s2, v) AS BIGINT) AS s2b
+  FROM per
+),
+s AS (
+  SELECT n_variants, variant_a, n_a,
+         CAST(s1a AS DOUBLE) / (n_a * 100.0) AS mean_a,
+         variant_b, n_b,
+         CAST(s1b AS DOUBLE) / (n_b * 100.0) AS mean_b,
+         CASE WHEN n_a > 1 THEN
+           (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_a)
+           / ((n_a - 1) * 100.0 * 100.0) END AS va,
+         CASE WHEN n_b > 1 THEN
+           (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_b)
+           / ((n_b - 1) * 100.0 * 100.0) END AS vb
+  FROM p
+)
+SELECT n_variants, variant_a, n_a, mean_a, variant_b, n_b, mean_b,
+  CASE WHEN n_variants = 2 AND n_a > 1 AND n_b > 1
+            AND va / n_a + vb / n_b > 0
+  THEN (mean_a - mean_b) / sqrt(va / n_a + vb / n_b) END AS t,
+  CASE WHEN n_variants = 2 AND n_a > 1 AND n_b > 1
+            AND va / n_a + vb / n_b > 0
+  THEN (va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+       / ((va / n_a) * (va / n_a) / (n_a - 1)
+          + (vb / n_b) * (vb / n_b) / (n_b - 1)) END AS df
+FROM s
+"""
+
+
+@_q("ab_value_welch", _WELCH_ORACLE)
+def ab_value_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of event value between the
+    user-parity variants (`quality.welch_ttest`): the revenue-per-event
+    counterpart of the conversion z-test. n, Σy, Σy² per variant are
+    exact BIGINTs on the cents grid from ONE hash agg; means/variances/
+    t/df are fixed IEEE expressions of those ints."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("v"),
+        "value",
+    )
+    return Q.welch_ttest(ev, "v", "value", scale=100)

@@ -344,6 +344,12 @@ REHEARSAL = (
                               # the corpus, never corpus-quadratic;
                               # probe side reads bounded cells of the
                               # committed store
+    # r11 second wave (experiment-analysis family — all one/two hash
+    # aggs + calendar/stratum-bounded frames):
+    "survival_logrank",       # user agg + day-frame suffix sums
+    "cmh_purchase_dow",       # user agg + 7-stratum cell folds
+    "ab_value_welch",         # ONE variant hash agg of cents moments
+    "mcnemar_lang_baseline",  # lang projection + 1-row discordant agg
 )
 
 # Measured-cause annotations, emitted INTO the report next to the slope

@@ -102,6 +102,12 @@ ALLOWED = {
         "1-row totals and 1-row marginal-product (pe) frames",
     ("operators/quality.py", "mutual_information"):
         "1-row total and 1-row marginal-entropy scalars",
+    ("operators/quality.py", "cmh_test"):
+        "1-row variant-name frame (n_variants, variant_a, variant_b)",
+    ("operators/funnel.py", "log_rank_test"):
+        "1-row O/E/V sums frame attached to the 1-row totals",
+    ("queries/llm_data.py", "mcnemar_lang_baseline"):
+        "1-row modal-language baseline",
     ("operators/bloom.py", "bloom_prefilter"):
         "sc.broadcast of the packed bitmap: bounded by the max_bits config cap (16 MiB default), data-blind",
     ("operators/quality.py", "krippendorff_alpha"):

@@ -55,6 +55,9 @@ ALLOWED = {
     # bounded by the study-window calendar constant (<= ~31 rows),
     # never by data volume (r10)
     ("operators/funnel.py", "kaplan_meier"),
+    # same day-frame suffix risk sums, per cohort: bounded by the
+    # study-window calendar constant, never by data volume (r11)
+    ("operators/funnel.py", "log_rank_test"),
     # rank over the k TakeOrdered survivors (50 rows by the sample
     # budget config) (r10)
     ("queries/llm_data.py", "weighted_exact_k_sample"),
