@@ -112,3 +112,79 @@ def heavy_hitters(
         .filter(F.col(out_freq) * d > F.col("__n"))
         .select(F.col("item").alias(out_item), out_freq)
     )
+
+
+def join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    a_key: str,
+    b_key: str,
+    rate_per_65536: int = 4096,
+    salt: str = "jse",
+) -> DataFrame:
+    """Equi-join cardinality estimation from a hash-sampled key
+    synopsis — the planner question at 100 TB: "how big would A ⋈ B
+    be?" answered WITHOUT running the join. |A ⋈_k B| = Σ_v
+    cntA(v)·cntB(v); hash-sampling the KEY SPACE (keep v iff
+    md5-bucket16(v) < rate) keeps matching keys on both sides
+    together — a row-level sample would square the rate on the match —
+    and the sampled sum scales by 65536/rate. Deterministic (md5, no
+    RNG): the same synopsis every run, on any engine.
+
+    Scale shape: the sample predicate is a map-side projection, so
+    only ~rate/65536 of each side's keys reach the count agg and the
+    tiny synopsis join; the full tables never shuffle. The TRUE size
+    is also computed (two full count aggs + a key join of the count
+    frames — still never materializing the join itself) so the report
+    carries its own error; at deployment scale a caller reads only
+    the estimate columns and skips the truth pass.
+
+    Bias note: hash-sampling keys is exact on the sampled stratum, so
+    the estimator is unbiased over the key population; heavy-hitter
+    keys landing in/out of the sample dominate the variance — the
+    report's rel_error shows exactly that. Returns ONE row:
+    (n_keys_sampled, est_join_rows, true_join_rows, rel_error)."""
+    from .sampling import hash_bucket16
+
+    rate = int(rate_per_65536)
+
+    def counts(df: DataFrame, key: str, sampled: bool) -> DataFrame:
+        kc = F.col(key)
+        out = df.select(kc.alias("__k")).where(kc.isNotNull())
+        if sampled:
+            out = out.where(hash_bucket16(F.col("__k"), salt) < rate)
+        return out.groupBy("__k").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+
+    sa = counts(a, a_key, True)
+    sb = counts(b, b_key, True).select(
+        F.col("__k"), F.col("__c").alias("__c2")
+    )
+    est = sa.join(sb, "__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_sampled"),
+        F.coalesce(F.sum(F.col("__c") * F.col("__c2")), F.lit(0))
+        .cast("long")
+        .alias("__s"),
+    )
+    fa = counts(a, a_key, False)
+    fb = counts(b, b_key, False).select(
+        F.col("__k"), F.col("__c").alias("__c2")
+    )
+    true = fa.join(fb, "__k").agg(
+        F.coalesce(F.sum(F.col("__c") * F.col("__c2")), F.lit(0))
+        .cast("long")
+        .alias("true_join_rows")
+    )
+    est_rows = F.col("__s").cast("double") * (65536.0 / rate)
+    rel = F.when(
+        F.col("true_join_rows") > 0,
+        (est_rows - F.col("true_join_rows").cast("double"))
+        / F.col("true_join_rows").cast("double"),
+    )
+    return est.crossJoin(F.broadcast(true)).select(
+        "n_keys_sampled",
+        est_rows.alias("est_join_rows"),
+        "true_join_rows",
+        rel.alias("rel_error"),
+    )

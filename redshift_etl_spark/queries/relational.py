@@ -6419,3 +6419,66 @@ def ab_value_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return Q.welch_ttest(ev, "v", "value", scale=100)
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation from a hash-sampled key synopsis
+# (heavy.join_size_estimate): "how big would lineitem ⋈ lineitem on
+# l_partkey be?" answered from ~1/16 of the key space, map-side —
+# the planner primitive for deciding a join strategy at 100 TB before
+# paying for the join. The truth pass (count-frame join, never the
+# join itself) rides along so the report carries its own error.
+# ---------------------------------------------------------------------------
+
+def _hb16(key: str, salt: str) -> str:
+    h = f"md5('{salt}:' || CAST({key} AS VARCHAR))"
+    return (
+        f"(((instr('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 3, 1)) - 1)"
+        f" * 16 + instr('0123456789abcdef', substr({h}, 4, 1)) - 1"
+    )
+
+
+_JSE_ORACLE = f"""
+WITH ks AS (
+  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem
+  WHERE ({_hb16("l_partkey", "jse")}) < 4096
+  GROUP BY 1
+),
+est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_sampled,
+         CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS s
+  FROM ks a JOIN ks b ON a.k = b.k
+),
+kf AS (
+  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1
+),
+tru AS (
+  SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS true_join_rows
+  FROM kf a JOIN kf b ON a.k = b.k
+)
+SELECT n_keys_sampled,
+       CAST(s AS DOUBLE) * (65536.0 / 4096) AS est_join_rows,
+       true_join_rows,
+       CASE WHEN true_join_rows > 0 THEN
+         (CAST(s AS DOUBLE) * (65536.0 / 4096) - true_join_rows)
+         / true_join_rows END AS rel_error
+FROM est CROSS JOIN tru
+"""
+
+
+@_q("join_size_estimate", _JSE_ORACLE)
+def join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality of the lineitem self-join on l_partkey estimated
+    from a deterministic 1/16 hash-sample of the KEY SPACE
+    (`heavy.join_size_estimate`): sampling keys (not rows) keeps both
+    sides of a match together, the sample predicate is map-side, and
+    the synopsis join is tiny — the estimate never shuffles the full
+    table. Truth pass included so the report grades itself."""
+    from ..operators import heavy as H
+
+    li = load(spark, sf_dir, "lineitem")
+    return H.join_size_estimate(li, li, "l_partkey", "l_partkey")

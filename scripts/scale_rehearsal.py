@@ -350,6 +350,9 @@ REHEARSAL = (
     "cmh_purchase_dow",       # user agg + 7-stratum cell folds
     "ab_value_welch",         # ONE variant hash agg of cents moments
     "mcnemar_lang_baseline",  # lang projection + 1-row discordant agg
+    "join_size_estimate",     # map-side 1/16 key-sample predicate +
+                              # two count aggs + tiny synopsis join
+                              # (truth pass included in the timing)
 )
 
 # Measured-cause annotations, emitted INTO the report next to the slope

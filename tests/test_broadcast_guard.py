@@ -104,6 +104,8 @@ ALLOWED = {
         "1-row total and 1-row marginal-entropy scalars",
     ("operators/quality.py", "cmh_test"):
         "1-row variant-name frame (n_variants, variant_a, variant_b)",
+    ("operators/heavy.py", "join_size_estimate"):
+        "1-row true-join-size aggregate attached to the 1-row estimate",
     ("operators/funnel.py", "log_rank_test"):
         "1-row O/E/V sums frame attached to the 1-row totals",
     ("queries/llm_data.py", "mcnemar_lang_baseline"):
