@@ -111,6 +111,17 @@ HEADLINE = (
     "nb_source_confusion",  # in-engine NB classifier fit+score (r10)
     "zipf_fit_report",      # corpus power-law OLS, decimal-exact (r10)
     "stream_drift_probe",   # PSI from the streaming histogram store (r10)
+    "survival_logrank",     # censoring-correct cohort test: user agg +
+                            # day-frame folds (r11)
+    "cmh_purchase_dow",     # stratified A/B: user agg + 7-stratum
+                            # nano-fixed folds (r11)
+    "ab_value_welch",       # continuous-outcome A/B: one variant agg
+                            # of exact cents moments (r11)
+    "mcnemar_lang_baseline",  # paired-classifier discordant agg (r11)
+    "join_size_estimate",   # key-sampled synopsis vs truth pass (r11)
+    "sql_regional_revenue",  # the SQL door: literal text through
+                            # run_sql, same plan as the DataFrame
+                            # original (r11)
 )
 
 

@@ -368,6 +368,34 @@ NOTES = {
         "|C|-row class-constants broadcast -> per-doc rank window -> "
         "confusion cells + 1-row accuracy fold"
     ),
+    # r11:
+    "survival_logrank": (
+        "one user hash agg -> calendar-bounded day frame (suffix risk "
+        "sums per cohort in one window exchange) -> nano-fixed e/v "
+        "terms -> 1-row O/E/V fold broadcast onto the 1-row totals"
+    ),
+    "cmh_purchase_dow": (
+        "one user agg -> one (stratum,variant) hash agg -> 7-row "
+        "stratum frame folds (nano-fixed terms) -> 1-row chi2/OR"
+    ),
+    "ab_value_welch": (
+        "ONE variant hash agg of exact cents moments (n, sum, sum2) "
+        "-> 1-row min_by/max_by pick -> fixed IEEE t/df expressions"
+    ),
+    "mcnemar_lang_baseline": (
+        "marker projection (no shuffle) -> 1-row modal-language "
+        "broadcast -> ONE discordant-pair agg"
+    ),
+    "sql_regional_revenue": (
+        "literal SQL text through run_sql: Catalyst compiles the "
+        "same broadcast-dim star join + single hash agg the "
+        "DataFrame original pins — the SQL door adds no plan cost"
+    ),
+    "join_size_estimate": (
+        "estimate: map-side md5 key-sample predicate -> pruned count "
+        "agg -> tiny synopsis join; truth: two full count aggs joined "
+        "on key (never the data join); 1-row report cross"
+    ),
 }
 
 
