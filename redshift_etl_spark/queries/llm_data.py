@@ -7971,3 +7971,98 @@ def mcnemar_lang_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("predicted_lang") == F.col("lang"),
         F.col("modal_lang") == F.col("lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming top-k monitor — stored heavy-hitter summaries oracled
+# (streaming/topk.py)
+# ---------------------------------------------------------------------------
+
+_TOPK_FLOOR = 10
+_TOPK_K = 15
+_TOPK_CUT = "2024-01-16 00:00:00"
+
+
+def topk_store_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming top-k monitor's summary store as a committed
+    fixture: batch-partitioned (item, n, is_spill, batch_id) parquet
+    built by a deterministic ingest — batch 0 = events before the cut,
+    batch 0 REPLAYED (exercising the batch-id exactly-once skip),
+    batch 1 = the rest; per batch, exact per-user counts at n ≥ floor
+    plus one spill row of the below-floor mass. The probe's SQL twin
+    recomputes the same summaries from the raw events, so a lost,
+    duplicated, or double-counted batch hash-mismatches immediately
+    (the drift_store posture)."""
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from ..streaming import heavyhitters as TK
+
+    fix_dir = Path(__file__).resolve().parents[2] / "fixtures" / "topk_store"
+    path = fix_dir / os.path.basename(os.path.normpath(sf_dir))
+
+    def build(target: str) -> None:
+        ev = load(spark, sf_dir, "events")
+        cut = F.lit(_TOPK_CUT).cast("timestamp")
+        TK.topk_ingest_batch(
+            ev.where(F.col("ts") < cut), target, 0, "user_id", _TOPK_FLOOR
+        )
+        TK.topk_ingest_batch(
+            ev.where(F.col("ts") < cut), target, 0, "user_id", _TOPK_FLOOR
+        )
+        TK.topk_ingest_batch(
+            ev.where(F.col("ts") >= cut), target, 1, "user_id", _TOPK_FLOOR
+        )
+
+    if not path.exists():
+        try:
+            fix_dir.mkdir(parents=True, exist_ok=True)
+            build(str(path))
+        except Exception:  # read-only checkout: scratch build
+            tmp = tempfile.mkdtemp(prefix="topk_store_")
+            path = Path(tmp) / "store"
+            build(str(path))
+    return spark.read.parquet(str(path))
+
+
+_TOPK_PROBE_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(user_id AS VARCHAR) AS item,
+         CASE WHEN ts >= TIMESTAMP '{_TOPK_CUT}' THEN 1 ELSE 0 END AS bid
+  FROM events WHERE user_id IS NOT NULL
+),
+cells AS (
+  SELECT bid, item, CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY 1, 2
+),
+kept AS (SELECT * FROM cells WHERE n >= {_TOPK_FLOOR}),
+items AS (
+  SELECT item, CAST(SUM(n) AS BIGINT) AS lower_bound,
+         CAST(COUNT(*) AS BIGINT) AS batches_present
+  FROM kept GROUP BY item
+)
+SELECT item, lower_bound,
+       CAST(lower_bound + {_TOPK_FLOOR - 1} * (2 - batches_present)
+            AS BIGINT) AS upper_bound,
+       batches_present, CAST(2 AS BIGINT) AS n_batches
+FROM items
+ORDER BY lower_bound DESC, item ASC
+LIMIT {_TOPK_K}
+"""
+
+
+@_q("stream_topk_probe", _TOPK_PROBE_ORACLE)
+def stream_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global heavy hitters WITH ERROR BOUNDS read from the
+    STREAMING-MAINTAINED summary store (`streaming/heavyhitters.topk_from_store`
+    over the committed two-batch fixture): per item, its true total
+    lies in [lower, lower + (floor−1)·batches_absent] — the report
+    says exactly what the floor cost. Verifies both the maintained
+    state (replay/loss shifts the stored summaries and hash-mismatches
+    the from-raw-events twin) and the from-store bound math; the
+    monitor never re-scans history."""
+    from ..streaming import heavyhitters as TK
+
+    store = topk_store_fixture(spark, sf_dir)
+    return TK.topk_from_store(store, k=_TOPK_K, floor=_TOPK_FLOOR)

@@ -353,6 +353,8 @@ REHEARSAL = (
     "join_size_estimate",     # map-side 1/16 key-sample predicate +
                               # two count aggs + tiny synopsis join
                               # (truth pass included in the timing)
+    "stream_topk_probe",      # store-only read: monitoring-state agg
+                              # + 1-row batch-count attach + TakeOrdered
 )
 
 # Measured-cause annotations, emitted INTO the report next to the slope

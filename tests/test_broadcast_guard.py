@@ -106,6 +106,8 @@ ALLOWED = {
         "1-row variant-name frame (n_variants, variant_a, variant_b)",
     ("operators/heavy.py", "join_size_estimate"):
         "1-row true-join-size aggregate attached to the 1-row estimate",
+    ("streaming/heavyhitters.py", "topk_from_store"):
+        "1-row n_batches scalar attached to the monitoring-state items",
     ("operators/funnel.py", "log_rank_test"):
         "1-row O/E/V sums frame attached to the 1-row totals",
     ("queries/llm_data.py", "mcnemar_lang_baseline"):
