@@ -119,6 +119,8 @@ HEADLINE = (
                             # of exact cents moments (r11)
     "mcnemar_lang_baseline",  # paired-classifier discordant agg (r11)
     "join_size_estimate",   # key-sampled synopsis vs truth pass (r11)
+    "stream_topk_probe",    # heavy hitters + bounds from the
+                            # streaming summary store (r11)
     "sql_regional_revenue",  # the SQL door: literal text through
                             # run_sql, same plan as the DataFrame
                             # original (r11)

@@ -396,6 +396,11 @@ NOTES = {
         "agg -> tiny synopsis join; truth: two full count aggs joined "
         "on key (never the data join); 1-row report cross"
     ),
+    "stream_topk_probe": (
+        "store-only read: monitoring-state hash agg -> 1-row "
+        "batch-count attach -> TakeOrdered k (never re-scans the "
+        "stream's history)"
+    ),
 }
 
 
