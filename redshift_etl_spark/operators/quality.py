@@ -711,11 +711,17 @@ def krippendorff_alpha(
         .agg(
             # DIV: integral division (lcm divides m−1 exactly by
             # construction; `/` on longs would go through double). The
-            # per-row term is cast to DECIMAL(38,0) BEFORE the SUM — a
-            # long SUM can overflow int64 with a large campaign (the
-            # cramers_v lesson; casting only the result is too late).
+            # SUM must not overflow int64 (the cramers_v lesson): each
+            # term is ≤ lcm, so with lcm < 2^22 a long SUM is safe to
+            # 2^41 pairs (~2e12 — far beyond any reliability dataset)
+            # and stays on the fast codegen path; a larger rater pool
+            # (R > 14 → lcm(1..R−1) ≥ 360360·17) pays the DECIMAL(38,0)
+            # per-term cast instead. Casting only the SUM result would
+            # be too late either way.
             F.coalesce(
-                F.sum(
+                F.sum(F.expr(f"{lcm}L DIV (__m - 1)")).cast(dec)
+                if lcm < (1 << 22)
+                else F.sum(
                     F.expr(f"CAST({lcm}L DIV (__m - 1) AS {dec})")
                 ),
                 F.lit(0).cast(dec),
