@@ -1064,3 +1064,80 @@ def incremental_near_dups(
         )
     )
     return pairs, new_idx
+
+
+def cosine_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact binary set-COSINE ≥ t pairs via prefix filtering — the
+    AllPairs (Bayardo et al. 2007) similarity the catalog's prefix
+    family was missing beside :func:`jaccard_pairs_prefix` (Jaccard)
+    and :func:`containment_pairs` (asymmetric): for shingle SETS,
+    cos(A,B) = |A∩B| / √(|A|·|B|) — the size-ratio-tolerant symmetric
+    score (a doc and its double-length near-copy keep high cosine
+    where Jaccard halves).
+
+    Lossless prefix bound: cos ≥ t and |B| ≥ |A∩B| force
+    |A∩B| ≥ t²·|A| (|A∩B|² ≥ t²|A||B| ≥ t²|A||A∩B|), so indexing each
+    document's p = n − ⌈t²·n⌉ + 1 rarest shingles under the global
+    (doc-frequency, shingle) order guarantees every qualifying pair
+    shares a prefix element — the oracle is the plain all-shingle
+    formulation, so a hash match proves losslessness. Same
+    boilerplate-skipping property as the Jaccard form: corpus-common
+    shingles sort out of every prefix. Same three-shuffle shape; the
+    ⌈⌉ carries the 1e-9 nudge (see jaccard_pairs_prefix: binary
+    doubles can land a hair above the true rational product).
+    Returns (doc_a, doc_b, cosine ≥ threshold)."""
+    from pyspark.sql import Window
+
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    t2 = float(threshold) * float(threshold)
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    prefix = ranked.filter(
+        F.col("__rk")
+        <= F.col("n_sh") - F.ceil(F.col("n_sh") * t2 - 1e-9) + 1
+    ).select(id_col, "shingle")
+    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    full_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    full_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(full_a, "doc_a")
+        .join(full_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / F.sqrt(
+                    F.col("n_a").cast("double") * F.col("n_b").cast("double")
+                )
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

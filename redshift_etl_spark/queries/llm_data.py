@@ -8066,3 +8066,41 @@ def stream_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = topk_store_fixture(spark, sf_dir)
     return TK.topk_from_store(store, k=_TOPK_K, floor=_TOPK_FLOOR)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered binary set-COSINE join (AllPairs): the oracle is the
+# plain all-shingle formulation, so a hash match proves the t²-overlap
+# prefix candidate generation is lossless (the dedup_jaccard_prefix
+# posture for the size-ratio-tolerant score).
+# ---------------------------------------------------------------------------
+
+_SET_COSINE_ORACLE = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE)
+         / sqrt(CAST(sa.n_sh AS DOUBLE) * sb.n_sh) AS cosine
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / sqrt(CAST(sa.n_sh AS DOUBLE) * sb.n_sh)
+      >= 0.6
+"""
+
+
+@_q("dedup_set_cosine_prefix", _SET_COSINE_ORACLE)
+def dedup_set_cosine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary set-cosine ≥ 0.6 near-dup pairs via lossless prefix
+    filtering (`dedup.cosine_pairs_prefix`): the size-ratio-tolerant
+    symmetric score beside the Jaccard kernel — a doc embedded in a
+    double-length copy keeps cos ≈ 0.7 where Jaccard drops to ~0.5.
+    The oracle is the exact all-shingle join, so the hash match IS the
+    losslessness proof of the t²-overlap prefix bound."""
+    docs = load(spark, sf_dir, "documents")
+    return D.cosine_pairs_prefix(docs, "doc_id", "text", threshold=0.6)
