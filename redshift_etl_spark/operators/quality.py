@@ -1328,3 +1328,86 @@ def welch_ttest(
         "variant_b", "n_b", mb.alias("mean_b"),
         t.alias("t"), dof.alias("df"),
     )
+
+
+def specific_agreement(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Per-category SPECIFIC agreement — the category-level readout one
+    alpha number hides (reported BESIDE :func:`krippendorff_alpha`,
+    deliberately not chance-corrected: "when someone says 'es', how
+    often does a second opinion concur?"). From the coincidence matrix
+    (symmetric, per-item pairs weighted 1/(m_u−1)):
+
+        SA_c = o_cc / n_c
+
+    — o_cc the weighted agreeing-pair mass in category c, n_c the
+    category's margin. The classical 2×2 positive-agreement formula
+    2a/(2a+b+c) generalized to many raters + missing data.
+
+    Exactness (the alpha discipline): n_c is an exact BIGINT margin;
+    o_cc·L is an exact integer with L = lcm(1..R−1) (same long fast
+    path under lcm < 2^22, same R ≥ 44 refusal via
+    :func:`krippendorff_alpha`'s bound argument); SA is ONE IEEE
+    division of exact ints. Same scale shape as alpha: two hash aggs +
+    the per-item pair join (≤ R(R−1) pair rows per item). Returns one
+    row per category: (val, n_ratings, agreement), ordered."""
+    vals = df.select(
+        F.col(item_col).alias("__i"),
+        F.col(rater_col).alias("__r"),
+        F.col(val_col).alias("__v"),
+    ).where(
+        F.col(item_col).isNotNull()
+        & F.col(rater_col).isNotNull()
+        & F.col(val_col).isNotNull()
+    )
+    n_raters = vals.select("__r").distinct().count()  # bounded: rater pool
+    lcm = 1
+    for d in range(2, max(2, n_raters)):
+        lcm = math.lcm(lcm, d)
+        if lcm > 0x7FFFFFFFFFFFFFFF:
+            raise ValueError(
+                f"specific_agreement: rater pool {n_raters} needs "
+                f"lcm(1..{n_raters - 1}) > int64; not representable"
+            )
+    m_u = vals.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    pairable = vals.join(m_u.where(F.col("__m") >= 2), "__i")
+    n_c = pairable.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ratings")
+    )
+    dec = "decimal(38,0)"
+    a = pairable.select("__i", "__r", "__v", "__m")
+    b = pairable.select(
+        F.col("__i").alias("__i2"),
+        F.col("__r").alias("__r2"),
+        F.col("__v").alias("__v2"),
+    )
+    term = (
+        F.sum(F.expr(f"{lcm}L DIV (__m - 1)")).cast(dec)
+        if lcm < (1 << 22)
+        else F.sum(F.expr(f"CAST({lcm}L DIV (__m - 1) AS {dec})"))
+    )
+    occ = (
+        a.join(
+            b,
+            (F.col("__i") == F.col("__i2")) & (F.col("__r") != F.col("__r2")),
+        )
+        .where(F.col("__v") == F.col("__v2"))
+        .groupBy("__v")
+        .agg(F.coalesce(term, F.lit(0).cast(dec)).alias("__occ_l"))
+    )
+    return (
+        n_c.join(occ, "__v", "left")
+        .select(
+            F.col("__v").alias("val"),
+            "n_ratings",
+            (
+                F.coalesce(F.col("__occ_l"), F.lit(0).cast(dec)).cast("double")
+                / (F.lit(float(lcm)) * F.col("n_ratings").cast("double"))
+            ).alias("agreement"),
+        )
+        .orderBy("val")
+    )

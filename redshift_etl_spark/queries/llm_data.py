@@ -8104,3 +8104,87 @@ def dedup_set_cosine_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     losslessness proof of the t²-overlap prefix bound."""
     docs = load(spark, sf_dir, "documents")
     return D.cosine_pairs_prefix(docs, "doc_id", "text", threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# Per-category specific agreement over the same 3-rater language data
+# as krippendorff_lang (quality.specific_agreement): the category-level
+# readout the single alpha hides.
+# ---------------------------------------------------------------------------
+
+def _specific_agreement_oracle() -> str:
+    hit_cols, prev_b = _lang_argmax_fold_sql()
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+  {hit_cols}
+  FROM documents
+),
+pred AS (
+  SELECT doc_id, lang, n_chars, {prev_b} AS p FROM h
+),
+ratings AS (
+  SELECT doc_id, 'label' AS rater, lang AS val FROM pred
+  UNION ALL
+  SELECT doc_id, 'markers' AS rater, p AS val FROM pred
+  UNION ALL
+  SELECT doc_id, 'sparse' AS rater, p AS val FROM pred WHERE n_chars >= 400
+),
+v AS (SELECT doc_id, rater, val FROM ratings WHERE val IS NOT NULL),
+m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM v GROUP BY 1),
+p AS (
+  SELECT r.doc_id, r.rater, r.val, m.m
+  FROM v r JOIN m ON r.doc_id = m.doc_id
+  WHERE m.m >= 2
+),
+nc AS (SELECT val, CAST(COUNT(*) AS BIGINT) AS n_ratings FROM p GROUP BY 1),
+-- L = lcm(1..R-1) = 2 for the R = 3 raters here
+occ AS (
+  SELECT a.val, CAST(COALESCE(SUM(2 // (a.m - 1)), 0) AS BIGINT) AS occ_l
+  FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.rater <> b.rater
+  WHERE a.val = b.val
+  GROUP BY a.val
+)
+SELECT nc.val, nc.n_ratings,
+       CAST(COALESCE(occ_l, 0) AS DOUBLE)
+         / (2.0 * CAST(n_ratings AS DOUBLE)) AS agreement
+FROM nc LEFT JOIN occ ON nc.val = occ.val
+ORDER BY nc.val
+"""
+
+
+@_q("lang_specific_agreement", _specific_agreement_oracle())
+def lang_specific_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language specific agreement across the same three raters as
+    `krippendorff_lang` (`quality.specific_agreement`): alpha says HOW
+    reliable the labels are overall; this says WHERE they disagree —
+    the 2×2 positive-agreement formula generalized to many raters with
+    missing data, exact-integer coincidence mass, one IEEE division
+    per category."""
+    from ..operators import quality as Q
+
+    pred = TX.lang_scores(load(spark, sf_dir, "documents"), "text").select(
+        "doc_id", "lang", "n_chars", "predicted_lang"
+    )
+    ratings = (
+        pred.select(
+            "doc_id",
+            F.lit("label").alias("rater"),
+            F.col("lang").alias("val"),
+        )
+        .unionByName(
+            pred.select(
+                "doc_id",
+                F.lit("markers").alias("rater"),
+                F.col("predicted_lang").alias("val"),
+            )
+        )
+        .unionByName(
+            pred.where(F.col("n_chars") >= 400).select(
+                "doc_id",
+                F.lit("sparse").alias("rater"),
+                F.col("predicted_lang").alias("val"),
+            )
+        )
+    )
+    return Q.specific_agreement(ratings, "doc_id", "rater", "val")

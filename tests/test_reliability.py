@@ -130,3 +130,32 @@ def test_alpha_refuses_rater_pool_past_int64_lcm(spark):
         df.where("r <> 'r43'"), "i", "r", "v"
     ).first()
     assert ok["alpha"] is None  # single category: degenerate margins
+
+
+def test_specific_agreement_hand_check(spark):
+    """2 raters (L=1): item1 both 'x' (agree), item2 split x/y, item3
+    both 'y'. Margins: x=3, y=3. o_xx = 2 ordered agreeing pairs / 1;
+    SA_x = 2/3. Same for y."""
+    from redshift_etl_spark.operators.quality import specific_agreement
+
+    rows = [
+        ("i1", "r1", "x"), ("i1", "r2", "x"),
+        ("i2", "r1", "x"), ("i2", "r2", "y"),
+        ("i3", "r1", "y"), ("i3", "r2", "y"),
+    ]
+    df = spark.createDataFrame(rows, "i string, r string, v string")
+    out = {r["val"]: r for r in
+           specific_agreement(df, "i", "r", "v").collect()}
+    assert out["x"]["n_ratings"] == 3 and out["y"]["n_ratings"] == 3
+    assert abs(out["x"]["agreement"] - 2 / 3) < 1e-12
+    assert abs(out["y"]["agreement"] - 2 / 3) < 1e-12
+
+
+def test_specific_agreement_never_agreed_category_is_zero(spark):
+    from redshift_etl_spark.operators.quality import specific_agreement
+
+    rows = [("i1", "r1", "x"), ("i1", "r2", "z")]
+    df = spark.createDataFrame(rows, "i string, r string, v string")
+    out = {r["val"]: r["agreement"] for r in
+           specific_agreement(df, "i", "r", "v").collect()}
+    assert out == {"x": 0.0, "z": 0.0}
