@@ -212,6 +212,35 @@ def time_canary(spark, runs: int = 3) -> float:
     return round(best, 3)
 
 
+def time_canary_str(spark, runs: int = 3) -> float:
+    """Second machine-load canary: a FIXED string-CPU workload (md5
+    render → regexp strip → length sum; wholly JVM-side, zero repo
+    code). The shuffle canary is blind to string-throughput drift —
+    r11 measured the text-family queries at ~1.5-1.6x their floors
+    while the shuffle canary read 1.08 — so budgets scale by the WORSE
+    of the two ratios. Min-of-N like the shuffle canary."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 6_000_000)
+            .select(F.md5(F.col("id").cast("string")).alias("s"))
+            .agg(
+                F.sum(
+                    F.length(F.regexp_replace(F.col("s"), "[0-9]", ""))
+                ).alias("n")
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        elapsed = time.perf_counter() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    return round(best, 3)
+
+
 def _benchlib(repo: str):
     """scripts/benchlib.py, loaded by path (bench.py lives at the repo
     root, outside any package). Shared with bench_gate.py so the
@@ -279,15 +308,28 @@ def main() -> None:
     recorded = benchlib.collect_floors(repo_dir)
     canary = time_canary(spark)
     canary_floor = recorded["canary"]
-    load_factor = (
+    lf_shuffle = (
         1.0
         if canary_floor is None
         else min(max(1.0, canary / canary_floor), LOAD_FACTOR_CAP)
     )
+    canary_str = time_canary_str(spark)
+    canary_str_floor = recorded.get("canary_str")
+    lf_str = (
+        1.0
+        if canary_str_floor is None
+        else min(max(1.0, canary_str / canary_str_floor), LOAD_FACTOR_CAP)
+    )
+    # budgets scale by the WORSE of the two ambient readings: shuffle
+    # load and string-CPU drift hit different query families
+    load_factor = max(lf_shuffle, lf_str)
     print(
         f"# canary: {canary:.3f}s (floor "
         f"{'n/a' if canary_floor is None else f'{canary_floor:.3f}s'}, "
-        f"load_factor {load_factor:.2f})",
+        f"load_factor {lf_shuffle:.2f}); canary_str: {canary_str:.3f}s "
+        f"(floor "
+        f"{'n/a' if canary_str_floor is None else f'{canary_str_floor:.3f}s'}"
+        f", load_factor {lf_str:.2f}) -> effective {load_factor:.2f}",
         flush=True,
     )
 
@@ -358,6 +400,8 @@ def main() -> None:
         "stream": stream,
         "canary_sec": canary,
         "canary_floor_sec": canary_floor,
+        "canary_str_sec": canary_str,
+        "canary_str_floor_sec": canary_str_floor,
         "load_factor": round(load_factor, 3),
         "sf": sf,
     }
@@ -371,7 +415,9 @@ def main() -> None:
         json.dump(full, fh, indent=1)
         fh.write("\n")
     if sf == 0.1 and not full["advisory"]:
-        benchlib.merge_floors_file(repo_dir, timings, stream, canary)
+        benchlib.merge_floors_file(
+            repo_dir, timings, stream, canary, canary_str_sec=canary_str
+        )
         print(f"# floors merged into {benchlib.FLOORS_FILE}", flush=True)
     elif sf == 0.1:
         print("# floors NOT merged (advisory run)", flush=True)

@@ -66,13 +66,25 @@ def _recorded_floors() -> dict:
     return benchlib.collect_floors(REPO)
 
 
-def load_factor(cur_doc: dict, canary_floor: float | None) -> float:
-    """current canary / committed canary floor, clamped to [1, cap].
-    1.0 when either side is unrecorded (legacy rounds)."""
-    c = _unwrap(cur_doc).get("canary_sec")
-    if c is None or canary_floor is None:
-        return 1.0
-    return min(max(1.0, c / canary_floor), LOAD_FACTOR_CAP)
+def load_factor(
+    cur_doc: dict,
+    canary_floor: float | None,
+    canary_str_floor: float | None = None,
+) -> float:
+    """The WORSE of (shuffle canary, string canary) vs their committed
+    floors, clamped to [1, cap] — shuffle load and string-CPU drift
+    hit different query families (r11: text queries at 1.5-1.6x floor
+    while the shuffle canary read 1.08). Either side unrecorded
+    (legacy rounds / first string-canary round) contributes 1.0."""
+    rec = _unwrap(cur_doc)
+    ratios = [1.0]
+    c = rec.get("canary_sec")
+    if c is not None and canary_floor is not None:
+        ratios.append(c / canary_floor)
+    cs = rec.get("canary_str_sec")
+    if cs is not None and canary_str_floor is not None:
+        ratios.append(cs / canary_str_floor)
+    return min(max(1.0, max(ratios)), LOAD_FACTOR_CAP)
 
 
 ADVISORY_LOAD = 1.5
@@ -96,7 +108,9 @@ def gate(
     cur_doc = _unwrap(cur_doc)
     cur = cur_doc["queries"]
     q_floor, s_floor = floors["queries"], floors["stream"]
-    lf = load_factor(cur_doc, floors.get("canary"))
+    lf = load_factor(
+        cur_doc, floors.get("canary"), floors.get("canary_str")
+    )
     advisory_mode = lf > ADVISORY_LOAD
 
     regressions, advisory, lines = [], [], []

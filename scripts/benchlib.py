@@ -40,7 +40,10 @@ FULL_FILE = "BENCH_FULL.json"
 _PAIR = re.compile(r'"([A-Za-z0-9_]+)"\s*:\s*(-?\d+(?:\.\d+)?)')
 
 # scalar fields on the bench line that are NOT query timings
-_SCALARS = ("canary_sec", "canary_floor_sec", "load_factor", "sf")
+_SCALARS = (
+    "canary_sec", "canary_floor_sec", "load_factor", "sf",
+    "canary_str_sec", "canary_str_floor_sec", "load_factor_str",
+)
 _IGNORE = ("value", "n_queries")
 _STREAM_SUFFIXES = ("_rows_per_sec", "_rows", "_batches")
 
@@ -91,6 +94,7 @@ def floors_from_docs(docs: list[dict]) -> dict:
     q_floor: dict[str, float] = {}
     s_floor: dict[str, float] = {}
     canary_floor: float | None = None
+    canary_str_floor: float | None = None
     for raw in docs:
         doc = unwrap(raw)
         if doc is None:
@@ -103,7 +107,17 @@ def floors_from_docs(docs: list[dict]) -> dict:
         c = doc.get("canary_sec")
         if c is not None:
             canary_floor = c if canary_floor is None else min(canary_floor, c)
-    return {"queries": q_floor, "stream": s_floor, "canary": canary_floor}
+        cs = doc.get("canary_str_sec")
+        if cs is not None:
+            canary_str_floor = (
+                cs if canary_str_floor is None else min(canary_str_floor, cs)
+            )
+    return {
+        "queries": q_floor,
+        "stream": s_floor,
+        "canary": canary_floor,
+        "canary_str": canary_str_floor,
+    }
 
 
 def collect_floors(repo: str | pathlib.Path) -> dict:
@@ -125,6 +139,7 @@ def collect_floors(repo: str | pathlib.Path) -> dict:
                 "queries": f.get("queries", {}),
                 "stream": f.get("stream", {}),
                 "canary_sec": f.get("canary_sec"),
+                "canary_str_sec": f.get("canary_str_sec"),
             }
         )
     floors = floors_from_docs(docs)
@@ -143,6 +158,7 @@ def merge_floors_file(
     stream: dict[str, float],
     canary_sec: float | None,
     note: str = "",
+    canary_str_sec: float | None = None,
 ) -> dict:
     """Fold one sf0.1 run's timings into the committed monotone floors
     file (query min / stream-rate max / canary min) and write it back.
@@ -160,10 +176,14 @@ def merge_floors_file(
     c = cur.get("canary_sec")
     if canary_sec is not None:
         c = canary_sec if c is None else min(c, canary_sec)
+    cs = cur.get("canary_str_sec")
+    if canary_str_sec is not None:
+        cs = canary_str_sec if cs is None else min(cs, canary_str_sec)
     out = {
         "queries": dict(sorted(q.items())),
         "stream": dict(sorted(s.items())),
         "canary_sec": c,
+        "canary_str_sec": cs,
         "note": note
         or cur.get(
             "note",

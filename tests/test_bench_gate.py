@@ -225,3 +225,38 @@ def test_committed_floor_present_loaded_replay_end_to_end():
     assert bench_gate.load_factor(doc, floors["canary"]) == 1.4
     _, reg, adv = bench_gate.gate(doc, floors)
     assert reg == [] and adv == []
+
+
+def test_string_canary_scales_budgets_when_shuffle_canary_is_blind():
+    """r11 blind spot: text-family queries drifted to ~1.6x their
+    floors while the shuffle canary read ~1.08 — the gate must scale
+    by the WORSE of the two canaries."""
+    base = _round_doc()
+    base["canary_str_sec"] = 2.0
+    floors = bench_gate.floors_from_docs([base])
+    assert floors["canary_str"] == 2.0
+    # string-CPU drift: every query 1.6x, shuffle canary idle, string
+    # canary 1.7x — without the second canary these would all flag
+    drifted = _round_doc(q_scale=1.6)
+    drifted["canary_str_sec"] = 3.4
+    _, regressions, _ = bench_gate.gate(drifted, floors)
+    assert not regressions
+    # same drift with the string canary idle IS a real regression
+    honest = _round_doc(q_scale=1.6)
+    honest["canary_str_sec"] = 2.0
+    _, regressions, _ = bench_gate.gate(honest, floors)
+    assert regressions
+
+
+def test_string_canary_floor_merges_monotone(tmp_path):
+    import json
+
+    bench_gate.benchlib.merge_floors_file(
+        tmp_path, {"q": 1.0}, {}, 1.0, canary_str_sec=2.5
+    )
+    bench_gate.benchlib.merge_floors_file(
+        tmp_path, {"q": 1.2}, {}, 1.1, canary_str_sec=2.1
+    )
+    f = json.loads((tmp_path / "BENCH_FLOORS.json").read_text())
+    assert f["canary_str_sec"] == 2.1 and f["canary_sec"] == 1.0
+    assert f["queries"]["q"] == 1.0
