@@ -355,6 +355,12 @@ REHEARSAL = (
                               # (truth pass included in the timing)
     "stream_topk_probe",      # store-only read: monitoring-state agg
                               # + 1-row batch-count attach + TakeOrdered
+    # DENSITY-COUPLED like the jaccard prefix kernel: replica text
+    # variants are mutual near-dups (~45x qualifying pairs per
+    # original); the slope reads the fixture pair growth.
+    "dedup_set_cosine_prefix",  # prefix-filtered set-cosine AllPairs
+    "lang_specific_agreement",  # same shape as krippendorff_lang:
+                              # 3 projections union + item pair join
 )
 
 # Measured-cause annotations, emitted INTO the report next to the slope
@@ -502,6 +508,14 @@ NOTES: dict[str, str] = {
         "two 10-query cosine-topk passes, linear in the corpus by "
         "construction (query-count-bounded); ~2.6x wall < 10x on the "
         "overhead-bound 32-core base."
+    ),
+    "dedup_set_cosine_prefix": (
+        "density-coupled: each original's 10 suffix-tagged replicas "
+        "form a true near-dup clique, so qualifying cos>=0.6 pairs "
+        "grow 256 -> 250,600 (~980x, measured) at 10x data; ~29x "
+        "wall for ~980x output pairs is sublinear in the workload "
+        "(the leakage_free_split argument — same cliques, same "
+        "count)."
     ),
     "nb_source_confusion": (
         "the slope is the fixture's vocab: every replica doc's "
