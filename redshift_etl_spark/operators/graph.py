@@ -667,10 +667,6 @@ def hits_scores(
         .where(F.col("__u").isNotNull() & F.col("__v").isNotNull())
         .distinct()
     )
-    # empty edge set: max over the agg is None and the DIV literal
-    # would crash with an opaque int(None) — refuse with the real cause
-    if e.isEmpty():
-        raise ValueError("hits_scores: empty edge set (no non-null edges)")
     h = e.select("__u").distinct().withColumn(
         "__h", F.lit(int(scale)).cast("long")
     )
@@ -682,6 +678,15 @@ def hits_scores(
             .agg(F.sum("__h").cast("long").alias("__a"))
         )
         max_a = a_raw.agg(F.max("__a")).collect()[0][0]
+        # empty edge set surfaces here as an empty agg (max=None) — the
+        # DIV literal would crash with an opaque int(None). Detected
+        # from the iteration's OWN 1-row agg (which runs regardless)
+        # instead of an eager isEmpty() probe, so the degenerate-case
+        # guard costs zero extra Spark jobs on the hot path (ADVICE r11).
+        if max_a is None:
+            raise ValueError(
+                "hits_scores: empty edge set (no non-null edges)"
+            )
         a = a_raw.select(
             "__v",
             F.expr(f"CAST(__a * {int(scale)}L DIV {int(max_a)}L AS LONG)").alias(

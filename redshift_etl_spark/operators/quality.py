@@ -1223,11 +1223,15 @@ def mcnemar_test(
     ``correct_b`` are boolean columns on the item frame. Exactness:
     b and c are exact BIGINTs from ONE hash agg; chi2 is one IEEE
     expression; b + c = 0 (no discordant items) reports NULL rather
-    than fake agreement-as-significance. Returns ONE row:
+    than fake agreement-as-significance. Items where EITHER flag is
+    NULL (unscored by one classifier) are EXCLUDED before the agg
+    (ADVICE r11): they would land in n_items but in no cell, so the
+    four cells would not sum to n_items and the pairing claim would be
+    silently wrong. Returns ONE row:
     (n_items, n_both_right, n_both_wrong, n_a_only, n_b_only, chi2)."""
     ca = correct_a.cast("boolean")
     cb = correct_b.cast("boolean")
-    agg = df.agg(
+    agg = df.where(ca.isNotNull() & cb.isNotNull()).agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.sum((ca & cb).cast("long")).cast("long").alias("n_both_right"),
         F.sum((~ca & ~cb).cast("long")).cast("long").alias("n_both_wrong"),
@@ -1270,11 +1274,17 @@ def welch_ttest(
     ~9e18, i.e. ~10⁹ rows of |value| ≤ 3e4; raise to the DECIMAL
     spelling past that. Exactly-two-variants contract (name-min = a):
     otherwise t/df are NULL with n_variants saying what arrived;
-    n < 2 or zero pooled SE also report NULL. Returns ONE row:
+    n < 2 or zero pooled SE also report NULL. NULL outcomes are
+    EXCLUDED before the agg (ADVICE r11): a bare COUNT(*) would count
+    null-value rows in n while SUM skips them in Σy/Σy², silently
+    deflating means and variances — here n, Σy and Σy² all range over
+    the same non-null rows. Returns ONE row:
     (n_variants, variant_a, n_a, mean_a, variant_b, n_b, mean_b,
     t, df)."""
     yi = F.round(F.col(value_col).cast("double") * scale).cast("long")
-    per = df.groupBy(F.col(variant_col).alias("__v")).agg(
+    per = df.where(
+        F.col(value_col).isNotNull()
+    ).groupBy(F.col(variant_col).alias("__v")).agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.coalesce(F.sum(yi), F.lit(0)).cast("long").alias("__s1"),
         F.coalesce(F.sum(yi * yi), F.lit(0)).cast("long").alias("__s2"),

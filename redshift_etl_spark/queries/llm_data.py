@@ -7922,9 +7922,13 @@ base AS (
   GROUP BY lang ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
 ),
 flags AS (
+  -- NULL-flag items excluded, matching mcnemar_test's contract: a
+  -- NULL lang would make both comparisons NULL, not false
   SELECT CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END AS ca,
          CASE WHEN modal_lang = lang THEN 1 ELSE 0 END AS cb
   FROM per_doc CROSS JOIN base
+  WHERE predicted_lang IS NOT NULL AND lang IS NOT NULL
+    AND modal_lang IS NOT NULL
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
   CAST(SUM(CASE WHEN ca = 1 AND cb = 1 THEN 1 ELSE 0 END) AS BIGINT)

@@ -6360,6 +6360,7 @@ WITH t AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
          CAST(ROUND(value * 100) AS BIGINT) AS yi
   FROM events
+  WHERE value IS NOT NULL
 ),
 per AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS n,

@@ -37,10 +37,10 @@ anti-join pattern); this is that discipline applied to a vector index.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .store import read_store
 
 
 def index_ingest_batch(
@@ -62,8 +62,12 @@ def index_ingest_batch(
     assigned = assign_clusters(batch, centroids, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col), F.col("cluster")
     )
-    if os.path.exists(store_path):
-        stored = spark.read.parquet(store_path).select("cluster", id_col)
+    # Spark-side store probe (see streaming/store.py): local exists()
+    # checks are blind to cluster URIs, which would skip the stored-id
+    # anti-join on a deployed store and re-append every replayed vector
+    store = read_store(spark, store_path)
+    if store is not None:
+        stored = store.select("cluster", id_col)
         assigned = assigned.join(
             stored, ["cluster", id_col], "left_anti"
         )

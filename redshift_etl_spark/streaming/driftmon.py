@@ -28,10 +28,10 @@ by `stream_drift_probe`.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .store import read_store
 
 PICO = 10**12
 
@@ -46,10 +46,12 @@ def drift_ingest_batch(
     skip entirely if this batch_id already landed (replay), append
     partitioned by batch_id."""
     spark = batch_df.sparkSession
-    if os.path.exists(store_path):
+    # Spark-side ledger probe (see streaming/store.py): local exists()
+    # checks are blind to cluster URIs and would disarm the replay guard
+    ledger = read_store(spark, store_path)
+    if ledger is not None:
         seen = (
-            spark.read.parquet(store_path)
-            .select("batch_id")
+            ledger.select("batch_id")
             .where(F.col("batch_id") == batch_id)
             .limit(1)
             .count()

@@ -35,10 +35,10 @@ duplicated, or double-counted batch hash-mismatches immediately.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .store import read_store
 
 
 def topk_ingest_batch(
@@ -53,10 +53,14 @@ def topk_ingest_batch(
     entirely on replay (batch_id already stored), append partitioned by
     batch_id."""
     spark = batch_df.sparkSession
-    if os.path.exists(store_path):
+    # ledger probe goes THROUGH Spark (ADVICE r11): os.path.exists is
+    # always False for the cluster URIs a deployed sink targets, which
+    # would disarm the replay guard; read_store also survives the
+    # exists-but-empty dir a failed first append leaves behind
+    ledger = read_store(spark, store_path)
+    if ledger is not None:
         seen = (
-            spark.read.parquet(store_path)
-            .select("batch_id")
+            ledger.select("batch_id")
             .where(F.col("batch_id") == batch_id)
             .limit(1)
             .count()

@@ -28,10 +28,32 @@ from tests.oracle_compare import rows_key  # noqa: E402
 SF = "/root/testdata/sf0.01"
 
 
+def _flag_value(flag: str) -> str | None:
+    """Value of a ``--flag VALUE`` pair, validated UP FRONT: a trailing
+    flag with no value must die here, not as an IndexError after the
+    multi-minute sweep (ADVICE r11)."""
+    if flag not in sys.argv:
+        return None
+    i = sys.argv.index(flag)
+    if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+        sys.exit(f"driver-sim: {flag} requires a value")
+    return sys.argv[i + 1]
+
+
 def main() -> None:
     global SF
-    if "--sf" in sys.argv:
-        SF = sys.argv[sys.argv.index("--sf") + 1]
+    SF = _flag_value("--sf") or SF
+    # --out is parsed AND proved writable before the sweep starts: a
+    # typo'd directory used to fail only at write time, losing the
+    # entire multi-minute record (ADVICE r11). Probe with append so an
+    # existing file is not truncated by a sweep that later crashes.
+    out_path = _flag_value("--out")
+    if out_path is not None:
+        try:
+            with open(out_path, "a"):
+                pass
+        except OSError as exc:
+            sys.exit(f"driver-sim: --out {out_path} not writable: {exc}")
     quick = "--quick" in sys.argv
     # deliberately plain session — the driver owns the session config
     spark = (
@@ -58,8 +80,9 @@ def main() -> None:
     # registration order, not sorted — mirrors the driver harness, so a
     # per-query time budget plays out here the same way it will there
     names = list(queries)
-    if "--only" in sys.argv:
-        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+    only = _flag_value("--only")
+    if only is not None:
+        wanted = only.split(",")
         unknown = [n for n in wanted if n not in queries]
         assert not unknown, f"unknown queries: {unknown}"
         names = wanted
@@ -118,10 +141,9 @@ def main() -> None:
             "hash_match": hash_ok, "spark_rows": len(sp_rows),
             "oracle_rows": len(dk_rows), "err": None,
         }
-    if "--out" in sys.argv:
+    if out_path is not None:
         import json
 
-        out_path = sys.argv[sys.argv.index("--out") + 1]
         with open(out_path, "w") as fh:
             json.dump({"sf_dir": SF, "rows": record}, fh, indent=1)
             fh.write("\n")

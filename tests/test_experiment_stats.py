@@ -76,3 +76,36 @@ def test_welch_single_row_variant_is_null(spark):
     )
     out = welch_ttest(df, "v", "value").first()
     assert out["t"] is None and out["df"] is None
+
+
+def test_welch_null_values_excluded(spark):
+    """ADVICE r11: NULL outcomes must not land in n while SUM skips
+    them in Σy/Σy² — the NULL-padded frame must agree exactly with the
+    same frame minus its NULL rows."""
+    base = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 2.0), ("B", 4.0)]
+    padded = base + [("A", None), ("B", None), ("B", None)]
+    df = spark.createDataFrame(padded, "v string, value double")
+    out = welch_ttest(df, "v", "value").first()
+    ref = welch_ttest(
+        spark.createDataFrame(base, "v string, value double"), "v", "value"
+    ).first()
+    assert out == ref
+    assert (out["n_a"], out["n_b"]) == (3, 2)  # NULLs not in n
+    assert out["mean_a"] == 2.0 and out["mean_b"] == 3.0
+
+
+def test_mcnemar_null_flags_excluded(spark):
+    """ADVICE r11: items one classifier left unscored (NULL flag) are
+    excluded entirely — the four cells must keep summing to n_items."""
+    rows = (
+        [(1, 1)] * 2 + [(0, 0)] * 1 + [(1, 0)] * 3 + [(0, 1)] * 1
+        + [(None, 1), (1, None), (None, None)]
+    )
+    df = spark.createDataFrame(rows, "ca int, cb int")
+    out = mcnemar_test(df, F.col("ca") == 1, F.col("cb") == 1).first()
+    assert out["n_items"] == 7
+    assert (
+        out["n_both_right"] + out["n_both_wrong"]
+        + out["n_a_only"] + out["n_b_only"]
+    ) == out["n_items"]
+    assert out["chi2"] == (3 - 1) ** 2 / 4

@@ -35,6 +35,37 @@ def test_replay_skips_and_spill_folds_below_floor(spark, tmp_path):
     assert dirs == {"batch_id=0"}
 
 
+def test_ingest_survives_empty_store_dir(spark, tmp_path):
+    """ADVICE r11: an exists-but-empty store dir (a failed first append)
+    crashed the old os.path.exists + read path permanently; the
+    Spark-side probe treats it as "no ledger yet" and ingests."""
+    store = tmp_path / "store"
+    store.mkdir()  # empty: no parquet footer to infer a schema from
+    TK.topk_ingest_batch(_df(spark, ["a"] * 3 + ["b"]), str(store), 0,
+                         "item", 3)
+    rows = spark.read.parquet(str(store)).collect()
+    assert {(r["item"], r["n"]) for r in rows if not r["is_spill"]} == {
+        ("a", 3)
+    }
+
+
+def test_read_store_probe_semantics(spark, tmp_path):
+    """streaming/store.read_store: None for missing and for empty-dir
+    paths (both resolved THROUGH Spark, so cluster URIs behave like
+    local paths), a DataFrame once a footer exists."""
+    from redshift_etl_spark.streaming.store import read_store
+
+    missing = str(tmp_path / "never_written")
+    assert read_store(spark, missing) is None
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    assert read_store(spark, str(empty)) is None
+    real = str(tmp_path / "real")
+    _df(spark, ["x"]).write.parquet(real)
+    got = read_store(spark, real)
+    assert got is not None and got.count() == 1
+
+
 def test_topk_bounds_hand_check(spark, tmp_path):
     store = str(tmp_path / "store")
     # floor 3: batch0 stores a=5, b=3; batch1 stores a=4 (b below floor)
