@@ -241,6 +241,50 @@ def time_canary_str(spark, runs: int = 3) -> float:
     return round(best, 3)
 
 
+def effective_load(
+    shuffle_probes: list[float],
+    str_probes: list[float],
+    shuffle_floor: float | None,
+    str_floor: float | None,
+) -> dict:
+    """Worst-probe load normalization, pure so it is unit-testable.
+
+    r11 lesson (judge finding #1): ONE canary probe at run start cannot
+    represent a 2-minute run under time-varying load — the r11 driver
+    capture read 1.235 at start while the whole run executed ~1.26×
+    slower than idle, so the gate false-flagged two queries. The canary
+    is now probed at start / middle / end, and every budget (and the
+    advisory stamp) scales by the WORST probe: a query can have run at
+    any point in the window, so only the worst ambient reading bounds
+    what load could have cost it. Floors still merge from the BEST
+    probe (the run's closest-to-idle evidence — a min can only be
+    trusted downward).
+
+    Returns canary_sec / canary_str_sec (worst probes — what the gate
+    budgets must scale by), the per-canary load ratios, and the
+    effective load_factor = worst ratio across both canaries, clamped
+    to [1, LOAD_FACTOR_CAP]."""
+    worst_shuffle = max(shuffle_probes) if shuffle_probes else None
+    worst_str = max(str_probes) if str_probes else None
+    lf_shuffle = (
+        1.0
+        if worst_shuffle is None or shuffle_floor is None
+        else min(max(1.0, worst_shuffle / shuffle_floor), LOAD_FACTOR_CAP)
+    )
+    lf_str = (
+        1.0
+        if worst_str is None or str_floor is None
+        else min(max(1.0, worst_str / str_floor), LOAD_FACTOR_CAP)
+    )
+    return {
+        "canary_sec": worst_shuffle,
+        "canary_str_sec": worst_str,
+        "lf_shuffle": lf_shuffle,
+        "lf_str": lf_str,
+        "load_factor": round(max(lf_shuffle, lf_str), 3),
+    }
+
+
 def _benchlib(repo: str):
     """scripts/benchlib.py, loaded by path (bench.py lives at the repo
     root, outside any package). Shared with bench_gate.py so the
@@ -306,32 +350,31 @@ def main() -> None:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     benchlib = _benchlib(repo_dir)
     recorded = benchlib.collect_floors(repo_dir)
-    canary = time_canary(spark)
     canary_floor = recorded["canary"]
-    lf_shuffle = (
-        1.0
-        if canary_floor is None
-        else min(max(1.0, canary / canary_floor), LOAD_FACTOR_CAP)
-    )
-    canary_str = time_canary_str(spark)
     canary_str_floor = recorded.get("canary_str")
-    lf_str = (
-        1.0
-        if canary_str_floor is None
-        else min(max(1.0, canary_str / canary_str_floor), LOAD_FACTOR_CAP)
-    )
-    # budgets scale by the WORSE of the two ambient readings: shuffle
-    # load and string-CPU drift hit different query families
-    load_factor = max(lf_shuffle, lf_str)
-    print(
-        f"# canary: {canary:.3f}s (floor "
-        f"{'n/a' if canary_floor is None else f'{canary_floor:.3f}s'}, "
-        f"load_factor {lf_shuffle:.2f}); canary_str: {canary_str:.3f}s "
-        f"(floor "
-        f"{'n/a' if canary_str_floor is None else f'{canary_str_floor:.3f}s'}"
-        f", load_factor {lf_str:.2f}) -> effective {load_factor:.2f}",
-        flush=True,
-    )
+
+    # INTERLEAVED canary probes (r11 judge finding #1): start, middle,
+    # end — one start-of-run reading under-reads sustained load that
+    # builds later in the window. Budgets and the advisory stamp scale
+    # by the WORST probe across both canaries; mid-run budget decisions
+    # use the worst-SO-FAR.
+    shuffle_probes: list[float] = []
+    str_probes: list[float] = []
+
+    def probe(at: str, runs: int = 2) -> None:
+        shuffle_probes.append(time_canary(spark, runs=runs))
+        str_probes.append(time_canary_str(spark, runs=runs))
+        eff = effective_load(
+            shuffle_probes, str_probes, canary_floor, canary_str_floor
+        )
+        print(
+            f"# canary[{at}]: shuffle {shuffle_probes[-1]:.3f}s / str "
+            f"{str_probes[-1]:.3f}s -> worst-so-far load_factor "
+            f"{eff['load_factor']:.2f}",
+            flush=True,
+        )
+
+    probe("start", runs=3)
 
     # Committed per-query floors (best across recorded rounds) — used
     # to ADAPTIVELY re-run: min-of-2 absorbs most local-VM jitter, but
@@ -346,13 +389,19 @@ def main() -> None:
     def _budget(qname: str) -> float | None:
         if qname not in floors:
             return None
-        # canary-scaled: under sustained load the adaptive re-runs
-        # would otherwise burn 4 runs per query chasing an unreachable
-        # idle-machine budget
-        return load_factor * max(1.2 * floors[qname], floors[qname] + 0.5)
+        # canary-scaled by the worst probe SO FAR: under sustained load
+        # the adaptive re-runs would otherwise burn 4 runs per query
+        # chasing an unreachable idle-machine budget
+        lf = effective_load(
+            shuffle_probes, str_probes, canary_floor, canary_str_floor
+        )["load_factor"]
+        return lf * max(1.2 * floors[qname], floors[qname] + 0.5)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    mid_at = len(HEADLINE) // 2
+    for qi, name in enumerate(HEADLINE):
+        if qi == mid_at:
+            probe("middle")
         fn = all_q[name]
         n = fn(spark, sf_dir).count()  # row count for the report (untimed)
         spark.catalog.clearCache()
@@ -390,6 +439,11 @@ def main() -> None:
         flush=True,
     )
 
+    probe("end")
+    eff = effective_load(
+        shuffle_probes, str_probes, canary_floor, canary_str_floor
+    )
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total_sec",
@@ -398,11 +452,16 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "stream": stream,
-        "canary_sec": canary,
+        # canary_sec / canary_str_sec carry the WORST probe (what the
+        # gate must scale budgets by); the per-probe series is recorded
+        # beside them so the capture is audit-complete
+        "canary_sec": eff["canary_sec"],
+        "canary_probes": shuffle_probes,
         "canary_floor_sec": canary_floor,
-        "canary_str_sec": canary_str,
+        "canary_str_sec": eff["canary_str_sec"],
+        "canary_str_probes": str_probes,
         "canary_str_floor_sec": canary_str_floor,
-        "load_factor": round(load_factor, 3),
+        "load_factor": eff["load_factor"],
         "sf": sf,
     }
     stamp_advisory(full)
@@ -415,8 +474,11 @@ def main() -> None:
         json.dump(full, fh, indent=1)
         fh.write("\n")
     if sf == 0.1 and not full["advisory"]:
+        # floors merge from the BEST probe: the run's closest-to-idle
+        # reading is its only admissible new-minimum evidence
         benchlib.merge_floors_file(
-            repo_dir, timings, stream, canary, canary_str_sec=canary_str
+            repo_dir, timings, stream, min(shuffle_probes),
+            canary_str_sec=min(str_probes),
         )
         print(f"# floors merged into {benchlib.FLOORS_FILE}", flush=True)
     elif sf == 0.1:
@@ -425,15 +487,30 @@ def main() -> None:
     # the FINAL stdout line is what the driver tails (last 2,000 chars)
     # and must stay parseable no matter how the catalog grows — r09's
     # 68-query line overflowed the capture and committed parsed:null.
-    # Bounded spelling: totals + canary + stream + top-10 slowest.
+    # Bounded spelling: totals + canary + stream + top-5 slowest BY
+    # NAME, plus the COMPLETE per-query map as a compact millisecond
+    # array in HEADLINE order ("qms", ~6 chars/query) with a name-list
+    # signature ("q_sig") so readers expand it only against the exact
+    # HEADLINE that produced it (r11 judge finding #3: the named top-10
+    # left 77 of 87 timings invisible in the driver capture).
     by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     bounded = dict(full)
     bounded["queries_full_file"] = benchlib.FULL_FILE
-    for n_top in (10, 5, 3, 0):  # degrade, never crash or overflow
+    bounded["qms"] = [
+        int(round(timings[n] * 1000)) for n in HEADLINE if n in timings
+    ]
+    bounded["q_sig"] = benchlib.q_sig(
+        [n for n in HEADLINE if n in timings]
+    )
+    for n_top in (5, 3, 0):  # degrade, never crash or overflow
         bounded["queries"] = dict(by_cost[:n_top])
         line = json.dumps(bounded)
-        if len(line) < 1500:
+        if len(line) < 1900:
             break
+    if len(line) >= 1900:  # last resort: drop the map, keep the gate keys
+        bounded.pop("qms", None)
+        bounded.pop("q_sig", None)
+        line = json.dumps(bounded)
     print(line, flush=True)
     spark.stop()
 

@@ -48,6 +48,48 @@ _IGNORE = ("value", "n_queries")
 _STREAM_SUFFIXES = ("_rows_per_sec", "_rows", "_batches")
 
 
+def q_sig(names: list[str]) -> str:
+    """8-hex signature of an ordered query-name list. The bounded bench
+    line carries the COMPLETE per-query map as a millisecond array in
+    HEADLINE order (``qms``) — ~6 chars per query, so 87 queries fit
+    the driver's 2,000-char tail where 87 named pairs cannot (r11 judge
+    finding #3). The array is positional, so expansion is only safe
+    against the exact name list that produced it: this signature is
+    recorded beside it and checked at expansion time."""
+    import hashlib
+
+    return hashlib.md5(",".join(names).encode()).hexdigest()[:8]
+
+
+def headline_names(repo: str | pathlib.Path) -> list[str]:
+    """bench.py's HEADLINE order, loaded by path (bench.py lives at the
+    repo root, outside any package)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_root_for_names", pathlib.Path(repo) / "bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return list(mod.HEADLINE)
+
+
+def expand_compact(rec: dict | None, names: list[str] | None) -> dict | None:
+    """Expand a bounded record's ``qms`` millisecond array into the full
+    named ``queries`` map, in place. Only when the record's ``q_sig``
+    matches ``names`` exactly (a HEADLINE edited since capture would
+    silently mis-attribute timings otherwise) — on mismatch the record
+    passes through untouched with whatever named entries it carries."""
+    if not rec or not names or not rec.get("qms"):
+        return rec
+    if rec.get("q_sig") != q_sig(names) or len(rec["qms"]) != len(names):
+        return rec
+    full = {n: round(ms / 1000.0, 3) for n, ms in zip(names, rec["qms"])}
+    full.update(rec.get("queries", {}))
+    rec["queries"] = full
+    return rec
+
+
 def recover_from_tail(tail: str) -> dict | None:
     """Rebuild a bench record from a driver tail that truncated the
     final JSON line. Returns the partial record (queries/stream/canary
@@ -87,16 +129,18 @@ def unwrap(doc: dict) -> dict | None:
     return recover_from_tail(doc.get("tail", ""))
 
 
-def floors_from_docs(docs: list[dict]) -> dict:
+def floors_from_docs(docs: list[dict], names: list[str] | None = None) -> dict:
     """Committed floors over recorded rounds: per-query minimum
     seconds, per-stream-metric maximum rows/sec, and the canary
-    minimum (the idle-machine anchor). Unrecoverable docs are skipped."""
+    minimum (the idle-machine anchor). Unrecoverable docs are skipped.
+    With ``names``, bounded records' compact ``qms`` arrays expand to
+    their full per-query maps first (driver captures since r12)."""
     q_floor: dict[str, float] = {}
     s_floor: dict[str, float] = {}
     canary_floor: float | None = None
     canary_str_floor: float | None = None
     for raw in docs:
-        doc = unwrap(raw)
+        doc = expand_compact(unwrap(raw), names)
         if doc is None:
             continue
         for name, t in doc.get("queries", {}).items():
@@ -104,10 +148,15 @@ def floors_from_docs(docs: list[dict]) -> dict:
         for name, v in doc.get("stream", {}).items():
             if name.endswith("_rows_per_sec"):
                 s_floor[name] = max(v, s_floor.get(name, v))
-        c = doc.get("canary_sec")
+        # canary_sec carries the WORST probe since r12 (the gate-scaling
+        # value); a run's floor-candidate is its BEST probe, recorded in
+        # canary_probes — fall back to canary_sec for legacy records
+        probes = doc.get("canary_probes")
+        c = min(probes) if probes else doc.get("canary_sec")
         if c is not None:
             canary_floor = c if canary_floor is None else min(canary_floor, c)
-        cs = doc.get("canary_str_sec")
+        sprobes = doc.get("canary_str_probes")
+        cs = min(sprobes) if sprobes else doc.get("canary_str_sec")
         if cs is not None:
             canary_str_floor = (
                 cs if canary_str_floor is None else min(canary_str_floor, cs)
@@ -142,13 +191,26 @@ def collect_floors(repo: str | pathlib.Path) -> dict:
                 "canary_str_sec": f.get("canary_str_sec"),
             }
         )
-    floors = floors_from_docs(docs)
+    try:
+        names = headline_names(repo)
+    except (OSError, AttributeError):
+        names = None
+    floors = floors_from_docs(docs, names)
     anchor_path = repo / "CANARY_FLOOR.json"
     if anchor_path.exists():
-        a = json.loads(anchor_path.read_text()).get("canary_sec")
-        if a is not None:
-            c = floors.get("canary")
-            floors["canary"] = a if c is None else min(c, a)
+        a = json.loads(anchor_path.read_text())
+        # BOTH canaries floor-pin to their verified-idle anchors (the
+        # string anchor got the multi-run treatment in r12 — verdict
+        # item 3): min(anchor, recorded) everywhere, so a streak of
+        # loaded rounds can never drift a floor upward
+        for key, field in (
+            ("canary_sec", "canary"),
+            ("canary_str_sec", "canary_str"),
+        ):
+            av = a.get(key)
+            if av is not None:
+                c = floors.get(field)
+                floors[field] = av if c is None else min(c, av)
     return floors
 
 
