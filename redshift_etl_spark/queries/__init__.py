@@ -147,19 +147,22 @@ def _tier(n: str) -> float:
     - driver-green at round N → N (stale evidence refreshes oldest-first)
     - driver-RAN-but-never-green → 0 (a red row is urgent: re-run at
       the absolute head)
-    - BRAND-NEW (never in any driver round) → just behind the OLDEST
-      verified cohort (r10 verdict item 4): the driver window is ~50
-      slots, so a tier-0 new query would displace the oldest stale
-      cohort one-for-one and its evidence would silently age past the
-      rotation. New queries are verified at three SFs by driver_sim
-      before commit and swept in full by the judge, so deferring their
-      first DRIVER row one round costs nothing; letting stale evidence
-      decay does."""
+    - BRAND-NEW (never in any driver round) → just AHEAD of the oldest
+      verified cohort (r11 verdict item 2). History: r10 deferred new
+      queries BEHIND the oldest cohort because the r05 cohort was
+      2+ rounds overdue and a ~50-slot window could not fit both; that
+      backlog is fully drained (freshest-driver-row histogram is
+      exactly 50 per round r06–r11, judge-verified), so the steady-
+      state policy is the natural one — a query with NO driver row at
+      all is the least-evidenced thing in the catalog and earns its
+      first row in the next window, displacing only len(new) rows of
+      the (now merely one-round-stale) oldest cohort. Red rows still
+      outrank everything (tier 0)."""
     if n in _LAST_GREEN:
         return float(_LAST_GREEN[n])
     if n in _SEEN_ANY:
         return 0.0
-    return (min(_LAST_GREEN.values()) if _LAST_GREEN else 0) + 0.5
+    return (min(_LAST_GREEN.values()) if _LAST_GREEN else 0) - 0.5
 
 
 def _prioritized(merged: dict) -> dict:

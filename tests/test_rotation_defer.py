@@ -1,16 +1,17 @@
-"""Driver-window rotation: brand-new queries defer just behind the
-OLDEST verified cohort so they cannot displace stale-evidence refreshes
-out of the driver's ~50-slot window (r10 verdict item 4); red rows and
-must-run names still jump to the absolute head."""
+"""Driver-window rotation: brand-new queries (no driver row at all) run
+just AHEAD of the oldest verified cohort (r11 verdict item 2 — the r10
+defer-behind policy existed only to drain the overdue r05 backlog,
+which is complete); red rows and must-run names still jump to the
+absolute head."""
 
 from __future__ import annotations
 
 from redshift_etl_spark import queries as Q
 
 
-def test_new_query_defers_behind_oldest_cohort():
+def test_new_query_runs_ahead_of_oldest_cohort():
     oldest = min(Q._LAST_GREEN.values())
-    assert Q._tier("a_brand_new_query_name") == oldest + 0.5
+    assert Q._tier("a_brand_new_query_name") == oldest - 0.5
     # every verified query keeps its recorded tier
     some = next(iter(Q._LAST_GREEN))
     assert Q._tier(some) == float(Q._LAST_GREEN[some])
@@ -24,18 +25,24 @@ def test_red_row_is_urgent_head():
     Q._SEEN_ANY = frozenset(old | {name})
     try:
         assert Q._tier(name) == 0.0
+        # and a red row outranks a brand-new query
+        assert Q._tier(name) < Q._tier("a_brand_new_query_name")
     finally:
         Q._SEEN_ANY = old
 
 
-def test_current_head_is_the_oldest_stale_cohort():
-    # after the r10 sweep the oldest cohort is r05 (50 queries); the
-    # head of the window must be exactly queries at that tier until the
-    # cohort is exhausted
+def test_window_head_is_never_driver_checked_then_oldest_cohort():
+    """The next driver window (~50 slots) must open with every query
+    that has NO driver row yet, then fill with the oldest green
+    cohort."""
     names = list(Q.all_queries())
+    new = [n for n in names if n not in Q._LAST_GREEN]
     oldest = min(Q._LAST_GREEN.values())
-    n_oldest = sum(1 for v in Q._LAST_GREEN.values() if v == oldest)
-    head = names[:n_oldest]
-    assert all(Q._LAST_GREEN.get(n) == oldest for n in head), (
-        "a non-oldest query displaced the stale cohort from the head"
+    head = names[: len(new)]
+    assert set(head) == set(new), (
+        "a verified query displaced a never-driver-checked one from the head"
+    )
+    rest = names[len(new) : 50]
+    assert all(Q._LAST_GREEN.get(n) == oldest for n in rest), (
+        "a non-oldest query displaced the oldest cohort from the window"
     )
