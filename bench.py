@@ -124,6 +124,15 @@ HEADLINE = (
     "sql_regional_revenue",  # the SQL door: literal text through
                             # run_sql, same plan as the DataFrame
                             # original (r11)
+    "cuped_value_ab",       # CUPED variance-reduced A/B: user agg +
+                            # one moment agg, decimal-exact theta (r12)
+    "did_purchase_rate",    # difference-in-differences 4-cell fold (r12)
+    "bootstrap_value_ci",   # Poisson-bootstrap CI: 40x map-side md5
+                            # weights, zero data shuffle (r12)
+    "distinct_count_estimate",  # planner primitive: key-sampled NDV +
+                            # truth pass (r12)
+    "sql_agent_metrics",    # the flagship VIEW text via run_sql —
+                            # the literal-SQL capstone (r12)
 )
 
 

@@ -188,3 +188,55 @@ def join_size_estimate(
         "true_join_rows",
         rel.alias("rel_error"),
     )
+
+
+def distinct_count_estimate(
+    df: DataFrame,
+    key: str,
+    rate_per_65536: int = 4096,
+    salt: str = "dce",
+) -> DataFrame:
+    """NDV (number-of-distinct-values) estimation from the same
+    hash-sampled key synopsis as :func:`join_size_estimate` — the
+    second planner primitive: "how many groups would GROUP BY k
+    produce?" decides agg strategy (hash-agg memory, pre-partition
+    width) at 100 TB before paying for the agg. Hash-sampling the KEY
+    SPACE makes this exact on the sampled stratum: each distinct value
+    v survives iff md5-bucket16(v) < rate — a Bernoulli(rate/65536)
+    trial ON THE VALUE, independent of its row frequency — so
+    E[d_sampled] = d·rate/65536 and d̂ = d_sampled·65536/rate is
+    unbiased with variance d·(65536/rate − 1). (A ROW-level sample
+    cannot do this: rare values vanish from it and every classical
+    row-sample NDV estimator (GEE, Chao) is provably biased on skewed
+    frequency distributions — hashing the value space sidesteps the
+    frequency distribution entirely.) Deterministic (md5, no RNG).
+
+    Scale shape: the sample predicate is a map-side projection; only
+    ~rate/65536 of the distinct keys reach the count-distinct agg. The
+    TRUE NDV rides along (one full distinct agg — still cheaper than
+    the group-by being planned, and skippable at deployment) so the
+    report grades its own error. Returns ONE row:
+    (n_keys_sampled, est_distinct, true_distinct, rel_error)."""
+    from .sampling import hash_bucket16
+
+    rate = int(rate_per_65536)
+    kc = F.col(key)
+    keys = df.select(kc.alias("__k")).where(kc.isNotNull())
+    est = keys.where(hash_bucket16(F.col("__k"), salt) < rate).agg(
+        F.count_distinct(F.col("__k")).cast("long").alias("n_keys_sampled")
+    )
+    true = keys.agg(
+        F.count_distinct(F.col("__k")).cast("long").alias("true_distinct")
+    )
+    est_d = F.col("n_keys_sampled").cast("double") * (65536.0 / rate)
+    rel = F.when(
+        F.col("true_distinct") > 0,
+        (est_d - F.col("true_distinct").cast("double"))
+        / F.col("true_distinct").cast("double"),
+    )
+    return est.crossJoin(F.broadcast(true)).select(
+        "n_keys_sampled",
+        est_d.alias("est_distinct"),
+        "true_distinct",
+        rel.alias("rel_error"),
+    )

@@ -1068,3 +1068,146 @@ def weighted_topk_sample(
         .orderBy(F.col("__es_score").desc(), c.asc())
         .limit(int(k))
     )
+
+
+# Cumulative Poisson(λ=1) pmf as exact u32 integer thresholds
+# (floor(CDF(k) · 2³²), k = 0..8): the bootstrap weight of a row is the
+# smallest k whose threshold exceeds the row's 32-bit md5 uniform, a
+# PURE INTEGER comparison — no float literal ever parses, so the Spark
+# spelling and the SQL twin cannot diverge by a ulp. P(k > 8) < 1.2e-6
+# is folded into the last bucket (w = 9); with λ = 1 that truncation
+# changes E[w] by < 1e-8 — documented, deterministic, engine-portable.
+POISSON1_CUM_U32 = (
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
+)
+
+
+def md5_u32(key: Column | str, salt: str = "") -> Column:
+    """Uniform 32-bit integer 0..2³²−1 from md5(salt:key) — eight hex
+    nibbles by the same engine-portable instr/substr spelling as
+    `hash_bucket16` (which keeps four)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string")))
+    nib = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
+    # fold in LONG from the first nibble: eight nibbles reach 2³²−1,
+    # which overflows the 32-bit int arithmetic instr() starts in
+    u = nib(1).cast("long")
+    for p in range(2, 9):
+        u = u * 16 + nib(p)
+    return u
+
+
+def poisson1_weight(u32: Column) -> Column:
+    """Deterministic Poisson(1) draw from a 32-bit uniform by inverse
+    CDF over the integer thresholds above."""
+    w = F.lit(len(POISSON1_CUM_U32))
+    for k in range(len(POISSON1_CUM_U32) - 1, -1, -1):
+        w = F.when(u32 < F.lit(POISSON1_CUM_U32[k]), F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    b: int = 40,
+    scale: int = 100,
+    alpha: float = 0.05,
+    salt: str = "pb",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a mean — the bootstrap
+    that actually runs at 100 TB (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012): classical
+    resampling needs n draws per replica coordinated across the
+    cluster, but for large n the multinomial resample count of each
+    row converges to independent Poisson(1), so every replica becomes
+    a MAP-SIDE weight column — no resample shuffle exists at all.
+
+    Determinism (the DSIR/hash-sample discipline): replica r's weight
+    for a row is Poisson⁻¹(md5-u32(salt:r:id)) via exact integer
+    thresholds — same weights every run, on any engine, so the DuckDB
+    twin hash-matches. Replica means are exact-integer ratios on the
+    ``scale`` grid (Σwy BIGINT / Σw BIGINT); the CI bounds are ORDER
+    STATISTICS of the B replica means (rank ⌈α/2·(B−1)⌋ from each end,
+    ties broken by replica id) — no interpolation, so the bounds are
+    two of the exactly-computed means themselves.
+
+    Scale shape: one explode to B× rows (map-side, B bounded), one
+    map-side-combined hash agg to B rows, one B-row window. The full
+    data shuffles NOTHING — the agg moves B partial rows per task.
+    NULL ids/values are excluded up front (they carry no outcome and
+    their md5 would be engine-ambiguous). Returns ONE row:
+    (n, mean, b, ci_lo, ci_hi)."""
+    if not 2 <= int(b) <= 512:
+        raise ValueError(f"bootstrap_mean_ci: b must be in [2, 512], got {b}")
+    b = int(b)
+    k_lo = round(alpha / 2.0 * (b - 1))
+    yi = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.where(
+        F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(id_col).cast("string").alias("__id"), yi.alias("__y"))
+    overall = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.coalesce(F.sum("__y"), F.lit(0)).cast("double")
+            / (F.count(F.lit(1)).cast("double") * float(scale))
+        ).alias("mean"),
+    )
+    reps = base.select(
+        "__id", "__y",
+        F.explode(F.array([F.lit(j) for j in range(b)])).alias("__r"),
+    )
+    # u32 and w are STAGED projections, not inlined: the weight's CASE
+    # chain references u32 once per threshold, and an inlined spelling
+    # makes Catalyst evaluate the md5 ~10× per row (measured 25 s →
+    # 5.8 s at sf0.1×40 replicas when staged — CollapseProject keeps a
+    # non-cheap expression single-evaluated across projections)
+    with_u = reps.select(
+        "__r", "__y",
+        md5_u32(
+            F.concat(F.col("__r").cast("string"), F.lit(":"), F.col("__id")),
+            salt,
+        ).alias("__u"),
+    )
+    with_w = with_u.select(
+        "__r", "__y", poisson1_weight(F.col("__u")).alias("__w")
+    )
+    means = (
+        with_w.select(
+            "__r",
+            (F.col("__w") * F.col("__y")).alias("__wy"),
+            F.col("__w").alias("__w"),
+        )
+        .groupBy("__r")
+        .agg(
+            F.sum("__wy").cast("long").alias("__swy"),
+            F.sum("__w").cast("long").alias("__sw"),
+        )
+        .where(F.col("__sw") > 0)
+        .select(
+            "__r",
+            (
+                F.col("__swy").cast("double")
+                / (F.col("__sw").cast("double") * float(scale))
+            ).alias("__m"),
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = means.select(
+        "__m",
+        F.row_number()
+        .over(Window.orderBy(F.col("__m").asc(), F.col("__r").asc()))
+        .alias("__rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__b_eff"),
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("__rk") == k_lo + 1, F.col("__m"))).alias("ci_lo"),
+        F.min(
+            F.when(F.col("__rk") == F.col("__b_eff") - k_lo, F.col("__m"))
+        ).alias("ci_hi"),
+    )
+    return overall.crossJoin(F.broadcast(ci)).select(
+        "n", "mean", F.lit(b).cast("long").alias("b"), "ci_lo", "ci_hi"
+    )

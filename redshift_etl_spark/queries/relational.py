@@ -6483,3 +6483,397 @@ def join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return H.join_size_estimate(li, li, "l_partkey", "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# NDV estimation from the same hash-sampled key synopsis
+# (heavy.distinct_count_estimate): "how many groups would GROUP BY
+# l_orderkey make?" — the planner's agg-strategy question, answered
+# map-side from ~1/16 of the key space. Value-space Bernoulli makes the
+# estimator unbiased regardless of the frequency skew that breaks every
+# row-sample NDV estimator (GEE/Chao).
+# ---------------------------------------------------------------------------
+
+_DCE_ORACLE = f"""
+WITH keys AS (
+  SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL
+),
+est AS (
+  SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys_sampled
+  FROM keys WHERE ({_hb16("k", "dce")}) < 4096
+),
+tru AS (
+  SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS true_distinct FROM keys
+)
+SELECT n_keys_sampled,
+       CAST(n_keys_sampled AS DOUBLE) * (65536.0 / 4096) AS est_distinct,
+       true_distinct,
+       CASE WHEN true_distinct > 0 THEN
+         (CAST(n_keys_sampled AS DOUBLE) * (65536.0 / 4096)
+          - CAST(true_distinct AS DOUBLE))
+         / CAST(true_distinct AS DOUBLE) END AS rel_error
+FROM est CROSS JOIN tru
+"""
+
+
+@_q("distinct_count_estimate", _DCE_ORACLE)
+def distinct_count_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l_orderkey count of lineitem estimated from the 1/16
+    md5 key-space sample (`heavy.distinct_count_estimate`) — planner
+    primitive #2 beside `join_size_estimate`, same synopsis, same
+    self-grading truth pass."""
+    from ..operators import heavy as H
+
+    li = load(spark, sf_dir, "lineitem")
+    return H.distinct_count_estimate(li, "l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B (quality.cuped_ttest): pre-period value is
+# the covariate, post-period value the outcome, per user, cut at the
+# experiment midpoint. The per-user sums are exact cents BIGINTs, so
+# the operator's whole moment pipeline stays integer-exact.
+# ---------------------------------------------------------------------------
+
+_CUPED_CUT = "2024-01-16 00:00:00"
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+    CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+      THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS xc,
+    CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+      THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS yc
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         xc AS xi, yc AS yi
+  FROM per_user
+),
+per AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(xi), 0) AS BIGINT) AS sx,
+         CAST(COALESCE(SUM(yi), 0) AS BIGINT) AS sy,
+         CAST(COALESCE(SUM(xi * xi), 0) AS BIGINT) AS sxx,
+         CAST(COALESCE(SUM(xi * yi), 0) AS BIGINT) AS sxy,
+         CAST(COALESCE(SUM(yi * yi), 0) AS BIGINT) AS syy
+  FROM t GROUP BY 1
+),
+p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_variants,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(sx) AS HUGEINT) AS sxp,
+         CAST(SUM(sy) AS HUGEINT) AS syp,
+         CAST(SUM(sxx) AS HUGEINT) AS sxxp,
+         CAST(SUM(sxy) AS HUGEINT) AS sxyp,
+         min_by(v, v) AS variant_a,
+         CAST(min_by(n, v) AS BIGINT) AS n_a,
+         CAST(min_by(sx, v) AS BIGINT) AS sxa,
+         CAST(min_by(sy, v) AS BIGINT) AS sya,
+         CAST(min_by(sxx, v) AS BIGINT) AS sxxa,
+         CAST(min_by(sxy, v) AS BIGINT) AS sxya,
+         CAST(min_by(syy, v) AS BIGINT) AS syya,
+         max_by(v, v) AS variant_b,
+         CAST(max_by(n, v) AS BIGINT) AS n_b,
+         CAST(max_by(sx, v) AS BIGINT) AS sxb,
+         CAST(max_by(sy, v) AS BIGINT) AS syb,
+         CAST(max_by(sxx, v) AS BIGINT) AS sxxb,
+         CAST(max_by(sxy, v) AS BIGINT) AS sxyb,
+         CAST(max_by(syy, v) AS BIGINT) AS syyb
+  FROM per
+),
+s AS (
+  SELECT *,
+    CAST(nn AS HUGEINT) * sxyp - sxp * syp AS num,
+    CAST(nn AS HUGEINT) * sxxp - sxp * sxp AS den,
+    CAST(sxp AS DOUBLE) / (CAST(nn AS DOUBLE) * 100.0) AS xbar
+  FROM p
+),
+s2 AS (
+  SELECT *,
+    CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END
+      AS theta
+  FROM s
+),
+arms AS (
+  SELECT *,
+    CAST(sya AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0)
+      - theta * (CAST(sxa AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0) - xbar)
+      AS ma,
+    CAST(syb AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0)
+      - theta * (CAST(sxb AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0) - xbar)
+      AS mb,
+    CASE WHEN n_a > 1 THEN
+      ((CAST(syya AS DOUBLE)
+        - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE))
+       / ((CAST(n_a AS DOUBLE) - 1) * 100.0 * 100.0))
+      - 2 * theta *
+      ((CAST(sxya AS DOUBLE)
+        - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE))
+       / ((CAST(n_a AS DOUBLE) - 1) * 100.0 * 100.0))
+      + theta * theta *
+      ((CAST(sxxa AS DOUBLE)
+        - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE))
+       / ((CAST(n_a AS DOUBLE) - 1) * 100.0 * 100.0))
+    END AS va,
+    CASE WHEN n_b > 1 THEN
+      ((CAST(syyb AS DOUBLE)
+        - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / ((CAST(n_b AS DOUBLE) - 1) * 100.0 * 100.0))
+      - 2 * theta *
+      ((CAST(sxyb AS DOUBLE)
+        - CAST(sxb AS DOUBLE) * CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / ((CAST(n_b AS DOUBLE) - 1) * 100.0 * 100.0))
+      + theta * theta *
+      ((CAST(sxxb AS DOUBLE)
+        - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / ((CAST(n_b AS DOUBLE) - 1) * 100.0 * 100.0))
+    END AS vb
+  FROM s2
+)
+SELECT n_variants, theta,
+  variant_a, n_a, CASE WHEN den > 0 THEN ma END AS adj_mean_a,
+  variant_b, n_b, CASE WHEN den > 0 THEN mb END AS adj_mean_b,
+  CASE WHEN n_variants = 2 AND n_a > 1 AND n_b > 1 AND den > 0
+            AND va / n_a + vb / n_b > 0
+  THEN (ma - mb) / sqrt(va / n_a + vb / n_b) END AS t,
+  CASE WHEN n_variants = 2 AND n_a > 1 AND n_b > 1 AND den > 0
+            AND va / n_a + vb / n_b > 0
+  THEN (va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+       / ((va / n_a) * (va / n_a) / (n_a - 1)
+          + (vb / n_b) * (vb / n_b) / (n_b - 1)) END AS df
+FROM arms
+"""
+
+
+@_q("cuped_value_ab", _CUPED_ORACLE)
+def cuped_value_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B on per-user post-period value with the
+    pre-period value as covariate (`quality.cuped_ttest`): per-user
+    cents sums are exact BIGINTs, theta's covariance ratio is exact
+    DECIMAL(38,0)/HUGEINT arithmetic, and the adjusted Welch t is a
+    fixed IEEE expression — the variance-reduced counterpart of
+    `ab_value_welch` on the same events."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0)
+        ).cast("long").alias("xc"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)
+        ).cast("long").alias("yc"),
+    )
+    units = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("v"),
+        (F.col("xc").cast("double") / 100.0).alias("pre"),
+        (F.col("yc").cast("double") / 100.0).alias("post"),
+    )
+    return Q.cuped_ttest(units, "v", "pre", "post", scale=100)
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (quality.diff_in_diff): purchase conversion
+# per active user, first half vs second half of the window, between the
+# user-parity variants — the quasi-experimental readout when assignment
+# is not randomized.
+# ---------------------------------------------------------------------------
+
+_DID_ORACLE = f"""
+WITH up AS (
+  SELECT user_id,
+    CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}' THEN 1 ELSE 2 END AS p,
+    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         CAST(p AS BIGINT) AS p, s
+  FROM up
+),
+cells AS (
+  SELECT v, p, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s) AS BIGINT) AS x
+  FROM u GROUP BY 1, 2
+),
+b AS (
+  SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS n_variants,
+         CAST(COUNT(DISTINCT p) AS BIGINT) AS n_periods,
+         MIN(v) AS variant_a, MAX(v) AS variant_b,
+         MIN(p) AS period_1, MAX(p) AS period_2
+  FROM cells
+),
+wide AS (
+  SELECT n_variants, n_periods, variant_a, variant_b, period_1, period_2,
+    CAST(COALESCE(SUM(CASE WHEN v = variant_a AND p = period_1 THEN n END),
+      0) AS BIGINT) AS n_a1,
+    CAST(COALESCE(SUM(CASE WHEN v = variant_a AND p = period_1 THEN x END),
+      0) AS BIGINT) AS xa1,
+    CAST(COALESCE(SUM(CASE WHEN v = variant_a AND p = period_2 THEN n END),
+      0) AS BIGINT) AS n_a2,
+    CAST(COALESCE(SUM(CASE WHEN v = variant_a AND p = period_2 THEN x END),
+      0) AS BIGINT) AS xa2,
+    CAST(COALESCE(SUM(CASE WHEN v = variant_b AND p = period_1 THEN n END),
+      0) AS BIGINT) AS n_b1,
+    CAST(COALESCE(SUM(CASE WHEN v = variant_b AND p = period_1 THEN x END),
+      0) AS BIGINT) AS xb1,
+    CAST(COALESCE(SUM(CASE WHEN v = variant_b AND p = period_2 THEN n END),
+      0) AS BIGINT) AS n_b2,
+    CAST(COALESCE(SUM(CASE WHEN v = variant_b AND p = period_2 THEN x END),
+      0) AS BIGINT) AS xb2
+  FROM cells CROSS JOIN b
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+r AS (
+  SELECT *,
+    CASE WHEN n_a1 > 0 THEN CAST(xa1 AS DOUBLE) / CAST(n_a1 AS DOUBLE) END
+      AS p_a1,
+    CASE WHEN n_a2 > 0 THEN CAST(xa2 AS DOUBLE) / CAST(n_a2 AS DOUBLE) END
+      AS p_a2,
+    CASE WHEN n_b1 > 0 THEN CAST(xb1 AS DOUBLE) / CAST(n_b1 AS DOUBLE) END
+      AS p_b1,
+    CASE WHEN n_b2 > 0 THEN CAST(xb2 AS DOUBLE) / CAST(n_b2 AS DOUBLE) END
+      AS p_b2,
+    (n_variants = 2 AND n_periods = 2 AND n_a1 > 0 AND n_a2 > 0
+     AND n_b1 > 0 AND n_b2 > 0) AS ok
+  FROM wide
+)
+SELECT n_variants, n_periods, variant_a, variant_b, period_1, period_2,
+  n_a1, p_a1, n_a2, p_a2, n_b1, p_b1, n_b2, p_b2,
+  CASE WHEN ok THEN (p_b2 - p_b1) - (p_a2 - p_a1) END AS did,
+  CASE WHEN ok THEN sqrt(
+    p_a1 * (1 - p_a1) / CAST(n_a1 AS DOUBLE)
+    + p_a2 * (1 - p_a2) / CAST(n_a2 AS DOUBLE)
+    + p_b1 * (1 - p_b1) / CAST(n_b1 AS DOUBLE)
+    + p_b2 * (1 - p_b2) / CAST(n_b2 AS DOUBLE)) END AS se,
+  CASE WHEN ok AND
+    p_a1 * (1 - p_a1) / CAST(n_a1 AS DOUBLE)
+    + p_a2 * (1 - p_a2) / CAST(n_a2 AS DOUBLE)
+    + p_b1 * (1 - p_b1) / CAST(n_b1 AS DOUBLE)
+    + p_b2 * (1 - p_b2) / CAST(n_b2 AS DOUBLE) > 0
+  THEN ((p_b2 - p_b1) - (p_a2 - p_a1)) / sqrt(
+    p_a1 * (1 - p_a1) / CAST(n_a1 AS DOUBLE)
+    + p_a2 * (1 - p_a2) / CAST(n_a2 AS DOUBLE)
+    + p_b1 * (1 - p_b1) / CAST(n_b1 AS DOUBLE)
+    + p_b2 * (1 - p_b2) / CAST(n_b2 AS DOUBLE)) END AS z
+FROM r
+"""
+
+
+@_q("did_purchase_rate", _DID_ORACLE)
+def did_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiD on purchase conversion per active user (first half vs
+    second half of the event window) between the user-parity variants
+    (`quality.diff_in_diff`): four exact BIGINT cells from one hash
+    agg; DiD/se/z fixed IEEE expressions with NULL on degenerate
+    shapes."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    up = ev.groupBy(
+        "user_id",
+        F.when(F.col("ts") < cut, 1).otherwise(2).cast("long").alias("p"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("s"),
+    )
+    units = up.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("v"),
+        "p", "s",
+    )
+    return Q.diff_in_diff(units, "v", "p", "s")
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap CI of mean event value (sampling.bootstrap_mean_ci):
+# the bootstrap that runs at 100 TB — per-replica Poisson(1) weights
+# from md5, map-side only, CI bounds as exact order statistics of the
+# replica means. b=40 replicas, k_lo = round(0.025·39) = 1, so the
+# bounds are the 2nd-smallest and 2nd-largest replica means.
+# ---------------------------------------------------------------------------
+
+def _u32_sql(key: str, salt: str) -> str:
+    """DuckDB twin of sampling.md5_u32: eight md5 nibbles folded
+    left-associatively, same integer at every step."""
+    h = f"md5('{salt}:' || {key})"
+    nib = (
+        lambda p: f"(instr('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+    )
+    u = nib(1)
+    for p in range(2, 9):
+        u = f"({u} * 16 + {nib(p)})"
+    return u
+
+
+def _poisson1_sql(u32: str) -> str:
+    """DuckDB twin of sampling.poisson1_weight: pure integer threshold
+    chain over the SAME u32 constants."""
+    from ..operators.sampling import POISSON1_CUM_U32
+
+    cases = " ".join(
+        f"WHEN {u32} < {t} THEN {k}"
+        for k, t in enumerate(POISSON1_CUM_U32)
+    )
+    return f"(CASE {cases} ELSE {len(POISSON1_CUM_U32)} END)"
+
+
+_BOOT_ORACLE = f"""
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+),
+overall AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(y), 0) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS mean
+  FROM base
+),
+reps AS (
+  SELECT r.range AS r, base.id, base.y,
+    {_poisson1_sql(_u32_sql("CAST(r.range AS VARCHAR) || ':' || base.id", "pb"))}
+      AS w
+  FROM base CROSS JOIN range(40) r
+),
+means AS (
+  SELECT r,
+    CAST(SUM(w * y) AS BIGINT) AS swy,
+    CAST(SUM(w) AS BIGINT) AS sw
+  FROM reps GROUP BY 1
+),
+m2 AS (
+  SELECT r, CAST(swy AS DOUBLE) / (CAST(sw AS DOUBLE) * 100.0) AS m
+  FROM means WHERE sw > 0
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m ASC, r ASC) AS rk,
+         COUNT(*) OVER () AS b_eff
+  FROM m2
+),
+ci AS (
+  SELECT MIN(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+         MIN(CASE WHEN rk = b_eff - 1 THEN m END) AS ci_hi
+  FROM ranked
+)
+SELECT n, mean, CAST(40 AS BIGINT) AS b, ci_lo, ci_hi
+FROM overall CROSS JOIN ci
+"""
+
+
+@_q("bootstrap_value_ci", _BOOT_ORACLE)
+def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap CI for mean event value over 40
+    deterministic md5-weighted replicas (`sampling.bootstrap_mean_ci`):
+    weights are exact-integer inverse-CDF draws, replica means exact
+    cents ratios, bounds order statistics — zero resample shuffle, the
+    whole bootstrap is one map-side weight column per replica."""
+    from ..operators import sampling as SA
+
+    ev = load(spark, sf_dir, "events")
+    return SA.bootstrap_mean_ci(ev, "event_id", "value", b=40)

@@ -401,6 +401,33 @@ NOTES = {
         "batch-count attach -> TakeOrdered k (never re-scans the "
         "stream's history)"
     ),
+    "cuped_value_ab": (
+        "per-user cents agg (one hash shuffle) -> ONE variant moment "
+        "agg -> 1-row pick; theta num/den exact decimal(38,0), all "
+        "adjusted means/variances fixed IEEE expressions of the ints"
+    ),
+    "did_purchase_rate": (
+        "user x period hash agg -> 4-cell conditional fold over a "
+        "1-row bounds broadcast -> fixed IEEE did/se/z"
+    ),
+    "bootstrap_value_ci": (
+        "map-side 40x replica explode -> staged md5-u32 -> Poisson "
+        "weight (staged projections keep ONE md5/row) -> 40-group "
+        "map-side-combined agg -> 40-row window; the data itself "
+        "never shuffles"
+    ),
+    "distinct_count_estimate": (
+        "estimate: map-side md5 key-sample predicate -> pruned "
+        "count-distinct; truth: one full count-distinct; 1-row "
+        "report cross — planner primitive, never runs the group-by "
+        "it sizes"
+    ),
+    "sql_agent_metrics": (
+        "the flagship view TEXT through run_sql: Catalyst compiles "
+        "the same broadcast-dim star + one group agg the DataFrame "
+        "agent_metrics pins (regexp JSON extract replaces ->> in the "
+        "shared dialect)"
+    ),
 }
 
 

@@ -361,6 +361,18 @@ REHEARSAL = (
     "dedup_set_cosine_prefix",  # prefix-filtered set-cosine AllPairs
     "lang_specific_agreement",  # same shape as krippendorff_lang:
                               # 3 projections union + item pair join
+    # r12 wave (experiment + planner primitives — hash aggs and
+    # map-side projections only):
+    "cuped_value_ab",         # user agg + ONE variant moment agg +
+                              # exact decimal theta expressions
+    "did_purchase_rate",      # user x period agg + 4-cell fold
+    "bootstrap_value_ci",     # 40x map-side explode + md5 weights +
+                              # ONE 40-group agg; no data shuffle
+    "distinct_count_estimate",  # map-side 1/16 key sample + two
+                              # count-distinct aggs (truth included)
+    "sql_agent_metrics",      # the flagship view text via run_sql —
+                              # same plan as agent_metrics (broadcast
+                              # star + one group agg)
 )
 
 # Measured-cause annotations, emitted INTO the report next to the slope

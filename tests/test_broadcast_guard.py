@@ -106,6 +106,14 @@ ALLOWED = {
         "1-row variant-name frame (n_variants, variant_a, variant_b)",
     ("operators/heavy.py", "join_size_estimate"):
         "1-row true-join-size aggregate attached to the 1-row estimate",
+    ("operators/heavy.py", "distinct_count_estimate"):
+        "1-row true-NDV aggregate attached to the 1-row estimate",
+    ("operators/quality.py", "diff_in_diff"):
+        "1-row bounds frame (min/max variant+period) attached to the "
+        "variant×period cells",
+    ("operators/sampling.py", "bootstrap_mean_ci"):
+        "1-row CI-bounds aggregate (two order statistics of B<=512 "
+        "replica means) attached to the 1-row overall mean",
     ("streaming/heavyhitters.py", "topk_from_store"):
         "1-row n_batches scalar attached to the monitoring-state items",
     ("operators/funnel.py", "log_rank_test"):

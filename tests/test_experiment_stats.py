@@ -109,3 +109,165 @@ def test_mcnemar_null_flags_excluded(spark):
         + out["n_a_only"] + out["n_b_only"]
     ) == out["n_items"]
     assert out["chi2"] == (3 - 1) ** 2 / 4
+
+
+# --- CUPED / DiD / bootstrap / NDV estimate (r12 additions) ----------------
+
+def test_cuped_theta_and_adjusted_means_vs_numpy(spark):
+    import numpy as np
+
+    from redshift_etl_spark.operators.quality import cuped_ttest
+
+    rows = [
+        ("A", 1.0, 2.0), ("A", 2.0, 3.0), ("A", 3.0, 5.0), ("A", 4.0, 5.5),
+        ("B", 1.0, 3.0), ("B", 2.0, 4.5), ("B", 3.0, 6.0), ("B", 4.0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "v string, x double, y double")
+    out = cuped_ttest(df, "v", "x", "y").first()
+    x = np.array([r[1] for r in rows])
+    y = np.array([r[2] for r in rows])
+    theta = ((x * y).mean() - x.mean() * y.mean()) / (
+        (x * x).mean() - x.mean() ** 2
+    )
+    assert abs(out["theta"] - theta) < 1e-12
+    xa, ya = x[:4], y[:4]
+    assert abs(out["adj_mean_a"] - (ya.mean() - theta * (xa.mean() - x.mean()))) < 1e-12
+    # balanced covariate (x̄_a == x̄_b): the adjusted DIFFERENCE equals
+    # the raw difference — CUPED only removes variance, never the effect
+    raw_diff = ya.mean() - y[4:].mean()
+    assert abs((out["adj_mean_a"] - out["adj_mean_b"]) - raw_diff) < 1e-12
+    assert out["t"] is not None and out["df"] is not None
+
+
+def test_cuped_variance_reduction_vs_welch(spark):
+    """A strongly-correlated covariate must tighten the test: |t_cuped|
+    > |t_welch| on the same effect."""
+    import math
+    import random
+
+    from redshift_etl_spark.operators.quality import cuped_ttest, welch_ttest
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        x = round(rng.uniform(0, 100), 2)
+        noise = round(rng.uniform(-2, 2), 2)
+        v = "A" if i % 2 == 0 else "B"
+        lift = 1.0 if v == "B" else 0.0
+        rows.append((v, x, round(x + noise + lift, 2)))
+    df = spark.createDataFrame(rows, "v string, x double, y double")
+    t_c = cuped_ttest(df, "v", "x", "y").first()["t"]
+    t_w = welch_ttest(df, "v", "y").first()["t"]
+    assert abs(t_c) > 2 * abs(t_w)
+    assert math.isfinite(t_c)
+
+
+def test_cuped_constant_covariate_reports_null(spark):
+    from redshift_etl_spark.operators.quality import cuped_ttest
+
+    rows = [("A", 5.0, 1.0), ("A", 5.0, 2.0), ("B", 5.0, 3.0), ("B", 5.0, 4.0)]
+    df = spark.createDataFrame(rows, "v string, x double, y double")
+    out = cuped_ttest(df, "v", "x", "y").first()
+    assert out["theta"] is None and out["t"] is None
+    assert out["adj_mean_a"] is None  # den = 0: no adjustment defined
+
+
+def test_diff_in_diff_hand_check(spark):
+    import math
+
+    from redshift_etl_spark.operators.quality import diff_in_diff
+
+    rows = (
+        [("A", 1, 1)] * 2 + [("A", 1, 0)] * 2      # p_a1 = 2/4
+        + [("A", 2, 1)] * 3 + [("A", 2, 0)] * 1    # p_a2 = 3/4
+        + [("B", 1, 1)] * 1 + [("B", 1, 0)] * 3    # p_b1 = 1/4
+        + [("B", 2, 1)] * 3 + [("B", 2, 0)] * 1    # p_b2 = 3/4
+    )
+    df = spark.createDataFrame(rows, "v string, p long, s long")
+    out = diff_in_diff(df, "v", "p", "s").first()
+    assert (out["n_a1"], out["n_a2"], out["n_b1"], out["n_b2"]) == (4, 4, 4, 4)
+    assert out["did"] == (0.75 - 0.25) - (0.75 - 0.5)
+    se2 = (0.5 * 0.5 + 3 * 0.75 * 0.25) / 4
+    assert math.isclose(out["se"], math.sqrt(se2))
+    assert math.isclose(out["z"], out["did"] / math.sqrt(se2))
+
+
+def test_diff_in_diff_degenerate_shapes_null(spark):
+    from redshift_etl_spark.operators.quality import diff_in_diff
+
+    # 3 variants -> NULL effect, honest counts
+    df = spark.createDataFrame(
+        [("A", 1, 1), ("B", 1, 0), ("C", 1, 1), ("A", 2, 1), ("B", 2, 0),
+         ("C", 2, 0)],
+        "v string, p long, s long",
+    )
+    out = diff_in_diff(df, "v", "p", "s").first()
+    assert out["n_variants"] == 3 and out["did"] is None
+    # one period only
+    df2 = spark.createDataFrame(
+        [("A", 1, 1), ("B", 1, 0)], "v string, p long, s long"
+    )
+    out2 = diff_in_diff(df2, "v", "p", "s").first()
+    assert out2["n_periods"] == 1 and out2["z"] is None
+
+
+def test_poisson_weight_thresholds_exact(spark):
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.operators.sampling import (
+        POISSON1_CUM_U32,
+        poisson1_weight,
+    )
+
+    t0, t1 = POISSON1_CUM_U32[0], POISSON1_CUM_U32[1]
+    df = spark.createDataFrame(
+        [(0,), (t0 - 1,), (t0,), (t1 - 1,), (t1,), (2**32 - 1,)], "u long"
+    )
+    got = [
+        r[0]
+        for r in df.select(poisson1_weight(F.col("u"))).collect()
+    ]
+    assert got == [0, 0, 1, 1, 2, 9]
+
+
+def test_bootstrap_ci_deterministic_and_ordered(spark):
+    from redshift_etl_spark.operators.sampling import bootstrap_mean_ci
+
+    rows = [(i, float(50 + (i * 37) % 100) / 10.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    a = bootstrap_mean_ci(df, "id", "value", b=40).first()
+    b = bootstrap_mean_ci(df, "id", "value", b=40).first()
+    assert a == b                      # md5 weights: identical every run
+    assert a["n"] == 500 and a["b"] == 40
+    assert a["ci_lo"] < a["mean"] < a["ci_hi"]
+    # interval shrinks roughly like 1/sqrt(n): a 10x bigger sample
+    big = spark.createDataFrame(
+        [(i, float(50 + (i * 37) % 100) / 10.0) for i in range(5000)],
+        "id long, value double",
+    )
+    c = bootstrap_mean_ci(big, "id", "value", b=40).first()
+    assert (c["ci_hi"] - c["ci_lo"]) < (a["ci_hi"] - a["ci_lo"])
+
+
+def test_bootstrap_b_bounds(spark):
+    import pytest
+
+    from redshift_etl_spark.operators.sampling import bootstrap_mean_ci
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, value double")
+    with pytest.raises(ValueError, match="b must be in"):
+        bootstrap_mean_ci(df, "id", "value", b=1)
+    with pytest.raises(ValueError, match="b must be in"):
+        bootstrap_mean_ci(df, "id", "value", b=1000)
+
+
+def test_distinct_count_estimate_full_rate_is_exact(spark):
+    from redshift_etl_spark.operators.heavy import distinct_count_estimate
+
+    df = spark.createDataFrame(
+        [(i % 100,) for i in range(1000)], "k long"
+    )
+    out = distinct_count_estimate(df, "k", rate_per_65536=65536).first()
+    assert out["true_distinct"] == 100
+    assert out["est_distinct"] == 100.0  # rate 1.0: the sample IS the data
+    assert out["rel_error"] == 0.0
