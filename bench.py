@@ -131,6 +131,9 @@ HEADLINE = (
                             # weights, zero data shuffle (r12)
     "distinct_count_estimate",  # planner primitive: key-sampled NDV +
                             # truth pass (r12)
+    "selectivity_conjunctive",  # planner primitive: row-sampled
+                            # conjunctive selectivity + independence
+                            # grade (r12)
     "sql_agent_metrics",    # the flagship VIEW text via run_sql —
                             # the literal-SQL capstone (r12)
 )

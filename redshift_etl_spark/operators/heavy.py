@@ -240,3 +240,96 @@ def distinct_count_estimate(
         "true_distinct",
         rel.alias("rel_error"),
     )
+
+
+def selectivity_estimate(
+    df: DataFrame,
+    pred_a: Column,
+    pred_b: Column,
+    id_col: str,
+    rate_per_65536: int = 4096,
+    salt: str = "sel",
+) -> DataFrame:
+    """Conjunctive-predicate selectivity estimation from a
+    deterministic md5 ROW sample — planner primitive #3 beside
+    :func:`join_size_estimate` / :func:`distinct_count_estimate`:
+    "how many rows pass A AND B?" decides filter ordering and join
+    laterality before the scan runs. Row sampling is CORRECT here
+    (unlike NDV/join-size, where the key space must be sampled):
+    selectivity is a per-row Bernoulli property, so a uniform row
+    sample gives an unbiased estimate of every predicate combination
+    at once — one synopsis serves A, B, and A∧B.
+
+    The report also grades the INDEPENDENCE assumption every classical
+    optimizer makes (sel(A∧B) = sel(A)·sel(B)): ``indep_est_rows`` is
+    the estimate independence would produce from the same sample, and
+    ``correlation_factor`` = p̂(A∧B) / (p̂(A)·p̂(B)) says how wrong it
+    is (1 = independent; >1 correlated — the planner should not
+    multiply). Sampling is md5 on ``id_col`` (deterministic, engine-
+    portable; NULL ids excluded — they cannot be sampled stably).
+
+    Scale shape: the sample predicate is a map-side projection; one
+    agg over ~rate/65536 of the rows produces all three counts. The
+    TRUE joint count rides along (one full agg — the thing being
+    avoided at deployment, kept here so the report grades its own
+    error). Returns ONE row: (n_sample, est_rows, true_rows,
+    rel_error, indep_est_rows, correlation_factor)."""
+    from .sampling import hash_bucket16
+
+    rate = int(rate_per_65536)
+    scale_up = 65536.0 / rate
+    base = df.where(F.col(id_col).isNotNull()).select(
+        pred_a.cast("boolean").alias("__a"),
+        pred_b.cast("boolean").alias("__b"),
+        hash_bucket16(F.col(id_col), salt).alias("__h"),
+    )
+    samp = base.where(F.col("__h") < rate).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.coalesce(
+            F.sum((F.coalesce(F.col("__a"), F.lit(False))
+                   & F.coalesce(F.col("__b"), F.lit(False))).cast("long")),
+            F.lit(0),
+        ).cast("long").alias("__nab"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("__a"), F.lit(False)).cast("long")),
+            F.lit(0),
+        ).cast("long").alias("__na"),
+        F.coalesce(
+            F.sum(F.coalesce(F.col("__b"), F.lit(False)).cast("long")),
+            F.lit(0),
+        ).cast("long").alias("__nb"),
+    )
+    true = base.agg(
+        F.coalesce(
+            F.sum((F.coalesce(F.col("__a"), F.lit(False))
+                   & F.coalesce(F.col("__b"), F.lit(False))).cast("long")),
+            F.lit(0),
+        ).cast("long").alias("true_rows")
+    )
+    ns = F.col("n_sample").cast("double")
+    est = F.col("__nab").cast("double") * scale_up
+    # independence estimate from the SAME sample: n·p̂(A)·p̂(B), with
+    # n = n_sample·scale_up — algebraically (na·nb/n_sample)·scale_up
+    indep = F.when(
+        F.col("n_sample") > 0,
+        F.col("__na").cast("double") * F.col("__nb").cast("double")
+        / ns * scale_up,
+    )
+    corr = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        F.col("__nab").cast("double") * ns
+        / (F.col("__na").cast("double") * F.col("__nb").cast("double")),
+    )
+    rel = F.when(
+        F.col("true_rows") > 0,
+        (est - F.col("true_rows").cast("double"))
+        / F.col("true_rows").cast("double"),
+    )
+    return samp.crossJoin(F.broadcast(true)).select(
+        "n_sample",
+        est.alias("est_rows"),
+        "true_rows",
+        rel.alias("rel_error"),
+        indep.alias("indep_est_rows"),
+        corr.alias("correlation_factor"),
+    )

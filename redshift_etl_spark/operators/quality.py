@@ -1665,3 +1665,92 @@ def diff_in_diff(
         "n_b1", pb1.alias("p_b1"), "n_b2", pb2.alias("p_b2"),
         did.alias("did"), se.alias("se"), z.alias("z"),
     )
+
+
+# z constants for the MDE report, shared as LITERALS with the SQL twin
+# (both engines parse the same decimal text to the same IEEE double):
+# two-sided alpha = 0.05 and power = 0.80 — the industry-default pair.
+Z_ALPHA_0_05 = 1.959963984540054
+Z_POWER_0_80 = 0.8416212335729143
+
+
+def ab_power_mde(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Minimum detectable effect and required sample size for the
+    running A/B — the DESIGN readout beside :func:`welch_ttest`'s
+    verdict: "this far into the experiment, what effect size could we
+    even see?" A team reading only t/p on an underpowered test ships
+    noise; the MDE says what the test can promise,
+
+        MDE = (z_{α/2} + z_{power}) · √(s²_a/n_a + s²_b/n_b)
+
+    at the default α = 0.05 two-sided / 80% power (constants shared as
+    literals with the twin), plus the per-arm n that would power the
+    OBSERVED difference: n = (z_{α/2}+z_{power})²·(s²_a+s²_b)/Δ² —
+    ceil'd, NULL when Δ = 0 (no observed effect to power).
+
+    Exactness: the welch moment discipline verbatim (cents-grid BIGINT
+    n/Σy/Σy² from ONE hash agg, NULL outcomes excluded, fixed IEEE
+    expressions). Returns ONE row: (n_variants, variant_a, n_a, mean_a,
+    variant_b, n_b, mean_b, mean_diff, se, mde_abs,
+    n_per_arm_for_observed)."""
+    yi = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    per = df.where(
+        F.col(value_col).isNotNull()
+    ).groupBy(F.col(variant_col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.coalesce(F.sum(yi), F.lit(0)).cast("long").alias("__s1"),
+        F.coalesce(F.sum(yi * yi), F.lit(0)).cast("long").alias("__s2"),
+    )
+    picked = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min_by(F.col("__v"), F.col("__v")).alias("variant_a"),
+        F.min_by(F.col("__n"), F.col("__v")).cast("long").alias("n_a"),
+        F.min_by(F.col("__s1"), F.col("__v")).cast("long").alias("__s1a"),
+        F.min_by(F.col("__s2"), F.col("__v")).cast("long").alias("__s2a"),
+        F.max_by(F.col("__v"), F.col("__v")).alias("variant_b"),
+        F.max_by(F.col("__n"), F.col("__v")).cast("long").alias("n_b"),
+        F.max_by(F.col("__s1"), F.col("__v")).cast("long").alias("__s1b"),
+        F.max_by(F.col("__s2"), F.col("__v")).cast("long").alias("__s2b"),
+    )
+    sc = float(scale)
+
+    def _stats(s1, s2, n):
+        nn = n.cast("double")
+        mean = s1.cast("double") / (nn * sc)
+        var = F.when(
+            n > 1,
+            (s2.cast("double") - s1.cast("double") * s1.cast("double") / nn)
+            / ((nn - 1) * sc * sc),
+        )
+        return mean, var
+
+    ma, va = _stats(F.col("__s1a"), F.col("__s2a"), F.col("n_a"))
+    mb, vb = _stats(F.col("__s1b"), F.col("__s2b"), F.col("n_b"))
+    se2 = va / F.col("n_a").cast("double") + vb / F.col("n_b").cast("double")
+    ok = (
+        (F.col("n_variants") == 2)
+        & (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & (se2 > 0)
+    )
+    zsum = F.lit(Z_ALPHA_0_05) + F.lit(Z_POWER_0_80)
+    diff = ma - mb
+    mde = F.when(ok, zsum * F.sqrt(se2))
+    n_req = F.when(
+        ok & (diff != 0),
+        F.ceil(zsum * zsum * (va + vb) / (diff * diff)).cast("long"),
+    )
+    return picked.select(
+        "n_variants",
+        "variant_a", "n_a", ma.alias("mean_a"),
+        "variant_b", "n_b", mb.alias("mean_b"),
+        F.when(ok, diff).alias("mean_diff"),
+        F.when(ok, F.sqrt(se2)).alias("se"),
+        mde.alias("mde_abs"),
+        n_req.alias("n_per_arm_for_observed"),
+    )

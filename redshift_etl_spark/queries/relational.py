@@ -6877,3 +6877,160 @@ def bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return SA.bootstrap_mean_ci(ev, "event_id", "value", b=40)
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive-predicate selectivity (heavy.selectivity_estimate):
+# planner primitive #3 — "how many rows pass qty>=25 AND price>=30000?"
+# from a 1/16 md5 ROW sample (row sampling is correct for per-row
+# predicates, unlike NDV/join-size where the key space must be
+# sampled). The pair is deliberately CORRELATED — the second predicate
+# filters the DERIVED net revenue price·(1−discount), the classic
+# gross-vs-net filter pair a user writes — so the report's
+# independence grade has something to say (measured factor ~1.38 at
+# sf0.1: the sel(A)·sel(B) multiply would undercount by ~28%).
+# ---------------------------------------------------------------------------
+
+_SEL_ID = (
+    "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)"
+)
+
+_SEL_ORACLE = f"""
+WITH base AS (
+  SELECT (l_extendedprice >= 30000) AS a,
+         (l_extendedprice * (1 - l_discount) >= 29000) AS b,
+         ({_hb16(_SEL_ID, "sel")}) AS h
+  FROM lineitem
+),
+samp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+    CAST(COALESCE(SUM(CASE WHEN COALESCE(a, false) AND COALESCE(b, false)
+      THEN 1 ELSE 0 END), 0) AS BIGINT) AS nab,
+    CAST(COALESCE(SUM(CASE WHEN COALESCE(a, false)
+      THEN 1 ELSE 0 END), 0) AS BIGINT) AS na,
+    CAST(COALESCE(SUM(CASE WHEN COALESCE(b, false)
+      THEN 1 ELSE 0 END), 0) AS BIGINT) AS nb
+  FROM base WHERE h < 4096
+),
+tru AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN COALESCE(a, false)
+    AND COALESCE(b, false) THEN 1 ELSE 0 END), 0) AS BIGINT) AS true_rows
+  FROM base
+)
+SELECT n_sample,
+  CAST(nab AS DOUBLE) * (65536.0 / 4096) AS est_rows,
+  true_rows,
+  CASE WHEN true_rows > 0 THEN
+    (CAST(nab AS DOUBLE) * (65536.0 / 4096) - CAST(true_rows AS DOUBLE))
+    / CAST(true_rows AS DOUBLE) END AS rel_error,
+  CASE WHEN n_sample > 0 THEN
+    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n_sample AS DOUBLE)
+    * (65536.0 / 4096) END AS indep_est_rows,
+  CASE WHEN na > 0 AND nb > 0 THEN
+    CAST(nab AS DOUBLE) * CAST(n_sample AS DOUBLE)
+    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS correlation_factor
+FROM samp CROSS JOIN tru
+"""
+
+
+@_q("selectivity_conjunctive", _SEL_ORACLE)
+def selectivity_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity of gross≥30000 AND net≥29000 on lineitem from the
+    1/16 md5 row sample (`heavy.selectivity_estimate`), with the
+    independence-assumption grade: net revenue derives from gross, so
+    the classical sel(A)·sel(B) multiply is measurably wrong here —
+    correlation_factor says by how much."""
+    from ..operators import heavy as H
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "__rid",
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ),
+    )
+    return H.selectivity_estimate(
+        li,
+        F.col("l_extendedprice") >= 30000,
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) >= 29000,
+        "__rid",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B power / MDE report (quality.ab_power_mde): the design readout
+# beside ab_value_welch's verdict — what effect could this test even
+# see, and what per-arm n would power the observed difference.
+# ---------------------------------------------------------------------------
+
+_MDE_ORACLE = """
+WITH t AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         CAST(ROUND(value * 100) AS BIGINT) AS yi
+  FROM events
+  WHERE value IS NOT NULL
+),
+per AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(yi), 0) AS BIGINT) AS s1,
+         CAST(COALESCE(SUM(yi * yi), 0) AS BIGINT) AS s2
+  FROM t GROUP BY 1
+),
+p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_variants,
+         min_by(v, v) AS variant_a,
+         CAST(min_by(n, v) AS BIGINT) AS n_a,
+         CAST(min_by(s1, v) AS BIGINT) AS s1a,
+         CAST(min_by(s2, v) AS BIGINT) AS s2a,
+         max_by(v, v) AS variant_b,
+         CAST(max_by(n, v) AS BIGINT) AS n_b,
+         CAST(max_by(s1, v) AS BIGINT) AS s1b,
+         CAST(max_by(s2, v) AS BIGINT) AS s2b
+  FROM per
+),
+s AS (
+  SELECT n_variants, variant_a, n_a,
+         CAST(s1a AS DOUBLE) / (n_a * 100.0) AS mean_a,
+         variant_b, n_b,
+         CAST(s1b AS DOUBLE) / (n_b * 100.0) AS mean_b,
+         CASE WHEN n_a > 1 THEN
+           (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_a)
+           / ((n_a - 1) * 100.0 * 100.0) END AS va,
+         CASE WHEN n_b > 1 THEN
+           (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_b)
+           / ((n_b - 1) * 100.0 * 100.0) END AS vb
+  FROM p
+),
+s2 AS (
+  SELECT *,
+    (n_variants = 2 AND n_a > 1 AND n_b > 1
+     AND va / n_a + vb / n_b > 0) AS ok,
+    (1.959963984540054 + 0.8416212335729143) AS zsum
+  FROM s
+)
+SELECT n_variants, variant_a, n_a, mean_a, variant_b, n_b, mean_b,
+  CASE WHEN ok THEN mean_a - mean_b END AS mean_diff,
+  CASE WHEN ok THEN sqrt(va / n_a + vb / n_b) END AS se,
+  CASE WHEN ok THEN zsum * sqrt(va / n_a + vb / n_b) END AS mde_abs,
+  CASE WHEN ok AND mean_a - mean_b <> 0 THEN
+    CAST(CEIL(zsum * zsum * (va + vb)
+      / ((mean_a - mean_b) * (mean_a - mean_b))) AS BIGINT)
+  END AS n_per_arm_for_observed
+FROM s2
+"""
+
+
+@_q("ab_value_mde", _MDE_ORACLE)
+def ab_value_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power/MDE report for the value A/B (`quality.ab_power_mde`):
+    what absolute effect the running test can detect at α=0.05 / 80%
+    power, and the per-arm n that would power the observed difference
+    — the welch moment discipline with two extra IEEE expressions."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("v"),
+        "value",
+    )
+    return Q.ab_power_mde(ev, "v", "value", scale=100)

@@ -428,6 +428,15 @@ NOTES = {
         "agent_metrics pins (regexp JSON extract replaces ->> in the "
         "shared dialect)"
     ),
+    "selectivity_conjunctive": (
+        "map-side md5 row-sample predicate -> ONE 1-row sample agg "
+        "(A, B, A-and-B counts at once) + one truth agg; grades the "
+        "optimizer independence assumption it replaces"
+    ),
+    "ab_value_mde": (
+        "ONE variant hash agg of exact cents moments (welch shape) "
+        "-> 1-row pick -> fixed IEEE MDE / required-n expressions"
+    ),
 }
 
 

@@ -370,6 +370,9 @@ REHEARSAL = (
                               # ONE 40-group agg; no data shuffle
     "distinct_count_estimate",  # map-side 1/16 key sample + two
                               # count-distinct aggs (truth included)
+    "selectivity_conjunctive",  # map-side 1/16 row sample + two
+                              # 1-row aggs (truth included)
+    "ab_value_mde",           # ONE variant moment agg (welch shape)
     "sql_agent_metrics",      # the flagship view text via run_sql —
                               # same plan as agent_metrics (broadcast
                               # star + one group agg)

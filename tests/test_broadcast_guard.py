@@ -108,6 +108,9 @@ ALLOWED = {
         "1-row true-join-size aggregate attached to the 1-row estimate",
     ("operators/heavy.py", "distinct_count_estimate"):
         "1-row true-NDV aggregate attached to the 1-row estimate",
+    ("operators/heavy.py", "selectivity_estimate"):
+        "1-row true-joint-count aggregate attached to the 1-row "
+        "sample synopsis",
     ("operators/quality.py", "diff_in_diff"):
         "1-row bounds frame (min/max variant+period) attached to the "
         "variant×period cells",

@@ -271,3 +271,59 @@ def test_distinct_count_estimate_full_rate_is_exact(spark):
     assert out["true_distinct"] == 100
     assert out["est_distinct"] == 100.0  # rate 1.0: the sample IS the data
     assert out["rel_error"] == 0.0
+
+
+def test_selectivity_estimate_full_rate_exact_and_independence(spark):
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.operators.heavy import selectivity_estimate
+
+    # full rate: the sample IS the data -> est == true, rel_error 0
+    rows = [(i, i % 4, i % 3) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = selectivity_estimate(
+        df, F.col("a") == 0, F.col("b") == 0, "id", rate_per_65536=65536
+    ).first()
+    # i%4==0 and i%3==0 <=> i%12==0: 50 rows, truly independent (600
+    # is a common multiple, so p(A∧B) = p(A)·p(B) exactly)
+    assert out["true_rows"] == 50 and out["est_rows"] == 50.0
+    assert out["rel_error"] == 0.0
+    assert abs(out["correlation_factor"] - 1.0) < 1e-12
+    assert abs(out["indep_est_rows"] - 50.0) < 1e-9
+    # perfectly correlated: A == B -> factor = 1/p(A)
+    out2 = selectivity_estimate(
+        df, F.col("a") == 0, F.col("a") == 0, "id", rate_per_65536=65536
+    ).first()
+    assert abs(out2["correlation_factor"] - 4.0) < 1e-12
+
+
+def test_ab_power_mde_hand_check(spark):
+    import math
+
+    from redshift_etl_spark.operators.quality import (
+        Z_ALPHA_0_05,
+        Z_POWER_0_80,
+        ab_power_mde,
+    )
+
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 2.0), ("B", 4.0)]
+    df = spark.createDataFrame(rows, "v string, value double")
+    out = ab_power_mde(df, "v", "value").first()
+    # same moments as the welch hand-check: s2_a=1, s2_b=2
+    se = math.sqrt(1 / 3 + 2 / 2)
+    zsum = Z_ALPHA_0_05 + Z_POWER_0_80
+    assert math.isclose(out["se"], se)
+    assert math.isclose(out["mde_abs"], zsum * se)
+    assert out["mean_diff"] == -1.0
+    assert out["n_per_arm_for_observed"] == math.ceil(zsum * zsum * 3)
+
+
+def test_ab_power_mde_zero_diff_null_required_n(spark):
+    from redshift_etl_spark.operators.quality import ab_power_mde
+
+    rows = [("A", 1.0), ("A", 3.0), ("B", 1.0), ("B", 3.0)]
+    df = spark.createDataFrame(rows, "v string, value double")
+    out = ab_power_mde(df, "v", "value").first()
+    assert out["mean_diff"] == 0.0
+    assert out["n_per_arm_for_observed"] is None  # no effect to power
+    assert out["mde_abs"] is not None             # MDE still defined
