@@ -7,14 +7,40 @@ from __future__ import annotations
 from redshift_etl_spark.queries import sqltext
 
 
-def test_slice_registers_ten_same_text_twins():
-    assert len(sqltext.QUERIES) == 10
+def test_slice_registers_same_text_twins():
+    # 10 promoted TPC-H shapes (r11) + the two reference views (r12:
+    # sql_agent_metrics carries its own shared-dialect text;
+    # sql_agent_metrics_2 promotes view 2's oracle directly)
+    assert len(sqltext.QUERIES) == 12
     assert set(sqltext.QUERIES) == set(sqltext.ORACLES)
-    for name in sqltext.QUERIES:
-        src = name.removeprefix("sql_")
-        assert sqltext.ORACLES[name] is sqltext._SOURCE_ORACLES[src], (
-            f"{name}: oracle text is not the identical string object"
-        )
+    for name in sqltext._PROMOTED:
+        assert (
+            sqltext.ORACLES[f"sql_{name}"]
+            is sqltext._SOURCE_ORACLES[name]
+        ), f"sql_{name}: oracle text is not the identical string object"
+    # the capstone twins are the same string OBJECT on both engines too
+    assert (
+        sqltext.ORACLES["sql_agent_metrics"]
+        is sqltext._AGENT_METRICS_SHARED
+    )
+    assert sqltext.ORACLES["sql_agent_metrics_2"] is sqltext._V2_TEXT
+
+
+def test_capstone_view_matches_dataframe_flagship(spark):
+    # the literal view text must produce the same rows as the
+    # DataFrame flagship it renders (modulo column order)
+    from redshift_etl_spark.queries import agent_metrics as AM
+
+    sf = "/root/testdata/sf0.001"
+    sql_df = sqltext.QUERIES["sql_agent_metrics"](spark, sf)
+    df = AM.agent_metrics(spark, sf)
+    assert sorted(c.lower() for c in sql_df.columns) == sorted(
+        c.lower() for c in df.columns
+    )
+    cols = sorted(sql_df.columns)
+    a = sorted(map(tuple, sql_df.select(*cols).collect()))
+    b = sorted(map(tuple, df.select(*cols).collect()))
+    assert a == b
 
 
 def test_slice_analyzes_and_matches_dataframe_twin(spark):

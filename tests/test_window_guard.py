@@ -63,6 +63,10 @@ ALLOWED = {
     ("queries/llm_data.py", "weighted_exact_k_sample"),
     # rank over the 10 TakeOrdered survivors (top-k config) (r10)
     ("queries/relational.py", "hits_authorities"),
+    # row_number + count over the B replica means: bounded by the
+    # bootstrap's b config (<= 512 rows by the ValueError guard),
+    # never by data volume (r12)
+    ("operators/sampling.py", "bootstrap_mean_ci"),
 }
 
 _WINDOW_MODULES = {"pyspark.sql", "pyspark.sql.window"}
