@@ -386,6 +386,24 @@ REHEARSAL = (
 # recorded round has an entry; the retrofit of older REHEARSAL_r*.json
 # files used this same dict.
 NOTES: dict[str, str] = {
+    "mcnemar_lang_baseline": (
+        "cold reading ~3.9x for 10x docs — the dominant cost is the "
+        "lang_id marker scan of the 10x corpus, sublinear per row; "
+        "r11's 0.87x reading rode a warm cache from the lang-family "
+        "probes that preceded it in that run's order (its sfbig side "
+        "read FASTER than sf0.1, the giveaway). Idle re-measured r12."
+    ),
+    "bootstrap_value_ci": (
+        "per-(row,replica) md5 weight generation dominates: work is "
+        "exactly linear in rows x the FIXED 40 replicas, so ~3.2-3.5x "
+        "wall for 10x rows is the fixed explode overhead amortizing — "
+        "sublinear, no shuffle grows (the agg moves 40 partials/task)."
+    ),
+    "trade_pagerank": (
+        "fixed-iteration checkpointed edge joins: ~1.5x idle (2.3-2.5x "
+        "under ambient load) for 10x edges — sublinear; readings hover "
+        "around the 2.5 bar purely with machine load (r11: 2.34)."
+    ),
     "decontaminate_semantic": (
         "workload-coupled: the fixture scales BOTH sides, and banded-LSH "
         "candidates ~bands*|A|*|B|/2^planes grow ~100x when each side "
