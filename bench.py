@@ -272,28 +272,48 @@ def effective_load(
     probe (the run's closest-to-idle evidence — a min can only be
     trusted downward).
 
-    Returns canary_sec / canary_str_sec (worst probes — what the gate
-    budgets must scale by), the per-canary load ratios, and the
-    effective load_factor = worst ratio across both canaries, clamped
-    to [1, LOAD_FACTOR_CAP]."""
+    Two DIFFERENT questions get two different aggregations:
+
+    - ``load_factor`` (budget scaling, what the gate uses) = WORST
+      probe ratio: a query may have run at the window's worst moment,
+      so only the worst reading bounds what load could have cost it.
+    - ``load_factor_best`` (evidentiary status) = BEST probe ratio:
+      "was the MACHINE loaded?" is answered by the quietest moment —
+      if even the best probe sits above the bar, ambient load
+      contaminated the whole record. The worst probe is the wrong
+      stamp signal because the bench's own JVM ages through a
+      ~2-minute 93-query run (first r12 idle runs: start probes
+      1.15/0.64 vs end-of-query probes 1.25/0.88 at loadavg ~0) —
+      that aging inflates adjacent queries and probes ALIKE, so it
+      belongs in budget scaling, but it is not ambient load and must
+      not disqualify an idle record.
+
+    Returns canary_sec / canary_str_sec (worst probes), per-canary
+    worst ratios, and both load factors, clamped to
+    [1, LOAD_FACTOR_CAP]."""
+
+    def ratio(probes: list[float], floor: float | None, agg) -> float:
+        if not probes or floor is None:
+            return 1.0
+        return min(max(1.0, agg(probes) / floor), LOAD_FACTOR_CAP)
+
     worst_shuffle = max(shuffle_probes) if shuffle_probes else None
     worst_str = max(str_probes) if str_probes else None
-    lf_shuffle = (
-        1.0
-        if worst_shuffle is None or shuffle_floor is None
-        else min(max(1.0, worst_shuffle / shuffle_floor), LOAD_FACTOR_CAP)
-    )
-    lf_str = (
-        1.0
-        if worst_str is None or str_floor is None
-        else min(max(1.0, worst_str / str_floor), LOAD_FACTOR_CAP)
-    )
+    lf_shuffle = ratio(shuffle_probes, shuffle_floor, max)
+    lf_str = ratio(str_probes, str_floor, max)
     return {
         "canary_sec": worst_shuffle,
         "canary_str_sec": worst_str,
         "lf_shuffle": lf_shuffle,
         "lf_str": lf_str,
         "load_factor": round(max(lf_shuffle, lf_str), 3),
+        "load_factor_best": round(
+            max(
+                ratio(shuffle_probes, shuffle_floor, min),
+                ratio(str_probes, str_floor, min),
+            ),
+            3,
+        ),
     }
 
 
@@ -333,14 +353,24 @@ def stamp_advisory(full: dict) -> dict:
 
     advisory=True means "numbers recorded under >1.3× ambient load —
     usable for debugging, NOT as the round's committed evidence".
-    Kept a pure function of the record so the stamp is unit-testable
-    without a SparkSession."""
-    lf = float(full.get("load_factor") or 1.0)
+    The signal is ``load_factor_best`` (the BEST probe's ratio — the
+    window's quietest moment; see effective_load: the worst probe
+    includes the bench's own JVM aging, which inflates queries and
+    probes alike and must not disqualify an idle record). Legacy
+    records without probes fall back to ``load_factor``. Kept a pure
+    function of the record so the stamp is unit-testable without a
+    SparkSession."""
+    lf = float(
+        full.get("load_factor_best")
+        or full.get("load_factor")
+        or 1.0
+    )
     full["advisory"] = lf > RECORD_ADVISORY_LOAD
     if full["advisory"]:
         full["advisory_reason"] = (
-            f"load_factor {lf:.3f} > {RECORD_ADVISORY_LOAD}: re-run on an "
-            "idle machine before committing as round evidence"
+            f"ambient load {lf:.3f} > {RECORD_ADVISORY_LOAD} even at the "
+            "window's quietest probe: re-run on an idle machine before "
+            "committing as round evidence"
         )
     return full
 
@@ -442,6 +472,18 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", flush=True)
 
+    # the END probe closes the QUERY window — before the stream bench,
+    # because a probe taken after 45 s of saturating streaming measures
+    # the stream's own wake (state-store teardown + GC), a state no
+    # query ran under: the first r12 idle run read 1.59s/1.06s there
+    # (vs 1.09-1.15/0.74 during the query window) and false-stamped an
+    # idle run advisory. The post-stream reading is still RECORDED
+    # below as a diagnostic, just never budget-scaling.
+    probe("end")
+    eff = effective_load(
+        shuffle_probes, str_probes, canary_floor, canary_str_floor
+    )
+
     stream = bench_stream_ctr(spark)
     print(
         f"# stream_ctr_rate: "
@@ -450,10 +492,12 @@ def main() -> None:
         f"{stream['stream_ctr_rate_batches']} batches)",
         flush=True,
     )
-
-    probe("end")
-    eff = effective_load(
-        shuffle_probes, str_probes, canary_floor, canary_str_floor
+    post_shuffle = time_canary(spark, runs=1)
+    post_str = time_canary_str(spark, runs=1)
+    print(
+        f"# canary[post-stream, diagnostic]: shuffle {post_shuffle:.3f}s "
+        f"/ str {post_str:.3f}s (recorded, not budget-scaling)",
+        flush=True,
     )
 
     total = round(sum(timings.values()), 3)
@@ -473,7 +517,12 @@ def main() -> None:
         "canary_str_sec": eff["canary_str_sec"],
         "canary_str_probes": str_probes,
         "canary_str_floor_sec": canary_str_floor,
+        # post-stream diagnostic probe: reflects the stream bench's own
+        # wake, not a state any query ran under — see probe("end") note
+        "canary_post_stream_sec": post_shuffle,
+        "canary_post_stream_str_sec": post_str,
         "load_factor": eff["load_factor"],
+        "load_factor_best": eff["load_factor_best"],
         "sf": sf,
     }
     stamp_advisory(full)

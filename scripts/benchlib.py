@@ -43,6 +43,8 @@ _PAIR = re.compile(r'"([A-Za-z0-9_]+)"\s*:\s*(-?\d+(?:\.\d+)?)')
 _SCALARS = (
     "canary_sec", "canary_floor_sec", "load_factor", "sf",
     "canary_str_sec", "canary_str_floor_sec", "load_factor_str",
+    "canary_post_stream_sec", "canary_post_stream_str_sec",
+    "load_factor_best",
 )
 _IGNORE = ("value", "n_queries")
 _STREAM_SUFFIXES = ("_rows_per_sec", "_rows", "_batches")
