@@ -136,6 +136,10 @@ HEADLINE = (
                             # grade (r12)
     "sql_agent_metrics",    # the flagship VIEW text via run_sql —
                             # the literal-SQL capstone (r12)
+    "fact_key_overlap",     # planner primitive: shared-synopsis set
+                            # NDV (union/intersection/jaccard) (r12)
+    "ab_value_trimmed",     # whale-resistant trimmed-mean A/B on the
+                            # value histogram (r12)
 )
 
 

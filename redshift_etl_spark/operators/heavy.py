@@ -333,3 +333,119 @@ def selectivity_estimate(
         indep.alias("indep_est_rows"),
         corr.alias("correlation_factor"),
     )
+
+
+def distinct_set_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    a_key: str,
+    b_key: str,
+    rate_per_65536: int = 4096,
+    salt: str = "dce",
+) -> DataFrame:
+    """Set-operation NDV estimation — |A ∪ B|, |A ∩ B| and the Jaccard
+    of two key columns from the SAME md5 key-space synopsis as
+    :func:`distinct_count_estimate` (planner primitive #2b, and the
+    classical theta-sketch identity with a fixed threshold): because
+    both sides sample the IDENTICAL hash space with the IDENTICAL
+    threshold, the union of the samples IS the sample of the union and
+    the intersection of the samples IS the sample of the intersection
+    — each distinct value of A∪B (resp. A∩B) survives independently
+    with p = rate/65536, so scaling by 65536/rate is unbiased for
+    every set operation at once. (A row sample cannot do ANY of this:
+    the same value sampled on side A and dropped on side B destroys
+    the intersection.) Answers the "how many keys do these two fact
+    tables share?" question a planner asks before choosing a join
+    strategy, and the data-quality question behind referential drift.
+
+    Scale shape: one map-side predicate per side, distinct on
+    ~rate/65536 of the keys, one tiny distinct-union agg. The TRUE
+    counts ride along (two distincts + one union distinct) so the
+    report grades its own error. Returns ONE row:
+    (n_a_sampled, n_b_sampled, est_distinct_a, est_distinct_b,
+    est_union, est_intersection, est_jaccard, true_union,
+    true_intersection, rel_error_union)."""
+    from .sampling import hash_bucket16
+
+    rate = int(rate_per_65536)
+    up = 65536.0 / rate
+
+    def keys(df: DataFrame, key: str) -> DataFrame:
+        kc = F.col(key)
+        return (
+            df.select(kc.cast("string").alias("__k"))
+            .where(kc.isNotNull())
+        )
+
+    ka, kb = keys(a, a_key), keys(b, b_key)
+    sa = ka.where(hash_bucket16(F.col("__k"), salt) < rate).distinct()
+    sb = kb.where(hash_bucket16(F.col("__k"), salt) < rate).distinct()
+    # sampled-set algebra: distinct union size + per-side sizes give
+    # the intersection by inclusion-exclusion, all inside one plan
+    counts = (
+        sa.select(F.lit(1).alias("__in_a"), F.lit(0).alias("__in_b"), "__k")
+        .unionByName(
+            sb.select(
+                F.lit(0).alias("__in_a"), F.lit(1).alias("__in_b"), "__k"
+            )
+        )
+        .groupBy("__k")
+        .agg(
+            F.max("__in_a").alias("__a"),
+            F.max("__in_b").alias("__b"),
+        )
+        .agg(
+            F.coalesce(F.sum("__a"), F.lit(0)).cast("long").alias(
+                "n_a_sampled"
+            ),
+            F.coalesce(F.sum("__b"), F.lit(0)).cast("long").alias(
+                "n_b_sampled"
+            ),
+            F.count(F.lit(1)).cast("long").alias("__n_union"),
+            F.coalesce(
+                F.sum((F.col("__a") + F.col("__b") == 2).cast("long")),
+                F.lit(0),
+            ).cast("long").alias("__n_inter"),
+        )
+    )
+    tru = (
+        ka.distinct()
+        .select("__k", F.lit(1).alias("__ta"), F.lit(0).alias("__tb"))
+        .unionByName(
+            kb.distinct().select(
+                "__k", F.lit(0).alias("__ta"), F.lit(1).alias("__tb")
+            )
+        )
+        .groupBy("__k")
+        .agg(F.max("__ta").alias("__a"), F.max("__tb").alias("__b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("true_union"),
+            F.coalesce(
+                F.sum((F.col("__a") + F.col("__b") == 2).cast("long")),
+                F.lit(0),
+            ).cast("long").alias("true_intersection"),
+        )
+    )
+    est_union = F.col("__n_union").cast("double") * up
+    est_inter = F.col("__n_inter").cast("double") * up
+    jac = F.when(
+        F.col("__n_union") > 0,
+        F.col("__n_inter").cast("double") / F.col("__n_union").cast("double"),
+    )
+    rel = F.when(
+        F.col("true_union") > 0,
+        (est_union - F.col("true_union").cast("double"))
+        / F.col("true_union").cast("double"),
+    )
+    return counts.crossJoin(F.broadcast(tru)).select(
+        "n_a_sampled",
+        "n_b_sampled",
+        (F.col("n_a_sampled").cast("double") * up).alias("est_distinct_a"),
+        (F.col("n_b_sampled").cast("double") * up).alias("est_distinct_b"),
+        est_union.alias("est_union"),
+        est_inter.alias("est_intersection"),
+        jac.alias("est_jaccard"),
+        "true_union",
+        "true_intersection",
+        rel.alias("rel_error_union"),
+    )

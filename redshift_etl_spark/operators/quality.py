@@ -1754,3 +1754,132 @@ def ab_power_mde(
         mde.alias("mde_abs"),
         n_req.alias("n_per_arm_for_observed"),
     )
+
+
+def trimmed_mean_ttest(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    trim: float = 0.05,
+    scale: int = 100,
+) -> DataFrame:
+    """Trimmed-mean Welch test — the outlier-robust A/B the revenue
+    metric actually needs: one whale purchase can flip a plain mean
+    test, so trim ⌊trim·n⌋ rows from EACH tail per variant (by value
+    rank) and run Welch on what remains (Yuen's test without the
+    winsorized-variance correction — the trimmed-sample moments are
+    used directly, stated for the twin).
+
+    Determinism: values are fixed to the ``scale`` grid and the trim
+    cuts a fixed COUNT per tail by value order — ties at the boundary
+    are interchangeable (the kept MULTISET of values is identical
+    whichever tied row the cut lands on), so the statistic is
+    partitioning- and engine-independent without any tiebreak column.
+    ⌊trim·n⌋ is floor of one IEEE product of exact ints — both engines
+    make the identical boundary decision. NULL outcomes excluded (the
+    welch rule).
+
+    Scale shape — the trim runs on the VALUE HISTOGRAM, never on rows:
+    a per-row rank window partitioned by variant would funnel each
+    variant's entire row stream through ONE task at 100 TB. Instead:
+    one hash agg to (variant, value, count), a cumulative window over
+    the histogram (|distinct grid values| rows per variant — bounded
+    by the value domain, not the data), and each value's kept
+    multiplicity is the overlap of its [cum−cnt, cum) rank interval
+    with the kept band [k, n−k): exact integer interval arithmetic,
+    boundary ties kept PARTIALLY by count, which is precisely the
+    interchangeable-multiset semantics. Moments are then exact BIGINT
+    sums of count·y / count·y².
+
+    Contracts: exactly two variants; n_kept < 2 per arm or zero
+    pooled SE reports NULL. trim ∈ [0, 0.5). Returns ONE row:
+    (n_variants, variant_a, n_a, n_kept_a, tmean_a, variant_b, n_b,
+    n_kept_b, tmean_b, t, df)."""
+    if not 0.0 <= float(trim) < 0.5:
+        raise ValueError(
+            f"trimmed_mean_ttest: trim must be in [0, 0.5), got {trim}"
+        )
+    from pyspark.sql import Window
+
+    yi = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(variant_col).alias("__v"), yi.alias("__y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    wc = Window.partitionBy("__v").orderBy(F.col("__y").asc())
+    cum = hist.select(
+        "__v", "__y", "__c",
+        F.sum("__c").over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("__cum"),
+        F.sum("__c").over(Window.partitionBy("__v")).cast("long").alias(
+            "__n"
+        ),
+    )
+    k = F.floor(F.lit(float(trim)) * F.col("__n")).cast("long")
+    # kept multiplicity of this value = |[cum−cnt, cum) ∩ [k, n−k)|
+    kept_c = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("__cum"), F.col("__n") - k)
+        - F.greatest(F.col("__cum") - F.col("__c"), k),
+    )
+    per = cum.groupBy("__v").agg(
+        F.max("__n").cast("long").alias("__ntot"),
+        F.coalesce(F.sum(kept_c), F.lit(0)).cast("long").alias("__nk"),
+        F.coalesce(F.sum(kept_c * F.col("__y")), F.lit(0))
+        .cast("long").alias("__s1"),
+        F.coalesce(F.sum(kept_c * F.col("__y") * F.col("__y")), F.lit(0))
+        .cast("long").alias("__s2"),
+    )
+    picked = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min_by(F.col("__v"), F.col("__v")).alias("variant_a"),
+        F.min_by(F.col("__ntot"), F.col("__v")).cast("long").alias("n_a"),
+        F.min_by(F.col("__nk"), F.col("__v")).cast("long").alias("n_kept_a"),
+        F.min_by(F.col("__s1"), F.col("__v")).cast("long").alias("__s1a"),
+        F.min_by(F.col("__s2"), F.col("__v")).cast("long").alias("__s2a"),
+        F.max_by(F.col("__v"), F.col("__v")).alias("variant_b"),
+        F.max_by(F.col("__ntot"), F.col("__v")).cast("long").alias("n_b"),
+        F.max_by(F.col("__nk"), F.col("__v")).cast("long").alias("n_kept_b"),
+        F.max_by(F.col("__s1"), F.col("__v")).cast("long").alias("__s1b"),
+        F.max_by(F.col("__s2"), F.col("__v")).cast("long").alias("__s2b"),
+    )
+    sc = float(scale)
+
+    def _stats(s1, s2, n):
+        nn = n.cast("double")
+        mean = s1.cast("double") / (nn * sc)
+        var = F.when(
+            n > 1,
+            (s2.cast("double") - s1.cast("double") * s1.cast("double") / nn)
+            / ((nn - 1) * sc * sc),
+        )
+        return mean, var
+
+    ma, va = _stats(F.col("__s1a"), F.col("__s2a"), F.col("n_kept_a"))
+    mb, vb = _stats(F.col("__s1b"), F.col("__s2b"), F.col("n_kept_b"))
+    sea = va / F.col("n_kept_a").cast("double")
+    seb = vb / F.col("n_kept_b").cast("double")
+    se2 = sea + seb
+    ok = (
+        (F.col("n_variants") == 2)
+        & (F.col("n_kept_a") > 1)
+        & (F.col("n_kept_b") > 1)
+        & (se2 > 0)
+    )
+    t = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        ok,
+        se2 * se2
+        / (
+            sea * sea / (F.col("n_kept_a").cast("double") - 1)
+            + seb * seb / (F.col("n_kept_b").cast("double") - 1)
+        ),
+    )
+    return picked.select(
+        "n_variants",
+        "variant_a", "n_a", "n_kept_a", ma.alias("tmean_a"),
+        "variant_b", "n_b", "n_kept_b", mb.alias("tmean_b"),
+        t.alias("t"), dof.alias("df"),
+    )

@@ -7034,3 +7034,176 @@ def ab_value_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return Q.ab_power_mde(ev, "v", "value", scale=100)
+
+
+# ---------------------------------------------------------------------------
+# Set-operation NDV estimation (heavy.distinct_set_estimate): how many
+# customer keys do the orders and events fact tables SHARE? — union /
+# intersection / jaccard of two key columns from one shared md5
+# key-space synopsis (the theta-sketch identity: same hash space +
+# same threshold means the union of samples IS the sample of the
+# union).
+# ---------------------------------------------------------------------------
+
+_DSE_ORACLE = f"""
+WITH ka AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+  WHERE o_custkey IS NOT NULL
+),
+kb AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+  WHERE user_id IS NOT NULL
+),
+sa AS (SELECT DISTINCT k FROM ka WHERE ({_hb16("k", "dce")}) < 4096),
+sb AS (SELECT DISTINCT k FROM kb WHERE ({_hb16("k", "dce")}) < 4096),
+su AS (
+  SELECT k, MAX(ia) AS a, MAX(ib) AS b FROM (
+    SELECT k, 1 AS ia, 0 AS ib FROM sa
+    UNION ALL SELECT k, 0 AS ia, 1 AS ib FROM sb
+  ) GROUP BY 1
+),
+counts AS (
+  SELECT CAST(COALESCE(SUM(a), 0) AS BIGINT) AS n_a_sampled,
+         CAST(COALESCE(SUM(b), 0) AS BIGINT) AS n_b_sampled,
+         CAST(COUNT(*) AS BIGINT) AS nu,
+         CAST(COALESCE(SUM(CASE WHEN a + b = 2 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS ni
+  FROM su
+),
+tu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS true_union,
+         CAST(COALESCE(SUM(CASE WHEN a + b = 2 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS true_intersection
+  FROM (
+    SELECT k, MAX(ia) AS a, MAX(ib) AS b FROM (
+      SELECT DISTINCT k, 1 AS ia, 0 AS ib FROM ka
+      UNION ALL SELECT DISTINCT k, 0 AS ia, 1 AS ib FROM kb
+    ) GROUP BY 1
+  )
+)
+SELECT n_a_sampled, n_b_sampled,
+  CAST(n_a_sampled AS DOUBLE) * (65536.0 / 4096) AS est_distinct_a,
+  CAST(n_b_sampled AS DOUBLE) * (65536.0 / 4096) AS est_distinct_b,
+  CAST(nu AS DOUBLE) * (65536.0 / 4096) AS est_union,
+  CAST(ni AS DOUBLE) * (65536.0 / 4096) AS est_intersection,
+  CASE WHEN nu > 0 THEN CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) END
+    AS est_jaccard,
+  true_union, true_intersection,
+  CASE WHEN true_union > 0 THEN
+    (CAST(nu AS DOUBLE) * (65536.0 / 4096) - CAST(true_union AS DOUBLE))
+    / CAST(true_union AS DOUBLE) END AS rel_error_union
+FROM counts CROSS JOIN tu
+"""
+
+
+@_q("fact_key_overlap", _DSE_ORACLE)
+def fact_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union/intersection/jaccard NDV of orders.o_custkey vs
+    events.user_id from the shared 1/16 md5 key-space synopsis
+    (`heavy.distinct_set_estimate`) — the planner's shared-key question
+    and the referential-drift data-quality readout, self-graded against
+    the true counts."""
+    from ..operators import heavy as H
+
+    return H.distinct_set_estimate(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "events"),
+        "o_custkey",
+        "user_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed-mean robust A/B (quality.trimmed_mean_ttest): Welch on the
+# 5%-per-tail trimmed event values — the whale-resistant revenue test.
+# ---------------------------------------------------------------------------
+
+_TRIMMED_ORACLE = """
+WITH t AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         CAST(ROUND(value * 100) AS BIGINT) AS yi
+  FROM events
+  WHERE value IS NOT NULL
+),
+hist AS (
+  SELECT v, yi, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2
+),
+cum AS (
+  SELECT v, yi, c,
+    CAST(SUM(c) OVER (PARTITION BY v ORDER BY yi ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cm,
+    CAST(SUM(c) OVER (PARTITION BY v) AS BIGINT) AS n
+  FROM hist
+),
+-- kept multiplicity of each value = |[cm−c, cm) ∩ [k, n−k)|, the
+-- histogram spelling of a fixed-count trim (boundary ties partial)
+kc AS (
+  SELECT v, yi, n,
+    GREATEST(CAST(0 AS BIGINT),
+      LEAST(cm, n - CAST(FLOOR(0.05 * n) AS BIGINT))
+      - GREATEST(cm - c, CAST(FLOOR(0.05 * n) AS BIGINT))) AS kcnt
+  FROM cum
+),
+per AS (
+  SELECT v, CAST(MAX(n) AS BIGINT) AS ntot,
+         CAST(COALESCE(SUM(kcnt), 0) AS BIGINT) AS nk,
+         CAST(COALESCE(SUM(kcnt * yi), 0) AS BIGINT) AS s1,
+         CAST(COALESCE(SUM(kcnt * yi * yi), 0) AS BIGINT) AS s2
+  FROM kc GROUP BY 1
+),
+p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_variants,
+         min_by(v, v) AS variant_a,
+         CAST(min_by(ntot, v) AS BIGINT) AS n_a,
+         CAST(min_by(nk, v) AS BIGINT) AS n_kept_a,
+         CAST(min_by(s1, v) AS BIGINT) AS s1a,
+         CAST(min_by(s2, v) AS BIGINT) AS s2a,
+         max_by(v, v) AS variant_b,
+         CAST(max_by(ntot, v) AS BIGINT) AS n_b,
+         CAST(max_by(nk, v) AS BIGINT) AS n_kept_b,
+         CAST(max_by(s1, v) AS BIGINT) AS s1b,
+         CAST(max_by(s2, v) AS BIGINT) AS s2b
+  FROM per
+),
+s AS (
+  SELECT n_variants, variant_a, n_a, n_kept_a,
+         CAST(s1a AS DOUBLE) / (n_kept_a * 100.0) AS tmean_a,
+         variant_b, n_b, n_kept_b,
+         CAST(s1b AS DOUBLE) / (n_kept_b * 100.0) AS tmean_b,
+         CASE WHEN n_kept_a > 1 THEN
+           (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_kept_a)
+           / ((n_kept_a - 1) * 100.0 * 100.0) END AS va,
+         CASE WHEN n_kept_b > 1 THEN
+           (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_kept_b)
+           / ((n_kept_b - 1) * 100.0 * 100.0) END AS vb
+  FROM p
+)
+SELECT n_variants, variant_a, n_a, n_kept_a, tmean_a,
+       variant_b, n_b, n_kept_b, tmean_b,
+  CASE WHEN n_variants = 2 AND n_kept_a > 1 AND n_kept_b > 1
+            AND va / n_kept_a + vb / n_kept_b > 0
+  THEN (tmean_a - tmean_b) / sqrt(va / n_kept_a + vb / n_kept_b) END AS t,
+  CASE WHEN n_variants = 2 AND n_kept_a > 1 AND n_kept_b > 1
+            AND va / n_kept_a + vb / n_kept_b > 0
+  THEN (va / n_kept_a + vb / n_kept_b) * (va / n_kept_a + vb / n_kept_b)
+       / ((va / n_kept_a) * (va / n_kept_a) / (n_kept_a - 1)
+          + (vb / n_kept_b) * (vb / n_kept_b) / (n_kept_b - 1)) END AS df
+FROM s
+"""
+
+
+@_q("ab_value_trimmed", _TRIMMED_ORACLE)
+def ab_value_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-per-tail trimmed-mean Welch on event value between the
+    user-parity variants (`quality.trimmed_mean_ttest`) — the
+    whale-resistant counterpart of `ab_value_welch`; trimming cuts a
+    fixed count by value rank, so boundary ties are interchangeable
+    and the statistic is partitioning-exact."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("v"),
+        "value",
+    )
+    return Q.trimmed_mean_ttest(ev, "v", "value", trim=0.05, scale=100)

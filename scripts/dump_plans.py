@@ -437,6 +437,17 @@ NOTES = {
         "ONE variant hash agg of exact cents moments (welch shape) "
         "-> 1-row pick -> fixed IEEE MDE / required-n expressions"
     ),
+    "fact_key_overlap": (
+        "two map-side md5 key-sample predicates -> distinct union agg "
+        "(theta-sketch identity: same hash space + threshold, so the "
+        "union of samples IS the sample of the union) + truth pass"
+    ),
+    "ab_value_trimmed": (
+        "hash agg to the (variant, value, count) HISTOGRAM -> "
+        "cumulative window over histogram rows (value-domain-bounded, "
+        "never a per-row rank that would funnel a variant through one "
+        "task) -> exact integer interval-overlap trim -> moment agg"
+    ),
 }
 
 

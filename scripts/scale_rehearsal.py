@@ -373,6 +373,11 @@ REHEARSAL = (
     "selectivity_conjunctive",  # map-side 1/16 row sample + two
                               # 1-row aggs (truth included)
     "ab_value_mde",           # ONE variant moment agg (welch shape)
+    "fact_key_overlap",       # two map-side key samples + distinct
+                              # union agg (+ truth pass)
+    "ab_value_trimmed",       # value-histogram trim: hash agg to
+                              # (v, value, count) + histogram-sized
+                              # cumulative window, never a row rank
     "sql_agent_metrics",      # the flagship view text via run_sql —
                               # same plan as agent_metrics (broadcast
                               # star + one group agg)

@@ -111,6 +111,9 @@ ALLOWED = {
     ("operators/heavy.py", "selectivity_estimate"):
         "1-row true-joint-count aggregate attached to the 1-row "
         "sample synopsis",
+    ("operators/heavy.py", "distinct_set_estimate"):
+        "1-row true union/intersection aggregate attached to the "
+        "1-row sampled-set counts",
     ("operators/quality.py", "diff_in_diff"):
         "1-row bounds frame (min/max variant+period) attached to the "
         "variant×period cells",

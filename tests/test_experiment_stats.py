@@ -327,3 +327,69 @@ def test_ab_power_mde_zero_diff_null_required_n(spark):
     assert out["mean_diff"] == 0.0
     assert out["n_per_arm_for_observed"] is None  # no effect to power
     assert out["mde_abs"] is not None             # MDE still defined
+
+
+def test_trimmed_mean_hand_check_and_boundary_ties(spark):
+    from redshift_etl_spark.operators.quality import trimmed_mean_ttest
+
+    rows = (
+        [("A", 0.0), ("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 100.0)]
+        + [("B", 1.0), ("B", 2.0), ("B", 3.0), ("B", 4.0), ("B", 5.0)]
+    )
+    df = spark.createDataFrame(rows, "v string, value double")
+    out = trimmed_mean_ttest(df, "v", "value", trim=0.2).first()
+    # k = floor(0.2*5) = 1 per tail: A keeps [1,2,3], B keeps [2,3,4]
+    assert (out["n_a"], out["n_kept_a"]) == (5, 3)
+    assert out["tmean_a"] == 2.0 and out["tmean_b"] == 3.0
+    # boundary tie: the cut lands inside the duplicated 1s — exactly
+    # one copy must survive (partial count), mean (1+2+3)/3
+    rows2 = [("A", 1.0), ("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 9.0)] + [
+        ("B", v) for v in (1.0, 2.0, 3.0, 4.0, 5.0)
+    ]
+    out2 = trimmed_mean_ttest(
+        spark.createDataFrame(rows2, "v string, value double"),
+        "v", "value", trim=0.2,
+    ).first()
+    assert out2["n_kept_a"] == 3 and out2["tmean_a"] == 2.0
+
+
+def test_trimmed_mean_resists_whale(spark):
+    from redshift_etl_spark.operators.quality import (
+        trimmed_mean_ttest,
+        welch_ttest,
+    )
+
+    base = [("A", 10.0 + (i % 5)) for i in range(40)] + [
+        ("B", 11.0 + (i % 5)) for i in range(39)
+    ]
+    whale = base + [("B", 100000.0)]  # one whale purchase in B
+    df = spark.createDataFrame(whale, "v string, value double")
+    w = welch_ttest(df, "v", "value").first()
+    t = trimmed_mean_ttest(df, "v", "value", trim=0.05).first()
+    # plain welch is destroyed by the whale (|t| collapses toward 0 as
+    # the variance explodes); the trimmed test keeps the real signal
+    assert abs(w["t"]) < 1.1
+    assert abs(t["t"]) > 3.0
+    assert t["tmean_b"] < 20  # whale trimmed away
+
+
+def test_trimmed_mean_trim_bounds(spark):
+    import pytest
+
+    from redshift_etl_spark.operators.quality import trimmed_mean_ttest
+
+    df = spark.createDataFrame([("A", 1.0)], "v string, value double")
+    with pytest.raises(ValueError, match="trim must be in"):
+        trimmed_mean_ttest(df, "v", "value", trim=0.5)
+
+
+def test_distinct_set_estimate_full_rate_exact(spark):
+    from redshift_etl_spark.operators.heavy import distinct_set_estimate
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(60, 200)], "k long")
+    out = distinct_set_estimate(a, b, "k", "k", rate_per_65536=65536).first()
+    assert out["true_union"] == 200 and out["true_intersection"] == 40
+    assert out["est_union"] == 200.0 and out["est_intersection"] == 40.0
+    assert out["est_jaccard"] == 40 / 200
+    assert out["rel_error_union"] == 0.0
