@@ -321,6 +321,45 @@ def effective_load(
     }
 
 
+def bounded_final_line(
+    full: dict,
+    timings: dict,
+    headline,
+    q_sig: str,
+    full_file: str,
+    limit: int = 1900,
+) -> str:
+    """The FINAL stdout line (what the driver tails, last 2,000 chars):
+    totals + canaries + stream + top-5 slowest BY NAME, plus the
+    COMPLETE per-query map as a compact millisecond array in HEADLINE
+    order (``qms``, ~6 chars/query) with a name-list signature
+    (``q_sig``). Degradation order when the limit squeezes: shrink the
+    named slice (5→3→0) keeping qms; if the map itself no longer fits,
+    drop qms and RETRY the named slices (10→5→3→0) — the capture must
+    always carry SOME per-query timings (r12 self-review: the first
+    spelling shipped an empty queries dict in that last resort)."""
+    by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    bounded = dict(full)
+    bounded["queries_full_file"] = full_file
+    bounded["qms"] = [
+        int(round(timings[n] * 1000)) for n in headline if n in timings
+    ]
+    bounded["q_sig"] = q_sig
+    for n_top in (5, 3, 0):
+        bounded["queries"] = dict(by_cost[:n_top])
+        line = json.dumps(bounded)
+        if len(line) < limit:
+            return line
+    bounded.pop("qms", None)
+    bounded.pop("q_sig", None)
+    for n_top in (10, 5, 3, 0):
+        bounded["queries"] = dict(by_cost[:n_top])
+        line = json.dumps(bounded)
+        if len(line) < limit:
+            return line
+    return line
+
+
 def _benchlib(repo: str):
     """scripts/benchlib.py, loaded by path (bench.py lives at the repo
     root, outside any package). Shared with bench_gate.py so the
@@ -551,31 +590,14 @@ def main() -> None:
 
     # the FINAL stdout line is what the driver tails (last 2,000 chars)
     # and must stay parseable no matter how the catalog grows — r09's
-    # 68-query line overflowed the capture and committed parsed:null.
-    # Bounded spelling: totals + canary + stream + top-5 slowest BY
-    # NAME, plus the COMPLETE per-query map as a compact millisecond
-    # array in HEADLINE order ("qms", ~6 chars/query) with a name-list
-    # signature ("q_sig") so readers expand it only against the exact
-    # HEADLINE that produced it (r11 judge finding #3: the named top-10
-    # left 77 of 87 timings invisible in the driver capture).
-    by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
-    bounded = dict(full)
-    bounded["queries_full_file"] = benchlib.FULL_FILE
-    bounded["qms"] = [
-        int(round(timings[n] * 1000)) for n in HEADLINE if n in timings
-    ]
-    bounded["q_sig"] = benchlib.q_sig(
-        [n for n in HEADLINE if n in timings]
+    # 68-query line overflowed the capture and committed parsed:null;
+    # r11 finding #3: the named top-10 left 77 of 87 timings invisible.
+    # See bounded_final_line for the degradation contract.
+    line = bounded_final_line(
+        full, timings, HEADLINE,
+        benchlib.q_sig([n for n in HEADLINE if n in timings]),
+        benchlib.FULL_FILE,
     )
-    for n_top in (5, 3, 0):  # degrade, never crash or overflow
-        bounded["queries"] = dict(by_cost[:n_top])
-        line = json.dumps(bounded)
-        if len(line) < 1900:
-            break
-    if len(line) >= 1900:  # last resort: drop the map, keep the gate keys
-        bounded.pop("qms", None)
-        bounded.pop("q_sig", None)
-        line = json.dumps(bounded)
     print(line, flush=True)
     spark.stop()
 

@@ -1621,11 +1621,12 @@ def diff_in_diff(
         ).cast("long")
 
     # the bounds frame is ONE row — the crossJoin is a bounded scalar
-    # attach, the same shape heavy_hitters uses for its total
-    wide = cells.crossJoin(F.broadcast(picked)).groupBy(
-        "n_variants", "n_periods",
-        "variant_a", "variant_b", "period_1", "period_2",
-    ).agg(
+    # attach, the same shape heavy_hitters uses for its total. The cell
+    # fold is a GLOBAL agg (always one row, zeros on empty input) and
+    # the bounds re-attach after: a groupBy over the bounds columns
+    # would return ZERO rows on empty/all-NULL input, breaking the
+    # documented one-row contract (r12 self-review — verified live).
+    folded = cells.crossJoin(F.broadcast(picked)).agg(
         cell("variant_a", "period_1", "__n").alias("n_a1"),
         cell("variant_a", "period_1", "__x").alias("__xa1"),
         cell("variant_a", "period_2", "__n").alias("n_a2"),
@@ -1635,6 +1636,7 @@ def diff_in_diff(
         cell("variant_b", "period_2", "__n").alias("n_b2"),
         cell("variant_b", "period_2", "__x").alias("__xb2"),
     )
+    wide = picked.crossJoin(F.broadcast(folded))
 
     def rate(x, n):
         return F.when(

@@ -162,7 +162,10 @@ def _tier(n: str) -> float:
         return float(_LAST_GREEN[n])
     if n in _SEEN_ANY:
         return 0.0
-    return (min(_LAST_GREEN.values()) if _LAST_GREEN else 0) - 0.5
+    # degenerate no-green-rows state: anchor at 1 so brand-new (0.5)
+    # still sorts BEHIND red rows (0.0) — anchoring at 0 would put new
+    # queries at -0.5, inverting the red-rows-first priority
+    return (min(_LAST_GREEN.values()) if _LAST_GREEN else 1) - 0.5
 
 
 def _prioritized(merged: dict) -> dict:

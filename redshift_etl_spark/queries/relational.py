@@ -6707,8 +6707,10 @@ b AS (
          MIN(p) AS period_1, MAX(p) AS period_2
   FROM cells
 ),
-wide AS (
-  SELECT n_variants, n_periods, variant_a, variant_b, period_1, period_2,
+-- global fold (always ONE row, zeros on empty) + bounds re-attach:
+-- a GROUP BY over the bounds would return zero rows on empty input
+folded AS (
+  SELECT
     CAST(COALESCE(SUM(CASE WHEN v = variant_a AND p = period_1 THEN n END),
       0) AS BIGINT) AS n_a1,
     CAST(COALESCE(SUM(CASE WHEN v = variant_a AND p = period_1 THEN x END),
@@ -6726,8 +6728,8 @@ wide AS (
     CAST(COALESCE(SUM(CASE WHEN v = variant_b AND p = period_2 THEN x END),
       0) AS BIGINT) AS xb2
   FROM cells CROSS JOIN b
-  GROUP BY 1, 2, 3, 4, 5, 6
 ),
+wide AS (SELECT * FROM b CROSS JOIN folded),
 r AS (
   SELECT *,
     CASE WHEN n_a1 > 0 THEN CAST(xa1 AS DOUBLE) / CAST(n_a1 AS DOUBLE) END
@@ -6897,10 +6899,13 @@ _SEL_ID = (
 
 _SEL_ORACLE = f"""
 WITH base AS (
+  -- NULL-id rows excluded to match the operator (they cannot be
+  -- sampled stably, so BOTH the sample and the truth pass drop them)
   SELECT (l_extendedprice >= 30000) AS a,
          (l_extendedprice * (1 - l_discount) >= 29000) AS b,
          ({_hb16(_SEL_ID, "sel")}) AS h
   FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
 ),
 samp AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,

@@ -143,15 +143,19 @@ def start_merge_sink(
     replaying a batch after a crash re-merges the same rows into the
     same state (hypothesis-tested in test_merge). On Delta/Iceberg the
     foreachBatch body becomes the native MERGE INTO."""
-    import os
-
     from ..operators import merge as M
+    from .store import read_store
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        if os.path.exists(target_path):
-            target = spark.read.parquet(target_path)
-        else:
+        # Spark-side probe (streaming/store.py): a local exists() check
+        # is ALWAYS False for the cluster URIs a deployed sink targets,
+        # which would make every batch merge against an empty frame and
+        # OVERWRITE the target — all prior SCD1 state silently lost per
+        # epoch (r12 self-review; worse than the heavyhitters
+        # double-count the same probe caused)
+        target = read_store(spark, target_path)
+        if target is None:
             target = spark.createDataFrame([], batch_df.schema)
         M.merge_scd1_write(target_path, target, batch_df, key, recency_col)
 

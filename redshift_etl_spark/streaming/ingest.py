@@ -24,6 +24,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .store import read_store
+
 
 def count_part_files(root: str) -> int:
     """Part-file count of a parquet store — the compaction trigger
@@ -86,8 +88,11 @@ def dedup_ingest_batch(
             F.min(text_col).alias(text_col),
         )
     )
-    if os.path.exists(corpus_path):
-        stored_all = spark.read.parquet(corpus_path)
+    # Spark-side probe (streaming/store.py): local exists() is blind to
+    # cluster URIs — the anti-join would silently skip and re-append
+    # every replayed document on a deployed store
+    stored_all = read_store(spark, corpus_path)
+    if stored_all is not None:
         if "fp_bucket" not in stored_all.columns:
             # legacy (pre-partitioned-layout) store: appending
             # hive-partitioned files next to flat part-files would

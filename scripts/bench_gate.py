@@ -61,10 +61,13 @@ def _unwrap(doc: dict) -> dict:
         )
     # bounded driver captures since r12 carry the complete per-query
     # map as a compact ms array — expand so the gate grades ALL
-    # headline queries, not just the named top slice (r11 finding #3)
+    # headline queries, not just the named top slice (r11 finding #3).
+    # ANY failure to load the name list (a broken bench.py edit, not
+    # just a missing file) degrades to the named slice rather than
+    # aborting the gate.
     try:
         names = benchlib.headline_names(REPO)
-    except (OSError, AttributeError):
+    except Exception:
         names = None
     return benchlib.expand_compact(rec, names)
 

@@ -78,18 +78,22 @@ def headline_names(repo: str | pathlib.Path) -> list[str]:
 
 def expand_compact(rec: dict | None, names: list[str] | None) -> dict | None:
     """Expand a bounded record's ``qms`` millisecond array into the full
-    named ``queries`` map, in place. Only when the record's ``q_sig``
-    matches ``names`` exactly (a HEADLINE edited since capture would
-    silently mis-attribute timings otherwise) — on mismatch the record
-    passes through untouched with whatever named entries it carries."""
+    named ``queries`` map. Only when the record's ``q_sig`` matches
+    ``names`` exactly (a HEADLINE edited since capture would silently
+    mis-attribute timings otherwise) — on mismatch the record passes
+    through untouched with whatever named entries it carries. Returns
+    a SHALLOW COPY on expansion (never mutates the caller's doc — a
+    caller holding the raw driver record to re-serialize or diff must
+    not see its queries silently replaced)."""
     if not rec or not names or not rec.get("qms"):
         return rec
     if rec.get("q_sig") != q_sig(names) or len(rec["qms"]) != len(names):
         return rec
     full = {n: round(ms / 1000.0, 3) for n, ms in zip(names, rec["qms"])}
     full.update(rec.get("queries", {}))
-    rec["queries"] = full
-    return rec
+    out = dict(rec)
+    out["queries"] = full
+    return out
 
 
 def recover_from_tail(tail: str) -> dict | None:
@@ -195,7 +199,9 @@ def collect_floors(repo: str | pathlib.Path) -> dict:
         )
     try:
         names = headline_names(repo)
-    except (OSError, AttributeError):
+    except Exception:
+        # a broken bench.py (import/syntax error mid-edit) must degrade
+        # floors to the named slices, never crash the reader
         names = None
     floors = floors_from_docs(docs, names)
     anchor_path = repo / "CANARY_FLOOR.json"

@@ -172,3 +172,42 @@ def test_gate_grades_all_queries_from_expanded_capture():
     }
     rec = benchlib.expand_compact(dict(doc), names)
     assert len(rec["queries"]) == len(names)  # audit-complete capture
+
+
+# --- bounded-line degradation contract (r12 self-review #3) ----------------
+
+def _line_inputs(n_queries):
+    timings = {f"query_name_{i:03d}": 0.5 + i / 1000 for i in range(n_queries)}
+    names = list(timings)
+    full = {"metric": "headline_queries_total_sec", "value": 1.0,
+            "stream": {}, "load_factor": 1.0}
+    return full, timings, names
+
+
+def test_bounded_line_carries_full_qms_normally():
+    import json
+
+    full, timings, names = _line_inputs(95)
+    line = bench.bounded_final_line(
+        full, timings, names, benchlib.q_sig(names), "BENCH_FULL.json"
+    )
+    doc = json.loads(line)
+    assert len(doc["qms"]) == 95 and len(line) < 1900
+
+
+def test_bounded_line_last_resort_keeps_named_slice():
+    """When even the n_top=0 qms line exceeds the limit, the fallback
+    must drop qms but RETRY named slices — never ship an empty
+    queries dict (the capture would carry zero timings and the gate
+    would pass vacuously)."""
+    import json
+
+    full, timings, names = _line_inputs(400)  # qms alone > tight limit
+    line = bench.bounded_final_line(
+        full, timings, names, benchlib.q_sig(names), "BENCH_FULL.json",
+        limit=900,
+    )
+    doc = json.loads(line)
+    assert "qms" not in doc
+    assert len(doc["queries"]) > 0  # named slice survived
+    assert len(line) < 900

@@ -393,3 +393,21 @@ def test_distinct_set_estimate_full_rate_exact(spark):
     assert out["est_union"] == 200.0 and out["est_intersection"] == 40.0
     assert out["est_jaccard"] == 40 / 200
     assert out["rel_error_union"] == 0.0
+
+
+def test_diff_in_diff_empty_input_returns_one_honest_row(spark):
+    """r12 self-review: the one-row contract must hold on empty/all-NULL
+    input (a groupBy over the bounds returned ZERO rows)."""
+    from redshift_etl_spark.operators.quality import diff_in_diff
+
+    empty = spark.createDataFrame([], "v string, p long, s long")
+    out = diff_in_diff(empty, "v", "p", "s").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_variants"] == 0 and row["n_periods"] == 0
+    assert row["did"] is None and row["z"] is None
+    allnull = spark.createDataFrame(
+        [(None, None, None)], "v string, p long, s long"
+    )
+    out2 = diff_in_diff(allnull, "v", "p", "s").collect()
+    assert len(out2) == 1 and out2[0]["did"] is None

@@ -46,3 +46,18 @@ def test_window_head_is_never_driver_checked_then_oldest_cohort():
     assert all(Q._LAST_GREEN.get(n) == oldest for n in rest), (
         "a non-oldest query displaced the oldest cohort from the window"
     )
+
+
+def test_no_green_rows_state_keeps_red_ahead_of_new():
+    """Degenerate driver state (rows ran, none green): brand-new must
+    still sort BEHIND red rows (r12 self-review: a 0-anchored tier put
+    new queries at -0.5, inverting the priority)."""
+    old_green, old_seen = dict(Q._LAST_GREEN), Q._SEEN_ANY
+    try:
+        Q._LAST_GREEN.clear()
+        Q._SEEN_ANY = frozenset({"some_red_query"})
+        assert Q._tier("some_red_query") == 0.0
+        assert Q._tier("a_brand_new_query") > Q._tier("some_red_query")
+    finally:
+        Q._LAST_GREEN.update(old_green)
+        Q._SEEN_ANY = old_seen
