@@ -301,6 +301,11 @@ def effective_load(
             return 1.0
         return min(max(1.0, agg(probes) / floor), LOAD_FACTOR_CAP)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0
+
     worst_shuffle = max(shuffle_probes) if shuffle_probes else None
     worst_str = max(str_probes) if str_probes else None
     lf_shuffle = ratio(shuffle_probes, shuffle_floor, max)
@@ -315,6 +320,20 @@ def effective_load(
             max(
                 ratio(shuffle_probes, shuffle_floor, min),
                 ratio(str_probes, str_floor, min),
+            ),
+            3,
+        ),
+        # the ADVISORY-STAMP signal (r12 verdict item 2): the median
+        # probe reflects the window's TYPICAL ambient load — robust to
+        # one quiet moment (which made the best-probe stamp blind to a
+        # 90%-loaded run: BENCH_r12.json probes [1.219, 2.34, 1.367]
+        # stamped advisory=false off the 1.219) AND to one aged/noisy
+        # probe (which made the worst-probe stamp disqualify honest
+        # idle records via the bench's own JVM aging).
+        "load_factor_median": round(
+            max(
+                ratio(shuffle_probes, shuffle_floor, median),
+                ratio(str_probes, str_floor, median),
             ),
             3,
         ),
@@ -337,7 +356,13 @@ def bounded_final_line(
     named slice (5→3→0) keeping qms; if the map itself no longer fits,
     drop qms and RETRY the named slices (10→5→3→0) — the capture must
     always carry SOME per-query timings (r12 self-review: the first
-    spelling shipped an empty queries dict in that last resort)."""
+    spelling shipped an empty queries dict in that last resort); if
+    even THAT overflows, drop the non-essential diagnostic arrays
+    (probe series, post-stream probes — the full record on disk keeps
+    them) and retry, then finally raise: a silently-oversized line is
+    the r09 failure mode (driver tail truncates mid-JSON, commits
+    parsed:null) this function exists to prevent, so overflow must be
+    loud at capture time (r12 ADVICE item 3)."""
     by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     bounded = dict(full)
     bounded["queries_full_file"] = full_file
@@ -357,7 +382,21 @@ def bounded_final_line(
         line = json.dumps(bounded)
         if len(line) < limit:
             return line
-    return line
+    for k in (
+        "canary_probes",
+        "canary_str_probes",
+        "canary_post_stream_sec",
+        "canary_post_stream_str_sec",
+    ):
+        bounded.pop(k, None)
+        line = json.dumps(bounded)
+        if len(line) < limit:
+            return line
+    raise ValueError(
+        f"bench final line still {len(line)} chars after every "
+        f"degradation step (limit {limit}) — a truncated driver tail "
+        "would commit parsed:null; trim the record fields"
+    )
 
 
 def _benchlib(repo: str):
@@ -394,25 +433,30 @@ RECORD_ADVISORY_LOAD = 1.3
 def stamp_advisory(full: dict) -> dict:
     """Stamp the bench record with its evidentiary status (in place).
 
-    advisory=True means "numbers recorded under >1.3× ambient load —
-    usable for debugging, NOT as the round's committed evidence".
-    The signal is ``load_factor_best`` (the BEST probe's ratio — the
-    window's quietest moment; see effective_load: the worst probe
-    includes the bench's own JVM aging, which inflates queries and
-    probes alike and must not disqualify an idle record). Legacy
-    records without probes fall back to ``load_factor``. Kept a pure
-    function of the record so the stamp is unit-testable without a
-    SparkSession."""
+    advisory=True means "numbers recorded under >1.3× ambient load for
+    a TYPICAL moment of the window — usable for debugging, NOT as the
+    round's committed evidence". The signal is ``load_factor_median``
+    (r12 verdict item 2: the previous best-probe stamp keyed off the
+    window's QUIETEST moment, so a run loaded 2.4× for most of its
+    duration with one quiet probe stamped advisory=false while 20 of
+    its queries passed only via 2.4×-scaled budgets). The median is
+    robust in both directions: one loaded probe in an otherwise-idle
+    window (or the bench's own JVM aging inflating the end probe)
+    doesn't disqualify an honest record, and one quiet probe in a
+    mostly-loaded window doesn't launder it. Legacy records fall back
+    best→overall. Kept a pure function of the record so the stamp is
+    unit-testable without a SparkSession."""
     lf = float(
-        full.get("load_factor_best")
+        full.get("load_factor_median")
+        or full.get("load_factor_best")
         or full.get("load_factor")
         or 1.0
     )
     full["advisory"] = lf > RECORD_ADVISORY_LOAD
     if full["advisory"]:
         full["advisory_reason"] = (
-            f"ambient load {lf:.3f} > {RECORD_ADVISORY_LOAD} even at the "
-            "window's quietest probe: re-run on an idle machine before "
+            f"ambient load {lf:.3f} > {RECORD_ADVISORY_LOAD} at the "
+            "window's median probe: re-run on an idle machine before "
             "committing as round evidence"
         )
     return full
@@ -566,6 +610,7 @@ def main() -> None:
         "canary_post_stream_str_sec": post_str,
         "load_factor": eff["load_factor"],
         "load_factor_best": eff["load_factor_best"],
+        "load_factor_median": eff["load_factor_median"],
         "sf": sf,
     }
     stamp_advisory(full)

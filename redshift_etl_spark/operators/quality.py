@@ -1224,19 +1224,31 @@ def mcnemar_test(
     b and c are exact BIGINTs from ONE hash agg; chi2 is one IEEE
     expression; b + c = 0 (no discordant items) reports NULL rather
     than fake agreement-as-significance. Items where EITHER flag is
-    NULL (unscored by one classifier) are EXCLUDED before the agg
-    (ADVICE r11): they would land in n_items but in no cell, so the
-    four cells would not sum to n_items and the pairing claim would be
-    silently wrong. Returns ONE row:
+    NULL (unscored by one classifier) are EXCLUDED (ADVICE r11): they
+    would land in n_items but in no cell, so the four cells would not
+    sum to n_items and the pairing claim would be silently wrong.
+
+    The exclusion lives INSIDE the aggregate (count-of-when cells, an
+    explicit both-non-null guard on n_items) rather than as a
+    ``.where`` before it: a Filter predicate over derived flag columns
+    gets alias-substituted below the projection by predicate pushdown,
+    so an expensive flag expression (the lang-id regex fold in
+    `mcnemar_lang_baseline`) was evaluated TWICE per row — once in the
+    Filter, once in the agg. Measured at sf0.1: 1.21 s → 0.77 s from
+    this change alone (r12 verdict item 3). Cell semantics are
+    unchanged by three-valued logic: ``count(when(ca & cb, 1))``
+    counts only TRUE, and any NULL flag makes every cell predicate
+    NULL or non-TRUE. Returns ONE row:
     (n_items, n_both_right, n_both_wrong, n_a_only, n_b_only, chi2)."""
     ca = correct_a.cast("boolean")
     cb = correct_b.cast("boolean")
-    agg = df.where(ca.isNotNull() & cb.isNotNull()).agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum((ca & cb).cast("long")).cast("long").alias("n_both_right"),
-        F.sum((~ca & ~cb).cast("long")).cast("long").alias("n_both_wrong"),
-        F.sum((ca & ~cb).cast("long")).cast("long").alias("n_a_only"),
-        F.sum((~ca & cb).cast("long")).cast("long").alias("n_b_only"),
+    agg = df.agg(
+        F.count(F.when(ca.isNotNull() & cb.isNotNull(), 1))
+        .cast("long").alias("n_items"),
+        F.count(F.when(ca & cb, 1)).cast("long").alias("n_both_right"),
+        F.count(F.when(~ca & ~cb, 1)).cast("long").alias("n_both_wrong"),
+        F.count(F.when(ca & ~cb, 1)).cast("long").alias("n_a_only"),
+        F.count(F.when(~ca & cb, 1)).cast("long").alias("n_b_only"),
     )
     b = F.col("n_a_only").cast("double")
     c = F.col("n_b_only").cast("double")

@@ -49,6 +49,15 @@ _PROMOTED = (
     "promo_revenue",           # TPC-H Q14: conditional-share agg
     "top_supplier",            # TPC-H Q15: windowed max-revenue
     "large_orders",            # TPC-H Q18: HAVING-filtered semi-join
+    # The SCD1 change-detection text a migrating reference user owns
+    # (r12 verdict item 6): the SP's temp-source shape — SELECT ts.*
+    # FROM staging LEFT JOIN target t ON key WHERE t.key IS NULL OR
+    # ts.lastmodifieddate > t.lastmodifieddate
+    # (`Salesforce/Task/SP_litify_task.sql:6-11`). The catalog oracle
+    # for `changed_or_new` is already exactly that text in the shared
+    # dialect (CTE target + left-join new-or-newer predicate), so
+    # promoting it runs the SAME string on Catalyst and DuckDB.
+    "changed_or_new",
 )
 
 

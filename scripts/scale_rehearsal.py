@@ -824,8 +824,124 @@ def main() -> None:
     _krippendorff_100x_probe(spark, report, only)
     _flagship_100x_probe(spark, report, only)
     _lsh_dedup_100x_probe(spark, report, only)
+    _stream_topk_replay_probe(spark, report, only)
     print(json.dumps({"metric": "scale_rehearsal", "replicas": REPLICAS,
                       "queries": report}))
+
+
+def _stream_topk_replay_probe(spark, report: dict, only: set | None) -> None:
+    """Crash-replay rehearsal witness for the streaming-store family
+    (r12 verdict item 5): the r12 URI-safe store probe is pinned by
+    unit fixtures, but the exactly-once claim AT SCALE — a replayed
+    epoch against a multi-batch store — had no rehearsal evidence.
+
+    Three stores, scaling the two axes independently:
+      - sf0.1, 10 batches          (baseline)
+      - sfbig (10x rows), 10 batches   (10x data per batch)
+      - sf0.1, 100 batches         (10x summaries / ledger partitions)
+
+    On each: build the store batch-by-batch (`topk_ingest_batch`),
+    snapshot the top-k report, then CRASH-REPLAY one mid-history epoch
+    and verify (a) the batch-id ledger dropped it — store row count and
+    the full top-k report are bit-identical after the replay — and
+    (b) the SpaceSaving-style bounds hold against ground truth: for
+    every reported item, lower <= exact count(raw events) <= upper.
+    Records build wall, replay wall (the ledger-probe cost a deployed
+    sink pays every trigger), and the verification booleans — a False
+    anywhere is a broken exactly-once story, not a slow one."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from redshift_etl_spark.queries.tables import load
+    from redshift_etl_spark.streaming import heavyhitters as TK
+    from redshift_etl_spark.streaming.store import read_store
+
+    if only is not None and "stream_topk_replay_10x" not in only:
+        return
+    K = 15
+    entry: dict = {}
+    # floor scales with batch size so every store keeps real above-
+    # floor items — a spill-only store would make the bounds check
+    # vacuous (first run: 100 batches of ~10k rows at floor 10 stored
+    # 100 spill rows and an empty top-k)
+    for label, d, n_batches, floor in (
+        ("sf0.1_b10", SRC, 10, 10),
+        ("sfbig_b10", OUT, 10, 10),
+        ("sf0.1_b100", SRC, 100, 3),
+    ):
+        root = tempfile.mkdtemp(prefix="topk_replay_")
+        store_path = os.path.join(root, "store")
+        ev = load(spark, d, "events").select(
+            "user_id",
+            F.pmod(F.xxhash64("event_id"), F.lit(n_batches)).alias("__b"),
+        )
+        t0 = time.time()
+        for b in range(n_batches):
+            TK.topk_ingest_batch(
+                ev.where(F.col("__b") == b), store_path, b,
+                "user_id", floor,
+            )
+        build = round(time.time() - t0, 3)
+        rows_before = read_store(spark, store_path).count()
+        top_before = TK.topk_from_store(
+            read_store(spark, store_path), K, floor
+        ).collect()
+        # crash-replay a mid-history epoch: must be a ledger no-op
+        t0 = time.time()
+        TK.topk_ingest_batch(
+            ev.where(F.col("__b") == 3), store_path, 3, "user_id", floor
+        )
+        replay = round(time.time() - t0, 3)
+        rows_after = read_store(spark, store_path).count()
+        top_after = TK.topk_from_store(
+            read_store(spark, store_path), K, floor
+        ).collect()
+        replay_skipped = (
+            rows_before == rows_after and top_before == top_after
+        )
+        items = [r["item"] for r in top_after]
+        truth = {
+            str(r["user_id"]): r["n"]
+            for r in load(spark, d, "events")
+            .where(F.col("user_id").cast("string").isin(items))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        bounds_hold = len(top_after) == K and all(
+            r["lower_bound"] <= truth[r["item"]] <= r["upper_bound"]
+            and r["n_batches"] == n_batches
+            for r in top_after
+        )
+        entry[label] = {
+            "build_sec": build,
+            "replay_sec": replay,
+            "n_batches": n_batches,
+            "floor": floor,
+            "store_rows": rows_after,
+            "replay_skipped": replay_skipped,
+            "bounds_hold": bounds_hold,
+        }
+        shutil.rmtree(root, ignore_errors=True)
+        print(
+            f"# stream_topk_replay[{label}]: build {build}s over "
+            f"{n_batches} batches, replayed epoch 3 in {replay}s "
+            f"(skipped={replay_skipped}, bounds_hold={bounds_hold}, "
+            f"{rows_after} store rows)",
+            flush=True,
+        )
+    entry["note"] = (
+        "crash-replay witness: a replayed mid-history epoch must leave "
+        "the store and the top-k report bit-identical (batch-id "
+        "ledger), and every reported item's exact count must sit "
+        "inside [lower, upper]. replay_sec is the per-trigger ledger-"
+        "probe cost; compare it across b10 vs b100 (10x ledger "
+        "partitions) and sf0.1 vs sfbig (10x rows)."
+    )
+    report["stream_topk_replay_10x"] = entry
 
 
 OUT_100X_DOCS = "/tmp/spark_graft_sfbig100_docs"

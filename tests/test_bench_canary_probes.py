@@ -55,32 +55,51 @@ def test_missing_floors_contribute_unity_and_cap_applies():
     assert bench.effective_load([9.0], [0.6], 1.0, 0.6)["load_factor"] == 3.0
 
 
-def test_advisory_stamp_keys_off_best_probe_not_worst():
-    """Budgets scale by the worst probe, but the EVIDENTIARY stamp
-    reads the best one: JVM aging inflates late probes on an idle
-    machine (first r12 idle run: end probe 1.38x at loadavg ~0), and
-    that aging hit the adjacent queries identically — it is not
-    ambient load and must not disqualify the record."""
-    # idle machine, aged JVM: best probe clean -> NOT advisory,
-    # while budgets still scale by the worst (1.35)
-    eff = bench.effective_load([1.0, 1.35], [0.6, 0.8], 1.0, 0.6)
-    assert eff["load_factor"] == 1.35
-    assert eff["load_factor_best"] == 1.0
-    stamped = bench.stamp_advisory(
+def _stamp_from_probes(shuffle_probes, str_probes=(), floor=1.0,
+                       str_floor=0.6):
+    eff = bench.effective_load(
+        list(shuffle_probes), list(str_probes), floor,
+        str_floor if str_probes else None,
+    )
+    return bench.stamp_advisory(
         {"load_factor": eff["load_factor"],
-         "load_factor_best": eff["load_factor_best"]}
+         "load_factor_best": eff["load_factor_best"],
+         "load_factor_median": eff["load_factor_median"]}
     )
+
+
+def test_advisory_stamp_keys_off_median_probe():
+    """Budgets scale by the worst probe, but the EVIDENTIARY stamp
+    reads the MEDIAN (r12 verdict item 2): the best-probe stamp let a
+    mostly-loaded run pass off one quiet moment, and the worst-probe
+    stamp would disqualify honest idle records via the bench's own JVM
+    aging of the end probe. The median is robust to one outlier in
+    either direction."""
+    # the judge's specified pair: mid-run load spike with a quiet start
+    # -> TYPICAL moment is loaded -> advisory
+    assert _stamp_from_probes([1.2, 2.3, 1.4])["advisory"] is True
+    # honest idle record with mild aging drift -> not advisory
+    assert _stamp_from_probes([1.0, 1.15, 1.1])["advisory"] is False
+    # the EXACT r12 driver capture (probes [1.219, 2.34, 1.367], best
+    # 1.248 stamped advisory=false while 20 queries passed only via
+    # 2.4x budgets) — the blind spot this fix closes
+    assert _stamp_from_probes([1.219, 2.34, 1.367])["advisory"] is True
+    # idle machine, one aged/noisy END probe above the bar: the median
+    # keeps the record admissible while budgets still scale by 1.35
+    stamped = _stamp_from_probes([1.0, 1.05, 1.35])
     assert stamped["advisory"] is False
-    # genuinely loaded machine: even the quietest probe > 1.3 -> stamp
-    eff2 = bench.effective_load([1.4, 1.6], [0.85, 0.9], 1.0, 0.6)
-    assert eff2["load_factor_best"] == 1.417  # max(1.4, 0.85/0.6)
-    stamped2 = bench.stamp_advisory(
-        {"load_factor": eff2["load_factor"],
-         "load_factor_best": eff2["load_factor_best"]}
-    )
-    assert stamped2["advisory"] is True
-    # legacy record without probes: falls back to load_factor
+    assert stamped["load_factor"] == 1.35
+    # sustained load: every probe high -> advisory regardless of agg
+    assert _stamp_from_probes([1.4, 1.6], [0.85, 0.9])["advisory"] is True
+    # the string canary contributes independently to the median signal
+    assert _stamp_from_probes(
+        [1.0, 1.0, 1.0], [0.85, 0.9, 0.88]
+    )["advisory"] is True
+    # legacy record without probes: falls back best -> overall
     assert bench.stamp_advisory({"load_factor": 1.4})["advisory"] is True
+    assert bench.stamp_advisory(
+        {"load_factor": 1.5, "load_factor_best": 1.1}
+    )["advisory"] is False
 
 
 # --- the r11 mis-grade, end to end through the gate ------------------------
@@ -211,3 +230,41 @@ def test_bounded_line_last_resort_keeps_named_slice():
     assert "qms" not in doc
     assert len(doc["queries"]) > 0  # named slice survived
     assert len(line) < 900
+
+
+def test_bounded_line_sheds_diagnostic_arrays_before_giving_up():
+    """r12 ADVICE item 3: when even the qms-stripped n_top=0 line is
+    oversized because the record grew diagnostic fields, those arrays
+    (probe series, post-stream probes) are shed LAST — the full file
+    on disk keeps them — so the tail line stays parseable."""
+    import json
+
+    full, timings, names = _line_inputs(3)
+    full["canary_probes"] = [1.0] * 80          # bloat the record
+    full["canary_str_probes"] = [0.6] * 80
+    full["canary_post_stream_sec"] = 1.23
+    full["canary_post_stream_str_sec"] = 0.81
+    line = bench.bounded_final_line(
+        full, timings, names, benchlib.q_sig(names), "BENCH_FULL.json",
+        limit=700,
+    )
+    doc = json.loads(line)
+    assert "canary_probes" not in doc
+    assert len(line) < 700
+    # essential fields survive the shed
+    assert doc["metric"] == "headline_queries_total_sec"
+
+
+def test_bounded_line_raises_loud_when_nothing_fits():
+    """The r09 parsed:null failure mode must be loud at capture time:
+    if no degradation step fits the limit, raise instead of returning
+    a line the driver tail would truncate mid-JSON."""
+    import pytest
+
+    full, timings, names = _line_inputs(3)
+    full["some_huge_field"] = "x" * 2000  # nothing sheddable covers this
+    with pytest.raises(ValueError, match="degradation step"):
+        bench.bounded_final_line(
+            full, timings, names, benchlib.q_sig(names),
+            "BENCH_FULL.json", limit=500,
+        )

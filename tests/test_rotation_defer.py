@@ -31,21 +31,64 @@ def test_red_row_is_urgent_head():
         Q._SEEN_ANY = old
 
 
-def test_window_head_is_never_driver_checked_then_oldest_cohort():
+def test_window_head_is_never_driver_checked_then_staleness_order():
     """The next driver window (~50 slots) must open with every query
-    that has NO driver row yet, then fill with the oldest green
-    cohort."""
+    that has NO driver row yet, then fill in non-decreasing staleness
+    tier — and no query left OUT of the window may be strictly staler
+    than one that got in.
+
+    r12 verdict item 1: the previous spelling asserted every post-head
+    slot belongs to THE oldest cohort, which only holds while that
+    cohort has >= 50-len(new) members. When a fresh driver artifact
+    shrinks the oldest cohort below the window (the exact r12 state:
+    r06 cohort at 28 rows, 0 new queries pending), `_prioritized`
+    correctly back-fills from the next cohort and the old assertion
+    tripped. The suite must be green against ANY driver state on disk,
+    so assert only what the code promises."""
     names = list(Q.all_queries())
     new = [n for n in names if n not in Q._LAST_GREEN]
-    oldest = min(Q._LAST_GREEN.values())
     head = names[: len(new)]
     assert set(head) == set(new), (
         "a verified query displaced a never-driver-checked one from the head"
     )
-    rest = names[len(new) : 50]
-    assert all(Q._LAST_GREEN.get(n) == oldest for n in rest), (
-        "a non-oldest query displaced the oldest cohort from the window"
+    window, omitted = names[:50], names[50:]
+    tiers = [Q._tier(n) for n in window[len(new):]]
+    assert tiers == sorted(tiers), (
+        "window slots after the never-checked head are not in "
+        "non-decreasing staleness order"
     )
+    if window and omitted:
+        assert max(Q._tier(n) for n in window) <= min(
+            Q._tier(n) for n in omitted
+        ), "an omitted query is strictly staler than an included one"
+
+
+def test_window_backfills_next_cohort_when_oldest_is_small():
+    """Regression pin for the exact r12 driver state: the oldest green
+    cohort is SMALLER than the window and there are no brand-new
+    queries, so the window must open with the full oldest cohort and
+    back-fill from the next cohort — in that order."""
+    old_green, old_seen = dict(Q._LAST_GREEN), Q._SEEN_ANY
+    old_must = Q._MUST_RUN
+    try:
+        names = list(Q._merge("QUERIES"))
+        assert len(names) > 50
+        Q._MUST_RUN = frozenset()
+        Q._LAST_GREEN.clear()
+        # synthetic history: 28-query oldest cohort (tier 6), remainder
+        # split across tiers 7 and 8 — every query has a green row.
+        for i, n in enumerate(names):
+            Q._LAST_GREEN[n] = 6 if i < 28 else (7 if i < 200 else 8)
+        Q._SEEN_ANY = frozenset(names)
+        window = list(Q.all_queries())[:50]
+        assert [Q._tier(n) for n in window] == [6.0] * 28 + [7.0] * 22, (
+            "window must be the whole oldest cohort then the next cohort"
+        )
+    finally:
+        Q._LAST_GREEN.clear()
+        Q._LAST_GREEN.update(old_green)
+        Q._SEEN_ANY = old_seen
+        Q._MUST_RUN = old_must
 
 
 def test_no_green_rows_state_keeps_red_ahead_of_new():
