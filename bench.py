@@ -140,6 +140,14 @@ HEADLINE = (
                             # NDV (union/intersection/jaccard) (r12)
     "ab_value_trimmed",     # whale-resistant trimmed-mean A/B on the
                             # value histogram (r12)
+    "ab_value_ranksum",     # Mann-Whitney rank-sum A/B: doubled
+                            # midranks on one range exchange (r13)
+    "ab_value_poststrat",   # post-stratified A/B: stratum-cell agg +
+                            # nano-fixed fold (r13)
+    "price_range_selectivity",  # planner primitive: 64-bin equi-width
+                            # histogram range estimate + truth (r13)
+    "source_lang_fd",       # planner primitive: FD strength from
+                            # (det,dep) cells (r13)
 )
 
 

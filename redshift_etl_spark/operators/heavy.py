@@ -449,3 +449,158 @@ def distinct_set_estimate(
         "true_intersection",
         rel.alias("rel_error_union"),
     )
+
+
+def histogram_selectivity(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    domain_max: float,
+    n_bins: int = 64,
+    scale: int = 100,
+) -> DataFrame:
+    """Range-predicate selectivity from an equi-width histogram —
+    planner primitive #4 beside the sampled-synopsis family: "how many
+    rows pass lo <= x < hi?" answered from a |bins|-row synopsis built
+    in ONE map-side-combined hash agg, the statistic every classical
+    optimizer (and Spark's own CBO column stats) keeps per column.
+    Complements :func:`selectivity_estimate`: the row sample answers
+    arbitrary predicate COMBINATIONS, the histogram answers any future
+    RANGE over one column without re-scanning — at 100 TB the
+    histogram is built once per column per ingest and consulted for
+    free per query.
+
+    Estimation is the textbook uniform-within-bin rule: full interior
+    bins contribute their exact counts; the two edge bins contribute
+    the overlapping fraction of their width. Exactness discipline:
+    values are fixed to the ``scale`` integer grid (cents) BEFORE
+    binning, bin counts are exact BIGINTs, the fractional-coverage
+    coefficients are nano-fixed integers per bin (an integer sum, so
+    partitioning-deterministic), and the estimate is ONE IEEE division
+    at the end. Out-of-domain values clamp into the edge bins, which
+    is where a real optimizer puts them. The TRUE count rides along
+    (one full agg — the scan being avoided at deployment) so the
+    report grades its own error. Returns ONE row: (n_bins, n_rows,
+    est_rows, true_rows, rel_error)."""
+    sc = int(scale)
+    lo_i, hi_i = int(round(lo * sc)), int(round(hi * sc))
+    dmax_i = int(round(domain_max * sc))
+    width = max(1, dmax_i // int(n_bins))
+    yi = F.round(F.col(value_col).cast("double") * sc).cast("long")
+    b = F.least(
+        F.greatest(F.floor(yi / width).cast("long"), F.lit(0)),
+        F.lit(int(n_bins) - 1),
+    )
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(b.alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    # per-bin overlap fraction of [lo_i, hi_i) with [b*w, (b+1)*w),
+    # nano-fixed: frac_nano = round(overlap/width * 1e9) — integer per
+    # bin, summed as integers, one final /1e9 division
+    b_lo = F.col("__b") * width
+    b_hi = (F.col("__b") + 1) * width
+    overlap = F.greatest(
+        F.least(b_hi, F.lit(hi_i)) - F.greatest(b_lo, F.lit(lo_i)),
+        F.lit(0),
+    )
+    # interior bins (overlap == width) contribute c*1e9 as a PURE
+    # integer product — no double in the path, so the count is exact
+    # to int64 (c < 9.2e9/bin); only the two EDGE bins take the
+    # rounded fractional product, exact while c_edge < 2^53/1e9 ≈ 9e6
+    # rows per bin — raise n_bins past that
+    contrib_nano = F.when(
+        overlap >= width, F.col("__c") * F.lit(1_000_000_000)
+    ).otherwise(
+        F.round(
+            F.col("__c").cast("double")
+            * (overlap.cast("double") / float(width))
+            * 1e9
+        ).cast("long")
+    )
+    est = hist.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(contrib_nano), F.lit(0))
+        .cast("long")
+        .alias("__est_nano"),
+    )
+    true = df.where(
+        F.col(value_col).isNotNull() & (yi >= lo_i) & (yi < hi_i)
+    ).agg(F.count(F.lit(1)).cast("long").alias("true_rows"))
+    est_rows = F.col("__est_nano").cast("double") / 1e9
+    rel = F.when(
+        F.col("true_rows") > 0,
+        (est_rows - F.col("true_rows").cast("double"))
+        / F.col("true_rows").cast("double"),
+    )
+    return est.crossJoin(F.broadcast(true)).select(
+        "n_bins",
+        "n_rows",
+        est_rows.alias("est_rows"),
+        "true_rows",
+        rel.alias("rel_error"),
+    )
+
+
+def fd_strength(
+    df: DataFrame,
+    det_col: str,
+    dep_col: str,
+) -> DataFrame:
+    """Functional-dependency strength det → dep — planner primitive
+    #5: the fraction of rows consistent with "det determines dep"
+    (g3-style error measure from the FD-discovery literature, e.g.
+    TANE/Kivinen-Mannila):
+
+        strength = Σ_det max_dep count(det, dep) / n_rows
+
+    i.e. keep each determinant's modal dependent value; the complement
+    is the minimum fraction of rows one would have to delete for the
+    FD to hold exactly. A planner uses it the way it uses NDV: a
+    near-1.0 strength means GROUP BY det ≈ GROUP BY (det, dep) (no
+    extra key width needed), join keys carry the dependent for free,
+    and a denormalized column is safe to prune. Also the data-quality
+    referential-drift screen ("source should determine lang").
+
+    Exactness: (det, dep) cell counts and per-det maxima are exact
+    BIGINTs from two hash aggs (the second over the cell frame, which
+    is NDV(det,dep)-sized — synopsis-scale, not data-scale); strength
+    is ONE IEEE division. NULLs in either column are excluded (SQL
+    grouping would conflate NULL dets; an FD over NULL is undefined).
+    Returns ONE row: (n_rows, n_determinants, n_cells, n_kept_rows,
+    fd_strength)."""
+    cells = (
+        df.where(F.col(det_col).isNotNull() & F.col(dep_col).isNotNull())
+        .groupBy(
+            F.col(det_col).alias("__det"), F.col(dep_col).alias("__dep")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    per_det = cells.groupBy("__det").agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.max("__c").cast("long").alias("__kept"),
+        F.count(F.lit(1)).cast("long").alias("__n_dep"),
+    )
+    return per_det.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_determinants"),
+        F.coalesce(F.sum("__n_dep"), F.lit(0))
+        .cast("long")
+        .alias("n_cells"),
+        F.coalesce(F.sum("__kept"), F.lit(0))
+        .cast("long")
+        .alias("n_kept_rows"),
+    ).select(
+        "n_rows",
+        "n_determinants",
+        "n_cells",
+        "n_kept_rows",
+        F.when(
+            F.col("n_rows") > 0,
+            F.col("n_kept_rows").cast("double")
+            / F.col("n_rows").cast("double"),
+        ).alias("fd_strength"),
+    )

@@ -1897,3 +1897,330 @@ def trimmed_mean_ttest(
         "variant_b", "n_b", "n_kept_b", mb.alias("tmean_b"),
         t.alias("t"), dof.alias("df"),
     )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Wilcoxon–Mann–Whitney rank-sum test on a CONTINUOUS outcome —
+    the distribution-free counterpart of :func:`welch_ttest`: a
+    whale's rank is just "largest", so heavy-tailed revenue can't
+    drag the statistic the way it drags a mean (the same motivation
+    as the trimmed A/B, but as a TEST with an exact null rather than
+    an estimator). Midrank formulation with the normal approximation
+    and the standard tie correction:
+
+        U_a = W_a − n_a(n_a+1)/2
+        z   = (U_a − n_a·n_b/2) /
+              √( n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))) )
+
+    with W_a the variant-a midrank sum and t the per-value tie counts.
+
+    Exactness (the auc_exact discipline, `distsort.auc_exact`): values
+    fix to the ``scale`` grid (cents); per-distinct-value (count,
+    count_a) cells ride ONE ranked_cumsum range exchange; the doubled
+    midrank 2·cum − t + 1 keeps everything integer, so 2W_a and
+    Σ(t³−t) are exact DECIMAL(38,0) sums (2W_a ~ N², past int64 at
+    N ≈ 3e9 rows; t³ past int64 at 2M-row ties) and z is one fixed
+    IEEE expression of those integers — bit-identical on any engine
+    while they sit under 2^53. Exactly-two-variants contract (name-min
+    = a) as welch_ttest; NULL outcomes excluded before the agg.
+    Returns ONE row: (n_variants, variant_a, n_a, variant_b, n_b,
+    u_a, z)."""
+    from .distsort import ranked_cumsum
+
+    yi = F.round(F.col(value_col).cast("double") * int(scale)).cast("long")
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(variant_col).alias("__v"), yi.alias("__y")
+    )
+    nv = vals.agg(
+        F.count_distinct(F.col("__v")).cast("long").alias("n_variants"),
+        F.min("__v").alias("__va"),
+        F.max("__v").alias("__vb"),
+    )
+    cells = (
+        vals.crossJoin(F.broadcast(nv))
+        .groupBy("__y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__t"),
+            F.sum((F.col("__v") == F.col("__va")).cast("long"))
+            .cast("long")
+            .alias("__ta"),
+            F.max("n_variants").alias("n_variants"),
+            F.max("__va").alias("variant_a"),
+            F.max("__vb").alias("variant_b"),
+        )
+    )
+    cum = ranked_cumsum(
+        cells, [F.col("__y")], "__t",
+        rank_name="__rk", cumsum_name="__cum",
+    )
+    dec = "decimal(38,0)"
+    agg = cum.agg(
+        F.max("n_variants").alias("n_variants"),
+        F.max("variant_a").alias("variant_a"),
+        F.max("variant_b").alias("variant_b"),
+        F.coalesce(F.sum("__ta"), F.lit(0)).cast("long").alias("n_a"),
+        (F.coalesce(F.sum("__t"), F.lit(0)) - F.coalesce(
+            F.sum("__ta"), F.lit(0)
+        )).cast("long").alias("n_b"),
+        F.coalesce(
+            F.sum(
+                (F.col("__ta") * (2 * F.col("__cum") - F.col("__t") + 1))
+                .cast(dec)
+            ),
+            F.lit(0).cast(dec),
+        ).alias("__two_w"),
+        F.coalesce(
+            F.sum(
+                (F.col("__t").cast(dec) * F.col("__t") * F.col("__t")
+                 - F.col("__t"))
+            ),
+            F.lit(0).cast(dec),
+        ).alias("__tie3"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    # 2U_a = 2W_a − n_a(n_a+1); U_a − n_a n_b / 2 = (2U_a − n_a n_b)/2
+    two_u = F.col("__two_w").cast("double") - na * (na + 1)
+    var_u = (
+        na * nb / 12.0
+        * ((nn + 1) - F.col("__tie3").cast("double") / (nn * (nn - 1)))
+    )
+    ok = (
+        (F.col("n_variants") == 2)
+        & (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (nn > 1)
+    )
+    z = F.when(
+        ok & (var_u > 0), (two_u - na * nb) / (2.0 * F.sqrt(var_u))
+    )
+    return agg.select(
+        "n_variants",
+        "variant_a", "n_a",
+        "variant_b", "n_b",
+        F.when(ok, two_u / 2.0).alias("u_a"),
+        z.alias("z"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col: str,
+    expected_shares: dict[str, float],
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the experiment-platform tripwire
+    that runs BEFORE any outcome test: if the realized assignment
+    split deviates from the design (a broken bucketing hash, a
+    variant-specific crash dropping users, a bot filter firing
+    asymmetrically), every downstream p-value is garbage regardless
+    of effect size. Chi-square goodness-of-fit of the observed
+    variant counts against ``expected_shares`` (e.g. {'A': 0.5,
+    'B': 0.5}):
+
+        chi2 = Σ_v (o_v − N·w_v)² / (N·w_v),   dof = k − 1
+
+    Exactness: o_v are exact BIGINTs from ONE hash agg over the
+    bounded variant key; each variant's chi2 term is nano-fixed off
+    its exact count (integer sum over k rows — partitioning-
+    deterministic); the reported chi2 is one final /1e9. Variants
+    absent from ``expected_shares`` (an unknown bucket is itself an
+    SRM) contribute o²·1e9/1 — loud, not dropped; expected variants
+    with ZERO observed rows cannot appear in a group-by, so
+    n_variants < len(expected_shares) is itself the signal. Returns
+    ONE row: (n_variants, n_total, chi2_srm, dof, worst_variant,
+    worst_abs_dev)."""
+    per = df.where(F.col(variant_col).isNotNull()).groupBy(
+        F.col(variant_col).alias("__v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__o"))
+    tot = per.agg(
+        F.coalesce(F.sum("__o"), F.lit(0)).cast("long").alias("__n")
+    )
+    share = F.lit(None).cast("double")
+    for v, w in sorted(expected_shares.items()):
+        share = F.when(F.col("__v") == v, F.lit(float(w))).otherwise(share)
+    joined = per.crossJoin(F.broadcast(tot)).select(
+        "__v", "__o", "__n", share.alias("__w")
+    )
+    exp = F.col("__n").cast("double") * F.col("__w")
+    dev = F.col("__o").cast("double") - exp
+    term = F.when(F.col("__w").isNotNull() & (exp > 0), dev * dev / exp
+                  ).otherwise(
+        # unknown bucket: its whole mass is mismatch (w→0 limit,
+        # capped at o² so the report stays finite and LOUD)
+        F.col("__o").cast("double") * F.col("__o").cast("double")
+    )
+    term_nano = F.round(term * 1e9).cast("long")
+    out = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.max("__n").cast("long").alias("n_total"),
+        F.coalesce(F.sum(term_nano), F.lit(0)).cast("long").alias("__chi"),
+        # tie-break by variant name: a TWO-variant SRM always ties
+        # (dev_a = -dev_b exactly), so a bare max_by would be
+        # partitioning-nondeterministic on the common case
+        F.max_by(
+            F.col("__v"),
+            F.struct(F.abs(dev).alias("d"), F.col("__v").alias("v")),
+        ).alias("worst_variant"),
+        F.max(F.abs(dev)).alias("worst_abs_dev"),
+    )
+    return out.select(
+        "n_variants",
+        "n_total",
+        (F.col("__chi").cast("double") / 1e9).alias("chi2_srm"),
+        (F.col("n_variants") - 1).cast("long").alias("dof"),
+        "worst_variant",
+        "worst_abs_dev",
+    )
+
+
+def post_stratified_ab(
+    df: DataFrame,
+    stratum_col: str,
+    variant_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Post-stratification estimator for a continuous-outcome A/B —
+    the variance-reduction sibling of :func:`cuped_ab` that needs no
+    pre-period, only a categorical covariate known for every unit
+    (entry weekday, country, platform): reweight each stratum's
+    within-stratum difference by the stratum's POPULATION share,
+
+        Δ_ps = Σ_s (N_s/N)·(m_as − m_bs)
+        Var  = Σ_s (N_s/N)²·(s²_as/n_as + s²_bs/n_bs)
+
+    which removes the variance component due to variants landing
+    unevenly across strata (and the bias if the imbalance is real —
+    the estimator CMH applies to conversion, here for means).
+
+    Exactness (the cmh_test discipline): per-(stratum, variant) n, Σy,
+    Σy² are exact BIGINTs on the ``scale`` grid from ONE hash agg;
+    each stratum's Δ and Var contributions are nano-fixed integers off
+    those exact moments (the stratum fold is an integer sum —
+    partitioning-deterministic); Δ_ps, se and z are one final IEEE
+    expression each. Strata missing either variant contribute nothing
+    but are COUNTED (n_strata_skipped) — silently dropping them biases
+    the estimate toward covered strata. Exactly-two-variants contract
+    (name-min = a); NULL outcomes and NULL strata excluded. Returns
+    ONE row: (n_variants, n_strata, n_strata_skipped, n_a, n_b,
+    diff_naive, diff_ps, se_ps, z_ps)."""
+    sc = float(scale)
+    yi = F.round(F.col(value_col).cast("double") * int(scale)).cast("long")
+    base = df.where(
+        F.col(value_col).isNotNull() & F.col(stratum_col).isNotNull()
+    ).select(
+        F.col(stratum_col).alias("__s"),
+        F.col(variant_col).alias("__v"),
+        yi.alias("__y"),
+    )
+    nv = base.agg(
+        F.count_distinct(F.col("__v")).cast("long").alias("n_variants"),
+        F.min("__v").alias("__va"),
+    )
+    cells = (
+        base.crossJoin(F.broadcast(nv))
+        .groupBy("__s")
+        .agg(
+            F.max("n_variants").alias("n_variants"),
+            F.sum((F.col("__v") == F.col("__va")).cast("long"))
+            .cast("long").alias("na"),
+            F.coalesce(
+                F.sum(F.when(F.col("__v") == F.col("__va"), F.col("__y"))),
+                F.lit(0),
+            ).cast("long").alias("s1a"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__v") == F.col("__va"),
+                        F.col("__y") * F.col("__y"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("s2a"),
+            F.sum((F.col("__v") != F.col("__va")).cast("long"))
+            .cast("long").alias("nb"),
+            F.coalesce(
+                F.sum(F.when(F.col("__v") != F.col("__va"), F.col("__y"))),
+                F.lit(0),
+            ).cast("long").alias("s1b"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__v") != F.col("__va"),
+                        F.col("__y") * F.col("__y"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("s2b"),
+        )
+    )
+    n_s = (F.col("na") + F.col("nb")).cast("double")
+    tot = cells.agg(
+        F.coalesce(F.sum(F.col("na") + F.col("nb")), F.lit(0))
+        .cast("long").alias("__n_pop")
+    )
+    w = cells.crossJoin(F.broadcast(tot))
+    usable = (F.col("na") > 1) & (F.col("nb") > 1)
+    npop = F.col("__n_pop").cast("double")
+    ma = F.col("s1a").cast("double") / (F.col("na").cast("double") * sc)
+    mb = F.col("s1b").cast("double") / (F.col("nb").cast("double") * sc)
+
+    def _var(s1, s2, n):
+        nn = n.cast("double")
+        return (
+            s2.cast("double") - s1.cast("double") * s1.cast("double") / nn
+        ) / ((nn - 1) * sc * sc)
+
+    va = _var(F.col("s1a"), F.col("s2a"), F.col("na"))
+    vb = _var(F.col("s1b"), F.col("s2b"), F.col("nb"))
+    share = n_s / npop
+    d_nano = F.when(
+        usable, F.round(share * (ma - mb) * 1e9).cast("long")
+    ).otherwise(F.lit(0))
+    v_pico = F.when(
+        usable,
+        F.round(
+            share * share
+            * (va / F.col("na").cast("double")
+               + vb / F.col("nb").cast("double"))
+            * 1e12
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    folded = w.agg(
+        F.max("n_variants").alias("n_variants"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.coalesce(F.sum((~usable).cast("long")), F.lit(0))
+        .cast("long").alias("n_strata_skipped"),
+        F.coalesce(F.sum("na"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum("s1a"), F.lit(0)).cast("long").alias("__t1a"),
+        F.coalesce(F.sum("s1b"), F.lit(0)).cast("long").alias("__t1b"),
+        F.coalesce(F.sum(d_nano), F.lit(0)).cast("long").alias("__d"),
+        F.coalesce(F.sum(v_pico), F.lit(0)).cast("long").alias("__v"),
+    )
+    ok = (F.col("n_variants") == 2) & (F.col("__v") > 0)
+    diff_naive = (
+        F.col("__t1a").cast("double") / (F.col("n_a").cast("double") * sc)
+        - F.col("__t1b").cast("double") / (F.col("n_b").cast("double") * sc)
+    )
+    diff_ps = F.col("__d").cast("double") / 1e9
+    se_ps = F.sqrt(F.col("__v").cast("double") / 1e12)
+    return folded.select(
+        "n_variants",
+        "n_strata",
+        "n_strata_skipped",
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0), diff_naive
+        ).alias("diff_naive"),
+        F.when(ok, diff_ps).alias("diff_ps"),
+        F.when(ok, se_ps).alias("se_ps"),
+        F.when(ok, diff_ps / se_ps).alias("z_ps"),
+    )

@@ -7212,3 +7212,367 @@ def ab_value_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return Q.trimmed_mean_ttest(ev, "v", "value", trim=0.05, scale=100)
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon–Mann–Whitney rank-sum A/B (quality.rank_sum_test): the
+# distribution-free outcome test beside welch/trimmed — a whale's rank
+# is just "largest". Midranks ride the auc_exact range exchange; 2W and
+# the tie term are exact DECIMAL(38,0); z is one IEEE expression.
+# ---------------------------------------------------------------------------
+
+_RANKSUM_ORACLE = """
+WITH t AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+nv AS (
+  SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS n_variants,
+         MIN(v) AS variant_a, MAX(v) AS variant_b
+  FROM t
+),
+cells AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS tc,
+         CAST(SUM(CASE WHEN v = (SELECT variant_a FROM nv)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ta
+  FROM t GROUP BY 1
+),
+cum AS (
+  SELECT y, tc, ta, CAST(SUM(tc) OVER (ORDER BY y) AS BIGINT) AS cm
+  FROM cells
+),
+agg AS (
+  SELECT CAST(COALESCE(SUM(ta), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(tc), 0) - COALESCE(SUM(ta), 0) AS BIGINT) AS n_b,
+         CAST(COALESCE(SUM(ta * (2 * cm - tc + 1)), 0)
+              AS DECIMAL(38,0)) AS two_w,
+         CAST(COALESCE(SUM(tc * tc * tc - tc), 0)
+              AS DECIMAL(38,0)) AS tie3
+  FROM cum
+),
+s AS (
+  SELECT n_variants, variant_a, n_a, variant_b, n_b,
+         CAST(two_w AS DOUBLE)
+           - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) AS two_u,
+         CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+           * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+              - CAST(tie3 AS DOUBLE)
+                / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1)))
+           AS var_u
+  FROM agg CROSS JOIN nv
+)
+SELECT n_variants, variant_a, n_a, variant_b, n_b,
+  CASE WHEN n_variants = 2 AND n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+       THEN two_u / 2.0 END AS u_a,
+  CASE WHEN n_variants = 2 AND n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+            AND var_u > 0
+       THEN (two_u - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+            / (2.0 * sqrt(var_u)) END AS z
+FROM s
+"""
+
+
+@_q("ab_value_ranksum", _RANKSUM_ORACLE)
+def ab_value_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon–Mann–Whitney rank-sum test of event value between the
+    user-parity variants (`quality.rank_sum_test`): the distribution-
+    free counterpart of `ab_value_welch` — rank-based, so heavy-tailed
+    revenue can't drag the statistic. Doubled midranks keep the rank
+    sum integer (one ranked_cumsum range exchange, the auc_exact
+    discipline); the tie term Σ(t³−t) is exact; z is one IEEE
+    expression of exact integers."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("v"),
+        "value",
+    )
+    return Q.rank_sum_test(ev, "v", "value", scale=100)
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch check (quality.srm_check): the assignment
+# tripwire that must pass before any outcome test is read. Chi-square
+# GOF against the DESIGN shares — here a deliberate 25/75 design
+# (user_id % 4) so the expected-weights path is exercised, not just
+# the uniform default.
+# ---------------------------------------------------------------------------
+
+_SRM_ORACLE = """
+WITH t AS (
+  SELECT CASE WHEN user_id % 4 = 0 THEN 'A' ELSE 'B' END AS v
+  FROM events
+),
+per AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS o FROM t GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n FROM per
+),
+j AS (
+  SELECT v, o, n,
+         CASE v WHEN 'A' THEN 0.25 WHEN 'B' THEN 0.75 END AS w
+  FROM per CROSS JOIN tot
+),
+terms AS (
+  SELECT v, o, n,
+    CASE WHEN w IS NOT NULL AND CAST(n AS DOUBLE) * w > 0 THEN
+      CAST(ROUND(
+        (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * w)
+        * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * w)
+        / (CAST(n AS DOUBLE) * w) * 1e9) AS BIGINT)
+    ELSE CAST(ROUND(
+      CAST(o AS DOUBLE) * CAST(o AS DOUBLE) * 1e9) AS BIGINT)
+    END AS tn,
+    ABS(CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * w) AS adev
+  FROM j
+),
+mx AS (SELECT MAX(adev) AS m FROM terms)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MAX(n) AS BIGINT) AS n_total,
+       CAST(CAST(COALESCE(SUM(tn), 0) AS BIGINT) AS DOUBLE) / 1e9
+         AS chi2_srm,
+       CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+       MAX(CASE WHEN adev = (SELECT m FROM mx) THEN v END)
+         AS worst_variant,
+       MAX(adev) AS worst_abs_dev
+FROM terms
+"""
+
+
+@_q("ab_srm_check", _SRM_ORACLE)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch chi-square of the 25/75 design assignment
+    (`quality.srm_check`): observed variant counts are exact BIGINTs;
+    each variant's GOF term is nano-fixed off its exact count; chi2 is
+    one final division. A deterministic user_id % 4 assignment realizes
+    the design exactly up to remainder, so the expected verdict is
+    'no mismatch' — the check itself is what's under test."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 4 == 0, "A").otherwise("B").alias("v")
+    )
+    return Q.srm_check(ev, "v", {"A": 0.25, "B": 0.75})
+
+
+# ---------------------------------------------------------------------------
+# Post-stratified A/B (quality.post_stratified_ab): covariate-
+# adjusted mean difference with entry-weekday strata — the
+# variance-reduction sibling of CUPED that needs no pre-period.
+# ---------------------------------------------------------------------------
+
+_POSTSTRAT_ORACLE = """
+WITH t AS (
+  SELECT dayofweek(CAST(ts AS DATE)) AS s,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+),
+nv AS (
+  SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS n_variants,
+         MIN(v) AS va
+  FROM t
+),
+cells AS (
+  SELECT s,
+    CAST(SUM(CASE WHEN v = (SELECT va FROM nv) THEN 1 ELSE 0 END)
+         AS BIGINT) AS na,
+    CAST(COALESCE(SUM(CASE WHEN v = (SELECT va FROM nv) THEN y END), 0)
+         AS BIGINT) AS s1a,
+    CAST(COALESCE(SUM(CASE WHEN v = (SELECT va FROM nv) THEN y * y END), 0)
+         AS BIGINT) AS s2a,
+    CAST(SUM(CASE WHEN v <> (SELECT va FROM nv) THEN 1 ELSE 0 END)
+         AS BIGINT) AS nb,
+    CAST(COALESCE(SUM(CASE WHEN v <> (SELECT va FROM nv) THEN y END), 0)
+         AS BIGINT) AS s1b,
+    CAST(COALESCE(SUM(CASE WHEN v <> (SELECT va FROM nv) THEN y * y END), 0)
+         AS BIGINT) AS s2b
+  FROM t GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COALESCE(SUM(na + nb), 0) AS BIGINT) AS n_pop FROM cells
+),
+terms AS (
+  SELECT na, nb, s1a, s1b,
+    CASE WHEN na > 1 AND nb > 1 THEN CAST(ROUND(
+      CAST(na + nb AS DOUBLE) / CAST(n_pop AS DOUBLE)
+      * (CAST(s1a AS DOUBLE) / (CAST(na AS DOUBLE) * 100.0)
+         - CAST(s1b AS DOUBLE) / (CAST(nb AS DOUBLE) * 100.0))
+      * 1e9) AS BIGINT) ELSE 0 END AS dn,
+    CASE WHEN na > 1 AND nb > 1 THEN CAST(ROUND(
+      (CAST(na + nb AS DOUBLE) / CAST(n_pop AS DOUBLE))
+      * (CAST(na + nb AS DOUBLE) / CAST(n_pop AS DOUBLE))
+      * (((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a
+           / CAST(na AS DOUBLE))
+          / ((CAST(na AS DOUBLE) - 1) * 100.0 * 100.0))
+           / CAST(na AS DOUBLE)
+         + ((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b
+             / CAST(nb AS DOUBLE))
+            / ((CAST(nb AS DOUBLE) - 1) * 100.0 * 100.0))
+           / CAST(nb AS DOUBLE))
+      * 1e12) AS BIGINT) ELSE 0 END AS vp,
+    CASE WHEN na > 1 AND nb > 1 THEN 0 ELSE 1 END AS skipped
+  FROM cells CROSS JOIN tot
+),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(COALESCE(SUM(skipped), 0) AS BIGINT) AS n_strata_skipped,
+         CAST(COALESCE(SUM(na), 0) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_b,
+         CAST(COALESCE(SUM(s1a), 0) AS BIGINT) AS t1a,
+         CAST(COALESCE(SUM(s1b), 0) AS BIGINT) AS t1b,
+         CAST(COALESCE(SUM(dn), 0) AS BIGINT) AS d,
+         CAST(COALESCE(SUM(vp), 0) AS BIGINT) AS vv
+  FROM terms
+)
+SELECT n_variants, n_strata, n_strata_skipped, n_a, n_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    CAST(t1a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0)
+    - CAST(t1b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0)
+  END AS diff_naive,
+  CASE WHEN n_variants = 2 AND vv > 0
+       THEN CAST(d AS DOUBLE) / 1e9 END AS diff_ps,
+  CASE WHEN n_variants = 2 AND vv > 0
+       THEN sqrt(CAST(vv AS DOUBLE) / 1e12) END AS se_ps,
+  CASE WHEN n_variants = 2 AND vv > 0
+       THEN (CAST(d AS DOUBLE) / 1e9)
+            / sqrt(CAST(vv AS DOUBLE) / 1e12) END AS z_ps
+FROM folded CROSS JOIN nv
+"""
+
+
+@_q("ab_value_poststrat", _POSTSTRAT_ORACLE)
+def ab_value_poststrat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified mean-difference A/B of event value, stratified
+    by event weekday (`quality.post_stratified_ab`): per-stratum
+    moments are exact cents BIGINTs from ONE hash agg; each stratum's
+    Δ/Var contribution is nano/pico-fixed off those ints (integer fold
+    — partitioning-deterministic); Δ_ps/se/z are final IEEE
+    expressions. The naive diff rides along to show the adjustment."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events").select(
+        F.dayofweek(F.to_date("ts")).alias("s"),
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("v"),
+        "value",
+    )
+    return Q.post_stratified_ab(ev, "s", "v", "value", scale=100)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram range selectivity (heavy.histogram_selectivity):
+# planner primitive #4 — any future range predicate answered from a
+# 64-row synopsis; truth pass rides along to grade the uniform-
+# within-bin assumption.
+# ---------------------------------------------------------------------------
+
+_HISTSEL_W = 60_000_000 // 64  # cents domain [0, 600k$) over 64 bins
+
+
+def _histsel_oracle() -> str:
+    w = _HISTSEL_W
+    lo_i, hi_i = 5_000_000, 20_000_000  # [$50k, $200k) in cents
+    return f"""
+WITH h AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) / {w}) AS BIGINT),
+         0), 63) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+terms AS (
+  SELECT b, c,
+    GREATEST(LEAST((b + 1) * {w}, {hi_i}) - GREATEST(b * {w}, {lo_i}),
+             0) AS ov
+  FROM h
+),
+est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(
+           CASE WHEN ov >= {w} THEN c * 1000000000
+                ELSE CAST(ROUND(CAST(c AS DOUBLE)
+                     * (CAST(ov AS DOUBLE) / {w}.0) * 1e9) AS BIGINT)
+           END), 0) AS BIGINT) AS est_nano
+  FROM terms
+),
+tru AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS true_rows
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND CAST(ROUND(o_totalprice * 100) AS BIGINT) >= {lo_i}
+    AND CAST(ROUND(o_totalprice * 100) AS BIGINT) < {hi_i}
+)
+SELECT n_bins, n_rows,
+  CAST(est_nano AS DOUBLE) / 1e9 AS est_rows,
+  true_rows,
+  CASE WHEN true_rows > 0 THEN
+    (CAST(est_nano AS DOUBLE) / 1e9 - CAST(true_rows AS DOUBLE))
+    / CAST(true_rows AS DOUBLE) END AS rel_error
+FROM est CROSS JOIN tru
+"""
+
+
+@_q("price_range_selectivity", _histsel_oracle())
+def price_range_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity of $50k <= o_totalprice < $200k estimated from a
+    64-bin equi-width histogram (`heavy.histogram_selectivity`): the
+    per-column synopsis a 100 TB planner consults instead of scanning;
+    interior bins contribute exact integer counts, edge bins a nano-
+    fixed fraction; the truth pass grades the uniform-within-bin
+    assumption in-report."""
+    from ..operators import heavy as H
+
+    orders = load(spark, sf_dir, "orders")
+    return H.histogram_selectivity(
+        orders, "o_totalprice",
+        lo=50_000.0, hi=200_000.0, domain_max=600_000.0,
+        n_bins=64, scale=100,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency strength (heavy.fd_strength): planner
+# primitive #5 — does source determine lang? (g3 measure; synopsis-
+# scale second agg over the (det, dep) cell frame.)
+# ---------------------------------------------------------------------------
+
+_FD_ORACLE = """
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(MAX(c) AS BIGINT) AS kept,
+         CAST(COUNT(*) AS BIGINT) AS ndep
+  FROM cells GROUP BY 1
+)
+SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_determinants,
+       CAST(COALESCE(SUM(ndep), 0) AS BIGINT) AS n_cells,
+       CAST(COALESCE(SUM(kept), 0) AS BIGINT) AS n_kept_rows,
+       CASE WHEN COALESCE(SUM(n), 0) > 0 THEN
+         CAST(COALESCE(SUM(kept), 0) AS DOUBLE)
+         / CAST(COALESCE(SUM(n), 0) AS DOUBLE) END AS fd_strength
+FROM per
+"""
+
+
+@_q("source_lang_fd", _FD_ORACLE)
+def source_lang_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength of the functional dependency source → lang over
+    documents (`heavy.fd_strength`): the fraction of rows kept by each
+    source's modal language — near 1.0 means GROUP BY source ≈
+    GROUP BY (source, lang) and the planner can prune the dependent
+    key; also the referential-drift data-quality screen. Exact BIGINT
+    cells; one IEEE division."""
+    from ..operators import heavy as H
+
+    docs = load(spark, sf_dir, "documents")
+    return H.fd_strength(docs, "source", "lang")

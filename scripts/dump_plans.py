@@ -448,6 +448,27 @@ NOTES = {
         "never a per-row rank that would funnel a variant through one "
         "task) -> exact integer interval-overlap trim -> moment agg"
     ),
+    "ab_value_ranksum": (
+        "rank-sum A/B: value-cell hash agg (1-row variant frame "
+        "attached) -> ONE ranked_cumsum range exchange over DISTINCT "
+        "values (auc_exact shape, never a per-row global sort) -> "
+        "1-row decimal fold"
+    ),
+    "ab_value_poststrat": (
+        "post-stratified A/B: ONE (stratum) hash agg of exact cents "
+        "moments per variant -> nano/pico-fixed integer stratum fold "
+        "(1-row population attach); no per-row window"
+    ),
+    "price_range_selectivity": (
+        "64-bin equi-width histogram: ONE map-side-combined bin agg "
+        "-> nano-fixed overlap fold; truth pass is a pushed-filter "
+        "count attached as a 1-row broadcast"
+    ),
+    "source_lang_fd": (
+        "FD strength: (det,dep) cell hash agg -> synopsis-scale "
+        "per-det max/sum agg -> 1-row fold; full table never "
+        "re-shuffles"
+    ),
 }
 
 

@@ -381,6 +381,17 @@ REHEARSAL = (
     "sql_agent_metrics",      # the flagship view text via run_sql —
                               # same plan as agent_metrics (broadcast
                               # star + one group agg)
+    # r13 wave (experiment + planner primitives — hash aggs, one
+    # ranked_cumsum range exchange, cell folds):
+    "ab_value_ranksum",       # value cells + ONE ranked_cumsum range
+                              # exchange (auc_exact shape)
+    "ab_srm_check",           # bounded variant-key agg + k-row fold
+    "ab_value_poststrat",     # stratum-cell agg + nano-fixed fold
+    "price_range_selectivity",  # 64-bin histogram agg + 1-row truth
+    "source_lang_fd",         # (det,dep) cell agg + synopsis-scale
+                              # second agg
+    "sql_changed_or_new",     # the SP change-detection text via
+                              # run_sql — same plan as changed_or_new
 )
 
 # Measured-cause annotations, emitted INTO the report next to the slope

@@ -114,6 +114,18 @@ ALLOWED = {
     ("operators/heavy.py", "distinct_set_estimate"):
         "1-row true union/intersection aggregate attached to the "
         "1-row sampled-set counts",
+    ("operators/heavy.py", "histogram_selectivity"):
+        "1-row true-count aggregate attached to the 1-row histogram "
+        "estimate",
+    ("operators/quality.py", "rank_sum_test"):
+        "1-row (n_variants, min, max variant) frame attached to every "
+        "row before the value-cell agg",
+    ("operators/quality.py", "srm_check"):
+        "1-row total-count frame attached to the bounded variant-key "
+        "cells",
+    ("operators/quality.py", "post_stratified_ab"):
+        "two 1-row frames: (n_variants, min variant) and the "
+        "population total, attached to bounded stratum cells",
     ("operators/quality.py", "diff_in_diff"):
         "1-row bounds frame (min/max variant+period) attached to the "
         "variant×period cells",

@@ -411,3 +411,118 @@ def test_diff_in_diff_empty_input_returns_one_honest_row(spark):
     )
     out2 = diff_in_diff(allnull, "v", "p", "s").collect()
     assert len(out2) == 1 and out2[0]["did"] is None
+
+
+# --- r13 additions: rank-sum / SRM / post-stratification ---------------------
+
+def test_rank_sum_hand_check(spark):
+    """A = {1, 3}, B = {2, 2}: pooled midranks 1, 2.5, 2.5, 4 (the two
+    2s tie). W_a = 1 + 4 = 5, U_a = 5 - 2*3/2 = 2 = n_a*n_b/2 -> z = 0
+    exactly, and the tie term is t^3 - t = 6 for the one tied value."""
+    from redshift_etl_spark.operators.quality import rank_sum_test
+
+    df = spark.createDataFrame(
+        [("A", 0.01), ("A", 0.03), ("B", 0.02), ("B", 0.02)],
+        "v string, y double",
+    )
+    out = rank_sum_test(df, "v", "y", scale=100).first()
+    assert (out["n_variants"], out["n_a"], out["n_b"]) == (2, 2, 2)
+    assert out["u_a"] == 2.0
+    assert out["z"] == 0.0
+
+
+def test_rank_sum_extreme_separation(spark):
+    """All of A below all of B: U_a = 0, z at its most negative —
+    sign convention pinned (a is the name-min variant)."""
+    from redshift_etl_spark.operators.quality import rank_sum_test
+
+    rows = [("A", float(i)) for i in range(1, 6)] + [
+        ("B", float(i)) for i in range(10, 15)
+    ]
+    df = spark.createDataFrame(rows, "v string, y double")
+    out = rank_sum_test(df, "v", "y").first()
+    assert out["u_a"] == 0.0
+    # no ties: var = n_a*n_b*(N+1)/12 = 25*11/12; z = -12.5/sqrt(...)
+    assert math.isclose(out["z"], -12.5 / math.sqrt(25 * 11 / 12))
+
+
+def test_rank_sum_three_variants_null(spark):
+    from redshift_etl_spark.operators.quality import rank_sum_test
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0), ("C", 3.0)], "v string, y double"
+    )
+    out = rank_sum_test(df, "v", "y").first()
+    assert out["n_variants"] == 3
+    assert out["z"] is None and out["u_a"] is None
+
+
+def test_srm_hand_check(spark):
+    """60/40 observed against a 50/50 design over 100 users:
+    chi2 = (60-50)^2/50 + (40-50)^2/50 = 4.0 (nano-exact)."""
+    from redshift_etl_spark.operators.quality import srm_check
+
+    rows = [("A",)] * 60 + [("B",)] * 40
+    df = spark.createDataFrame(rows, "v string")
+    out = srm_check(df, "v", {"A": 0.5, "B": 0.5}).first()
+    assert (out["n_variants"], out["n_total"], out["dof"]) == (2, 100, 1)
+    assert out["chi2_srm"] == 4.0
+    assert out["worst_abs_dev"] == 10.0
+    # two-variant deviations always tie in absolute value: the
+    # name-max variant wins deterministically
+    assert out["worst_variant"] == "B"
+
+
+def test_srm_unknown_bucket_is_loud(spark):
+    """A variant missing from the design contributes o^2 — the report
+    must scream, not drop the rows."""
+    from redshift_etl_spark.operators.quality import srm_check
+
+    rows = [("A",)] * 5 + [("B",)] * 5 + [("GHOST",)] * 2
+    df = spark.createDataFrame(rows, "v string")
+    out = srm_check(df, "v", {"A": 0.5, "B": 0.5}).first()
+    assert out["n_variants"] == 3
+    assert out["chi2_srm"] > 4.0  # the 2^2=4 ghost term dominates
+
+
+def test_post_stratified_hand_check(spark):
+    """Two strata with opposite imbalance; within each stratum the
+    A-B difference is exactly 1.0, so diff_ps = 1.0 regardless of the
+    imbalance, while the naive diff is biased by it."""
+    from redshift_etl_spark.operators.quality import post_stratified_ab
+
+    rows = (
+        # stratum s1 (low values): 3xA {1,2,3}, 2xB {0.5, 1.5}
+        [("s1", "A", 1.0), ("s1", "A", 2.0), ("s1", "A", 3.0),
+         ("s1", "B", 0.5), ("s1", "B", 1.5)]
+        # stratum s2 (high values): 2xA {11, 13}, 3xB {10, 11, 12}
+        + [("s2", "A", 11.0), ("s2", "A", 13.0),
+           ("s2", "B", 10.0), ("s2", "B", 11.0), ("s2", "B", 12.0)]
+    )
+    df = spark.createDataFrame(rows, "s string, v string, y double")
+    out = post_stratified_ab(df, "s", "v", "y").first()
+    assert (out["n_strata"], out["n_strata_skipped"]) == (2, 0)
+    assert (out["n_a"], out["n_b"]) == (5, 5)
+    # within-stratum diffs: s1 2-1=1, s2 12-11=1; shares 0.5/0.5
+    assert math.isclose(out["diff_ps"], 1.0)
+    # naive: mean_a = 30/5 = 6, mean_b = 35/5 = 7 -> -1: sign flipped
+    # by the imbalance the stratification removes (Simpson shape)
+    assert math.isclose(out["diff_naive"], -1.0)
+    assert out["se_ps"] > 0 and out["z_ps"] is not None
+
+
+def test_post_stratified_skips_single_variant_stratum(spark):
+    """A stratum holding only one variant can't contribute a
+    difference — it must be counted skipped, not silently averaged."""
+    from redshift_etl_spark.operators.quality import post_stratified_ab
+
+    rows = [
+        ("s1", "A", 1.0), ("s1", "A", 2.0), ("s1", "B", 1.0),
+        ("s1", "B", 3.0),
+        ("s2", "A", 9.0), ("s2", "A", 9.0),  # no B in s2
+    ]
+    df = spark.createDataFrame(rows, "s string, v string, y double")
+    out = post_stratified_ab(df, "s", "v", "y").first()
+    assert out["n_strata"] == 2 and out["n_strata_skipped"] == 1
+    # only s1 contributes: share 4/6, diff 1.5-2.0 = -0.5
+    assert math.isclose(out["diff_ps"], (4 / 6) * -0.5, abs_tol=1e-9)

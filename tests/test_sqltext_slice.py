@@ -10,8 +10,10 @@ from redshift_etl_spark.queries import sqltext
 def test_slice_registers_same_text_twins():
     # 10 promoted TPC-H shapes (r11) + the two reference views (r12:
     # sql_agent_metrics carries its own shared-dialect text;
-    # sql_agent_metrics_2 promotes view 2's oracle directly)
-    assert len(sqltext.QUERIES) == 12
+    # sql_agent_metrics_2 promotes view 2's oracle directly) + the SP
+    # change-detection text (r13: sql_changed_or_new promotes the
+    # changed_or_new oracle — `SP_litify_task.sql:6-11`'s shape)
+    assert len(sqltext.QUERIES) == 13
     assert set(sqltext.QUERIES) == set(sqltext.ORACLES)
     for name in sqltext._PROMOTED:
         assert (
