@@ -2030,7 +2030,7 @@ def srm_check(
     its exact count (integer sum over k rows — partitioning-
     deterministic); the reported chi2 is one final /1e9. Variants
     absent from ``expected_shares`` (an unknown bucket is itself an
-    SRM) contribute o²·1e9/1 — loud, not dropped; expected variants
+    SRM) contribute min(o², 1e9) — loud, not dropped; expected variants
     with ZERO observed rows cannot appear in a group-by, so
     n_variants < len(expected_shares) is itself the signal. Returns
     ONE row: (n_variants, n_total, chi2_srm, dof, worst_variant,
@@ -2051,9 +2051,14 @@ def srm_check(
     dev = F.col("__o").cast("double") - exp
     term = F.when(F.col("__w").isNotNull() & (exp > 0), dev * dev / exp
                   ).otherwise(
-        # unknown bucket: its whole mass is mismatch (w→0 limit,
-        # capped at o² so the report stays finite and LOUD)
-        F.col("__o").cast("double") * F.col("__o").cast("double")
+        # unknown bucket: its whole mass is mismatch (w→0 limit).
+        # Capped at min(o², 1e9): any chi2 ≥ 1e9 is maximally loud,
+        # and the cap keeps the nano-fixed term inside int64 (an
+        # uncapped o²·1e9 wraps past o ≈ 96k rows)
+        F.least(
+            F.col("__o").cast("double") * F.col("__o").cast("double"),
+            F.lit(1e9),
+        )
     )
     term_nano = F.round(term * 1e9).cast("long")
     out = joined.agg(

@@ -7324,7 +7324,7 @@ terms AS (
         * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * w)
         / (CAST(n AS DOUBLE) * w) * 1e9) AS BIGINT)
     ELSE CAST(ROUND(
-      CAST(o AS DOUBLE) * CAST(o AS DOUBLE) * 1e9) AS BIGINT)
+      LEAST(CAST(o AS DOUBLE) * CAST(o AS DOUBLE), 1e9) * 1e9) AS BIGINT)
     END AS tn,
     ABS(CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * w) AS adev
   FROM j
