@@ -148,6 +148,8 @@ HEADLINE = (
                             # histogram range estimate + truth (r13)
     "source_lang_fd",       # planner primitive: FD strength from
                             # (det,dep) cells (r13)
+    "ab_value_msprt",       # always-valid mSPRT: micro-rounded
+                            # log-likelihood ratio, peeking-proof (r13)
 )
 
 

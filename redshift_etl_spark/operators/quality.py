@@ -2229,3 +2229,98 @@ def post_stratified_ab(
         F.when(ok, se_ps).alias("se_ps"),
         F.when(ok, diff_ps / se_ps).alias("z_ps"),
     )
+
+
+def msprt_ab(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    scale: int = 100,
+    tau: float = 1.0,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) — the
+    ALWAYS-VALID A/B readout (Johari, Koomen, Pekelis & Walsh,
+    "Peeking at A/B Tests", KDD'17): every fixed-horizon test in this
+    family (welch, ranksum, CUPED...) is only valid when read ONCE at
+    a pre-committed n, but a live experiment dashboard is read every
+    day — continuous peeking at a fixed-n z inflates false positives
+    severalfold. The mSPRT's mixture likelihood ratio against a
+    N(0, τ²) prior on the effect,
+
+        log Λ_n = ½·ln(V/(V+τ²)) + θ̂²·τ²/(2·V·(V+τ²))
+
+    (θ̂ the observed mean difference, V its Welch-style variance
+    s²_a/n_a + s²_b/n_b), is a test martingale: rejecting when
+    log Λ ≥ ln(1/α) holds the α level at ANY data-dependent stopping
+    time, so the dashboard can be watched continuously.
+
+    Exactness (the welch moments + Kaplan–Meier ln discipline):
+    per-variant n/Σy/Σy² are exact BIGINTs on the ``scale`` grid from
+    ONE hash agg; θ̂ and V are fixed IEEE expressions of those ints;
+    log Λ is ONE libm ln per report (not per row), micro-rounded to an
+    exact BIGINT (``log_lambda_micro``) so a 1-ulp cross-libm ln
+    difference cannot flip the report; the rejection compares that
+    integer against the pre-computed integer threshold
+    round(ln(1/α)·1e6) — exp() never runs. Exactly-two-variants and
+    n>1 contracts as welch_ttest; NULL outcomes excluded. Returns ONE
+    row: (n_variants, variant_a, n_a, mean_a, variant_b, n_b, mean_b,
+    theta, v_n, log_lambda_micro, reject_null)."""
+    tau2 = float(tau) * float(tau)
+    thresh_micro = int(round(math.log(1.0 / float(alpha)) * 1e6))
+    yi = F.round(F.col(value_col).cast("double") * int(scale)).cast("long")
+    per = df.where(
+        F.col(value_col).isNotNull()
+    ).groupBy(F.col(variant_col).alias("__v")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.coalesce(F.sum(yi), F.lit(0)).cast("long").alias("__s1"),
+        F.coalesce(F.sum(yi * yi), F.lit(0)).cast("long").alias("__s2"),
+    )
+    picked = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min_by(F.col("__v"), F.col("__v")).alias("variant_a"),
+        F.min_by(F.col("__n"), F.col("__v")).cast("long").alias("n_a"),
+        F.min_by(F.col("__s1"), F.col("__v")).cast("long").alias("__s1a"),
+        F.min_by(F.col("__s2"), F.col("__v")).cast("long").alias("__s2a"),
+        F.max_by(F.col("__v"), F.col("__v")).alias("variant_b"),
+        F.max_by(F.col("__n"), F.col("__v")).cast("long").alias("n_b"),
+        F.max_by(F.col("__s1"), F.col("__v")).cast("long").alias("__s1b"),
+        F.max_by(F.col("__s2"), F.col("__v")).cast("long").alias("__s2b"),
+    )
+    sc = float(scale)
+
+    def _stats(s1, s2, n):
+        nn = n.cast("double")
+        mean = s1.cast("double") / (nn * sc)
+        var = F.when(
+            n > 1,
+            (s2.cast("double") - s1.cast("double") * s1.cast("double") / nn)
+            / ((nn - 1) * sc * sc),
+        )
+        return mean, var
+
+    ma, va = _stats(F.col("__s1a"), F.col("__s2a"), F.col("n_a"))
+    mb, vb = _stats(F.col("__s1b"), F.col("__s2b"), F.col("n_b"))
+    theta = ma - mb
+    v_n = va / F.col("n_a").cast("double") + vb / F.col("n_b").cast("double")
+    ok = (
+        (F.col("n_variants") == 2)
+        & (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & (v_n > 0)
+    )
+    log_lambda = (
+        F.lit(0.5) * F.log(v_n / (v_n + F.lit(tau2)))
+        + theta * theta * F.lit(tau2)
+        / (F.lit(2.0) * v_n * (v_n + F.lit(tau2)))
+    )
+    llm = F.round(log_lambda * 1e6).cast("long")
+    return picked.select(
+        "n_variants",
+        "variant_a", "n_a", ma.alias("mean_a"),
+        "variant_b", "n_b", mb.alias("mean_b"),
+        F.when(ok, theta).alias("theta"),
+        F.when(ok, v_n).alias("v_n"),
+        F.when(ok, llm).alias("log_lambda_micro"),
+        F.when(ok, llm >= F.lit(thresh_micro)).alias("reject_null"),
+    )

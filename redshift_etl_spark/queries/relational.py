@@ -7576,3 +7576,92 @@ def source_lang_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return H.fd_strength(docs, "source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# mSPRT always-valid A/B (quality.msprt_ab): the peeking-proof
+# sequential readout — log Λ micro-rounded to an exact integer, the
+# rejection an integer comparison against round(ln(1/α)·1e6).
+# ---------------------------------------------------------------------------
+
+def _msprt_oracle(tau: float = 0.1, alpha: float = 0.05) -> str:
+    import math as _m
+
+    tau2 = repr(tau * tau)
+    thresh = int(round(_m.log(1.0 / alpha) * 1e6))
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+         CAST(ROUND(value * 100) AS BIGINT) AS yi
+  FROM events WHERE value IS NOT NULL
+),
+per AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(yi), 0) AS BIGINT) AS s1,
+         CAST(COALESCE(SUM(yi * yi), 0) AS BIGINT) AS s2
+  FROM t GROUP BY 1
+),
+p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_variants,
+         min_by(v, v) AS variant_a,
+         CAST(min_by(n, v) AS BIGINT) AS n_a,
+         CAST(min_by(s1, v) AS BIGINT) AS s1a,
+         CAST(min_by(s2, v) AS BIGINT) AS s2a,
+         max_by(v, v) AS variant_b,
+         CAST(max_by(n, v) AS BIGINT) AS n_b,
+         CAST(max_by(s1, v) AS BIGINT) AS s1b,
+         CAST(max_by(s2, v) AS BIGINT) AS s2b
+  FROM per
+),
+s AS (
+  SELECT n_variants, variant_a, n_a,
+         CAST(s1a AS DOUBLE) / (n_a * 100.0) AS mean_a,
+         variant_b, n_b,
+         CAST(s1b AS DOUBLE) / (n_b * 100.0) AS mean_b,
+         CASE WHEN n_a > 1 THEN
+           (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_a)
+           / ((n_a - 1) * 100.0 * 100.0) END AS va,
+         CASE WHEN n_b > 1 THEN
+           (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_b)
+           / ((n_b - 1) * 100.0 * 100.0) END AS vb
+  FROM p
+),
+e AS (
+  SELECT n_variants, variant_a, n_a, mean_a, variant_b, n_b, mean_b,
+         mean_a - mean_b AS theta,
+         va / n_a + vb / n_b AS v_n,
+         n_variants = 2 AND n_a > 1 AND n_b > 1
+           AND va / n_a + vb / n_b > 0 AS ok
+  FROM s
+)
+SELECT n_variants, variant_a, n_a, mean_a, variant_b, n_b, mean_b,
+  CASE WHEN ok THEN theta END AS theta,
+  CASE WHEN ok THEN v_n END AS v_n,
+  CASE WHEN ok THEN CAST(ROUND(
+    (0.5 * ln(v_n / (v_n + {tau2}))
+     + theta * theta * {tau2} / (2.0 * v_n * (v_n + {tau2})))
+    * 1e6) AS BIGINT) END AS log_lambda_micro,
+  CASE WHEN ok THEN CAST(ROUND(
+    (0.5 * ln(v_n / (v_n + {tau2}))
+     + theta * theta * {tau2} / (2.0 * v_n * (v_n + {tau2})))
+    * 1e6) AS BIGINT) >= {thresh} END AS reject_null
+FROM e
+"""
+
+
+@_q("ab_value_msprt", _msprt_oracle())
+def ab_value_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid mSPRT of event value between the user-parity
+    variants (`quality.msprt_ab`, τ=0.1, α=0.05): the sequential
+    readout a continuously-watched experiment dashboard needs — the
+    fixed-horizon welch/z tests in this family inflate false positives
+    under peeking; the mixture likelihood ratio holds α at any
+    stopping time. Moments exact cents BIGINTs; log Λ is one
+    micro-rounded libm ln; the rejection is an integer comparison."""
+    from ..operators import quality as Q
+
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("v"),
+        "value",
+    )
+    return Q.msprt_ab(ev, "v", "value", scale=100, tau=0.1, alpha=0.05)

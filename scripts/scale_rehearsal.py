@@ -392,6 +392,8 @@ REHEARSAL = (
                               # second agg
     "sql_changed_or_new",     # the SP change-detection text via
                               # run_sql — same plan as changed_or_new
+    "ab_value_msprt",         # ONE variant moment agg (welch shape) +
+                              # one micro-rounded ln
 )
 
 # Measured-cause annotations, emitted INTO the report next to the slope

@@ -526,3 +526,56 @@ def test_post_stratified_skips_single_variant_stratum(spark):
     assert out["n_strata"] == 2 and out["n_strata_skipped"] == 1
     # only s1 contributes: share 4/6, diff 1.5-2.0 = -0.5
     assert math.isclose(out["diff_ps"], (4 / 6) * -0.5, abs_tol=1e-9)
+
+
+def test_msprt_hand_check_null_effect(spark):
+    """Symmetric variants (no effect): theta = 0, so log_lambda =
+    0.5*ln(V/(V+tau^2)) < 0 — never rejects. Verified against the
+    closed form."""
+    from redshift_etl_spark.operators.quality import msprt_ab
+
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0),
+            ("B", 1.0), ("B", 2.0), ("B", 3.0)]
+    df = spark.createDataFrame(rows, "v string, y double")
+    out = msprt_ab(df, "v", "y", tau=1.0).first()
+    assert out["theta"] == 0.0
+    # V = (1 + 1)/3 = 2/3 (sample var 1.0 each, n 3)
+    assert math.isclose(out["v_n"], 2 / 3)
+    expected = 0.5 * math.log((2 / 3) / (2 / 3 + 1.0))
+    assert out["log_lambda_micro"] == round(expected * 1e6)
+    assert out["reject_null"] is False
+
+
+def test_msprt_strong_effect_rejects(spark):
+    """A clearly separated pair with tiny variance: log_lambda far
+    above ln(1/0.05) ~ 2.9957 -> reject at any stopping time."""
+    from redshift_etl_spark.operators.quality import msprt_ab
+
+    rows = [("A", 10.0 + 0.01 * i) for i in range(50)] + [
+        ("B", 0.0 + 0.01 * i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "v string, y double")
+    out = msprt_ab(df, "v", "y", tau=1.0).first()
+    assert out["theta"] > 9.9
+    assert out["log_lambda_micro"] > 2_995_732
+    assert out["reject_null"] is True
+
+
+def test_msprt_contracts_null(spark):
+    from redshift_etl_spark.operators.quality import msprt_ab
+
+    # three variants -> NULL verdict with honest counts
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0), ("C", 1.0),
+         ("C", 2.0)],
+        "v string, y double",
+    )
+    out = msprt_ab(df, "v", "y").first()
+    assert out["n_variants"] == 3
+    assert out["log_lambda_micro"] is None and out["reject_null"] is None
+    # single-row variant -> NULL (no variance)
+    df2 = spark.createDataFrame(
+        [("A", 1.0), ("B", 1.0), ("B", 2.0)], "v string, y double"
+    )
+    out2 = msprt_ab(df2, "v", "y").first()
+    assert out2["reject_null"] is None
