@@ -52,7 +52,16 @@ def exploded_shingles(
     """
     from pyspark.ml.feature import NGram
 
-    tok = df.select(F.col(id_col), tokens_col(text_col).alias("__tokens"))
+    from .sampling import spread
+
+    # hash-spread before shingling: the tokenize + n-gram + explode is
+    # the similarity family's dominant map cost and otherwise runs at
+    # input-split granularity (ONE task on single-row-group testdata;
+    # guide §2.5 — one narrow doc-row exchange buys cluster-width
+    # execution of work n× the input bytes)
+    tok = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), tokens_col(text_col).alias("__tokens")
+    )
     grams = NGram(n=n, inputCol="__tokens", outputCol="__grams").transform(tok)
     return grams.select(
         F.col(id_col), F.explode(F.array_distinct("__grams")).alias("shingle")
@@ -359,6 +368,13 @@ def connected_components(
         step1 = labels.join(nbr_min, "node", "left").select(
             "node",
             F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            # the round's INPUT label rides along so convergence is an
+            # aggregate over the checkpointed frame itself — the old
+            # spelling re-joined jumped⋈labels on node purely to count
+            # changes, a whole extra shuffle join per round (r13
+            # optimization, guide §2.4: two operations keyed the same
+            # way should not pay two exchanges)
+            F.col("label").alias("__old"),
         )
         # pointer jump: label(n) <- label(label(n))
         jumped = step1.join(
@@ -368,14 +384,12 @@ def connected_components(
             "label",
             "left",
         ).select(
-            "node", F.least("label", F.coalesce("jump", "label")).alias("label")
+            "node",
+            F.least("label", F.coalesce("jump", "label")).alias("label"),
+            "__old",
         ).localCheckpoint()
-        changed = (
-            jumped.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("label") != F.col("__old")).count()
+        labels = jumped.select("node", "label")
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
@@ -891,7 +905,14 @@ def exact_substring_dedup(
     # re-split the text at every window position — O(tokens²) per doc
     # (the trap this module's own exploded_shingles docstring warns
     # about; fine on short test docs, fatal on book-length ones).
-    base = df.select(
+    from .sampling import spread
+
+    # hash-spread the raw (id, text) rows BEFORE tokenizing: the
+    # tokenize + ×w explode+md5 — the dominant CPU of the pass —
+    # otherwise runs at the granularity of the input splits (ONE task
+    # on single-row-group testdata; guide §2.5), and the persist below
+    # would materialize single-threaded
+    base = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), tokens_col(text_col).alias("__toks")
     ).filter(F.size("__toks") >= window)
     grams = (

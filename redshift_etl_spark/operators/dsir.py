@@ -56,10 +56,11 @@ def token_bucket(tok: Column | str, n_buckets: int = N_BUCKETS) -> Column:
     """Uniform feature bucket 0..n_buckets−1 from md5(token) — the
     first two hex nibbles (instr/substr spelling, engine-portable)
     reduced mod n_buckets."""
+    from .sampling import _hex_prefix_long
+
     c = F.col(tok) if isinstance(tok, str) else tok
     h = F.md5(c.cast("string"))
-    nib = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
-    return ((nib(1) * 16 + nib(2)) % n_buckets).cast("long")
+    return (_hex_prefix_long(h, 2) % n_buckets).cast("long")
 
 
 def token_bucket_sql(tok_sql: str, n_buckets: int = N_BUCKETS) -> str:
@@ -160,12 +161,11 @@ def gumbel_key(key: Column | str, salt: str = "dsir") -> Column:
     table, indexed by a salted md5 bucket of the key (4 hex nibbles
     mod GUMBEL_RES — the `hash_bucket16` spelling). Deterministic in
     the key: reruns, engines, and partitionings draw the same noise."""
+    from .sampling import _hex_prefix_long
+
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string")))
-    nib = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
-    idx = (
-        ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
-    ) % GUMBEL_RES
+    idx = _hex_prefix_long(h, 4) % GUMBEL_RES
     table = F.array(*[F.lit(g) for g in gumbel_micro_table()])
     return F.element_at(table, (idx + 1).cast("int")).cast("long")
 

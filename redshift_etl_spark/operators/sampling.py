@@ -23,13 +23,43 @@ from pyspark.sql import functions as F
 _HEX = "0123456789abcdef"
 
 
+def spread(df: DataFrame, *keys: str, factor: int = 1) -> DataFrame:
+    """Hash-spread a frame to cluster width before a stage whose
+    per-row cost dwarfs its bytes (hash chains, explodes, pair
+    kernels): one narrow exchange buys full-parallel execution of the
+    expensive stage. This is the guide §2.5 remedy for unsplittable /
+    skewed inputs — the driver testdata is single-row-group parquet
+    (ONE scan task however many cores exist), and at 100 TB the same
+    spelling protects against a skewed or gzip'd source while costing
+    one |input|-sized narrow shuffle ahead of work that is 10-100×
+    larger. Width = sparkContext.defaultParallelism × factor — derived
+    from the cluster, never a local constant. Keyed spread (hash) skips
+    round-robin's sort-before-repartition pass; results never depend on
+    partitioning (the repo-wide determinism contract)."""
+    par = df.sparkSession.sparkContext.defaultParallelism * factor
+    return df.repartition(par, *keys) if keys else df.repartition(par)
+
+
+def _hex_prefix_long(h: Column, n_nibbles: int) -> Column:
+    """First ``n_nibbles`` hex chars of ``h`` as a long — numerically
+    identical to the per-nibble instr/substr fold (base-16 positional
+    value of the prefix) but one intrinsic instead of ``n`` string
+    scans per row (r13 optimization, guide §1.2 "per-task work":
+    measured 1.66 s → 0.89 s for the 8-nibble u32 over 4M rows; the
+    md5 itself is 0.48 s of that). The SQL-twin helpers below keep the
+    instr/substr spelling — the ORACLE text is pinned; only the Spark
+    evaluation strategy changed, and the driver hash-check proves the
+    integers still agree."""
+    return F.conv(F.substring(h, 1, n_nibbles), 16, 10).cast("long")
+
+
 def hash_bucket(key: Column | str) -> Column:
-    """Uniform bucket 0..255 from md5(key) — spelled with instr/substr
-    only, so the identical expression text runs on any SQL engine."""
+    """Uniform bucket 0..255 from md5(key) — first two hex nibbles as
+    a base-16 integer (`_hex_prefix_long`); the DuckDB twin keeps the
+    engine-portable instr/substr spelling (`oracle_bucket_sql`)."""
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(c.cast("string"))
-    nib = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
-    return (nib(1) * 16 + nib(2)).cast("long")
+    return _hex_prefix_long(h, 2)
 
 
 def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
@@ -81,8 +111,7 @@ def training_shuffle(
     h = F.md5(
         F.concat(F.lit(salt), F.lit(":"), F.col(key).cast("string"))
     )
-    nib = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
-    bucket = (nib(1) * 16 + nib(2)).cast("long")
+    bucket = _hex_prefix_long(h, 2)
     from pyspark.sql import Window
 
     w = Window.partitionBy("shuffle_bucket").orderBy("__h", key)
@@ -404,15 +433,12 @@ def token_budget_sample_df(
 
 
 def hash_bucket16(key: Column | str, salt: str = "") -> Column:
-    """Uniform bucket 0..65535 from md5(salt:key) — four hex nibbles by
-    the same engine-portable instr/substr spelling as `hash_bucket`
-    (finer resolution so modular fold assignment stays near-uniform)."""
+    """Uniform bucket 0..65535 from md5(salt:key) — the first four hex
+    nibbles as one base-16 integer (`_hex_prefix_long`; the oracle
+    twins keep the per-nibble instr/substr spelling, same integers)."""
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string")))
-    nib = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
-    return (
-        ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
-    ).cast("long")
+    return _hex_prefix_long(h, 4)
 
 
 def kfold_assign(
@@ -1084,18 +1110,13 @@ POISSON1_CUM_U32 = (
 
 
 def md5_u32(key: Column | str, salt: str = "") -> Column:
-    """Uniform 32-bit integer 0..2³²−1 from md5(salt:key) — eight hex
-    nibbles by the same engine-portable instr/substr spelling as
-    `hash_bucket16` (which keeps four)."""
+    """Uniform 32-bit integer 0..2³²−1 from md5(salt:key) — the first
+    eight hex nibbles as one base-16 integer (`_hex_prefix_long`: a
+    long, so the full 2³²−1 range never overflows; the oracle twin in
+    queries/relational keeps the per-nibble fold spelling)."""
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string")))
-    nib = lambda p: F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1  # noqa: E731
-    # fold in LONG from the first nibble: eight nibbles reach 2³²−1,
-    # which overflows the 32-bit int arithmetic instr() starts in
-    u = nib(1).cast("long")
-    for p in range(2, 9):
-        u = u * 16 + nib(p)
-    return u
+    return _hex_prefix_long(h, 8)
 
 
 def poisson1_weight(u32: Column) -> Column:
@@ -1154,7 +1175,12 @@ def bootstrap_mean_ci(
             / (F.count(F.lit(1)).cast("double") * float(scale))
         ).alias("mean"),
     )
-    reps = base.select(
+    # hash-spread the NARROW base (16-byte rows) before the B× explode:
+    # the replica expansion multiplies per-row work 40×, and the input
+    # is otherwise as parallel as its file splits (exactly ONE task on
+    # the single-row-group testdata — measured 3.85 s single-threaded
+    # vs 1.21 s spread at sf0.1; guide §2.5 input-skew remedy)
+    reps = spread(base, "__id").select(
         "__id", "__y",
         F.explode(F.array([F.lit(j) for j in range(b)])).alias("__r"),
     )

@@ -786,11 +786,21 @@ def cosine_pairs_blocked(
         blks = part["__blk"].to_numpy()
         M = np.array(part["__v"].tolist(), dtype=np.float64)
         dims = M.shape[1]
-        nrm = np.zeros(len(ids))
-        acc = np.zeros((len(ids), len(ids)))
+        n = len(ids)
+        nrm = np.zeros(n)
+        acc = np.zeros((n, n))
+        # one preallocated product buffer: `acc += a*b` would allocate
+        # (and page through) a fresh n×n temp per dim — 64 × 8·n² bytes
+        # of allocator traffic per tile (r13 optimization). np.multiply
+        # into `tmp` then np.add into `acc` performs the IDENTICAL
+        # element-wise multiply-then-add float64 sequence per pair, so
+        # the fold-order bit-exactness contract is untouched.
+        tmp = np.empty((n, n))
         for i in range(dims):
-            acc += M[:, i][:, None] * M[:, i][None, :]
-            nrm += M[:, i] * M[:, i]
+            col = M[:, i]
+            np.multiply(col[:, None], col[None, :], out=tmp)
+            np.add(acc, tmp, out=acc)
+            nrm += col * col
         nrm = np.sqrt(nrm)
         cos = acc / (nrm[:, None] * nrm[None, :])
         # ownership: this group emits a pair iff its sorted block pair
@@ -1285,51 +1295,84 @@ def hard_negatives(
     presentation only.
 
     Scale posture: this exact all-pairs form is the CONTRACTED
-    baseline (like `cosine_topk`) — the broadcast side is the whole
-    corpus, bounded only by the caller's contract that the corpus
-    fits one executor. At corpus scale use `hard_negatives_bucketed`:
-    the IDENTICAL gate/rank stage (`hard_negative_stage`) fed by
-    LSH-bucketed candidates from `lsh_bucketed_cosine_pairs`, with no
-    full-table broadcast anywhere. Within this form the pair frame is
-    evaluated ONCE: the anchor side is hash-repartitioned on a_id
-    to core width BEFORE the broadcast cross score (a small parquet
-    input is typically one file = one partition, which would
-    serialize the whole O(N·M) scoring loop into a single task —
-    and the nested-loop join preserves the streamed side's
-    partitioning, so this one exchange also satisfies both windows'
-    required distribution: no post-join shuffle at all).
+    baseline (like `cosine_topk`) — O(n²) scoring by contract. At
+    corpus scale use `hard_negatives_bucketed`: the IDENTICAL
+    gate/rank stage (`hard_negative_stage`) fed by LSH-bucketed
+    candidates from `lsh_bucketed_cosine_pairs`, with no full-table
+    broadcast anywhere.
+
+    Scoring path (r13 optimization, guide §4.2): the default scores
+    all pairs through the blocked-numpy sweep (`cosine_pairs_blocked`
+    at threshold −2, i.e. unfiltered) instead of a broadcast cross
+    join whose per-pair lambda-fold dot is interpreted per element —
+    measured 3.9 s → the kernel's sub-second sweep at sf0.1's 4M
+    pairs. The kernel's accumulation contract (element-wise += over
+    dims = the fold's left-to-right adds) keeps every cos_micro
+    bit-identical, so the oracle hash is unchanged. Ids must be
+    integral (the kernel's contract — same as every bucketed path).
+    Passing ``dims`` keeps the legacy unrolled-expression cross join
+    (the equivalence witness `tests/test_hard_negatives.py` compares
+    the two).
     """
-    # per-vector norms BEFORE the cross join (one sqrt per vector, not
-    # three dots per pair); with dims known the per-pair dot is one
-    # unrolled codegen expression — same doubles either way
-    norm = l2_norm(vec_col, dims) if dims else l2_norm(F.col(vec_col))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    a = df.select(
-        F.col(id_col).alias("a_id"),
-        F.col(label_col).alias("a_label"),
-        F.col(vec_col).alias("__va"),
-        norm.alias("__na"),
-    ).repartition(par, "a_id")
-    b = df.select(
-        F.col(id_col).alias("b_id"),
-        F.col(label_col).alias("b_label"),
-        F.col(vec_col).alias("__vb"),
-        norm.alias("__nb"),
+    if dims:
+        # legacy unrolled path: per-vector norms BEFORE the cross join
+        # (one sqrt per vector, not three dots per pair); the per-pair
+        # dot is one unrolled codegen expression — same doubles as the
+        # kernel (left-to-right adds)
+        norm = l2_norm(vec_col, dims)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        a = df.select(
+            F.col(id_col).alias("a_id"),
+            F.col(label_col).alias("a_label"),
+            F.col(vec_col).alias("__va"),
+            norm.alias("__na"),
+        ).repartition(par, "a_id")
+        b = df.select(
+            F.col(id_col).alias("b_id"),
+            F.col(label_col).alias("b_label"),
+            F.col(vec_col).alias("__vb"),
+            norm.alias("__nb"),
+        )
+        pairs = (
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("a_id") != F.col("b_id"))
+            .withColumn(
+                "cos_micro",
+                F.round(
+                    F.expr(_sql_dot("__va", "__vb", dims))
+                    / (F.col("__na") * F.col("__nb")) * 1e6, 0
+                ).cast("long"),
+            )
+            .select("a_id", "a_label", "b_id", "b_label", "cos_micro")
+        )
+        return hard_negative_stage(pairs, k, margin_micro)
+    # blocked-numpy sweep: every unordered pair scored exactly once in
+    # a bounded tile, then symmetrized (cos is bit-symmetric: the
+    # per-dim products and the norm product commute), labels attached
+    # from a broadcast (id, label) projection — far smaller than the
+    # old full-corpus broadcast (vectors included)
+    raw = cosine_pairs_blocked(
+        df, id_col, vec_col, threshold=-2.0, out_a="a_id", out_b="b_id"
+    ).localCheckpoint(eager=False)  # both union branches read one sweep
+    both = raw.unionByName(
+        raw.select(
+            F.col("b_id").alias("a_id"),
+            F.col("a_id").alias("b_id"),
+            "cosine_raw",
+        )
+    ).withColumn(
+        "cos_micro", F.round(F.col("cosine_raw") * 1e6, 0).cast("long")
     )
-    pair_dot = (
-        F.expr(_sql_dot("__va", "__vb", dims))
-        if dims
-        else dot(F.col("__va"), F.col("__vb"))
+    lab = df.select(
+        F.col(id_col).cast("long").alias("__lab_id"),
+        F.col(label_col).alias("__lab"),
     )
     pairs = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("a_id") != F.col("b_id"))
-        .withColumn(
-            "cos_micro",
-            F.round(
-                pair_dot / (F.col("__na") * F.col("__nb")) * 1e6, 0
-            ).cast("long"),
-        )
+        both.join(F.broadcast(lab), F.col("a_id") == F.col("__lab_id"))
+        .withColumnRenamed("__lab", "a_label")
+        .drop("__lab_id")
+        .join(F.broadcast(lab), F.col("b_id") == F.col("__lab_id"))
+        .withColumnRenamed("__lab", "b_label")
         .select("a_id", "a_label", "b_id", "b_label", "cos_micro")
     )
     return hard_negative_stage(pairs, k, margin_micro)

@@ -451,7 +451,21 @@ def dedup_spans(
     per-doc reassembly agg. Order restoration is array_sort over
     (pos, span) structs — no global sort.
     """
-    sp = df.select(
+    # Persist the (id, spans) frame BEFORE exploding (r13
+    # optimization): two consumers (the frequency agg and the rejoin)
+    # would otherwise each re-run the caller's span-construction
+    # expression — and Catalyst's inferred size()/isnotnull() generate
+    # filter re-evaluates that expression two MORE times per scan when
+    # it is an inline transform() (measured in the span_dedup plan:
+    # ~6 evaluations per document across both subtrees). Persisting
+    # makes it exactly one evaluation; the inferred filter then tests
+    # a stored column. Callers should `spread` their frame before the
+    # span-construction projection so that one evaluation runs at
+    # cluster width, not input-split width (see queries.span_dedup).
+    # At corpus scale the persisted bytes ≈ the text itself — the
+    # honest trade against recomputing the chunking 6×.
+    src = df.select(F.col(id_col), F.col(spans_col)).persist()
+    sp = src.select(
         F.col(id_col), F.posexplode(F.col(spans_col)).alias("pos", "span")
     )
     freq = sp.groupBy("span").agg(

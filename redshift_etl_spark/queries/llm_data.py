@@ -915,7 +915,12 @@ FROM flagged GROUP BY doc_id
 @_q("span_dedup", _SPAN_DEDUP_ORACLE)
 def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    chunked = docs.select(
+    # spread the raw docs BEFORE the span-construction projection so
+    # the one persisted evaluation inside dedup_spans runs at cluster
+    # width (guide §2.5; the testdata scan is one task)
+    from ..operators.sampling import spread
+
+    chunked = spread(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.split(F.col("text"), " ").alias("ws"),
     ).select("doc_id", TX.token_chunks("ws", _SPAN_N).alias("spans"))
@@ -4962,23 +4967,25 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cent_cos"),
         )
     )
-    a = assigned.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("__va"),
-        "cluster",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("__vb"),
-        "cluster",
-    )
+    # within-cluster pairs through the blocked-numpy sweep (r13
+    # optimization, guide §4.2): the cluster IS the bucket, so each
+    # quadratic tile is one ~target-rows cell — the same kernel (and
+    # the same bit-exact fold-order contract) as
+    # `embedding_dedup_clusters`; the old equi-self-join evaluated an
+    # interpreted lambda-fold cosine per pair. target_block_rows keeps
+    # the tile bounded even if a cell drifts hot (skew-adaptive B).
     pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(
-            F.round(S.cosine(F.col("__va"), F.col("__vb")), 6)
-            >= F.lit(SEMDEDUP_TAU)
+        S.cosine_pairs_blocked(
+            assigned.select("vec_id", "cluster", "embedding"),
+            "vec_id",
+            "embedding",
+            threshold=SEMDEDUP_TAU,
+            out_a="vec_a",
+            out_b="vec_b",
+            bucket_col="cluster",
+            target_block_rows=8 * SEMDEDUP_TARGET_ROWS,
         )
+        .filter(F.round(F.col("cosine_raw"), 6) >= F.lit(SEMDEDUP_TAU))
         .select("vec_a", "vec_b")
     )
     cc = D.connected_components(pairs, "vec_a", "vec_b")

@@ -45,8 +45,25 @@ def _ensure_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Per-session plan memo (r13 optimization, guide §6 "file listing" /
+# §1.2 per-task work at the driver): `spark.read.parquet` re-infers the
+# footer schema on EVERY call (~85 ms/table measured — ~1 s for a
+# 10-table register_tables), and the bench/driver call `load` a few
+# hundred times per run. The memo keys on the session's applicationId,
+# so a stopped-and-restarted session never sees a stale plan, and it
+# stores only the ANALYZED PLAN (schema + file listing) — never data:
+# every action against the returned frame still scans the parquet
+# files, so this is a catalog, not a result cache. Testdata is
+# immutable within a driver/bench session by contract (TESTDATA.md).
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _ensure_conf(spark)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    _ensure_conf(spark)  # cheap; every load() kept this side effect
+    hit = _LOAD_MEMO.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     for col in _NANOS_TS.get(name, ()):
         dt = df.schema[col].dataType
@@ -60,6 +77,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # every downstream epoch/tz function sees one type; session
             # tz is UTC, so the wall-clock value is preserved.
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _LOAD_MEMO[key] = df
     return df
 
 
