@@ -123,13 +123,26 @@ def _pagerank_loop(
     )
     n = nodes.count()  # one scalar job; the graph's node count
     ranks = nodes.select("node", init_col(n).cast("long").alias("rank"))
-    edeg = edges.join(deg, "src").localCheckpoint(eager=False)
     # broadcast the |V|-sized frames only when |V| is MEASURED small
     # (n is already computed above) — a hint gated on actual
     # cardinality, never a forced broadcast of an unbounded frame; at
     # web-graph |V| both joins fall back to shuffles on the key, the
     # classic partition-by-vertex layout
     small = n <= 1_000_000
+    edeg = edges.join(deg, "src")
+    if small:
+        # dst-partition the loop-invariant frame ONCE (r13, guide
+        # §2.4): on the broadcast-ranks path every iteration ends in a
+        # groupBy(dst) agg, and a broadcast join preserves its child's
+        # partitioning — so pre-partitioning the checkpointed frame by
+        # dst removes one |E|-row exchange PER ITERATION (the
+        # LogicalRDD keeps the partitioning across localCheckpoint).
+        # Big graphs keep the plain layout: their per-iteration ranks
+        # join shuffles edeg by src anyway, so a dst layout would only
+        # add a setup exchange.
+        par = edges.sparkSession.sparkContext.defaultParallelism
+        edeg = edeg.repartition(par, "dst")
+    edeg = edeg.localCheckpoint(eager=False)
     for i in range(iterations):
         if i == 0 and uniform_init:
             # rank₀ is one constant — contributions come straight off

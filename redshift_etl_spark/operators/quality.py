@@ -683,7 +683,10 @@ def krippendorff_alpha(
                 f"lcm(1..{n_raters - 1}) > int64; not representable"
             )
     m_u = vals.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__m"))
-    pairable = vals.join(m_u.where(F.col("__m") >= 2), "__i")
+    # persist: multiple consumers (margins, item count, both sides of
+    # the pair self-join) otherwise each re-run the vals⋈m_u shuffle
+    # join (r13 optimization)
+    pairable = vals.join(m_u.where(F.col("__m") >= 2), "__i").persist()
 
     dec = "decimal(38,0)"
     # margins over pairable values only (standard: unpaired items drop)
@@ -1396,7 +1399,10 @@ def specific_agreement(
                 f"lcm(1..{n_raters - 1}) > int64; not representable"
             )
     m_u = vals.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__m"))
-    pairable = vals.join(m_u.where(F.col("__m") >= 2), "__i")
+    # persist: multiple consumers (margins, item count, both sides of
+    # the pair self-join) otherwise each re-run the vals⋈m_u shuffle
+    # join (r13 optimization)
+    pairable = vals.join(m_u.where(F.col("__m") >= 2), "__i").persist()
     n_c = pairable.groupBy("__v").agg(
         F.count(F.lit(1)).cast("long").alias("n_ratings")
     )

@@ -820,6 +820,142 @@ def cosine_pairs_blocked(
     )
 
 
+def banded_signature_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    bands: int,
+    planes_per_band: int,
+    id_alias: str | None = None,
+    vec_alias: str | None = None,
+    norm_alias: str | None = None,
+    bucket_alias: str = "__band_bucket",
+) -> DataFrame:
+    """One (id, vec[, norm], band_bucket) row per vector per band,
+    computed in ONE Arrow pass (r13 optimization): the Catalyst
+    spelling (`hyperplane_signature` × bands inside an explode) builds
+    a ~1,600-node literal tree that every downstream DataFrame layer
+    re-analyzes (~0.3 s PER LAYER at 24 planes × 64 dims — measured
+    1.2 s of pure driver-side construction per bucketed query) and
+    evaluates interpreted per row. Here the plan node is one
+    MapInPandas; plane dots run as ``dims`` vectorized numpy steps.
+
+    Bit-exactness contract (same as `cosine_pairs_blocked`): each
+    plane dot and each norm accumulates with element-wise ``+=`` over
+    dims — the IDENTICAL left-to-right float64 add sequence as the
+    aggregate/zip_with fold and DuckDB's list_dot_product, so bucket
+    ids (sign of the dot) and norms are bit-identical and the oracle
+    twins keep matching. band_bucket = band · 2^r + Σ 2^j·[dot_j > 0],
+    the exact packing of the expression spelling. Ids must be integral
+    (cast to long — the kernel-family contract)."""
+    import numpy as np
+    import pandas as pd
+
+    r = planes_per_band
+    id_out = id_alias or id_col
+    vec_out = vec_alias or vec_col
+    planes = np.array(
+        [
+            [_plane_component(j, d) for d in range(dims)]
+            for j in range(bands * r)
+        ],
+        dtype=np.float64,
+    )
+    weights = np.array([2 ** j for j in range(r)], dtype=np.int64)
+    src = df.select(
+        F.col(id_col).cast("long").alias("__sid"),
+        _as_double(F.col(vec_col)).alias("__sv"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            M = np.array(pdf["__sv"].tolist(), dtype=np.float64)
+            dots = np.zeros((n, bands * r))
+            nrm = np.zeros(n)
+            tmp = np.empty((n, bands * r))
+            for d in range(dims):
+                col = M[:, d]
+                np.multiply(col[:, None], planes[:, d][None, :], out=tmp)
+                np.add(dots, tmp, out=dots)
+                nrm += col * col
+            bits = (dots > 0.0).reshape(n, bands, r)
+            buckets = (bits * weights[None, None, :]).sum(axis=2)
+            band_ids = np.arange(bands, dtype=np.int64) * (2 ** r)
+            bb = (buckets + band_ids[None, :]).astype(np.int64)
+            ids = np.repeat(pdf["__sid"].to_numpy(), bands)
+            vecs = pdf["__sv"].iloc[np.repeat(np.arange(n), bands)]
+            out = {
+                id_out: ids,
+                vec_out: vecs.to_numpy(),
+                bucket_alias: bb.reshape(-1),
+            }
+            if norm_alias is not None:
+                out[norm_alias] = np.repeat(np.sqrt(nrm), bands)
+            yield pd.DataFrame(out)
+
+    schema = f"{id_out} long, {vec_out} array<double>"
+    if norm_alias is not None:
+        schema += f", {norm_alias} double"
+    schema += f", {bucket_alias} long"
+    return src.mapInPandas(gen, schema=schema)
+
+
+def pair_cos_micro_arrow(
+    cand: DataFrame,
+    va: str,
+    na: str,
+    vb: str,
+    nb: str,
+    keep: list[str],
+    out: str = "cos_micro",
+) -> DataFrame:
+    """Per-candidate exact micro-rounded cosine in one Arrow pass —
+    replaces the interpreted per-pair lambda-fold dot (r13
+    optimization, guide §4.2). Accumulation: element-wise ``+=`` over
+    dims = the fold's left-to-right adds; the division happens in
+    float64 exactly as the Column spelling. The kernel emits the RAW
+    cosine and the ×1e6 + HALF_UP round runs Spark-side (F.round) —
+    the same kernel-scores/Spark-rounds split as
+    `cosine_pairs_blocked`, so cos_micro is bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    cols = keep + [va, na, vb, nb]
+    src = cand.select(*cols)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            A = np.array(pdf[va].tolist(), dtype=np.float64)
+            B = np.array(pdf[vb].tolist(), dtype=np.float64)
+            dims = A.shape[1]
+            acc = np.zeros(n)
+            for d in range(dims):
+                acc += A[:, d] * B[:, d]
+            cos = acc / (pdf[na].to_numpy() * pdf[nb].to_numpy())
+            data = {k: pdf[k] for k in keep}
+            data["__cos_raw"] = cos
+            yield pd.DataFrame(data)
+
+    keep_schema = ", ".join(
+        f"{c} {t}"
+        for c, t in zip(
+            keep,
+            [dict(cand.dtypes)[c] for c in keep],
+        )
+    )
+    raw = src.mapInPandas(gen, schema=f"{keep_schema}, __cos_raw double")
+    return raw.withColumn(
+        out, F.round(F.col("__cos_raw") * 1e6, 0).cast("long")
+    ).drop("__cos_raw")
+
+
 def lsh_bucketed_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -863,25 +999,13 @@ def lsh_bucketed_cosine_pairs(
     dropDuplicates (scores are identical in every band by the kernel's
     fold-order contract, so which copy survives is immaterial).
     """
-    r = planes_per_band
-    sigs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            hyperplane_signature(
-                vec_col, dims, planes=r, plane_offset=b * r
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ])
-    banded = (
-        df.select(F.col(id_col), F.col(vec_col), F.explode(sigs).alias("__bb"))
-        .select(
-            id_col,
-            vec_col,
-            (
-                F.col("__bb.band") * (2 ** r) + F.col("__bb.bucket")
-            ).alias("__band_bucket"),
-        )
+    # Arrow-side banded signatures (r13): the Catalyst spelling (8 ×
+    # hyperplane_signature literals inside an explode) cost ~1.2 s of
+    # per-run driver-side analysis alone at sf0.1 and evaluated the
+    # plane dots interpreted per row; same buckets bit-for-bit (see
+    # banded_signature_rows' fold-order contract).
+    banded = banded_signature_rows(
+        df, id_col, vec_col, dims, bands, planes_per_band,
     )
     pairs = cosine_pairs_blocked(
         banded,
@@ -1228,28 +1352,31 @@ def hard_negative_stage(
     NULL ceiling and emit nothing. All comparisons are pure int64 —
     engine- and partitioning-exact given exact inputs.
 
-    Plan shape: the ceiling is an UNORDERED max window over the same
-    a_id partitioning the rank window needs — one hash exchange shared
-    by both windows, no second pass over the candidates. No global
-    sort, no driver state, nothing broadcast — the stage scales with
-    the candidate frame, not the corpus."""
+    Plan shape (r13 optimization, guide §2.3 "aggregate before you
+    shuffle"): the ceiling is a per-anchor hash AGGREGATE over the
+    same-label candidates — map-side partials reduce it to one row per
+    anchor before anything moves — joined back onto the different-label
+    candidates (AQE broadcasts the anchor-sized frame when it fits; at
+    corpus scale it is an ordinary a_id equi-join). The old spelling
+    computed the ceiling as an unordered max WINDOW, which forced the
+    FULL candidate frame through one exchange before the rank filter
+    could prune anything; with the ceiling joined instead, the
+    row_number's rank<=k filter compiles to a partial WindowGroupLimit
+    that caps what each map task emits into the rank exchange at k
+    rows per anchor. Same integers, same ties, same output."""
     from pyspark.sql import Window
 
-    w_all = Window.partitionBy("a_id")
+    pos_best = (
+        pairs.filter(F.col("a_label") == F.col("b_label"))
+        .groupBy("a_id")
+        .agg(F.max("cos_micro").alias("pos_best_micro"))
+    )
     w = Window.partitionBy("a_id").orderBy(
         F.col("cos_micro").desc(), F.col("b_id")
     )
     return (
-        pairs.withColumn(
-            "pos_best_micro",
-            F.max(
-                F.when(
-                    F.col("a_label") == F.col("b_label"),
-                    F.col("cos_micro"),
-                )
-            ).over(w_all),
-        )
-        .filter(F.col("a_label") != F.col("b_label"))
+        pairs.filter(F.col("a_label") != F.col("b_label"))
+        .join(pos_best, "a_id")
         .filter(
             F.col("cos_micro")
             <= F.col("pos_best_micro") - F.lit(margin_micro)
@@ -1654,44 +1781,25 @@ def lsh_bucketed_cross_pairs(
     bands, or raise ``threshold_micro``). planes/bands are build-time
     knobs of the DECLARED candidate set, so retuning them is an index
     rebuild, not a silent behavior change."""
-    r = planes_per_band
-
-    def banded(side, id_alias, v_alias, n_alias):
-        sigs = F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                hyperplane_signature(
-                    vec_col, dims, planes=r, plane_offset=b * r
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ])
-        return side.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(v_alias),
-            l2_norm(F.col(vec_col)).alias(n_alias),
-            F.explode(sigs).alias("__bb"),
-        ).select(
-            id_alias,
-            v_alias,
-            n_alias,
-            (
-                F.col("__bb.band") * (2 ** r) + F.col("__bb.bucket")
-            ).alias("__band_bucket"),
-        )
-
-    a = banded(side_a, out_a, "__va", "__na")
-    b = banded(side_b, out_b, "__vb", "__nb")
+    # Arrow-side banded signatures + candidate scoring (r13): the
+    # Catalyst signature literals cost ~0.3 s of analysis per
+    # DataFrame layer per side, and the per-candidate lambda-fold dot
+    # evaluated interpreted per element; both now run as vectorized
+    # numpy with the identical left-to-right fold order (see
+    # banded_signature_rows / pair_cos_micro_arrow), so every bucket
+    # id and cos_micro is bit-unchanged.
+    a = banded_signature_rows(
+        side_a, id_col, vec_col, dims, bands, planes_per_band,
+        id_alias=out_a, vec_alias="__va", norm_alias="__na",
+    )
+    b = banded_signature_rows(
+        side_b, id_col, vec_col, dims, bands, planes_per_band,
+        id_alias=out_b, vec_alias="__vb", norm_alias="__nb",
+    )
     cand = a.join(b, "__band_bucket").dropDuplicates([out_a, out_b])
     return (
-        cand.withColumn(
-            "cos_micro",
-            F.round(
-                dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb"))
-                * 1e6,
-                0,
-            ).cast("long"),
+        pair_cos_micro_arrow(
+            cand, "__va", "__na", "__vb", "__nb", keep=[out_a, out_b]
         )
         .filter(F.col("cos_micro") >= F.lit(int(threshold_micro)))
         .select(out_a, out_b, "cos_micro")

@@ -379,10 +379,18 @@ def bigram_likelihood(
     its skew-split on the Zipf-head keys) picks the strategy. Results
     are identical either way (pytest-asserted).
     """
-    bg = bigram_pairs(df, id_col, text_col)
+    # spread + persist the bigram stream (r13): THREE consumers (the
+    # bigram counts, the context counts, and the scoring join's probe
+    # side) otherwise each re-run the tokenize+explode — the pass's
+    # dominant map cost, which also runs at input-split width (one
+    # task on the testdata) without the spread (guide §2.5)
+    from .sampling import spread
+
+    src = spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+    bg = bigram_pairs(src, id_col, text_col).persist()
     bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = df.select(
+    vocab = src.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).agg(F.count_distinct("w").alias("v"))
     if broadcast_model:

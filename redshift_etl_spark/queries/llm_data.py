@@ -7502,7 +7502,11 @@ def nb_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling as SA
 
     docs = load(spark, sf_dir, "documents")
-    split = docs.withColumn(
+    # spread before the md5 split + tokenize explodes (r13): the fit
+    # and scoring passes otherwise run at input-split width (one task
+    # on the testdata; guide §2.5) — nb_fit/nb_classify persist their
+    # token frames, so this one exchange serves every pass
+    split = SA.spread(docs, "doc_id").withColumn(
         "__is_test", (SA.hash_bucket16("doc_id", "nb") % 4) == 0
     )
     train = split.where(~F.col("__is_test"))
@@ -7898,7 +7902,11 @@ def nb_class_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling as SA
 
     docs = load(spark, sf_dir, "documents")
-    split = docs.withColumn(
+    # spread before the md5 split + tokenize explodes (r13): the fit
+    # and scoring passes otherwise run at input-split width (one task
+    # on the testdata; guide §2.5) — nb_fit/nb_classify persist their
+    # token frames, so this one exchange serves every pass
+    split = SA.spread(docs, "doc_id").withColumn(
         "__is_test", (SA.hash_bucket16("doc_id", "nb") % 4) == 0
     )
     train = split.where(~F.col("__is_test"))

@@ -291,7 +291,11 @@ def test_lsh_bucketed_cosine_no_full_table_replication(spark):
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert "Join" not in tree  # candidate routing is explode+groupBy
-    assert P.tree_count(df, "Generate") == 2
+    # r13: band signatures+explode moved into ONE Arrow pass
+    # (MapInPandas) — the only remaining Generate is the block
+    # fan-out; exchanges stay the grouped sweep + the pair dedup
+    assert P.tree_count(df, "MapInPandas") == 1
+    assert P.tree_count(df, "Generate") == 1
     assert P.tree_count(df, "FlatMapGroupsInPandas") == 1
     assert P.tree_count(df, "Exchange") == 2
 
@@ -379,14 +383,20 @@ def test_rolling_quantiles_single_agg_chain(spark):
 
 
 def test_substring_dedup_no_token_grain_shuffle(spark):
-    # gram-hash agg + hot-flag join + per-doc start collect are the
-    # ONLY exchanges; the rebuild is an in-row projection. No cross
-    # product, exactly two gram Generates (hot side + probe side — the
-    # deliberate recompute-over-cache trade), bounded shuffle count.
+    # doc spread + gram-hash agg + hot-flag join + per-doc start
+    # collect are the ONLY exchanges; the rebuild is an in-row
+    # projection. No cross product; the gram explode runs ONCE inside
+    # the persisted frame (r13: both consumers read the cache, and the
+    # explode sits above the cluster-width spread exchange), so any
+    # Generate occurrences in the tree belong to that one cached plan.
     df = Q.all_queries()["substring_dedup"](spark, SF_ORACLE)
     assert not P.has_cross_product(df)
-    assert P.count_shuffles(df) <= 4, P.physical_plan(df)
-    assert P.tree_count(df, "Generate") == 2
+    # tree_count (the cached gram plan prints under BOTH consumers, so
+    # its spread exchange shows twice): spread ×2 prints + hot agg +
+    # per-doc collect — still no token-grain shuffle anywhere
+    assert P.tree_count(df, "Exchange") <= 4, P.physical_plan(df)
+    tree = P.plan_tree(df)
+    assert "InMemoryRelation" in tree  # grams evaluated once, cached
 
 
 def test_bm25_never_cartesian_and_topk_bounded(spark):
@@ -484,18 +494,23 @@ def test_mv_incremental_fold_is_two_level_agg(spark):
 
 
 def test_hard_negatives_single_exchange_feeds_both_windows(spark):
-    # the explicit anchor repartition must be the ONLY hash exchange:
-    # the nested-loop cross score preserves it, so the positive-ceiling
-    # max window and the rank window both consume it with no extra
-    # shuffle — total shuffles = that one + the presentation sort. The
-    # rank filter must also push down as a WindowGroupLimit.
+    # r13 shape: the positive ceiling is a per-anchor AGGREGATE joined
+    # back onto the negatives (no unordered max window, no broadcast
+    # cross score), so exactly ONE window remains — the rank — and its
+    # k-limit compiles to a WindowGroupLimit that prunes before the
+    # final presentation sort. Exchanges: negatives-side a_id, ceiling
+    # agg, presentation sort. The pair scores come from the blocked
+    # Arrow sweep (FlatMapGroupsInPandas), never a nested-loop cross.
     df = Q.all_queries()["hard_negative_mining"](spark, SF_ORACLE)
     # tree_count, not count_shuffles: the formatted detail section
     # repeats node names, which doubles nonzero counts
-    assert P.tree_count(df, "Exchange") == 2
-    assert P.tree_count(df, "Window") == 2
+    assert P.tree_count(df, "Exchange") <= 3
+    assert P.tree_count(df, "Window") == 1
     assert P.tree_count(df, "WindowGroupLimit") >= 1
-    assert P.tree_count(df, "BroadcastNestedLoopJoin") == 1
+    assert P.tree_count(df, "BroadcastNestedLoopJoin") == 0
+    # the sweep is pinned by localCheckpoint at construction, so the
+    # plan reads its materialized RDD (both union branches, one sweep)
+    assert "ExistingRDD" in P.plan_tree(df)
 
 
 def test_idle_rich_customers_decorrelates(spark):
