@@ -353,19 +353,28 @@ def connected_components(
     labels = (
         sym.select("node").distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
+    # Checkpointed frames carry no size statistics, so WITHOUT a hint
+    # every fixed-point round runs its label joins as shuffle joins
+    # even when |V| is tiny. Broadcast the |V|-sized frames only when
+    # |V| is MEASURED small (the pagerank gate, r13): the count is one
+    # scalar over the already-materialized checkpoint; at web-graph
+    # |V| the joins keep the classic partition-by-vertex shuffles.
+    n_nodes = labels.count()
+    small = n_nodes <= 1_000_000
+    hint = F.broadcast if small else (lambda f: f)
 
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
-                labels.select(
+                hint(labels.select(
                     F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
-                ),
+                )),
                 "nbr",
             )
             .groupBy("node")
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        step1 = labels.join(nbr_min, "node", "left").select(
+        step1 = labels.join(hint(nbr_min), "node", "left").select(
             "node",
             F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
             # the round's INPUT label rides along so convergence is an
@@ -378,9 +387,9 @@ def connected_components(
         )
         # pointer jump: label(n) <- label(label(n))
         jumped = step1.join(
-            step1.select(
+            hint(step1.select(
                 F.col("node").alias("label"), F.col("label").alias("jump")
-            ),
+            )),
             "label",
             "left",
         ).select(

@@ -58,15 +58,18 @@ def nb_fit(
     - classes: (class, prior_nano, default_nano) — ≤|C| rows; default
                is the unseen-token log-mass for that class.
     """
-    # persist the exploded tokens: THREE consumers (the vocab-size
-    # scalar, per-class token totals, and the (tok, class) cells)
-    # otherwise each re-run the tokenize+explode — the fit's dominant
-    # map cost (r13 optimization; callers should `spread` their frame
-    # first so this one evaluation runs at cluster width)
+    # NOT persisted (r13, measured): three consumers re-run the
+    # tokenize+explode, but a whitespace split is cheap enough that
+    # recomputing beats writing ~tokens-count rows into the cache
+    # (interleaved A/B at sf0.1: persist+spread 5.6 s vs recompute
+    # 4.1 s) — the opposite trade from the shingle/bigram/span
+    # operators, whose per-row construction is heavy (guide §5:
+    # cache only when recompute is more expensive than the memory
+    # pressure caching creates)
     tok = train.select(
         F.col(class_col).alias("class"),
         F.explode(_tokens(train, text_col)).alias("tok"),
-    ).persist()
+    )
     vocab_size = tok.select("tok").distinct().count()  # the one scalar
     cstat = tok.groupBy("class").agg(
         F.count(F.lit(1)).cast("long").alias("__n_tok")
@@ -112,12 +115,10 @@ def nb_classify(
     the exact integer score break by class name ascending."""
     from pyspark.sql import Window
 
-    # persist: the doc-length agg and the model join both consume the
-    # exploded tokens (r13 — one tokenize pass instead of two)
     tok = df.select(
         F.col(id_col).alias("__id"),
         F.explode(_tokens(df, text_col)).alias("tok"),
-    ).persist()
+    )
     doclen = tok.groupBy("__id").agg(
         F.count(F.lit(1)).cast("long").alias("__len")
     )

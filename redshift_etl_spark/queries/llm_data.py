@@ -7502,11 +7502,7 @@ def nb_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling as SA
 
     docs = load(spark, sf_dir, "documents")
-    # spread before the md5 split + tokenize explodes (r13): the fit
-    # and scoring passes otherwise run at input-split width (one task
-    # on the testdata; guide §2.5) — nb_fit/nb_classify persist their
-    # token frames, so this one exchange serves every pass
-    split = SA.spread(docs, "doc_id").withColumn(
+    split = docs.withColumn(
         "__is_test", (SA.hash_bucket16("doc_id", "nb") % 4) == 0
     )
     train = split.where(~F.col("__is_test"))
@@ -7902,11 +7898,7 @@ def nb_class_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling as SA
 
     docs = load(spark, sf_dir, "documents")
-    # spread before the md5 split + tokenize explodes (r13): the fit
-    # and scoring passes otherwise run at input-split width (one task
-    # on the testdata; guide §2.5) — nb_fit/nb_classify persist their
-    # token frames, so this one exchange serves every pass
-    split = SA.spread(docs, "doc_id").withColumn(
+    split = docs.withColumn(
         "__is_test", (SA.hash_bucket16("doc_id", "nb") % 4) == 0
     )
     train = split.where(~F.col("__is_test"))

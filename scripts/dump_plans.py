@@ -32,8 +32,9 @@ NOTES = {
         "(bucketed, no cross product)"
     ),
     "lsh_bucketed_cosine": (
-        "banded LSH: 2 constant-fan-out Generates -> ONE grouped-sweep "
-        "exchange -> Arrow kernel -> pair-dedup agg; no joins"
+        "banded LSH (r13): Arrow banding pass (MapInPandas) -> block "
+        "Generate -> ONE grouped-sweep exchange -> Arrow kernel -> "
+        "pair-dedup agg; no joins"
     ),
     "embedding_dedup_clusters": (
         "same sweep + pinned-edge connected components (fixed-point "
@@ -123,8 +124,9 @@ NOTES = {
     ),
     "trade_pagerank": (
         "3 iterations of join+integer-agg; rank frame joins edges "
-        "(AQE broadcasts the small side), one dst-agg exchange per "
-        "round, localCheckpoint bounds plan depth"
+        "(broadcast on the measured-small path), the loop-invariant "
+        "edge frame is dst-partitioned once so each round's agg reuses "
+        "it (r13), localCheckpoint bounds plan depth"
     ),
     "value_quantile_rollup": (
         "bin projection -> one hash agg to (key,day,bin) -> tiny "
