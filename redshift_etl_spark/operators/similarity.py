@@ -847,14 +847,17 @@ def banded_signature_rows(
     aggregate/zip_with fold and DuckDB's list_dot_product, so bucket
     ids (sign of the dot) and norms are bit-identical and the oracle
     twins keep matching. band_bucket = band · 2^r + Σ 2^j·[dot_j > 0],
-    the exact packing of the expression spelling. Ids must be integral
-    (cast to long — the kernel-family contract)."""
+    the exact packing of the expression spelling. The id column keeps
+    its own type (string ids are a supported contract here — r09
+    ADVICE made `semantic_contamination`'s tiebreak string-safe, and
+    its bipartite candidates flow through this helper)."""
     import numpy as np
     import pandas as pd
 
     r = planes_per_band
     id_out = id_alias or id_col
     vec_out = vec_alias or vec_col
+    id_type = dict(df.dtypes)[id_col]
     planes = np.array(
         [
             [_plane_component(j, d) for d in range(dims)]
@@ -864,7 +867,7 @@ def banded_signature_rows(
     )
     weights = np.array([2 ** j for j in range(r)], dtype=np.int64)
     src = df.select(
-        F.col(id_col).cast("long").alias("__sid"),
+        F.col(id_col).alias("__sid"),
         _as_double(F.col(vec_col)).alias("__sv"),
     )
 
@@ -897,7 +900,7 @@ def banded_signature_rows(
                 out[norm_alias] = np.repeat(np.sqrt(nrm), bands)
             yield pd.DataFrame(out)
 
-    schema = f"{id_out} long, {vec_out} array<double>"
+    schema = f"{id_out} {id_type}, {vec_out} array<double>"
     if norm_alias is not None:
         schema += f", {norm_alias} double"
     schema += f", {bucket_alias} long"
