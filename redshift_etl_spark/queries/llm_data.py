@@ -2327,6 +2327,15 @@ def pq_codebook_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(path))
 
 
+# Per-session plan memo for fixture reads (r13, the tables.load()
+# pattern): spark.read.parquet re-infers the footer schema per call
+# (~60-100 ms), and the ANN/semdedup queries read 1-2 fixtures per
+# bench run. Plans only, never data; keyed on applicationId so a new
+# session re-reads. A fixture written DURING this session (cold build)
+# is not memoized on the build call — the next read populates the memo.
+_FIXTURE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _build_fixture(spark, sf_dir: str, name: str, build) -> DataFrame:
     """Shared train-once fixture posture (`ivf_codebook` /
     `pq_codebook_fixture` pattern): committed parquet per SF under
@@ -2339,6 +2348,10 @@ def _build_fixture(spark, sf_dir: str, name: str, build) -> DataFrame:
 
     fix_dir = Path(__file__).resolve().parents[2] / "fixtures" / name
     path = fix_dir / f"{os.path.basename(os.path.normpath(sf_dir))}.parquet"
+    key = (spark.sparkContext.applicationId, str(path))
+    hit = _FIXTURE_MEMO.get(key)
+    if hit is not None:
+        return hit
     if not path.exists():
         df = build()
         try:
@@ -2346,7 +2359,9 @@ def _build_fixture(spark, sf_dir: str, name: str, build) -> DataFrame:
             df.coalesce(1).write.mode("overwrite").parquet(str(path))
         except Exception:  # read-only checkout: build-only fallback
             return df
-    return spark.read.parquet(str(path))
+    out = spark.read.parquet(str(path))
+    _FIXTURE_MEMO[key] = out
+    return out
 
 
 def pq_codes_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
