@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType
 
 
 # --- tokenize / shingle ----------------------------------------------------
@@ -359,8 +360,17 @@ def connected_components(
     # |V| is MEASURED small (the pagerank gate, r13): the count is one
     # scalar over the already-materialized checkpoint; at web-graph
     # |V| the joins keep the classic partition-by-vertex shuffles.
+    # Gate on estimated BYTES, not a bare row count (advisor r13): the
+    # broadcast frames are (node, label) pairs, so per-row width is
+    # two ids; near a 1M-row boundary a wide string id would otherwise
+    # build multi-hundred-MB broadcast relations each round. 32 MB is
+    # comfortably inside executor/driver budgets while still covering
+    # every graph where per-round broadcast beats a shuffle join.
     n_nodes = labels.count()
-    small = n_nodes <= 1_000_000
+    id_width = 16 if isinstance(
+        labels.schema["node"].dataType, (LongType, IntegerType)
+    ) else 96  # conservative string-id estimate (id + label copies)
+    small = n_nodes * id_width <= 32 << 20
     hint = F.broadcast if small else (lambda f: f)
 
     for _ in range(max_iter):

@@ -102,10 +102,40 @@ def merge_scd1(
     (`Salesforce/Task/SP_litify_task.sql:14-77`)
 
     Algebra: dedupe source to latest-per-key, keep only new-or-newer rows
-    (P6), then ``target ANTI-JOIN winners UNION ALL winners``. One shuffle
-    on the key for the window + one for the anti-join (AQE broadcasts the
-    winner side when small — the common case: daily increment vs full
-    history).
+    (P6) — those are the inserted/updated output rows — and keep every
+    target row whose key is NOT superseded.
+
+    Column-pruned change detection (r14, guide §2/§5): the kept side used
+    to anti-join the target against the *winners* frame, which re-evaluated
+    the whole latest-per-key window subtree (at Matter width: 250-column
+    rows through a second shuffle + sort) just to produce a key set. The
+    superseded-key set only depends on per-key recency extrema, so it is
+    now computed from two column-pruned aggregations —
+
+        superseded = {k : max(source.recency) > min(target.recency)}
+
+    — and the target anti-joins that narrow frame (broadcast when small).
+    Equivalence with the anti-join-of-winners form, for ALL inputs:
+    a target row was dropped iff its key appeared in winners with a
+    matching target row, i.e. iff ∃ tgt row t with that key such that
+    src_winner.recency > t.recency (strict, `Salesforce/Task/
+    SP_litify_task.sql:9-11`). The window winner's recency IS the per-key
+    max (desc_nulls_last ⇒ nulls never win ⇒ max() over non-nulls, null
+    iff all null), and "∃t: s > t.recency" ⟺ "s > min over non-null
+    target recencies" (NULL compares unknown on both sides, min() skips
+    nulls on both sides). Keys absent from either side never join, hence
+    never supersede — matching the anti-join, where they never matched.
+    Shuffle shape: the wide window runs ONCE (winners branch); the kept
+    branch moves only (key, recency) bytes through its aggregations.
+
+    Width gate (measured, sf0.1 interleaved A/B): at Matter width the
+    pruned detection wins (wide window subtrees 2 → 1; min 3.65 s →
+    2.94 s); at trivial width (6 cols) the two extra aggregation
+    subtrees cost MORE than re-running the cheap narrow window
+    (0.58 s → 0.78 s), so narrow frames keep the classic
+    anti-join-of-winners. Both branches are result-identical for all
+    inputs (equivalence above), so the gate is a pure planner choice
+    on statically-known schema width.
     """
     keys = _key_list(key)
     tiebreakers = [
@@ -115,7 +145,21 @@ def merge_scd1(
         source.select(*target.columns), keys, recency_col, tiebreakers
     )
     winners = changed_or_new(src, target, keys, recency_col)
-    kept = target.join(winners.select(*keys), keys, "left_anti")
+    if len(target.columns) <= 24:
+        kept = target.join(winners.select(*keys), keys, "left_anti")
+        return kept.unionByName(winners)
+    src_max = source.groupBy(*keys).agg(
+        F.max(recency_col).alias("__src_max")
+    )
+    tgt_min = target.groupBy(*keys).agg(
+        F.min(recency_col).alias("__tgt_min")
+    )
+    superseded = (
+        src_max.join(tgt_min, keys)
+        .filter(F.col("__src_max") > F.col("__tgt_min"))
+        .select(*keys)
+    )
+    kept = target.join(superseded, keys, "left_anti")
     return kept.unionByName(winners)
 
 
@@ -151,7 +195,10 @@ def upsert_if_changed(
     """
     keys = _key_list(key)
     src = source.select(*target.columns).dropDuplicates(keys)
-    kept = target.join(src.select(*keys), keys, "left_anti")
+    # anti-join semantics are duplicate-blind: probe the RAW key
+    # projection (column-pruned scan, no aggregate subtree) instead of
+    # re-evaluating the deduped frame a second time just for its keys
+    kept = target.join(source.select(*keys), keys, "left_anti")
     return kept.unionByName(src)
 
 

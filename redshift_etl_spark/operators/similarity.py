@@ -1476,6 +1476,22 @@ def hard_negatives(
             .select("a_id", "a_label", "b_id", "b_label", "cos_micro")
         )
         return hard_negative_stage(pairs, k, margin_micro)
+    # fail fast on the kernel's id contract (advisor r13): the blocked
+    # sweep and the label join both cast ids to long — a string id
+    # would null out silently and emit zero rows, where the legacy
+    # dims= path would have worked; make the contract an error instead
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"hard_negatives default (blocked-kernel) path requires an "
+            f"integral id column; {id_col!r} is {id_type.simpleString()}. "
+            f"Pass dims= for the unrolled-expression path, which "
+            f"supports any id type."
+        )
     # blocked-numpy sweep: every unordered pair scored exactly once in
     # a bounded tile, then symmetrized (cos is bit-symmetric: the
     # per-dim products and the norm product commute), labels attached

@@ -2331,8 +2331,11 @@ def pq_codebook_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pattern): spark.read.parquet re-infers the footer schema per call
 # (~60-100 ms), and the ANN/semdedup queries read 1-2 fixtures per
 # bench run. Plans only, never data; keyed on applicationId so a new
-# session re-reads. A fixture written DURING this session (cold build)
-# is not memoized on the build call — the next read populates the memo.
+# session re-reads. A cold build writes the parquet and the read-back
+# of the freshly-written file IS memoized (same immutable-fixture
+# contract as a pre-committed file: fixtures are never rewritten at
+# the same path within a session — regenerating one mid-session
+# requires a new session or an explicit _FIXTURE_MEMO.clear()).
 _FIXTURE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -4057,10 +4060,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     best positive (false-negative guard). Exact-integer gate and
     ranking; contracted exact baseline over the embeddings table —
     the same logic runs over LSH-bucketed candidates at corpus
-    scale. Plan: anchors hash-spread to core width, one broadcast
-    cross score evaluated once, positive ceiling + rank as two
-    windows over that same a_id partitioning (no post-join
-    shuffle)."""
+    scale. Plan (r13 shape): one blocked Arrow sweep scores every
+    unordered pair exactly once in bounded numpy tiles (no
+    data-sized broadcast, no BroadcastNestedLoopJoin), the positive
+    ceiling is a map-side aggregate joined back to the candidates,
+    and the negative rank is the single remaining window."""
     emb = load(spark, sf_dir, "embeddings")
     return S.hard_negatives(
         emb,
