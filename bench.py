@@ -439,6 +439,15 @@ LOAD_FACTOR_CAP = 3.0
 # would be noise in the wrong direction anyway).
 RECORD_ADVISORY_LOAD = 1.3
 
+# The canary floors in CANARY_FLOOR.json / BENCH_FLOORS.json were all
+# recorded at the driver's default 32 cores. A probe taken at a lower
+# core count is slower for STRUCTURAL reasons (fewer tasks in flight),
+# so dividing it by a 32-core floor fabricates a load factor — the r13
+# 8-core scaling run read a bogus 3.0 (judge finding #4). Scaling runs
+# are diagnostic by design: stamp them advisory with an explicit
+# reason instead of letting them read as hopelessly loaded.
+FLOOR_REF_CPUS = 32
+
 
 def stamp_advisory(full: dict) -> dict:
     """Stamp the bench record with its evidentiary status (in place).
@@ -456,6 +465,17 @@ def stamp_advisory(full: dict) -> dict:
     mostly-loaded window doesn't launder it. Legacy records fall back
     best→overall. Kept a pure function of the record so the stamp is
     unit-testable without a SparkSession."""
+    cpus = full.get("cpus")
+    if cpus is not None and int(cpus) != FLOOR_REF_CPUS:
+        full["advisory"] = True
+        full["advisory_reason"] = (
+            f"non-default cpus ({cpus} vs floor reference "
+            f"{FLOOR_REF_CPUS}) — canary floors are {FLOOR_REF_CPUS}-"
+            "core, so the load factor is structurally inflated and not "
+            "comparable; scaling runs are diagnostic, never round "
+            "evidence"
+        )
+        return full
     lf = float(
         full.get("load_factor_median")
         or full.get("load_factor_best")
@@ -476,6 +496,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    cpus = int(cpus_env) if cpus_env else None
 
     from redshift_etl_spark import queries as Q
     from redshift_etl_spark.session import get_spark
@@ -635,14 +657,22 @@ def main() -> None:
         "load_factor_best": eff["load_factor_best"],
         "load_factor_median": eff["load_factor_median"],
         "sf": sf,
+        "cpus": cpus,
     }
     stamp_advisory(full)
     if full["advisory"]:
         print(f"# ADVISORY RUN — {full['advisory_reason']}", flush=True)
     # full per-query record: its own '#' line (human/tail debugging) and
-    # a committed file — the gate reads the file, never a driver tail
+    # a committed file — the gate reads the file, never a driver tail.
+    # Non-default core counts write BENCH_FULL_c<cpus>.json (r13 judge
+    # finding #3: the 8-core scaling run overwrote the 32-core map)
+    full_file = (
+        benchlib.FULL_FILE
+        if cpus in (None, FLOOR_REF_CPUS)
+        else benchlib.FULL_FILE.replace(".json", f"_c{cpus}.json")
+    )
     print("# full: " + json.dumps(full), flush=True)
-    with open(os.path.join(repo_dir, benchlib.FULL_FILE), "w") as fh:
+    with open(os.path.join(repo_dir, full_file), "w") as fh:
         json.dump(full, fh, indent=1)
         fh.write("\n")
     if sf == 0.1 and not full["advisory"]:
@@ -664,7 +694,7 @@ def main() -> None:
     line = bounded_final_line(
         full, timings, HEADLINE,
         benchlib.q_sig([n for n in HEADLINE if n in timings]),
-        benchlib.FULL_FILE,
+        full_file,
     )
     print(line, flush=True)
     spark.stop()

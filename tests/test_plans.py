@@ -394,7 +394,9 @@ def test_substring_dedup_no_token_grain_shuffle(spark):
     # tree_count (the cached gram plan prints under BOTH consumers, so
     # its spread exchange shows twice): spread ×2 prints + hot agg +
     # per-doc collect — still no token-grain shuffle anywhere
-    assert P.tree_count(df, "Exchange") <= 4, P.physical_plan(df)
+    # EXACT count (advisor r13: inequalities let accidental extra
+    # shuffles creep in unseen; the plan is deterministic at SF_ORACLE)
+    assert P.tree_count(df, "Exchange") == 4, P.physical_plan(df)
     tree = P.plan_tree(df)
     assert "InMemoryRelation" in tree  # grams evaluated once, cached
 
@@ -504,7 +506,8 @@ def test_hard_negatives_single_exchange_feeds_both_windows(spark):
     df = Q.all_queries()["hard_negative_mining"](spark, SF_ORACLE)
     # tree_count, not count_shuffles: the formatted detail section
     # repeats node names, which doubles nonzero counts
-    assert P.tree_count(df, "Exchange") <= 3
+    # EXACT count (advisor r13: pin the deterministic plan shape)
+    assert P.tree_count(df, "Exchange") == 3
     assert P.tree_count(df, "Window") == 1
     assert P.tree_count(df, "WindowGroupLimit") >= 1
     assert P.tree_count(df, "BroadcastNestedLoopJoin") == 0
