@@ -346,14 +346,18 @@ def connected_components(
     # the checkpoint each round re-executes that whole upstream
     # pipeline (measured: the banded-cosine sweep re-ran per round,
     # ~5× the query's cost at 4 rounds).
+    # lazy checkpoints (r14): the n_nodes count below is the loop's
+    # first action anyway — it materializes sym AND labels in ONE job
+    # instead of two eager blocking jobs followed by the count (three
+    # sequential driver round-trips before the loop even starts)
     sym = edges.select(
         F.col(src).alias("node"), F.col(dst).alias("nbr")
     ).unionByName(
         edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         sym.select("node").distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # Checkpointed frames carry no size statistics, so WITHOUT a hint
     # every fixed-point round runs its label joins as shuffle joins
     # even when |V| is tiny. Broadcast the |V|-sized frames only when
@@ -406,7 +410,10 @@ def connected_components(
             "node",
             F.least("label", F.coalesce("jump", "label")).alias("label"),
             "__old",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        # the convergence count materializes the lazy checkpoint and
+        # counts in ONE job (r14) — the eager form ran a blocking
+        # materialization job AND a count job every round
         changed = jumped.filter(F.col("label") != F.col("__old")).count()
         labels = jumped.select("node", "label")
         if changed == 0:

@@ -110,16 +110,18 @@ def _pagerank_loop(
     # materialize it first — one computation instead of three. This is
     # the "pre-partition/materialize edges once" layout the module
     # docstring prescribes for the 100 TB case.
-    edges = edges.localCheckpoint()
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # nodes and (edges ⋈ outdeg) are loop-invariant and re-read every
-    # iteration — materialize once (eager: the count() below needs
-    # nodes anyway) instead of recomputing the distinct-union per round
+    # iteration — materialize once, LAZILY (r14): the count() below is
+    # the first action and materializes edges AND nodes in one job,
+    # where the eager spelling ran two blocking checkpoint jobs and
+    # then a third for the count
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()  # one scalar job; the graph's node count
     ranks = nodes.select("node", init_col(n).cast("long").alias("rank"))

@@ -28,7 +28,9 @@ keyed by token, NEVER collected (vocabulary is data-sized; it rides an
 equi-join, not a broadcast). Scoring = one (tok) equi-join with fan-out
 ≤ |C| per token occurrence (bounded by the class count), one
 (doc, class) hash agg, a |C|-row broadcast of class constants, and a
-per-doc rank window. |V| is the single collected scalar (one count).
+per-doc rank window. |V| and n_train ride the plan as 1-row broadcast
+aggregates — NOTHING is collected to the driver (r14; the collected
+scalars cost two blocking jobs per model construction).
 
 Beyond-reference capability (the reference gates rows with static SQL
 predicates only); public algorithm (McCallum & Nigam 1998).
@@ -70,36 +72,51 @@ def nb_fit(
         F.col(class_col).alias("class"),
         F.explode(_tokens(train, text_col)).alias("tok"),
     )
-    vocab_size = tok.select("tok").distinct().count()  # the one scalar
+    # |V| and n_train ride the PLAN as 1-row broadcast aggregates
+    # instead of collected driver scalars (r14, guide §5.3 / §1 "the
+    # driver is not a worker"): the collected form ran TWO blocking
+    # jobs (a token-distinct count and a train count) at every model
+    # CONSTRUCTION — per bench run, per query build — before the real
+    # action could even be submitted. Arithmetic is bit-identical:
+    # (__n_tok + |V|) is the same long addition and the prior divides
+    # the same cast-to-double values the literals carried.
+    vocab = tok.agg(F.count_distinct("tok").alias("__v"))  # 1 row
+    ntr = train.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_train")
+    )  # 1 row
     cstat = tok.groupBy("class").agg(
         F.count(F.lit(1)).cast("long").alias("__n_tok")
     )
     cdocs = train.groupBy(F.col(class_col).alias("class")).agg(
         F.count(F.lit(1)).cast("long").alias("__n_docs")
     )
-    n_train = train.count()
     cells = tok.groupBy("tok", "class").agg(
         F.count(F.lit(1)).cast("long").alias("__cnt")
     )
-    denom = (F.col("__n_tok") + vocab_size).cast("double")
-    model = cells.join(cstat, "class").select(
+    denom = (F.col("__n_tok") + F.col("__v")).cast("double")
+    model = cells.join(cstat, "class").crossJoin(F.broadcast(vocab)).select(
         "tok",
         "class",
         F.round(F.log((F.col("__cnt") + 1).cast("double") / denom) * NANO)
         .cast("long")
         .alias("lp_nano"),
     )
-    classes = cdocs.join(cstat, "class").select(
-        "class",
-        F.round(
-            F.log(F.col("__n_docs").cast("double") / F.lit(float(n_train)))
-            * NANO
+    classes = (
+        cdocs.join(cstat, "class")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "class",
+            F.round(
+                F.log(F.col("__n_docs").cast("double") / F.col("__n_train"))
+                * NANO
+            )
+            .cast("long")
+            .alias("prior_nano"),
+            F.round(F.log(F.lit(1.0) / denom) * NANO)
+            .cast("long")
+            .alias("default_nano"),
         )
-        .cast("long")
-        .alias("prior_nano"),
-        F.round(F.log(F.lit(1.0) / denom) * NANO)
-        .cast("long")
-        .alias("default_nano"),
     )
     return model, classes
 

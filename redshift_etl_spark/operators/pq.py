@@ -168,6 +168,94 @@ def pq_encode(
     )
 
 
+def pq_encode_arrow(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    d: int = 8,
+) -> DataFrame:
+    """`pq_encode` as ONE Arrow map pass (r14, guide §4): the
+    expression form explodes every vector into m subvector rows, scores
+    |corpus|·m·k interpreted fold-dots behind a broadcast join, and
+    re-aggregates twice ((vid,s) argmax, then per-vid collect) — two
+    shuffles of subvector arrays. The codebook is tiny BY DEFINITION
+    (m·k rows — it broadcast even in the expression form), so collect
+    it driver-side once and emit (vid, code) straight off the scan:
+    zero shuffles, zero explode, one numpy kernel.
+
+    Bit-exact with `pq_encode` BY CONSTRUCTION
+    (test_pq_encode_arrow_matches_expression + every consumer's oracle,
+    which retrains/encodes in SQL):
+    - dots accumulate dimension-by-dimension with element-wise ``+=``
+      — the fold's left-to-right float64 add order (the
+      `assign_clusters_arrow` / `pair_cos_micro_arrow` precedent);
+    - the ×1e6 HALF_UP round runs as exact binary floor/frac steps:
+      for |y| < 2**52, ``floor(y)`` and ``y - floor(y)`` are exact in
+      IEEE754, and the shortest-decimal BigDecimal.valueOf(double)
+      that Spark's round() consults preserves <,=,> against 0.5, so
+      ``floor(|y|) + (frac >= 0.5)`` with the sign restored IS
+      java.math.RoundingMode.HALF_UP on the same value;
+    - ties break to the lowest cent_id: centroids are sorted by id
+      ascending and np.argmax returns the FIRST maximum.
+    The id column keeps its input dtype (the r13 string-id lesson)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = codebooks.select("s", "cent_id", "cv").collect()
+    by_s: dict[int, list] = {}
+    for r in rows:
+        by_s.setdefault(int(r["s"]), []).append(
+            (int(r["cent_id"]), list(r["cv"]))
+        )
+    mats = {}
+    for s, cents in by_s.items():
+        cents.sort(key=lambda t: t[0])
+        ids = np.array([c[0] for c in cents], dtype=np.int64)
+        mat = np.array([c[1] for c in cents], dtype=np.float64)
+        mats[s] = (ids, mat)
+
+    def _half_up(y: "np.ndarray") -> "np.ndarray":
+        a = np.abs(y)
+        f = np.floor(a)
+        r = f + (a - f >= 0.5)
+        return (np.sign(y) * r).astype(np.int64)
+
+    id_dtype = dict(corpus.dtypes)[id_col]
+    src = corpus.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("__v")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            if V.shape[1] != m * d:
+                raise ValueError(
+                    f"pq: vector length must be m*d = {m * d}, got "
+                    f"{V.shape[1]}"
+                )
+            parts = []
+            for s in range(m):
+                ids, mat = mats[s]
+                sub = V[:, s * d:(s + 1) * d]
+                acc = np.zeros((n, mat.shape[0]))
+                for j in range(d):
+                    acc += sub[:, j, None] * mat[None, :, j]
+                ds = _half_up(acc * SCALE)
+                win = np.argmax(ds, axis=1)  # first max = lowest cent_id
+                parts.append(ids[win].astype(str))
+            code = parts[0]
+            for p in parts[1:]:
+                code = np.char.add(np.char.add(code, "-"), p)
+            yield pd.DataFrame({"vid": pdf["vid"], "code": code})
+
+    return src.mapInPandas(gen, schema=f"vid {id_dtype}, code string")
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,

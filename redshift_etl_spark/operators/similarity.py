@@ -1500,26 +1500,37 @@ def hard_negatives(
     raw = cosine_pairs_blocked(
         df, id_col, vec_col, threshold=-2.0, out_a="a_id", out_b="b_id"
     ).localCheckpoint(eager=False)  # both union branches read one sweep
-    both = raw.unionByName(
-        raw.select(
-            F.col("b_id").alias("a_id"),
-            F.col("a_id").alias("b_id"),
-            "cosine_raw",
-        )
-    ).withColumn(
-        "cos_micro", F.round(F.col("cosine_raw") * 1e6, 0).cast("long")
-    )
     lab = df.select(
         F.col(id_col).cast("long").alias("__lab_id"),
         F.col(label_col).alias("__lab"),
     )
-    pairs = (
-        both.join(F.broadcast(lab), F.col("a_id") == F.col("__lab_id"))
+    # round + label-join on the HALF (unordered) pair set, THEN mirror
+    # (r14, guide §2.3): the mirror copies finished columns instead of
+    # doubling the probe volume of both label joins and the round —
+    # n²/2 rows through the joins, not n². Identical row multiset:
+    # cos is scored once per unordered pair and cos_micro is a
+    # deterministic per-row function of it, so mirroring after rounds
+    # and label attachment emits exactly the rows the old mirror-first
+    # spelling produced.
+    half = (
+        raw.withColumn(
+            "cos_micro", F.round(F.col("cosine_raw") * 1e6, 0).cast("long")
+        )
+        .join(F.broadcast(lab), F.col("a_id") == F.col("__lab_id"))
         .withColumnRenamed("__lab", "a_label")
         .drop("__lab_id")
         .join(F.broadcast(lab), F.col("b_id") == F.col("__lab_id"))
         .withColumnRenamed("__lab", "b_label")
         .select("a_id", "a_label", "b_id", "b_label", "cos_micro")
+    )
+    pairs = half.unionByName(
+        half.select(
+            F.col("b_id").alias("a_id"),
+            F.col("b_label").alias("a_label"),
+            F.col("a_id").alias("b_id"),
+            F.col("a_label").alias("b_label"),
+            "cos_micro",
+        )
     )
     return hard_negative_stage(pairs, k, margin_micro)
 
@@ -1586,23 +1597,31 @@ def hard_negatives_bucketed(
     ).persist()
     # cache lifecycle: consumers are in the returned lazy plan —
     # session owner unpersists (clearCache between queries) or GC
-    sym = micro.select(
-        F.col("__pa").alias("a_id"), F.col("__pb").alias("b_id"), "cos_micro"
-    ).unionByName(
-        micro.select(
-            F.col("__pb").alias("a_id"),
-            F.col("__pa").alias("b_id"),
-            "cos_micro",
-        )
-    )
+    # labels attach on the HALF (unordered) candidate set, THEN the
+    # mirror copies finished columns (r14, guide §2.3) — half the join
+    # probe volume, identical row multiset (see hard_negatives). No
+    # broadcast hints: labels are corpus-sized at scale, AQE decides.
     la = df.select(
-        F.col(id_col).alias("a_id"), F.col(label_col).alias("a_label")
+        F.col(id_col).alias("__pa"), F.col(label_col).alias("a_label")
     )
     lb = df.select(
-        F.col(id_col).alias("b_id"), F.col(label_col).alias("b_label")
+        F.col(id_col).alias("__pb"), F.col(label_col).alias("b_label")
     )
-    cand = sym.join(la, "a_id").join(lb, "b_id").select(
-        "a_id", "a_label", "b_id", "b_label", "cos_micro"
+    half = micro.join(la, "__pa").join(lb, "__pb").select(
+        F.col("__pa").alias("a_id"),
+        "a_label",
+        F.col("__pb").alias("b_id"),
+        "b_label",
+        "cos_micro",
+    )
+    cand = half.unionByName(
+        half.select(
+            F.col("b_id").alias("a_id"),
+            F.col("b_label").alias("a_label"),
+            F.col("a_id").alias("b_id"),
+            F.col("a_label").alias("b_label"),
+            "cos_micro",
+        )
     )
     return hard_negative_stage(cand, k, margin_micro)
 

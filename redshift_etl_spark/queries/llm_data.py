@@ -2402,8 +2402,12 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cb = pq_codebook_fixture(spark, sf_dir)
+    # Arrow kernel (r14): one shuffle-free map pass instead of the
+    # explode + |corpus|*m*k interpreted fold-dots + two aggregates;
+    # bit-exact by construction (see pq_encode_arrow) and end-to-end
+    # by this query's oracle, which re-encodes in SQL
     return (
-        PQ.pq_encode(emb, cb)
+        PQ.pq_encode_arrow(emb, cb)
         .select(F.col("vid").alias("vec_id"), "code")
         .orderBy("vec_id")
     )
@@ -2415,7 +2419,9 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cb = pq_codebook_fixture(spark, sf_dir)
-    codes = PQ.pq_encode(emb, cb)
+    # Arrow-kernel encode (r14) — see pq_codes; the ADC scoring side
+    # is |Q|-sized and stays in expressions
+    codes = PQ.pq_encode_arrow(emb, cb)
     queries = emb.filter(F.col("vec_id") < 5)
     return PQ.pq_adc_topk(queries, codes, cb).orderBy("query_id", "rank")
 

@@ -6,6 +6,8 @@ pinned — file source orders by mtime)."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import json
 import os
@@ -40,6 +42,7 @@ def _emb_df(spark, ids):
     )
 
 
+@pytest.mark.slow
 def test_batch_ingest_and_replay_idempotence(spark, tmp_path):
     store = str(tmp_path / "store")
     cents = _centroids(spark)

@@ -3,6 +3,8 @@ isolation."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime
 
 from redshift_etl_spark.operators.asof import asof_join
@@ -108,6 +110,7 @@ def test_nearest_equal_time_is_distance_zero_backward(spark):
     assert r["rid"] == 100
 
 
+@pytest.mark.slow
 def test_nearest_join_partition_invariance(spark):
     import datetime as dt
 

@@ -60,6 +60,9 @@ ALLOWED = {
         "benchmark window-gram hash set — same eval-suite bound as contamination",
     ("operators/distsort.py", "percentile_disc_edges"):
         "1-row total-count aggregate",
+    ("operators/nbayes.py", "nb_fit"):
+        "1-row aggregates (|V| count-distinct, n_train count) riding "
+        "the plan instead of collected driver scalars (r14)",
     ("operators/distsort.py", "weighted_percentile_disc_edges"):
         "1-row total-weight aggregate",
     ("operators/distsort.py", "pr_curve"):

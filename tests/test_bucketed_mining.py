@@ -13,6 +13,8 @@ is a fixed property of the fixture, not a probabilistic expectation).
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import pyspark.sql.functions as F
@@ -88,6 +90,7 @@ def test_bucketed_is_subset_of_exact_gate_admittance(spark):
     assert bucketed <= exact_all
 
 
+@pytest.mark.slow
 def test_stage_fed_with_exact_pairs_reproduces_exact_operator(spark):
     """hard_negative_stage is THE logic of hard_negatives: feeding it
     the exact all-pairs candidate frame must reproduce the exact

@@ -3,6 +3,8 @@ including the long-path worst case that pointer jumping exists for."""
 
 from __future__ import annotations
 
+import pytest
+
 from redshift_etl_spark.operators.dedup import connected_components
 
 
@@ -162,6 +164,7 @@ from hypothesis import strategies as st  # noqa: E402
     seed=st.integers(min_value=0, max_value=10**6),
     threshold=st.sampled_from([0.35, 0.45, 0.55, 0.6, 0.7, 0.85]),
 )
+@pytest.mark.slow
 def test_prefix_jaccard_lossless_property(spark, seed, threshold):
     """For random near-dup corpora and any threshold, the prefix-
     filtered join must return exactly the all-shingle formulation's

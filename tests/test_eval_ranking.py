@@ -4,6 +4,8 @@ graded-gain arithmetic, @k cutoff, and partition invariance."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import pyspark.sql.functions as F
@@ -85,6 +87,7 @@ def test_discounts_match_log2(spark):
     assert len(d) == 5
 
 
+@pytest.mark.slow
 def test_partition_invariance(spark):
     df = _fixture(spark)
     one = sorted(
@@ -156,6 +159,7 @@ def test_spearman_hand_computed_and_brute_force(spark):
     assert abs(got - want) < 1e-12
 
 
+@pytest.mark.slow
 def test_spearman_constant_column_is_null_and_partition_invariant(spark):
     from redshift_etl_spark.operators.distsort import spearman_corr
 

@@ -6,6 +6,8 @@ path produces the same rows as the fold path."""
 
 from __future__ import annotations
 
+import pytest
+
 from redshift_etl_spark.operators.similarity import hard_negatives
 
 
@@ -74,6 +76,7 @@ def test_rank_bound_and_ordering(spark):
         assert cosines == sorted(cosines, reverse=True)
 
 
+@pytest.mark.slow
 def test_partition_invariant_and_dims_path_identical(spark):
     df = _fixture(spark)
 

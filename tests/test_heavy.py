@@ -40,6 +40,7 @@ def test_heavy_hitters_exact(spark, d):
     assert got == _exact(df, d)
 
 
+@pytest.mark.slow
 def test_partitioning_independent(spark):
     a = _skewed(spark, 2)
     b = _skewed(spark, 17)
@@ -48,6 +49,7 @@ def test_partitioning_independent(spark):
     assert ra == rb and ra
 
 
+@pytest.mark.slow
 def test_candidate_bound_and_completeness(spark):
     df = _skewed(spark, 6)
     d = 25
@@ -91,6 +93,7 @@ from hypothesis import strategies as st  # noqa: E402
     d=st.integers(min_value=2, max_value=12),
     parts=st.integers(min_value=1, max_value=5),
 )
+@pytest.mark.slow
 def test_heavy_hitters_property(spark, items, d, parts):
     df = spark.createDataFrame(
         [(str(i),) for i in items], "item string"

@@ -5,6 +5,8 @@ exactly `scale`."""
 
 from __future__ import annotations
 
+import pytest
+
 from redshift_etl_spark.operators.graph import hits_scores
 
 
@@ -28,6 +30,7 @@ def test_planted_hub_and_authority_win(spark):
     assert all(0 <= s <= 10**6 for s in list(h.values()) + list(a.values()))
 
 
+@pytest.mark.slow
 def test_deterministic_under_repartitioning(spark):
     e = _planted(spark)
     h1, a1 = hits_scores(e, "u", "v", iters=2)

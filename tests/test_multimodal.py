@@ -15,6 +15,7 @@ def _media(spark, n=6):
     return spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
 
 
+@pytest.mark.slow
 def test_extract_image_features_fake_decode(spark):
     media = _media(spark)
     feats = MM.extract_image_features(media)

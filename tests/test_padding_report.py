@@ -4,6 +4,8 @@ uniform-length zero-waste case, and partition invariance."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from redshift_etl_spark.operators.sampling import batch_padding_report
@@ -45,6 +47,7 @@ def test_uniform_lengths_waste_nothing_either_way(spark):
         assert got[strat]["pad_ratio"] == 0.0
 
 
+@pytest.mark.slow
 def test_partition_invariance(spark):
     df = spark.createDataFrame(
         [(i, (i * 37) % 90 + 10) for i in range(101)],

@@ -124,3 +124,38 @@ def test_ivf_pq_subset_of_full_adc_and_cell_scoped(spark):
         q, n = r["query_id"], r["neighbor_id"]
         assert cell_of[q] == cell_of[n]  # cell-scoped candidates only
         assert full[(q, n)] == r["approx_dot_scaled"]  # identical score
+
+
+def test_pq_encode_arrow_matches_expression(spark):
+    """The r14 Arrow encode kernel is bit-identical to the expression
+    form: same fold add order, exact HALF_UP, lowest-cent_id ties —
+    over the full testdata embeddings AND under repartitioning."""
+    emb = _emb(spark)
+    cb = PQ.pq_codebooks(emb)
+    a = {tuple(r) for r in PQ.pq_encode(emb, cb).collect()}
+    b = {tuple(r) for r in PQ.pq_encode_arrow(emb, cb).collect()}
+    assert a == b
+    c = {tuple(r) for r in PQ.pq_encode_arrow(_emb(spark, 7), cb).collect()}
+    assert a == c
+
+
+def test_pq_encode_arrow_preserves_id_dtype(spark):
+    # the r13 string-id lesson: kernel helpers must not hard-cast ids
+    emb = _emb(spark)
+    cb = PQ.pq_codebooks(emb)
+    s_emb = emb.withColumn("vec_id", F.concat(F.lit("v"), F.col("vec_id")))
+    out = PQ.pq_encode_arrow(s_emb, cb)
+    assert dict(out.dtypes)["vid"] == "string"
+    n = out.filter(F.col("vid").startswith("v")).count()
+    assert n == emb.count()
+
+
+def test_pq_encode_arrow_rejects_bad_length(spark):
+    import pytest
+
+    emb = _emb(spark).withColumn(
+        "embedding", F.slice("embedding", 1, 10)
+    )
+    cb = PQ.pq_codebooks(_emb(spark))
+    with pytest.raises(Exception, match="m\\*d"):
+        PQ.pq_encode_arrow(emb, cb).collect()

@@ -3,6 +3,8 @@ reference's hand-spelled change predicates get wrong silently."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from redshift_etl_spark.operators import quality as QA
@@ -260,6 +262,7 @@ def test_cohens_kappa_degenerate_and_nulls(spark):
     assert r2["n_agree"] == 0
 
 
+@pytest.mark.slow
 def test_cohens_kappa_partition_invariance(spark):
     from redshift_etl_spark.operators.quality import cohens_kappa
 

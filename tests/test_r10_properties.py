@@ -6,6 +6,8 @@ arbitrary inputs, not just the hand-built cases."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -28,6 +30,7 @@ from .test_reliability import _alpha_local
         max_size=80,
     )
 )
+@pytest.mark.slow
 def test_krippendorff_matches_reference_on_random_data(spark, data):
     # one rating per (item, rater): dedupe keeping the first
     seen = {}
@@ -55,6 +58,7 @@ def test_krippendorff_matches_reference_on_random_data(spark, data):
     ),
     fpp=st.sampled_from([0.01, 0.05, 0.2]),
 )
+@pytest.mark.slow
 def test_bloom_never_drops_a_member(spark, keys, fpp):
     df = spark.createDataFrame([(k,) for k in keys], "k: long")
     bf = bloom_build(df, "k", expected_items=len(keys), fpp=fpp)

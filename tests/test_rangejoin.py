@@ -3,6 +3,8 @@ variant, and the no-nested-loop plan guarantee."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from redshift_etl_spark import plans as P
@@ -23,6 +25,7 @@ def _fixtures(spark):
     return points, intervals
 
 
+@pytest.mark.slow
 def test_matches_naive_nonequi_join(spark):
     points, intervals = _fixtures(spark)
     got = range_join(points, intervals, "p", "s", "e", bucket_width=10.0)

@@ -5,6 +5,8 @@ avoid train/test leakage across re-runs."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from redshift_etl_spark.operators import sampling as SP
@@ -282,6 +284,7 @@ def test_pack_sequences_properties(spark):
     )
 
 
+@pytest.mark.slow
 def test_pack_sequences_matches_python_reference(spark):
     """Property check vs a brute-force Python packer across several
     capacities and size mixes (zero-token docs, giant docs spanning
@@ -406,6 +409,7 @@ def test_budget_waterfill_partition_invariance_and_args(spark):
         budget_waterfill(counts, "g", "n", budget=5, budget_frac=(1, 2))
 
 
+@pytest.mark.slow
 def test_budget_waterfill_properties(spark):
     """Property sweep: Σalloc = min(B, Σn) exactly, 0 ≤ alloc ≤ n,
     allocation monotone in n (a bigger group never receives less),

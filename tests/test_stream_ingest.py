@@ -4,6 +4,8 @@ stream (mtimes pinned — file source orders by mtime)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import time
@@ -134,6 +136,7 @@ def _store_content(spark, corpus):
     )
 
 
+@pytest.mark.slow
 def test_compaction_preserves_probe_and_reclaims_files(spark, tmp_path):
     """Verdict r5 item 4: (a) probe results identical pre/post
     compaction, (b) post-compaction store has fewer part-files,
@@ -193,6 +196,7 @@ def test_compaction_preserves_probe_and_reclaims_files(spark, tmp_path):
     assert "brand-new" in got and len(got) == len(pre_content) + 1
 
 
+@pytest.mark.slow
 def test_compaction_sorts_within_buckets(spark, tmp_path):
     """Each compacted part-file holds ONE contiguous fingerprint run —
     the precondition for parquet min/max page skipping."""
@@ -236,6 +240,7 @@ def test_legacy_store_migration(spark, tmp_path):
     assert got == {"alpha", "beta", "gamma"}  # alpha deduped vs legacy
 
 
+@pytest.mark.slow
 def test_compaction_multifile_buckets_are_range_partitioned(spark, tmp_path):
     """files_per_bucket > 1 must keep each bucket's files few, with
     contiguous NON-OVERLAPPING fingerprint ranges (the r06 hash
@@ -291,6 +296,7 @@ def test_compaction_multifile_buckets_are_range_partitioned(spark, tmp_path):
     assert got.filter("text = 'fresh'").count() == 1
 
 
+@pytest.mark.slow
 def test_auto_compaction_bounds_files_across_lifecycle(spark, tmp_path):
     """Verdict r6 item 6: ingest → threshold-triggered compaction →
     more ingest, with probe results identical throughout and the file

@@ -4,6 +4,8 @@ assignment properties, and BM25 against a local reference scorer."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 
@@ -304,6 +306,7 @@ def test_canonicalization_is_idempotent_on_fuzzed_urls(spark):
     assert not bad, bad[:5]
 
 
+@pytest.mark.slow
 def test_exact_substring_dedup_property(spark):
     """Hypothesis sweep: operator ≡ the plain-Python reference on
     random small-vocab corpora (small vocab makes window repeats
