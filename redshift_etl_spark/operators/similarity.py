@@ -1499,7 +1499,7 @@ def hard_negatives(
     # old full-corpus broadcast (vectors included)
     raw = cosine_pairs_blocked(
         df, id_col, vec_col, threshold=-2.0, out_a="a_id", out_b="b_id"
-    ).localCheckpoint(eager=False)  # both union branches read one sweep
+    )
     lab = df.select(
         F.col(id_col).cast("long").alias("__lab_id"),
         F.col(label_col).alias("__lab"),
@@ -1507,11 +1507,13 @@ def hard_negatives(
     # round + label-join on the HALF (unordered) pair set, THEN mirror
     # (r14, guide §2.3): the mirror copies finished columns instead of
     # doubling the probe volume of both label joins and the round —
-    # n²/2 rows through the joins, not n². Identical row multiset:
-    # cos is scored once per unordered pair and cos_micro is a
-    # deterministic per-row function of it, so mirroring after rounds
-    # and label attachment emits exactly the rows the old mirror-first
-    # spelling produced.
+    # n²/2 rows through the joins, not n². The checkpoint sits ABOVE
+    # the joins (not on the raw sweep) because a union evaluates its
+    # producing subtree once per branch: pinning the LABELED half
+    # makes both the sweep and the joins run exactly once, and the
+    # mirror is two reads of the materialized rows. Identical row
+    # multiset: cos is scored once per unordered pair and cos_micro /
+    # labels are deterministic per-row functions of it.
     half = (
         raw.withColumn(
             "cos_micro", F.round(F.col("cosine_raw") * 1e6, 0).cast("long")
@@ -1522,7 +1524,7 @@ def hard_negatives(
         .join(F.broadcast(lab), F.col("b_id") == F.col("__lab_id"))
         .withColumnRenamed("__lab", "b_label")
         .select("a_id", "a_label", "b_id", "b_label", "cos_micro")
-    )
+    ).localCheckpoint(eager=False)
     pairs = half.unionByName(
         half.select(
             F.col("b_id").alias("a_id"),
@@ -1594,13 +1596,17 @@ def hard_negatives_bucketed(
         ),
     ).filter(
         F.col("cos_micro") >= F.lit(int(round(threshold * 1e6)))
-    ).persist()
-    # cache lifecycle: consumers are in the returned lazy plan —
-    # session owner unpersists (clearCache between queries) or GC
+    )
     # labels attach on the HALF (unordered) candidate set, THEN the
     # mirror copies finished columns (r14, guide §2.3) — half the join
-    # probe volume, identical row multiset (see hard_negatives). No
+    # probe volume, identical row multiset (see hard_negatives). The
+    # persist moved ABOVE the joins (a union evaluates its producing
+    # subtree once per branch — pinning the labeled half makes the
+    # whole bucketed sweep AND the joins run exactly once, the r07
+    # multi-consumer-atop-cross lesson extended to the joins). No
     # broadcast hints: labels are corpus-sized at scale, AQE decides.
+    # Cache lifecycle: consumers are in the returned lazy plan —
+    # session owner unpersists (clearCache between queries) or GC.
     la = df.select(
         F.col(id_col).alias("__pa"), F.col(label_col).alias("a_label")
     )
@@ -1613,7 +1619,7 @@ def hard_negatives_bucketed(
         F.col("__pb").alias("b_id"),
         "b_label",
         "cos_micro",
-    )
+    ).persist()
     cand = half.unionByName(
         half.select(
             F.col("b_id").alias("a_id"),

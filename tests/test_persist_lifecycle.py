@@ -19,8 +19,13 @@ from redshift_etl_spark.operators import text as TX
 
 
 def _storage_empty(spark) -> bool:
-    jsc = spark.sparkContext._jsc.sc()
-    return jsc.getRDDStorageInfo() is None or len(jsc.getRDDStorageInfo()) == 0
+    # the SQL cache manager, not getRDDStorageInfo: localCheckpoint
+    # RDDs (loop operators, other tests in the same session) hold
+    # storage until GC and are deliberately NOT owned by clearCache —
+    # the persist() lifecycle under test lives in the cache manager
+    return bool(
+        spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    )
 
 
 def _docs(spark):
